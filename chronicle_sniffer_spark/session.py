@@ -1,0 +1,49 @@
+"""SparkSession factory.
+
+Local test posture is ``local[$SPARK_GRAFT_CPUS]`` (single JVM), but every
+config here is chosen to also hold on a multi-executor cluster at 100 TB:
+
+- AQE on (runtime join-strategy switch, partition coalescing, skew-join
+  splitting) so plans adapt when stats at scale differ from estimates.
+- ``spark.sql.shuffle.partitions`` sized to cores locally; AQE coalesces
+  upward mis-sizing at larger scale.
+- Arrow on for every pandas-UDF path (the engine's only Python hot paths
+  are Arrow-batched).
+- Session timezone pinned UTC so timestamp semantics match the DuckDB
+  oracle (naive-UTC) and are cluster-invariant.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(app_name: str = "chronicle_sniffer_spark") -> SparkSession:
+    cpus = default_parallelism()
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.default.parallelism", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        # events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
+        # reader rejects; read as long nanos and convert in tables.load_table
+        # (truncation to micros matches DuckDB's nanos handling exactly).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
