@@ -215,8 +215,12 @@ def l3_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sim"),
         )
     )
+    # Top-k via orderBy+limit → TakeOrderedAndProject (per-partition heap,
+    # no global sort, no single-partition window over the full scan);
+    # the ranking window then runs over just k rows.
+    topk = scored.orderBy(F.col("sim").desc(), F.col("vec_id")).limit(10)
     w = Window.orderBy(F.col("sim").desc(), F.col("vec_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 10)
+    return topk.withColumn("rank", F.row_number().over(w))
 
 
 # ---------------------------------------------------------------------------

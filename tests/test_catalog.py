@@ -1,0 +1,54 @@
+"""Catalog parity: every declared query matches its DuckDB oracle at
+sf0.001 (the driver's gate runs the same comparison at sf0.01)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from chronicle_sniffer_spark.plans import registry
+from tests.conftest import SF_SMOKE
+
+REG = registry()
+ORACLE_QUERIES = sorted(name for name, spec in REG.items() if spec.oracle is not None)
+ROWS_ONLY_QUERIES = sorted(name for name, spec in REG.items() if spec.oracle is None)
+
+
+def _canon_value(v):
+    if isinstance(v, float):
+        return "NaN" if math.isnan(v) else f"{round(v, 2):.2f}"
+    if v is None:
+        return "NULL"
+    return str(v)
+
+
+def _canon(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(_canon_value(r[i]) for i in order) for r in rows)
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_query_matches_oracle(name, spark, oracle):
+    spec = REG[name]
+    sdf = spec.spark_fn(spark, SF_SMOKE)
+    scols, srows = sdf.columns, [tuple(r) for r in sdf.collect()]
+    res = oracle.execute(spec.oracle)
+    ocols, orows = [d[0] for d in res.description], res.fetchall()
+    assert sorted(scols) == sorted(ocols), f"{name}: column names diverge"
+    assert _canon(scols, srows) == _canon(ocols, orows), f"{name}: values diverge"
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
+def test_rows_only_query_runs(name, spark):
+    df = REG[name].spark_fn(spark, SF_SMOKE)
+    assert df.collect() is not None
+
+
+def test_entry_contract(spark):
+    import __spark_entry__ as mod
+
+    df = mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(mod.oracle_sql()) <= set(mod.queries())
