@@ -27,6 +27,45 @@ def s1_parquet_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "lineitem").agg(F.count("*").alias("n"))
 
 
+FIXTURE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "tests",
+    "fixtures",
+)
+PROC_TIME = "2025-09-05T12:00:00.000000Z"
+
+
+@query("udm_projection", section="S2/R11-R22", oracle=None)
+def udm_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full UDM projection over the tshark-shaped fixture corpus
+    (golden-verified against the Python oracle in tests/test_udm.py;
+    rows-only here — not SQL-expressible)."""
+    from chronicle_sniffer_spark.sources.json_source import read_tshark_json
+    from chronicle_sniffer_spark.udm import project_udm
+
+    raw = read_tshark_json(spark, os.path.join(FIXTURE_DIR, "*.json"))
+    return project_udm(raw, PROC_TIME).select("udm_json", "event_type", "is_error", "event_ts")
+
+
+@query("udm_per_file_metrics", section="R23/R25", oracle=None)
+def udm_per_file_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file processed/error counters (ref UDM_PACKETS_PROCESSED /
+    UDM_PACKET_ERRORS logs, json2udm_cloud.py:325-348) as a grouped agg."""
+    from chronicle_sniffer_spark.sources.json_source import read_tshark_json
+    from chronicle_sniffer_spark.udm import project_udm
+
+    raw = read_tshark_json(spark, os.path.join(FIXTURE_DIR, "*.json"))
+    udm = project_udm(raw, PROC_TIME)
+    return (
+        udm.groupBy(F.regexp_extract("source_file", r"([^/]+)$", 1).alias("file"))
+        .agg(
+            F.count("*").alias("processed_packet_count"),
+            F.sum(F.when(F.col("is_error"), 1).otherwise(0)).alias("error_event_count"),
+        )
+        .orderBy("file")
+    )
+
+
 @query(
     "s3_csv_roundtrip",
     section="S3",

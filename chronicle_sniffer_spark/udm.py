@@ -1,0 +1,605 @@
+"""UDM projection core — the engine's equivalent of the reference's
+``convert_single_packet_to_udm`` (json2udm_cloud.py:91-317), expressed
+as pure Catalyst column expressions (no Python UDFs in the hot path).
+
+Input: DataFrame from :mod:`sources.json_source` with columns
+``_source`` (VARIANT), ``_corrupt_record`` (string), ``source_file``.
+Output columns:
+
+- ``event``       nested struct (schemas.UDM_EVENT_SCHEMA)
+- ``udm_json``    serialized ``{"event": ...}`` with null/empty
+                  sections elided (ref clean_none_values, :266-291)
+- ``event_ts``    typed TimestampType event timestamp
+- ``event_type``  top-level classification string
+- ``is_error``    true for quarantined/error events (never dropped —
+                  one-in-one-out invariant, SURVEY §2C.1)
+- ``source_file`` originating file
+
+Semantics preserved (SURVEY §2C):
+- classifier last-writer-wins: TLS > DNS > HTTP; ICMP/ARP only from
+  the transport elif chain (:136,165,169,180,197,227)
+- ARP overwrites eth-derived MACs/IPs, even with nulls (:149-151,172-175)
+- DNS name/type zip is index-guarded; type key omitted when missing (:207)
+- tls.record dict-or-list polymorphism; only the first record (:233-236)
+- empty-section elision + `about` any-non-falsy filter (:266-291)
+- injectable processing_time replaces datetime.now() (:28,42,106,300)
+- per-packet error quarantine with int()/attribute-error parity,
+  including Python's error message text and first-failure ordering
+  (:296-317; ports :156-157,161-162, status :191, TTLs :215)
+
+Documented intent-over-literal deviations from the reference:
+- frame number: the reference's ``get_nested_value(pkt,
+  "_source.layers.frame.frame.number")`` can never resolve (tshark
+  keys contain literal dots that a dot-split path walker cannot
+  traverse, json2udm_cloud.py:54,101), so its descriptions always say
+  "N/A".  We extract the actual ``frame.number``.
+- SNI: the reference's ``get_nested_value(handshake_data,
+  "tls.handshake.extensions_server_name")`` (:248) has the same
+  dot-path flaw and always yields None; we read the field directly
+  (declared intent per the UDM schema, SURVEY §1.3, and test/readme.md).
+- error-event packet snippet: the reference embeds
+  ``json.dumps(packet_data)`` (:305) preserving source key order; we
+  embed the canonical minified sorted-key form (VARIANT serialization),
+  same information, deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from chronicle_sniffer_spark.schemas import DNS_ANSWERS_DDL, DNS_QUERIES_DDL, LAYER_DDL
+
+# JSON texts of Python-falsy scalars: '' , 0, 0.0, False, [], {}, None.
+_FALSY_JSON = "('\"\"', '0', '0.0', '-0.0', 'false', '[]', '{}', 'null')"
+
+_PRODUCT = "Wireshark TShark"
+_PRODUCT_MALFORMED = "Wireshark TShark (Malformed)"
+_PRODUCT_ERROR = "Wireshark TShark (PacketProcessingError)"
+_VENDOR = "Wireshark"
+
+_TS_FMT_MICRO = "MMM d, yyyy H:mm:ss.SSSSSS"
+_TS_FMT_PLAIN = "MMM d, yyyy H:mm:ss"
+_ISO_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"
+
+
+def _sch(path: str) -> str:
+    return f"schema_of_variant(try_variant_get(layers, '{path}'))"
+
+
+def _is_object(sch: str) -> str:
+    return f"({sch} LIKE 'OBJECT<%')"
+
+
+def _present(path: str) -> str:
+    """Python-truthy dict: a non-empty JSON object."""
+    s = _sch(path)
+    return f"({_is_object(s)} AND {s} != 'OBJECT<>')"
+
+
+def _bad(path: str) -> str:
+    """Python-truthy non-dict: .get() on it raises AttributeError."""
+    s = _sch(path)
+    return (
+        f"({s} IS NOT NULL AND NOT {_is_object(s)}"
+        f" AND to_json(try_variant_get(layers, '{path}')) NOT IN {_FALSY_JSON})"
+    )
+
+
+def _truthy(path: str) -> str:
+    s = _sch(path)
+    return (
+        f"({s} IS NOT NULL"
+        f" AND to_json(try_variant_get(layers, '{path}')) NOT IN {_FALSY_JSON})"
+    )
+
+
+def _pytype(sch_expr: str) -> str:
+    """Python type name for the AttributeError message."""
+    return (
+        f"CASE WHEN {sch_expr} LIKE 'ARRAY%' THEN 'list'"
+        f" WHEN {sch_expr} = 'STRING' THEN 'str'"
+        f" WHEN {sch_expr} = 'BOOLEAN' THEN 'bool'"
+        f" WHEN {sch_expr} IN ('TINYINT','SMALLINT','INT','BIGINT') THEN 'int'"
+        f" WHEN {sch_expr} IN ('FLOAT','DOUBLE') OR {sch_expr} LIKE 'DECIMAL%' THEN 'float'"
+        f" ELSE 'dict' END"
+    )
+
+
+def _attr_err(sch_expr: str) -> Column:
+    return F.expr(f"concat('''', {_pytype(sch_expr)}, ''' object has no attribute ''get''')")
+
+
+def _int_err(value_expr: str) -> Column:
+    return F.expr(f"concat('invalid literal for int() with base 10: ''', {value_expr}, '''')")
+
+
+def project_udm(df: DataFrame, processing_time: str) -> DataFrame:
+    """Project raw packets to UDM events (one in → one out, always).
+
+    ``processing_time`` is the injected deterministic stand-in for the
+    reference's ``datetime.now()`` fallbacks (SURVEY §2C.4), as an
+    ISO-8601 string like ``2025-01-01T00:00:00.000000Z``.
+    """
+    proc_ts = F.lit(processing_time)
+
+    # ---- stage 1: typed layer extraction from the variant ----------------
+    stage1 = df.withColumn("layers", F.expr("try_variant_get(_source, '$.layers')"))
+    for name, ddl in LAYER_DDL.items():
+        stage1 = stage1.withColumn(
+            f"L_{name}", F.expr(f"try_variant_get(layers, '$.{name}', '{ddl}')")
+        )
+    stage1 = (
+        stage1.withColumn(
+            "dns_queries",
+            F.expr(f"try_variant_get(layers, '$.dns[\"Queries\"]', '{DNS_QUERIES_DDL}')"),
+        )
+        .withColumn(
+            "dns_answers",
+            F.expr(f"try_variant_get(layers, '$.dns[\"Answers\"]', '{DNS_ANSWERS_DDL}')"),
+        )
+        .withColumn(
+            "dns_response_flag",
+            F.expr(
+                "try_variant_get(layers,"
+                " '$.dns[\"dns.flags_tree\"][\"dns.flags.response\"]', 'string')"
+            ),
+        )
+        # tls.record: dict OR list; only the first record is analyzed
+        # (SURVEY §2C.7; json2udm_cloud.py:233-236)
+        .withColumn(
+            "tls_rec",
+            F.expr(
+                "CASE WHEN schema_of_variant(try_variant_get(layers, '$.tls[\"tls.record\"]'))"
+                "          LIKE 'OBJECT<%'"
+                "     THEN try_variant_get(layers, '$.tls[\"tls.record\"]')"
+                "     WHEN schema_of_variant(try_variant_get(layers, '$.tls[\"tls.record\"]'))"
+                "          LIKE 'ARRAY<%'"
+                "     THEN try_variant_get(layers, '$.tls[\"tls.record\"][0]')"
+                "     END"
+            ),
+        )
+        .withColumn(
+            "tls_rec_version",
+            F.expr("try_variant_get(tls_rec, '$[\"tls.record.version\"]', 'string')"),
+        )
+        .withColumn(
+            "tls_hs_version",
+            F.expr(
+                "try_variant_get(tls_rec,"
+                " '$[\"tls.handshake\"][\"tls.handshake.version\"]', 'string')"
+            ),
+        )
+        .withColumn(
+            "tls_sni",
+            F.expr(
+                "try_variant_get(tls_rec,"
+                " '$[\"tls.handshake\"][\"tls.handshake.extensions_server_name\"]', 'string')"
+            ),
+        )
+    )
+
+    # ---- stage 2: presence / branch conditions ---------------------------
+    c = {}
+    for name in (*LAYER_DDL, "dns", "tls"):
+        c[f"{name}_present"] = F.expr(_present(f"$.{name}"))
+        c[f"{name}_truthy"] = F.expr(_truthy(f"$.{name}"))
+        c[f"{name}_bad"] = F.expr(_bad(f"$.{name}"))
+
+    ip_branch = c["ip_present"]
+    ipv6_branch = ~c["ip_truthy"] & c["ipv6_present"]
+    tcp_branch = c["tcp_present"]
+    udp_branch = ~c["tcp_truthy"] & c["udp_present"]
+    icmp_branch = ~c["tcp_truthy"] & ~c["udp_truthy"] & c["icmp_present"]
+    arp_branch = ~c["tcp_truthy"] & ~c["udp_truthy"] & ~c["icmp_truthy"] & c["arp_present"]
+
+    dns_present = c["dns_present"]
+
+    fld = lambda layer, f: F.col(f"L_{layer}.`{f}`")  # noqa: E731
+
+    # ---- timestamp chain (ref convert_timestamp_robust, :19-46) ----------
+    # [:26] truncation reproduces Python's quirk of capping the fraction
+    # at whatever fits in 26 chars (4 digits for 2-digit days).
+    ts_str = fld("frame", "frame.time_utc")
+    parsed_ts = F.coalesce(
+        F.try_to_timestamp(F.substring(ts_str, 1, 26), F.lit(_TS_FMT_MICRO)),
+        F.try_to_timestamp(
+            F.trim(
+                F.regexp_replace(ts_str, " (UTC|Central European Summer Time).*$", "")
+            ),
+            F.lit(_TS_FMT_PLAIN),
+        ),
+    )
+    event_ts_iso = F.when(
+        (ts_str.isNotNull()) & (ts_str != "") & parsed_ts.isNotNull(),
+        F.date_format(parsed_ts, _ISO_FMT),
+    ).otherwise(proc_ts)
+
+    # ---- classifier (last-writer-wins; SURVEY §2C.2) ---------------------
+    event_type = (
+        F.when(c["tls_present"], "NETWORK_SSL")
+        .when(dns_present, "NETWORK_DNS")
+        .when(c["http_present"], "NETWORK_HTTP")
+        .when(icmp_branch, "NETWORK_ICMP")
+        .when(arp_branch, "NETWORK_ARP")
+        .otherwise("NETWORK_CONNECTION")
+    )
+
+    # ---- principal / target (ARP overwrite trap, SURVEY §2C.5) ----------
+    p_ip = F.when(arp_branch, fld("arp", "arp.src.proto_ipv4")).otherwise(
+        F.when(ip_branch, fld("ip", "ip.src")).when(ipv6_branch, fld("ipv6", "ipv6.src"))
+    )
+    t_ip = F.when(arp_branch, fld("arp", "arp.dst.proto_ipv4")).otherwise(
+        F.when(ip_branch, fld("ip", "ip.dst")).when(ipv6_branch, fld("ipv6", "ipv6.dst"))
+    )
+    p_mac = F.when(arp_branch, fld("arp", "arp.src.hw_mac")).otherwise(
+        F.when(c["eth_present"], fld("eth", "eth.src"))
+    )
+    t_mac = F.when(arp_branch, fld("arp", "arp.dst.hw_mac")).otherwise(
+        F.when(c["eth_present"], fld("eth", "eth.dst"))
+    )
+    p_port = F.when(tcp_branch, F.expr("try_cast(L_tcp.`tcp.srcport` AS int)")).when(
+        udp_branch, F.expr("try_cast(L_udp.`udp.srcport` AS int)")
+    )
+    t_port = F.when(tcp_branch, F.expr("try_cast(L_tcp.`tcp.dstport` AS int)")).when(
+        udp_branch, F.expr("try_cast(L_udp.`udp.dstport` AS int)")
+    )
+
+    # ---- network ---------------------------------------------------------
+    ipv = F.when(ip_branch, F.lit(4)).when(ipv6_branch, F.lit(6)).cast("int")
+    transport = (
+        F.when(tcp_branch, "TCP").when(udp_branch, "UDP").when(icmp_branch, "ICMP")
+    )
+    tcp_flags = F.when(tcp_branch, fld("tcp", "tcp.flags"))
+    icmp_type = F.when(icmp_branch, fld("icmp", "icmp.type"))
+    icmp_code = F.when(icmp_branch, fld("icmp", "icmp.code"))
+
+    # ---- HTTP (truthy-string guards; ref :179-192) -----------------------
+    def truthy_str(col: Column) -> Column:
+        return col.isNotNull() & (col != "")
+
+    h = {
+        "host": fld("http", "http.host"),
+        "file_data": fld("http", "http.file_data"),
+        "method": fld("http", "http.request.method"),
+        "url": fld("http", "http.request.full_uri"),
+        "user_agent": fld("http", "http.user_agent"),
+        "code": fld("http", "http.response.code"),
+    }
+    http_guard = lambda col: F.when(c["http_present"] & truthy_str(col), col)  # noqa: E731
+    http_status = F.when(
+        c["http_present"] & truthy_str(h["code"]),
+        F.expr("try_cast(L_http.`http.response.code` AS int)"),
+    )
+    http_info = F.struct(
+        http_guard(h["host"]).alias("host"),
+        http_guard(h["file_data"]).alias("file_data"),
+        http_guard(h["method"]).alias("method"),
+        http_guard(h["url"]).alias("url"),
+        http_guard(h["user_agent"]).alias("user_agent"),
+        http_status.alias("status_code"),
+    )
+    http_info_nonempty = (
+        c["http_present"]
+        & (
+            truthy_str(h["host"])
+            | truthy_str(h["file_data"])
+            | truthy_str(h["method"])
+            | truthy_str(h["url"])
+            | truthy_str(h["user_agent"])
+            | truthy_str(h["code"])
+        )
+    )
+
+    # ---- DNS (index-guarded zip, SURVEY §2C.6; ref :194-223) -------------
+    q_names = F.expr(
+        "filter(transform(map_values(dns_queries), x -> x['dns.qry.name']),"
+        " v -> v IS NOT NULL)"
+    )
+    q_types = F.expr(
+        "filter(transform(map_values(dns_queries), x -> x['dns.qry.type']),"
+        " v -> v IS NOT NULL)"
+    )
+    queries_arr = F.expr(
+        "transform("
+        "  filter(transform(map_values(dns_queries), x -> x['dns.qry.name']),"
+        "         v -> v IS NOT NULL),"
+        "  (n, i) -> struct("
+        "    n AS name,"
+        "    CASE WHEN i < size(filter(transform(map_values(dns_queries),"
+        "                              x -> x['dns.qry.type']), v -> v IS NOT NULL))"
+        "         THEN filter(transform(map_values(dns_queries), x -> x['dns.qry.type']),"
+        "                     v -> v IS NOT NULL)[i]"
+        "    END AS type))"
+    )
+    a_ttls_raw = F.expr(
+        "filter(transform(map_values(dns_answers), x -> x['dns.resp.ttl']),"
+        " v -> v IS NOT NULL)"
+    )
+    a_ttls_int = F.expr(
+        "transform(filter(transform(map_values(dns_answers), x -> x['dns.resp.ttl']),"
+        " v -> v IS NOT NULL), t -> try_cast(t AS int))"
+    )
+    has_queries = dns_present & (F.size(q_names) > 0)
+    has_answers = dns_present & (F.size(a_ttls_raw) > 0)
+    has_resp_flag = dns_present & F.col("dns_response_flag").isNotNull()
+    dns_info = F.struct(
+        F.when(has_queries, queries_arr).alias("queries"),
+        F.when(has_answers, a_ttls_int).alias("answer_ttls"),
+        F.when(has_resp_flag, F.col("dns_response_flag") == "1").alias("is_response"),
+    )
+    dns_info_nonempty = has_queries | has_answers | has_resp_flag
+
+    # ---- TLS (ref :226-253) ----------------------------------------------
+    tls_info = F.struct(
+        F.when(c["tls_present"] & truthy_str(F.col("tls_rec_version")), F.col("tls_rec_version"))
+        .alias("record_version_protocol"),
+        F.when(c["tls_present"] & truthy_str(F.col("tls_hs_version")), F.col("tls_hs_version"))
+        .alias("handshake_protocol_version"),
+        F.when(c["tls_present"] & truthy_str(F.col("tls_sni")), F.col("tls_sni"))
+        .alias("server_name_indication"),
+    )
+    tls_info_nonempty = c["tls_present"] & (
+        truthy_str(F.col("tls_rec_version"))
+        | truthy_str(F.col("tls_hs_version"))
+        | truthy_str(F.col("tls_sni"))
+    )
+
+    app_nonempty = http_info_nonempty | dns_info_nonempty | tls_info_nonempty
+    app_data = F.when(
+        app_nonempty,
+        F.struct(
+            F.when(http_info_nonempty, http_info).alias("http"),
+            F.when(dns_info_nonempty, dns_info).alias("dns"),
+            F.when(tls_info_nonempty, tls_info).alias("tls"),
+        ),
+    )
+
+    # ---- about (append order: http host, http url, dns names, sni) ------
+    empty_about = F.expr("CAST(array() AS array<struct<hostname string, url string>>)")
+    about_http_host = F.when(
+        c["http_present"] & truthy_str(h["host"]),
+        F.array(F.struct(h["host"].alias("hostname"), F.lit(None).cast("string").alias("url"))),
+    ).otherwise(empty_about)
+    about_http_url = F.when(
+        c["http_present"] & truthy_str(h["url"]),
+        F.array(F.struct(F.lit(None).cast("string").alias("hostname"), h["url"].alias("url"))),
+    ).otherwise(empty_about)
+    about_dns = F.when(
+        has_queries,
+        F.expr(
+            "transform(filter(transform(map_values(dns_queries), x -> x['dns.qry.name']),"
+            " v -> v IS NOT NULL),"
+            " n -> struct(n AS hostname, CAST(NULL AS string) AS url))"
+        ),
+    ).otherwise(empty_about)
+    about_tls = F.when(
+        c["tls_present"] & truthy_str(F.col("tls_sni")),
+        F.array(
+            F.struct(F.col("tls_sni").alias("hostname"), F.lit(None).cast("string").alias("url"))
+        ),
+    ).otherwise(empty_about)
+    about_all = F.concat(about_http_host, about_http_url, about_dns, about_tls)
+    # ref :283 — keep items where any value is truthy (drops ""-only items)
+    about_filtered = F.filter(
+        about_all,
+        lambda x: (x["hostname"].isNotNull() & (x["hostname"] != ""))
+        | (x["url"].isNotNull() & (x["url"] != "")),
+    )
+    about_col = F.when(F.size(about_filtered) > 0, about_filtered)
+
+    # ---- additional ------------------------------------------------------
+    empty_map = F.expr("map()").cast("map<string,string>")
+    additional = F.map_concat(
+        F.when(
+            ip_branch & fld("ip", "ip.ttl").isNotNull(),
+            F.create_map(F.lit("ip_ttl"), fld("ip", "ip.ttl")),
+        ).otherwise(empty_map),
+        F.when(
+            arp_branch & fld("arp", "arp.opcode").isNotNull(),
+            F.create_map(F.lit("arp_operation"), fld("arp", "arp.opcode")),
+        ).otherwise(empty_map),
+    )
+    additional_col = F.when(F.size(additional) > 0, additional)
+
+    # ---- descriptions ----------------------------------------------------
+    packet_num = F.coalesce(fld("frame", "frame.number"), F.lit("N/A"))
+    protocols = F.coalesce(fld("frame", "frame.protocols"), F.lit("N/A"))
+    description = F.concat(
+        F.lit("Packet capture. Protocols: "), protocols, F.lit(". Frame No: "), packet_num
+    )
+
+    # ---- error chain (ordered as Python executes; ref :296-317) ----------
+    src_sch = "schema_of_variant(_source)"
+    src_bad = F.expr(
+        f"({src_sch} IS NOT NULL AND NOT ({src_sch} LIKE 'OBJECT<%')"
+        f" AND to_json(_source) NOT IN {_FALSY_JSON})"
+    )
+    corrupt_elem = F.col("_corrupt_record").isNotNull() & F.col("_source").isNull()
+    corrupt_pytype = F.expr(
+        "CASE WHEN left(ltrim(_corrupt_record), 1) = '\"' THEN 'str'"
+        " WHEN left(ltrim(_corrupt_record), 1) = '[' THEN 'list'"
+        " WHEN ltrim(_corrupt_record) IN ('true','false') THEN 'bool'"
+        " WHEN ltrim(_corrupt_record) = 'null' THEN 'NoneType'"
+        " WHEN _corrupt_record RLIKE '^\\\\s*-?[0-9]+\\\\s*$' THEN 'int'"
+        " WHEN _corrupt_record RLIKE '^\\\\s*-?[0-9.eE+-]+\\\\s*$' THEN 'float'"
+        " ELSE 'str' END"
+    )
+
+    def int_fail(col_expr: str) -> str:
+        return f"({col_expr} IS NOT NULL AND try_cast({col_expr} AS int) IS NULL)"
+
+    ttl_bad = F.expr(
+        "exists(filter(transform(map_values(dns_answers), x -> x['dns.resp.ttl']),"
+        " v -> v IS NOT NULL), t -> try_cast(t AS int) IS NULL)"
+    )
+    flags_tree_bad = F.expr(_bad('$.dns["dns.flags_tree"]'))
+    hs_sch = "schema_of_variant(try_variant_get(tls_rec, '$[\"tls.handshake\"]'))"
+    hs_bad = F.expr(
+        f"({hs_sch} IS NOT NULL AND NOT ({hs_sch} LIKE 'OBJECT<%')"
+        f" AND to_json(try_variant_get(tls_rec, '$[\"tls.handshake\"]')) NOT IN {_FALSY_JSON})"
+    )
+
+    error_msg = (
+        F.when(corrupt_elem, F.concat(F.lit("'"), corrupt_pytype, F.lit("' object has no attribute 'get'")))
+        .when(src_bad, _attr_err(src_sch))
+        .when(F.expr(_bad("$.frame")), _attr_err(_sch("$.frame")))
+        .when(F.expr(_bad("$.ip")), _attr_err(_sch("$.ip")))
+        .when(~c["ip_truthy"] & F.expr(_bad("$.ipv6")), _attr_err(_sch("$.ipv6")))
+        .when(F.expr(_bad("$.eth")), _attr_err(_sch("$.eth")))
+        .when(F.expr(_bad("$.tcp")), _attr_err(_sch("$.tcp")))
+        .when(tcp_branch & F.expr(int_fail("L_tcp.`tcp.srcport`")), _int_err("L_tcp.`tcp.srcport`"))
+        .when(tcp_branch & F.expr(int_fail("L_tcp.`tcp.dstport`")), _int_err("L_tcp.`tcp.dstport`"))
+        .when(~c["tcp_truthy"] & F.expr(_bad("$.udp")), _attr_err(_sch("$.udp")))
+        .when(udp_branch & F.expr(int_fail("L_udp.`udp.srcport`")), _int_err("L_udp.`udp.srcport`"))
+        .when(udp_branch & F.expr(int_fail("L_udp.`udp.dstport`")), _int_err("L_udp.`udp.dstport`"))
+        .when(~c["tcp_truthy"] & ~c["udp_truthy"] & F.expr(_bad("$.icmp")), _attr_err(_sch("$.icmp")))
+        .when(
+            ~c["tcp_truthy"] & ~c["udp_truthy"] & ~c["icmp_truthy"] & F.expr(_bad("$.arp")),
+            _attr_err(_sch("$.arp")),
+        )
+        .when(F.expr(_bad("$.http")), _attr_err(_sch("$.http")))
+        .when(
+            c["http_present"]
+            & truthy_str(h["code"])
+            & F.expr("try_cast(L_http.`http.response.code` AS int) IS NULL"),
+            _int_err("L_http.`http.response.code`"),
+        )
+        .when(F.expr(_bad("$.dns")), _attr_err(_sch("$.dns")))
+        .when(dns_present & ttl_bad, _int_err("(" + "filter(filter(transform(map_values(dns_answers), x -> x['dns.resp.ttl']), v -> v IS NOT NULL), t -> try_cast(t AS int) IS NULL)[0]" + ")"))
+        .when(dns_present & flags_tree_bad, _attr_err(_sch('$.dns["dns.flags_tree"]')))
+        .when(F.expr(_bad("$.tls")), _attr_err(_sch("$.tls")))
+        .when(c["tls_present"] & hs_bad, _attr_err(hs_sch))
+    )
+
+    layers_bad = F.expr(
+        f"(schema_of_variant(layers) IS NOT NULL"
+        f" AND NOT (schema_of_variant(layers) LIKE 'OBJECT<%')"
+        f" AND to_json(layers) NOT IN {_FALSY_JSON})"
+    )
+    # layers.get on a non-dict: Python reaches .get via layers.get("frame")
+    # only after the `if not layers` check; a truthy non-dict layers object
+    # fails at frame access with layers' own type.
+    error_msg = F.when(
+        layers_bad & ~src_bad & ~corrupt_elem, _attr_err("schema_of_variant(layers)")
+    ).otherwise(error_msg)
+
+    is_error = error_msg.isNotNull()
+
+    # malformed: layers falsy (absent / {} / falsy scalar); ref :103-111
+    layers_falsy = F.expr(
+        f"(layers IS NULL OR to_json(layers) IN {_FALSY_JSON})"
+    )
+    is_malformed = ~is_error & layers_falsy
+
+    # ---- snippet (canonical minified sorted-key packet JSON) -------------
+    raw_pkt = F.coalesce(
+        F.expr("to_json(named_struct('_source', _source))"), F.col("_corrupt_record")
+    )
+    snippet = F.when(
+        F.length(raw_pkt) > 1000, F.concat(F.substring(raw_pkt, 1, 1000), F.lit("..."))
+    ).otherwise(raw_pkt)
+
+    # ---- assemble the three event shapes ---------------------------------
+    def metadata(ts: Column, product: str, etype: Column | str, desc: Column) -> Column:
+        e = F.lit(etype) if isinstance(etype, str) else etype
+        return F.struct(
+            ts.alias("event_timestamp"),
+            F.lit(product).alias("product_name"),
+            F.lit(_VENDOR).alias("vendor_name"),
+            e.alias("event_type"),
+            desc.alias("description"),
+        )
+
+    principal = F.struct(p_ip.alias("ip"), p_mac.alias("mac"), p_port.alias("port"))
+    target = F.struct(t_ip.alias("ip"), t_mac.alias("mac"), t_port.alias("port"))
+    principal_col = F.when(p_ip.isNotNull() | p_mac.isNotNull() | p_port.isNotNull(), principal)
+    target_col = F.when(t_ip.isNotNull() | t_mac.isNotNull() | t_port.isNotNull(), target)
+    network = F.struct(
+        ipv.alias("ip_protocol_version"),
+        transport.alias("transport_protocol"),
+        tcp_flags.alias("tcp_flags"),
+        icmp_type.alias("icmp_type"),
+        icmp_code.alias("icmp_code"),
+        app_data.alias("application_protocol_data"),
+    )
+    network_col = F.when(
+        ipv.isNotNull()
+        | transport.isNotNull()
+        | tcp_flags.isNotNull()
+        | icmp_type.isNotNull()
+        | icmp_code.isNotNull()
+        | app_nonempty,
+        network,
+    )
+
+    _PRINCIPAL_DDL = "struct<ip string, mac string, port int>"
+    _NETWORK_DDL = (
+        "struct<ip_protocol_version int, transport_protocol string, tcp_flags string,"
+        " icmp_type string, icmp_code string, application_protocol_data"
+        " struct<http struct<host string, file_data string, method string, url string,"
+        " user_agent string, status_code int>, dns struct<queries array<struct<name string,"
+        " type string>>, answer_ttls array<int>, is_response boolean>,"
+        " tls struct<record_version_protocol string, handshake_protocol_version string,"
+        " server_name_indication string>>>"
+    )
+    _ABOUT_DDL = "array<struct<hostname string, url string>>"
+    null_section = lambda ddl: F.lit(None).cast(ddl)  # noqa: E731
+
+    normal_event = F.struct(
+        metadata(event_ts_iso, _PRODUCT, event_type, description).alias("metadata"),
+        principal_col.alias("principal"),
+        target_col.alias("target"),
+        network_col.alias("network"),
+        about_col.alias("about"),
+        additional_col.alias("additional"),
+    )
+    # Malformed events carry ONLY metadata (ref :107-111).
+    malformed_desc = F.concat(F.lit("Malformed packet data. Frame: "), packet_num)
+    malformed_event = F.struct(
+        metadata(proc_ts, _PRODUCT_MALFORMED, "NETWORK_EVENT_UNKNOWN", malformed_desc).alias(
+            "metadata"
+        ),
+        null_section(_PRINCIPAL_DDL).alias("principal"),
+        null_section(_PRINCIPAL_DDL).alias("target"),
+        null_section(_NETWORK_DDL).alias("network"),
+        null_section(_ABOUT_DDL).alias("about"),
+        F.lit(None).cast("map<string,string>").alias("additional"),
+    )
+    err_frame = F.coalesce(fld("frame", "frame.number"), F.lit("N/A (error state)"))
+    error_desc = F.concat(
+        F.lit("Error during UDM conversion for packet. Frame No: "),
+        err_frame,
+        F.lit(". Error: "),
+        error_msg,
+    )
+    error_event = F.struct(
+        metadata(proc_ts, _PRODUCT_ERROR, "NETWORK_EVENT_ERROR", error_desc).alias("metadata"),
+        null_section(_PRINCIPAL_DDL).alias("principal"),
+        null_section(_PRINCIPAL_DDL).alias("target"),
+        null_section(_NETWORK_DDL).alias("network"),
+        null_section(_ABOUT_DDL).alias("about"),
+        F.map_from_arrays(
+            F.array(F.lit("processing_error_message"), F.lit("original_packet_data_snippet")),
+            F.array(error_msg, snippet),
+        ).alias("additional"),
+    )
+
+    event = (
+        F.when(is_error, error_event)
+        .when(is_malformed, malformed_event)
+        .otherwise(normal_event)
+    )
+
+    out_ts = F.when(is_error | is_malformed, F.to_timestamp(F.replace(proc_ts, F.lit("Z"), F.lit("")))).otherwise(
+        F.coalesce(parsed_ts, F.to_timestamp(F.replace(proc_ts, F.lit("Z"), F.lit(""))))
+    )
+
+    return stage1.select(
+        event.alias("event"),
+        F.to_json(F.struct(event.alias("event"))).alias("udm_json"),
+        out_ts.alias("event_ts"),
+        event["metadata"]["event_type"].alias("event_type"),
+        (is_error | is_malformed).alias("is_error"),
+        F.col("source_file"),
+    )
