@@ -49,6 +49,7 @@ _SUBMODULES = (
     "chronicle_sniffer_spark.plans.relational",
     "chronicle_sniffer_spark.plans.llm",
     "chronicle_sniffer_spark.plans.pipeline",
+    "chronicle_sniffer_spark.plans.streaming_queries",
 )
 
 

@@ -1,0 +1,60 @@
+"""Streaming replay harness: turn the static `events` table into a
+multi-batch file stream and run queries to completion synchronously.
+
+Mirrors the reference's unit-of-work model — one rotated file per
+micro-batch (sniffer_entrypoint.sh:15; S5) — and gives tests a
+deterministic ``Trigger.AvailableNow``-style drive (T7).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+from chronicle_sniffer_spark.tables import load_table
+
+EVENTS_STREAM_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+)
+
+
+def stage_events_as_files(
+    spark: SparkSession, sf_dir: str, n_files: int = 4, out_dir: str | None = None
+) -> str:
+    """Split the events table into n parquet files (≈ rotated captures)."""
+    out = out_dir or os.path.join(tempfile.mkdtemp(prefix="css_stream_"), "events")
+    ev = load_table(spark, sf_dir, "events")
+    ev.repartition(n_files).write.mode("overwrite").parquet(out)
+    return out
+
+
+def read_events_stream(
+    spark: SparkSession, staged_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """S5: streaming file source over the staged directory; only
+    completed files are listed (the reference needed lsof+anti-join
+    bookkeeping for this, sniffer_entrypoint.sh:160-177 — R3/R4)."""
+    return (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(staged_dir)
+    )
+
+
+def run_to_completion(
+    stream_df: DataFrame, query_name: str, output_mode: str = "complete"
+) -> DataFrame:
+    """Drive a streaming query until all staged input is consumed and
+    return the final result from the in-memory sink (T7 replay)."""
+    spark = stream_df.sparkSession
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {query_name}")

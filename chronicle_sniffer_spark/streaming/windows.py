@@ -1,0 +1,75 @@
+"""Windowed aggregations (T1-T3) — one logical plan, batch or stream.
+
+Generalizes the reference's time-bucketed operational metrics: the
+60 s tshark rotation window (sniffer_entrypoint.sh:15), the 60 s
+dashboard alignment + rates (dashboards/main_operational_dashboard.json:30-38),
+and the heartbeat liveness window (terraform/main.tf:583-622).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Exact-decimal value sums (see plans/catalog.py rationale).
+_DEC = "decimal(18,4)"
+
+
+def tumbling_counts(events: DataFrame, width: str = "60 seconds") -> DataFrame:
+    """T1: tumbling event-time window counts + value sum per window."""
+    return (
+        events.groupBy(F.window("ts", width).alias("w"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast(_DEC)).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("w_start"), "n", "total_value")
+    )
+
+
+def sliding_counts(
+    events: DataFrame, width: str = "10 minutes", slide: str = "5 minutes"
+) -> DataFrame:
+    """T2: sliding window counts (dashboard-rate shape, R28)."""
+    return (
+        events.groupBy(F.window("ts", width, slide).alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("w_start"), "n")
+    )
+
+
+def session_aggregate(events: DataFrame, gap: str = "5 minutes") -> DataFrame:
+    """T3: gap-based session windows per user.
+
+    Uses the native ``session_window`` operator — in streaming mode
+    state merges sessions incrementally; in batch mode Catalyst plans
+    the same merge over a single shuffle on user_id.
+    """
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast(_DEC)).cast("double").alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("s_start"),
+            F.col("w.end").alias("s_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def windowed_with_watermark(
+    events: DataFrame, width: str = "60 seconds", delay: str = "10 minutes"
+) -> DataFrame:
+    """T4: watermarked tumbling agg — late rows beyond `delay` dropped
+    from the aggregate (the engine's late-data policy routes them to a
+    quarantine sink instead of silent loss; see reliability.py)."""
+    return (
+        events.withWatermark("ts", delay)
+        .groupBy(F.window("ts", width).alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("w_start"), "n")
+    )

@@ -1,0 +1,156 @@
+"""Stream-vs-batch equivalence (SURVEY §5.2-3) and reliability
+patterns: T1/T2 window parity, T4 watermark late-drop, T5 dedup,
+T6 stateful, T7 AvailableNow replay, S6 queue validation, S7
+idempotency, T8 bounded-attempt DLQ."""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import time
+
+import pytest
+
+from chronicle_sniffer_spark.streaming.reliability import DlqSink, dedup_stream, read_notifications
+from chronicle_sniffer_spark.streaming.runtime import (
+    EVENTS_STREAM_SCHEMA,
+    read_events_stream,
+    run_to_completion,
+    stage_events_as_files,
+)
+from chronicle_sniffer_spark.streaming.stateful import running_counts_batch, running_counts_stream
+from chronicle_sniffer_spark.streaming.windows import tumbling_counts, windowed_with_watermark
+from chronicle_sniffer_spark.tables import load_table
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def staged(spark):
+    return stage_events_as_files(spark, SF_SMOKE, n_files=4)
+
+
+def _rows(df, *cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_t1_t7_stream_equals_batch(spark, staged):
+    stream = read_events_stream(spark, staged)
+    result = run_to_completion(tumbling_counts(stream), "t1_stream", "complete")
+    batch = tumbling_counts(load_table(spark, SF_SMOKE, "events"))
+    assert _rows(result, "w_start", "n", "total_value") == _rows(
+        batch, "w_start", "n", "total_value"
+    )
+
+
+def test_t5_stream_dedup(spark, staged):
+    # redeliver every file twice via a doubled staging dir
+    double_dir = os.path.join(tempfile.mkdtemp(prefix="css_dup_"), "events")
+    ev = spark.read.parquet(staged)
+    ev.unionByName(ev).repartition(6).write.mode("overwrite").parquet(double_dir)
+    stream = read_events_stream(spark, double_dir, max_files_per_trigger=2)
+    deduped = dedup_stream(stream).groupBy().count()
+    result = run_to_completion(deduped, "t5_stream", "complete")
+    expected = load_table(spark, SF_SMOKE, "events").select("event_id").distinct().count()
+    assert result.collect()[0][0] == expected
+
+
+def test_t4_watermark_drops_late_rows(spark):
+    """A row arriving after the watermark passed its window is dropped
+    from the append-mode aggregate."""
+    base = tempfile.mkdtemp(prefix="css_late_")
+    d = os.path.join(base, "events")
+    os.makedirs(d)
+    from datetime import datetime
+
+    on_time = [
+        (1, datetime(2024, 1, 1, 10, 0, 10), 1, "click", 1.0, "{}"),
+        (2, datetime(2024, 1, 1, 10, 30, 0), 1, "click", 1.0, "{}"),  # advances watermark far
+    ]
+    late = [(3, datetime(2024, 1, 1, 10, 0, 20), 1, "click", 1.0, "{}")]  # >10 min behind
+    checkpoint = os.path.join(base, "ckpt")
+    out = os.path.join(base, "out")
+
+    def run_once():
+        stream = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(d)
+        agg = windowed_with_watermark(stream, width="60 seconds", delay="10 minutes")
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # batch 1: on-time rows advance the watermark to 10:20
+    spark.createDataFrame(on_time, EVENTS_STREAM_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(d)
+    run_once()
+    # batch 2 (restart from checkpoint — watermark persisted): a row
+    # 20 min behind the watermark arrives and must be dropped
+    time.sleep(0.2)
+    spark.createDataFrame(late, EVENTS_STREAM_SCHEMA).coalesce(1).write.mode("append").parquet(d)
+    run_once()
+
+    got = {r.w_start.isoformat(): r.n for r in spark.read.parquet(out).collect()}
+    # the 10:00 window closed with ONE row; the late event_id=3 was dropped
+    assert got.get("2024-01-01T10:00:00") == 1
+
+
+def test_t6_stateful_running_counts(spark, staged):
+    stream = read_events_stream(spark, staged, max_files_per_trigger=2)
+    result = run_to_completion(running_counts_stream(stream), "t6_stream", "update")
+    # update mode emits one row per user per batch — keep the last
+    import pandas as pd
+
+    pdf = result.toPandas()
+    last = pdf.groupby("user_id").tail(1).set_index("user_id").sort_index()
+    batch = running_counts_batch(load_table(spark, SF_SMOKE, "events")).toPandas()
+    batch = batch.set_index("user_id").sort_index()
+    assert list(last.index) == list(batch.index)
+    assert (last["n_events"] == batch["n_events"]).all()
+    assert (last["total_value"] - batch["total_value"]).abs().max() < 1e-6
+
+
+def test_s6_notification_validation(spark):
+    d = tempfile.mkdtemp(prefix="css_notif_")
+    msgs = [
+        {"filename": "capture_001.pcap", "publish_ts": "2024-01-01T00:00:00Z", "attributes": {}},
+        {"filename": "", "publish_ts": "2024-01-01T00:00:01Z", "attributes": {}},
+        {"filename": "../evil.pcap", "publish_ts": "2024-01-01T00:00:02Z", "attributes": {}},
+        {"filename": "capture_002.pcap", "publish_ts": "2024-01-01T00:00:03Z", "attributes": {}},
+    ]
+    with open(os.path.join(d, "msgs.json"), "w") as f:
+        f.write("\n".join(json.dumps(m) for m in msgs))
+    ok = read_notifications(spark, d)
+    assert sorted(r.filename for r in ok.collect()) == ["capture_001.pcap", "capture_002.pcap"]
+
+
+def test_t8_s7_dlq_and_idempotency(spark):
+    base = tempfile.mkdtemp(prefix="css_dlq_")
+    sink = DlqSink(
+        out_dir=os.path.join(base, "out"),
+        state_dir=os.path.join(base, "state"),
+        max_attempts=3,
+        fail_filenames={"poison.pcap"},
+    )
+    batch = spark.createDataFrame(
+        [("good_a.pcap",), ("good_b.pcap",), ("poison.pcap",)], "filename string"
+    )
+    # five redeliveries (the ref's Pub/Sub retry budget shape)
+    for epoch in range(5):
+        sink.process(batch, epoch)
+    st = sink.state()
+    assert sorted(st["done"]) == ["good_a.pcap", "good_b.pcap"]
+    assert st["dlq"] == ["poison.pcap"]  # exactly once, after max_attempts
+    assert st["attempts"]["poison.pcap"] == 3  # no further attempts once dead-lettered
+    # outputs written exactly once each, still present
+    outs = sorted(os.listdir(sink.out_dir))
+    assert outs == ["good_a.pcap.out", "good_b.pcap.out"]
+    # S7: full redelivery after completion → no duplicates, no new attempts
+    before = st["attempts"]["good_a.pcap"]
+    sink.process(batch, 99)
+    assert sink.state()["attempts"]["good_a.pcap"] == before
