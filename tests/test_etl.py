@@ -1,0 +1,54 @@
+"""ETL driver tests: partitioned sink (S8), per-file JSON outputs
+(R24), per-file metrics (R23), overwrite idempotency (S7-shape)."""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+from chronicle_sniffer_spark import etl
+
+FIXDIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures")
+PROC_TIME = "2025-09-05T12:00:00.000000Z"
+
+
+def test_convert_and_sinks(spark):
+    base = tempfile.mkdtemp(prefix="css_etl_")
+    udm = etl.convert_directory(spark, os.path.join(FIXDIR, "*.json"), PROC_TIME)
+
+    # S8: partitioned parquet
+    pq_dir = os.path.join(base, "udm_parquet")
+    etl.write_udm_parquet(udm, pq_dir)
+    parts = [d for d in os.listdir(pq_dir) if d.startswith("event_date=")]
+    assert parts, "expected event_date partitions"
+    back = spark.read.parquet(pq_dir)
+    assert back.count() == udm.count()
+
+    # R24: one output dir per source file
+    json_dir = os.path.join(base, "udm_json")
+    outs = etl.write_udm_json_per_file(udm, json_dir)
+    names = {os.path.basename(p) for p in outs}
+    assert "source_base=synflood" in names
+    assert "source_base=tcp_http" in names
+    # each line is a valid standalone UDM event JSON
+    syn = next(p for p in outs if p.endswith("synflood"))
+    lines = []
+    for f in os.listdir(syn):
+        if f.endswith(".txt"):
+            with open(os.path.join(syn, f)) as fh:
+                lines += [json.loads(line) for line in fh if line.strip()]
+    assert len(lines) == 50
+    assert all("event" in e for e in lines)
+
+    # R23: per-file metrics
+    metrics = {r.file: r for r in etl.per_file_metrics(udm).collect()}
+    assert metrics["synflood.json"].processed_packet_count == 50
+    assert metrics["synflood.json"].error_event_count == 0
+    assert metrics["mixed_error_packet.json"].error_event_count == 3
+    assert metrics["corrupt_root.json"].processed_packet_count == 1
+    assert metrics["corrupt_root.json"].error_event_count == 1
+
+    # idempotent redelivery: rewriting produces identical content
+    outs2 = etl.write_udm_json_per_file(udm, json_dir)
+    assert outs == outs2
