@@ -1,0 +1,91 @@
+"""UDF/UDAF/UDTF surface demos (SURVEY §2B U3-U6).
+
+Each exists to prove the extension surface works and matches native
+semantics — production operators prefer built-in expressions.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+# ---- U3: grouped-map (applyInPandas) ---------------------------------------
+
+USER_STATS_SCHEMA = "user_id long, n_events long, total_value double, max_value double"
+
+
+def _user_stats(pdf: pd.DataFrame) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "user_id": [pdf["user_id"].iloc[0]],
+            "n_events": [len(pdf)],
+            "total_value": [round(float(pdf["value"].sum()), 2)],
+            "max_value": [float(pdf["value"].max())],
+        }
+    )
+
+
+def user_stats_grouped_map(events: DataFrame) -> DataFrame:
+    """U3: per-group pandas DataFrame in/out (the ref's per-file
+    aggregation R23 as a grouped map)."""
+    return events.groupBy("user_id").applyInPandas(_user_stats, USER_STATS_SCHEMA)
+
+
+# ---- U4: UDAF via pandas GROUPED_AGG ---------------------------------------
+
+
+@F.pandas_udf(T.DoubleType())
+def weighted_avg(value: pd.Series, weight: pd.Series) -> float:
+    """U4: weighted average as an Arrow grouped-agg UDAF."""
+    wsum = float(weight.sum())
+    return float((value * weight).sum() / wsum) if wsum else float("nan")
+
+
+# ---- U5: UDTF (one row → many) ---------------------------------------------
+
+
+class SplitWords:
+    """U5: Python UDTF — explode a text into (pos, word) rows."""
+
+    def eval(self, doc_id: int, text: str):  # noqa: D102
+        for pos, word in enumerate(text.split(" ")):
+            yield doc_id, pos, word
+
+
+def register_udtf(spark: SparkSession) -> None:
+    from pyspark.sql.functions import udtf
+
+    split_words = udtf(SplitWords, returnType="doc_id bigint, pos int, word string")
+    spark.udtf.register("split_words", split_words)
+
+
+# ---- U6: SQL registration ---------------------------------------------------
+
+
+def register_sql_udfs(spark: SparkSession) -> None:
+    """U6: make Python functions callable from SQL text."""
+    spark.udf.register(
+        "py_rev_upper", lambda s: s[::-1].upper() if s is not None else None, T.StringType()
+    )
+
+
+# ---- mapInPandas example (per-partition custom operator) --------------------
+
+
+def zscore_partitions(df: DataFrame, col: str) -> DataFrame:
+    """Per-partition z-score via mapInPandas — the pattern custom
+    operators use when built-ins can't express the semantics."""
+    schema = df.schema.add("zscore", T.DoubleType())
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            std = pdf[col].std()
+            z = (pdf[col] - pdf[col].mean()) / std if std and std > 0 else pdf[col] * 0.0
+            yield pdf.assign(zscore=z)
+
+    return df.mapInPandas(op, schema)

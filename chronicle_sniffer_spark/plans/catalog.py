@@ -50,6 +50,7 @@ _SUBMODULES = (
     "chronicle_sniffer_spark.plans.llm",
     "chronicle_sniffer_spark.plans.pipeline",
     "chronicle_sniffer_spark.plans.streaming_queries",
+    "chronicle_sniffer_spark.plans.extensions",
 )
 
 
