@@ -1,0 +1,145 @@
+"""Embedding similarity search (SURVEY.md §2B L3).
+
+Two paths over an ``array<float>`` embedding column:
+
+- :func:`cosine_pairs` / the catalog's ``l3_cosine_topk`` — exact
+  brute force.  Correct baseline; O(n²), only viable when one side is
+  tiny (a single query vector, a small probe set).
+- :func:`bucket_keys` + :func:`ann_topk` — the scale path: sign-random-
+  projection LSH (SimHash for vectors).  L hash tables × B hyperplane
+  bits each; vectors agree with the query in all B bits of any one
+  table become candidates, exact cosine is computed for candidates
+  only.  At 100 TB this turns the all-pairs cross join into one
+  equi-join on (table, bucket) — a plain hash shuffle with
+  cryptographically well-spread keys — plus a candidate set ~1/2^B of
+  the corpus per table.
+
+Determinism: hyperplanes are ±1 Rademacher vectors derived from MD5 of
+the (table, bit, dim) index — no RNG, reproducible across engines, so
+the DuckDB oracle can re-derive the identical structure (the literal
+plane matrix is spliced into the oracle SQL at import time).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+N_TABLES = 8  # L hash tables
+N_BITS = 4  # hyperplane bits per table
+DIM = 64  # embedding dimensionality of the testdata corpus
+
+
+def _plane(table: int, bit: int) -> list[float]:
+    """Deterministic ±1 hyperplane from MD5 parity (no RNG)."""
+    return [
+        1.0 if hashlib.md5(f"p{table}_{bit}_{i}".encode()).digest()[0] % 2 == 0 else -1.0
+        for i in range(DIM)
+    ]
+
+
+PLANES: list[list[float]] = [_plane(t, b) for t in range(N_TABLES) for b in range(N_BITS)]
+
+_BIT_WEIGHTS = [2 ** (N_BITS - 1 - i) for i in range(N_BITS)]  # [8,4,2,1]
+
+
+def as_double(emb: Column) -> Column:
+    return F.transform(emb, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """JVM-side dot product: zip_with + aggregate (no UDF)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def bucket_keys(emb: Column) -> Column:
+    """array of L strings "t_bucket" — the vector's LSH bucket per table."""
+    dbl = as_double(emb)
+    planes = F.array(*[F.array(*[F.lit(v) for v in p]) for p in PLANES])
+    bits = F.transform(planes, lambda p: F.when(dot(dbl, p) >= 0, 1).otherwise(0))
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(N_TABLES - 1)),
+        lambda t: F.concat_ws(
+            "_",
+            t.cast("string"),
+            sum(
+                F.element_at(bits, t * N_BITS + i + 1) * w
+                for i, w in enumerate(_BIT_WEIGHTS)
+            ).cast("string"),
+        ),
+    )
+
+
+def ann_topk(embeddings: DataFrame, query_vec_id: int, k: int = 10) -> DataFrame:
+    """LSH-bucketed approximate top-k neighbors of one corpus vector.
+
+    Plan shape: one narrow projection computes bucket keys, the
+    query's L keys broadcast to the scan, candidates de-dup on vec_id,
+    exact cosine on candidates only, TakeOrderedAndProject for top-k.
+    """
+    keyed = embeddings.select(
+        "vec_id", "embedding", F.explode(bucket_keys(F.col("embedding"))).alias("bkey")
+    )
+    q = keyed.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("bkey").alias("qkey"), as_double(F.col("embedding")).alias("qv")
+    )
+    cand = (
+        keyed.filter(F.col("vec_id") != query_vec_id)
+        .join(F.broadcast(q), F.col("bkey") == F.col("qkey"))
+        .select("vec_id", "embedding", "qv")
+        .dropDuplicates(["vec_id"])
+    )
+    scored = cand.select(
+        "vec_id", F.round(cosine(as_double(F.col("embedding")), F.col("qv")), 6).alias("sim")
+    )
+    topk = scored.orderBy(F.col("sim").desc(), F.col("vec_id")).limit(k)
+    w = Window.orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return topk.withColumn("rank", F.row_number().over(w))
+
+
+def cosine_pairs(embeddings: DataFrame, threshold: float) -> DataFrame:
+    """Exact all-pairs cosine ≥ threshold (doc-level near-dup by
+    embedding).  Brute force — the oracle-checkable baseline; at scale
+    swap the self-join for the bucket join in :func:`ann_topk` (same
+    scoring expression, candidates from shared LSH buckets)."""
+    slim = embeddings.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    a, b = slim.alias("a"), slim.alias("b")
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# oracle-SQL fragments (DuckDB re-derivation of the same LSH structure)
+# ---------------------------------------------------------------------------
+
+
+def _sql_plane(p: list[float]) -> str:
+    return "[" + ", ".join(str(v) for v in p) + "]::DOUBLE[]"
+
+
+def oracle_bucket_keys_sql() -> str:
+    """DuckDB list expr: the L bucket-key strings for column `embedding`."""
+    keys = []
+    for t in range(N_TABLES):
+        bits = [
+            f"(CASE WHEN list_dot_product(embedding::DOUBLE[],"
+            f" {_sql_plane(PLANES[t * N_BITS + i])}) >= 0 THEN {w} ELSE 0 END)"
+            for i, w in enumerate(_BIT_WEIGHTS)
+        ]
+        keys.append(f"('{t}_' || CAST({' + '.join(bits)} AS VARCHAR))")
+    return "[" + ", ".join(keys) + "]"

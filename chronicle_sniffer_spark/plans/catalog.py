@@ -51,6 +51,7 @@ _SUBMODULES = (
     "chronicle_sniffer_spark.plans.pipeline",
     "chronicle_sniffer_spark.plans.streaming_queries",
     "chronicle_sniffer_spark.plans.extensions",
+    "chronicle_sniffer_spark.plans.dedup_sim",
 )
 
 

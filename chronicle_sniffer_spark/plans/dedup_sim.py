@@ -1,0 +1,164 @@
+"""Catalog entries: n-gram Jaccard near-dup, embedding-cosine
+near-dup, LSH-bucketed ANN (SURVEY.md §2B L2/L3 scale paths), and a
+BPE-style regex tokenizer (L4).
+
+Each Spark plan and its DuckDB oracle re-derive the same deterministic
+structure (MD5-parity hyperplanes, word n-grams), so the driver's
+hash-compare is exact — no RNG anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from chronicle_sniffer_spark.operators.dedup import ngram_jaccard_pairs
+from chronicle_sniffer_spark.operators.similarity import (
+    ann_topk,
+    cosine_pairs,
+    oracle_bucket_keys_sql,
+)
+from chronicle_sniffer_spark.plans.catalog import query
+from chronicle_sniffer_spark.tables import load_table
+
+NGRAM_N = 3
+JACCARD_THRESHOLD = 0.5
+NGRAM_MAX_DF = 100
+COSINE_PAIR_THRESHOLD = 0.45  # testdata pairs are bimodal: ≥0.97 seeded dups vs <0.2 noise
+ANN_QUERY_VEC = 0
+ANN_K = 10
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+_ORACLE_GRAMS_CTE = f"""
+    grams AS (
+      SELECT DISTINCT doc_id, array_to_string(words[i:i+{NGRAM_N - 1}], ' ') AS gram
+      FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+           unnest(generate_series(1, greatest(len(words) - {NGRAM_N - 1}, 1))) AS t(i)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id),
+    rare AS (
+      SELECT g.doc_id, g.gram FROM grams g
+      JOIN (SELECT gram FROM grams GROUP BY gram HAVING count(*) <= {NGRAM_MAX_DF}) r
+        ON g.gram = r.gram
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM rare a JOIN rare b ON a.gram = b.gram AND a.doc_id < b.doc_id
+    ),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+      FROM cand c
+      JOIN grams g1 ON g1.doc_id = c.doc_a
+      JOIN grams g2 ON g2.doc_id = c.doc_b AND g2.gram = g1.gram
+      GROUP BY c.doc_a, c.doc_b
+    )
+"""
+
+
+@query(
+    "l2_ngram_jaccard",
+    section="L2",
+    oracle=f"""
+    WITH {_ORACLE_GRAMS_CTE}
+    SELECT i.doc_a, i.doc_b,
+           round(i.n_inter * 1.0 / (sa.n_grams + sb.n_grams - i.n_inter), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE round(i.n_inter * 1.0 / (sa.n_grams + sb.n_grams - i.n_inter), 6)
+          >= {JACCARD_THRESHOLD}
+    """,
+)
+def l2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram Jaccard near-dup pairs (inverted-index candidates,
+    df-capped; exact score on uncapped sets — operators/dedup.py)."""
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"),
+        n=NGRAM_N,
+        threshold=JACCARD_THRESHOLD,
+        max_df=NGRAM_MAX_DF,
+    )
+
+
+@query(
+    "l2_embedding_near_dup",
+    section="L2",
+    oracle=f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
+          >= {COSINE_PAIR_THRESHOLD}
+    """,
+)
+def l2_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (brute-force baseline;
+    LSH-bucketed candidates are the 100 TB path — operators/similarity.py)."""
+    return cosine_pairs(_t(spark, sf_dir, "embeddings"), COSINE_PAIR_THRESHOLD)
+
+
+@query(
+    "l3_ann_lsh_topk",
+    section="L3",
+    oracle=f"""
+    WITH bk AS (
+      SELECT vec_id, embedding, {oracle_bucket_keys_sql()} AS keys FROM embeddings
+    ),
+    qk AS (
+      SELECT unnest(keys) AS qkey, embedding::DOUBLE[] AS qv
+      FROM bk WHERE vec_id = {ANN_QUERY_VEC}
+    ),
+    cand AS (
+      SELECT DISTINCT b.vec_id
+      FROM bk b JOIN qk ON list_contains(b.keys, qk.qkey)
+      WHERE b.vec_id <> {ANN_QUERY_VEC}
+    ),
+    scored AS (
+      SELECT c.vec_id,
+             round(list_cosine_similarity(e.embedding::DOUBLE[],
+                   (SELECT qv FROM qk LIMIT 1)), 6) AS sim
+      FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id
+    )
+    SELECT vec_id, sim, CAST(rank AS INTEGER) AS rank FROM (
+      SELECT vec_id, sim, row_number() OVER (ORDER BY sim DESC, vec_id) AS rank
+      FROM scored
+    ) WHERE rank <= {ANN_K}
+    """,
+)
+def l3_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-random-projection LSH ANN: 8 tables × 4 bits, candidates
+    from shared buckets, exact cosine on candidates only."""
+    return ann_topk(_t(spark, sf_dir, "embeddings"), ANN_QUERY_VEC, ANN_K)
+
+
+# GPT-2-style pre-tokenizer, RE2/Java-compatible subset (no lookahead):
+# letter runs, digit runs, punctuation runs — each optionally preceded
+# by one space — plus residual whitespace runs.
+_BPE_RE = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+| +"
+
+
+@query(
+    "l4_bpe_token_count",
+    section="L4",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(lower(text), '{_BPE_RE}')) AS INTEGER) AS n_bpe_tokens,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens
+    FROM documents
+    """,
+)
+def l4_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace split vs a BPE-style
+    pre-tokenizer regex (the unit LLM data pipelines budget by)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(_BPE_RE), 0)).alias(
+            "n_bpe_tokens"
+        ),
+        F.size(F.split(F.col("text"), " ")).alias("n_ws_tokens"),
+    )

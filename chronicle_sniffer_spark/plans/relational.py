@@ -418,6 +418,28 @@ def j3_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "j3_full_outer",
+    section="J3",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_no_orders,
+           sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS n_no_customer
+    FROM customer FULL JOIN orders ON c_custkey = o_custkey
+    """,
+)
+def j3_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join, summarized (row count + dangling-side counts)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    j = c.join(o, c.c_custkey == o.o_custkey, "full")
+    return j.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)).alias("n_no_orders"),
+        F.sum(F.when(F.col("c_custkey").isNull(), 1).otherwise(0)).alias("n_no_customer"),
+    )
+
+
+@query(
     "j4_semi",
     section="J4",
     oracle="""

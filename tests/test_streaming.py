@@ -115,6 +115,26 @@ def test_t6_stateful_running_counts(spark, staged):
     assert (last["total_value"] - batch["total_value"]).abs().max() < 1e-6
 
 
+def test_j10_stream_static_join(spark, staged):
+    """J10: streaming events ⋈ static customer dimension equals the
+    batch join (the static side is broadcast into every micro-batch)."""
+    from pyspark.sql import functions as F
+
+    cust = load_table(spark, SF_SMOKE, "customer").select("c_custkey", "c_mktsegment")
+
+    def joined_counts(events_df):
+        return (
+            events_df.join(F.broadcast(cust), events_df.user_id == cust.c_custkey)
+            .groupBy("c_mktsegment")
+            .agg(F.count("*").alias("n"))
+        )
+
+    stream = read_events_stream(spark, staged, max_files_per_trigger=2)
+    result = run_to_completion(joined_counts(stream), "j10_stream", "complete")
+    batch = joined_counts(load_table(spark, SF_SMOKE, "events"))
+    assert _rows(result, "c_mktsegment", "n") == _rows(batch, "c_mktsegment", "n")
+
+
 def test_s6_notification_validation(spark):
     d = tempfile.mkdtemp(prefix="css_notif_")
     msgs = [
