@@ -162,3 +162,36 @@ def l4_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.size(F.split(F.col("text"), " ")).alias("n_ws_tokens"),
     )
+
+
+@query(
+    "l5_frame_sample",
+    section="L5",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(v / 200 AS INTEGER) AS frame_idx,
+           CAST(v AS INTEGER) AS frame_ts_ms
+    FROM (SELECT doc_id, 1000 + (doc_id % 7) * 500 AS duration_ms
+          FROM documents WHERE doc_id % 3 = 2),
+         unnest(generate_series(0, duration_ms - 1, 200)) AS t(v)
+    """,
+)
+def l5_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling offsets over the synthesized media corpus
+    (operators/multimodal.py; byte decode is the stubbed step)."""
+    from chronicle_sniffer_spark.operators.multimodal import sample_frames, synthesize_media
+
+    return sample_frames(synthesize_media(_t(spark, sf_dir, "documents")), every_ms=200)
+
+
+@query("l5_feature_extract", section="L5", oracle=None)
+def l5_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads
+    (deterministic stub encoder; rows-only — not SQL-expressible)."""
+    from chronicle_sniffer_spark.operators.multimodal import extract_features, synthesize_media
+
+    media = synthesize_media(_t(spark, sf_dir, "documents"))
+    feats = extract_features(media, dim=16)
+    return feats.select(
+        "media_id", F.round(F.aggregate("feature", F.lit(0.0), lambda a, v: a + v), 6).alias("feature_sum")
+    )

@@ -47,6 +47,28 @@ def udm_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return project_udm(raw, PROC_TIME).select("udm_json", "event_type", "is_error", "event_ts")
 
 
+@query("s4_pcap_ingest", section="S4/R9", oracle=None)
+def s4_pcap_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary pcap → packets → UDM event-type counts (rows-only smoke;
+    byte-level decode assertions live in tests/test_pcap.py).  The pcap
+    is synthesized deterministically at call time — testdata ships no
+    binary captures (the reference's own are missing blobs,
+    .MISSING_LARGE_BLOBS:1-3)."""
+    from chronicle_sniffer_spark.sources.pcap import read_pcap
+    from chronicle_sniffer_spark.sources.pcap_synth import example_packets, pcap_bytes
+    from chronicle_sniffer_spark.udm import project_udm
+
+    d = tempfile.mkdtemp(prefix="css_s4_")
+    with open(os.path.join(d, "capture_1.pcap"), "wb") as f:
+        f.write(pcap_bytes(example_packets()))
+    udm = project_udm(read_pcap(spark, d), PROC_TIME)
+    return (
+        udm.groupBy(F.col("event_type"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("event_type")
+    )
+
+
 @query("udm_per_file_metrics", section="R23/R25", oracle=None)
 def udm_per_file_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-file processed/error counters (ref UDM_PACKETS_PROCESSED /
