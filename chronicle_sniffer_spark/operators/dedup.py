@@ -28,7 +28,12 @@ from pyspark.sql import functions as F
 
 
 def word_ngrams(docs: DataFrame, n: int = 3) -> DataFrame:
-    """doc_id → distinct word n-grams (narrow flatMap + distinct)."""
+    """doc_id → distinct word n-grams (narrow flatMap + distinct).
+
+    Repartition before the explode so the ~|text|× fan-out map stage
+    doesn't run in the scan's (possibly single-file) partitioning.
+    """
+    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism, "doc_id")
     grams = F.expr(
         f"transform(sequence(1, greatest(size(split(text, ' ')) - {n - 1}, 1)),"
         f" i -> array_join(slice(split(text, ' '), i, {n}), ' '))"
