@@ -1,0 +1,92 @@
+"""Physical-plan hygiene (SURVEY §4): predicate pushdown reaches the
+parquet scan, projections prune ReadSchema, small dims broadcast,
+top-k compiles to TakeOrderedAndProject (per-partition heap, no global
+sort), and aggregations are partial (map-side combine before the
+shuffle).  These lock in the 100 TB plan shapes at test scale."""
+
+from __future__ import annotations
+
+import pytest
+
+from chronicle_sniffer_spark.plans import registry
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    reg = registry()
+
+    def get(name: str) -> str:
+        df = reg[name].spark_fn(spark, SF_SMOKE)
+        return spark._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+    return get
+
+
+def test_filter_pushdown_and_column_pruning(plans):
+    p = plans("p3_filter_q6")
+    assert "GreaterThanOrEqual(l_shipdate" in p  # predicate reached the scan
+    assert "LessThan(l_quantity" in p
+    # scan reads only the 4 needed columns of lineitem's 16
+    rs = next(ln for ln in p.splitlines() if "ReadSchema" in ln)
+    assert "l_orderkey" not in rs and "l_comment" not in rs
+    assert "l_shipdate" in rs and "l_discount" in rs
+
+
+def test_projection_prunes_scan(plans):
+    p = plans("p1_projection")
+    rs = next(ln for ln in p.splitlines() if "ReadSchema" in ln)
+    assert "l_orderkey" in rs and "l_quantity" in rs
+    assert "l_extendedprice" not in rs and "l_comment" not in rs
+
+
+def test_small_dim_broadcasts(plans):
+    p = plans("j1_broadcast_dim")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    # the dim-side scan is pruned to join key + payload
+    assert "n_comment" not in p
+
+
+def test_semi_anti_join_strategies(plans):
+    for name in ("j4_semi", "j5_anti"):
+        p = plans(name)
+        assert "Join" in p
+        assert "CartesianProduct" not in p
+
+
+def test_topk_is_take_ordered(plans):
+    for name in ("o1_sort_limit", "l3_cosine_topk"):
+        p = plans(name)
+        assert "TakeOrderedAndProject" in p
+        # no global sort: every Sort in the plan would demand a full
+        # shuffle of the scan — TakeOrderedAndProject replaces it
+        assert "+- Sort" not in p
+
+
+def test_cosine_topk_broadcasts_query_vector(plans):
+    p = plans("l3_cosine_topk")
+    assert "BroadcastNestedLoopJoin" in p  # 1-row build side
+    assert "CartesianProduct" not in p
+    assert "Exchange rangepartitioning" not in p
+
+
+def test_aggregation_is_partial(plans):
+    p = plans("a1_q1_pricing_summary")
+    # partial agg before the exchange, final after — map-side combine
+    assert p.count("HashAggregate") >= 2
+    first_agg = p.index("HashAggregate")
+    assert "Exchange" in p[first_agg:]
+
+
+def test_whole_stage_codegen_covers_projection(plans):
+    p = plans("p6_strings")
+    # formatted mode marks fused operators with [codegen id : N]
+    assert "[codegen id :" in p
+
+
+def test_exact_dedup_shuffles_hash_not_body(plans):
+    p = plans("l1_exact_dedup")
+    # shuffle key is the 16-byte md5, never the document text
+    ex = [ln for ln in p.splitlines() if "hashpartitioning" in ln]
+    assert ex and all("text#" not in ln for ln in ex)
