@@ -165,6 +165,38 @@ def l4_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "a10_salted_skew_agg",
+    section="A1/skew",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+           count(*) AS n
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def a10_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over a 5-value hot grouping key —
+    identical result to the plain GROUP BY, but the heavy partial runs
+    on keys×16 salts (operators/skew.py)."""
+    from chronicle_sniffer_spark.operators.skew import salted_aggregate
+
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "price_dec", F.col("o_totalprice").cast("decimal(18,2)")
+    )
+    out = salted_aggregate(
+        o,
+        keys=["o_orderpriority"],
+        salt_on="o_orderkey",
+        n_salts=16,
+        sums={"price_dec": "total_price_dec"},
+        count_alias="n",
+    )
+    return out.select(
+        "o_orderpriority", F.col("total_price_dec").cast("double").alias("total_price"), "n"
+    )
+
+
+@query(
     "l5_frame_sample",
     section="L5",
     oracle="""

@@ -43,6 +43,27 @@ def test_t1_t7_stream_equals_batch(spark, staged):
     )
 
 
+def test_t2_sliding_stream_equals_batch(spark, staged):
+    from chronicle_sniffer_spark.streaming.windows import sliding_counts
+
+    stream = read_events_stream(spark, staged, max_files_per_trigger=2)
+    result = run_to_completion(sliding_counts(stream), "t2_stream", "complete")
+    batch = sliding_counts(load_table(spark, SF_SMOKE, "events"))
+    assert _rows(result, "w_start", "n") == _rows(batch, "w_start", "n")
+
+
+def test_t3_session_stream_equals_batch(spark, staged):
+    """Native session_window merges sessions incrementally in streaming
+    state; final merged sessions equal the batch plan's."""
+    from chronicle_sniffer_spark.streaming.windows import session_aggregate
+
+    stream = read_events_stream(spark, staged, max_files_per_trigger=2)
+    result = run_to_completion(session_aggregate(stream), "t3_stream", "complete")
+    batch = session_aggregate(load_table(spark, SF_SMOKE, "events"))
+    cols = ("user_id", "s_start", "s_end", "n_events", "session_value")
+    assert _rows(result, *cols) == _rows(batch, *cols)
+
+
 def test_t5_stream_dedup(spark, staged):
     # redeliver every file twice via a doubled staging dir
     double_dir = os.path.join(tempfile.mkdtemp(prefix="css_dup_"), "events")
