@@ -35,11 +35,21 @@ HEADLINE = (
     "a8_exp_histogram",
     "l1_exact_dedup",
     "l2_minhash_signatures",
+    "l2_ngram_jaccard",
     "l3_cosine_topk",
+    "l3_ann_lsh_topk",
+    "a10_salted_skew_agg",
 )
 
 # Results small enough that collect() is the realistic consumption path.
-_SMALL = {"a1_q1_pricing_summary", "o1_sort_limit", "l3_cosine_topk", "a8_exp_histogram"}
+_SMALL = {
+    "a1_q1_pricing_summary",
+    "o1_sort_limit",
+    "l3_cosine_topk",
+    "l3_ann_lsh_topk",
+    "a8_exp_histogram",
+    "a10_salted_skew_agg",
+}
 
 
 UDM_BENCH_PACKETS = 60_000

@@ -51,7 +51,13 @@ def ngram_jaccard_pairs(
     document body.
     """
     grams = word_ngrams(docs, n)
-    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+
+    # one row per doc: its sorted gram set (bounded by doc length) —
+    # computed ONCE; every later stage joins this one-row-per-doc table
+    # instead of re-deriving the exploded gram relation
+    gram_sets = grams.groupBy("doc_id").agg(
+        F.sort_array(F.collect_set("gram")).alias("grams")
+    )
 
     # candidate pairs from rare grams only (fan-out bounded by max_df²)
     rare = grams.join(
@@ -65,25 +71,19 @@ def ngram_jaccard_pairs(
         .distinct()
     )
 
-    # exact intersection over the UNCAPPED gram sets, candidates only
-    g1, g2 = grams.alias("g1"), grams.alias("g2")
-    inter = (
-        cand.join(g1, F.col("g1.doc_id") == F.col("doc_a"))
-        .join(g2, (F.col("g2.doc_id") == F.col("doc_b")) & (F.col("g2.gram") == F.col("g1.gram")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_inter"))
-    )
-    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    # exact Jaccard over the UNCAPPED gram sets, candidates only —
+    # array_intersect stays JVM-side, sets travel once per candidate
+    sa = gram_sets.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("grams_a"))
+    sb = gram_sets.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("grams_b"))
+    n_inter = F.size(F.array_intersect("grams_a", "grams_b"))
     return (
-        inter.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
-        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .select(
             "doc_a",
             "doc_b",
             F.round(
-                F.col("n_inter")
-                / (F.col("sa.n_grams") + F.col("sb.n_grams") - F.col("n_inter")),
-                6,
+                n_inter / (F.size("grams_a") + F.size("grams_b") - n_inter), 6
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)

@@ -60,22 +60,38 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
 
 
-def bucket_keys(emb: Column) -> Column:
-    """array of L strings "t_bucket" — the vector's LSH bucket per table."""
-    dbl = as_double(emb)
-    planes = F.array(*[F.array(*[F.lit(v) for v in p]) for p in PLANES])
-    bits = F.transform(planes, lambda p: F.when(dot(dbl, p) >= 0, 1).otherwise(0))
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(N_TABLES - 1)),
-        lambda t: F.concat_ws(
-            "_",
-            t.cast("string"),
-            sum(
-                F.element_at(bits, t * N_BITS + i + 1) * w
-                for i, w in enumerate(_BIT_WEIGHTS)
-            ).cast("string"),
-        ),
-    )
+def with_bucket_keys(embeddings: DataFrame) -> DataFrame:
+    """Adds ``bkeys``: array of L strings "t_bucket" — the vector's LSH
+    bucket per table.
+
+    Computed as ONE Arrow-batched numpy matmul per batch
+    (``batch×64 @ 64×32`` then sign-bits → bucket ids).  A pure
+    column-expression formulation exists but instantiates a
+    2048-literal plane matrix in the plan — Catalyst analysis/codegen
+    of that tree costs seconds per query while the matmul is
+    microseconds; this is the case where the built-ins genuinely lose
+    to an Arrow batch.  Deterministic: the plane matrix is a module
+    constant.
+    """
+    import numpy as np
+    import pandas as pd
+
+    planes_t = np.array(PLANES, dtype="f8").T  # 64 × 32
+    weights = np.array(_BIT_WEIGHTS, dtype="i8")
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in embeddings.schema.fields)
+
+    def op(batches):
+        for pdf in batches:
+            emb = np.stack([np.asarray(v, dtype="f8") for v in pdf["embedding"]])
+            bits = (emb @ planes_t >= 0).astype("i8").reshape(len(pdf), N_TABLES, N_BITS)
+            buckets = (bits * weights).sum(axis=2)
+            pdf = pdf.copy()
+            pdf["bkeys"] = [
+                [f"{t}_{b}" for t, b in enumerate(row)] for row in buckets
+            ]
+            yield pdf
+
+    return embeddings.mapInPandas(op, f"{schema}, bkeys array<string>")
 
 
 def ann_topk(embeddings: DataFrame, query_vec_id: int, k: int = 10) -> DataFrame:
@@ -85,8 +101,8 @@ def ann_topk(embeddings: DataFrame, query_vec_id: int, k: int = 10) -> DataFrame
     query's L keys broadcast to the scan, candidates de-dup on vec_id,
     exact cosine on candidates only, TakeOrderedAndProject for top-k.
     """
-    keyed = embeddings.select(
-        "vec_id", "embedding", F.explode(bucket_keys(F.col("embedding"))).alias("bkey")
+    keyed = with_bucket_keys(embeddings).select(
+        "vec_id", "embedding", F.explode("bkeys").alias("bkey")
     )
     q = keyed.filter(F.col("vec_id") == query_vec_id).select(
         F.col("bkey").alias("qkey"), as_double(F.col("embedding")).alias("qv")
