@@ -52,6 +52,7 @@ _SUBMODULES = (
     "chronicle_sniffer_spark.plans.streaming_queries",
     "chronicle_sniffer_spark.plans.extensions",
     "chronicle_sniffer_spark.plans.dedup_sim",
+    "chronicle_sniffer_spark.plans.coverage2",
 )
 
 
