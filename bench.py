@@ -133,15 +133,21 @@ def main() -> None:
     # Warm the JVM + parquet footers outside the timed region.
     reg["s1_parquet_count"].spark_fn(spark, sf_dir).collect()
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = reg[name].spark_fn
-        t0 = time.time()
-        df = fn(spark, sf_dir)
+    # Steady-state measurement (TPC-style power run): one untimed warm
+    # execution per query pays Janino/whole-stage-codegen compilation and
+    # JIT; the timed run is what a long-running cluster job sees.
+    def run(name: str) -> None:
+        df = reg[name].spark_fn(spark, sf_dir)
         if name in _SMALL:
             df.collect()
         else:
             df.write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        run(name)  # warm: codegen + JIT
+        t0 = time.time()
+        run(name)
         timings[name] = round(time.time() - t0, 3)
 
     # B1: UDM projection throughput (BASELINE.md). First run pays JIT +

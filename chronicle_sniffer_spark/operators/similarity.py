@@ -5,7 +5,7 @@ Two paths over an ``array<float>`` embedding column:
 - :func:`cosine_pairs` / the catalog's ``l3_cosine_topk`` — exact
   brute force.  Correct baseline; O(n²), only viable when one side is
   tiny (a single query vector, a small probe set).
-- :func:`bucket_keys` + :func:`ann_topk` — the scale path: sign-random-
+- :func:`with_bucket_keys` + :func:`ann_topk` — the scale path: sign-random-
   projection LSH (SimHash for vectors).  L hash tables × B hyperplane
   bits each; vectors agree with the query in all B bits of any one
   table become candidates, exact cosine is computed for candidates
