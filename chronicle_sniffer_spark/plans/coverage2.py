@@ -113,6 +113,66 @@ def p6b_base64_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "p9b_higher_order",
+    section="P9",
+    oracle="""
+    SELECT doc_id,
+           CAST(list_sum(list_transform(string_split(text,' '), w -> length(w))) AS BIGINT)
+             AS total_word_len,
+           CAST(len(list_filter(string_split(text,' '), w -> length(w) > 4)) AS INTEGER)
+             AS n_long_words,
+           len(list_filter(string_split(text,' '), w -> w = 'the')) > 0 AS has_the,
+           CAST(len(flatten([string_split(text,' ')[1:2], string_split(text,' ')[3:4]]))
+                AS INTEGER) AS n_flat
+    FROM documents
+    """,
+)
+def p9b_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions: transform, filter, exists,
+    aggregate, flatten — all JVM-side lambdas (ref R12/R19 shapes)."""
+    d = _t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.aggregate(
+            F.transform(words, lambda w: F.length(w)), F.lit(0).cast("bigint"), lambda a, x: a + x
+        ).alias("total_word_len"),
+        F.size(F.filter(words, lambda w: F.length(w) > 4)).alias("n_long_words"),
+        F.exists(words, lambda w: w == "the").alias("has_the"),
+        F.size(F.flatten(F.array(F.slice(words, 1, 2), F.slice(words, 3, 2)))).alias("n_flat"),
+    )
+
+
+@query(
+    "p10b_map_transforms",
+    section="P10",
+    oracle="""
+    SELECT event_id,
+           CAST(len(json_keys(props)) AS INTEGER) AS n_keys,
+           CAST(len(json_keys(props)) AS INTEGER) + 1 AS n_keys_concat,
+           CAST(len(list_filter(json_keys(props), k -> k <> 'k')) AS INTEGER) AS n_nonk,
+           json_extract_string(props, '$.k') AS k_val
+    FROM events
+    """,
+)
+def p10b_map_transforms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """map_filter / map_concat / map_values over parsed props (the
+    ref's `additional` map surface, R21).  The oracle counts through
+    JSON keys — DuckDB has no MAP literal path from JSON — so the
+    checked values are the map cardinalities and a looked-up value."""
+    e = _t(spark, sf_dir, "events")
+    m = F.from_json(F.col("props"), "map<string,string>")
+    concat = F.map_concat(m, F.create_map(F.lit("extra"), F.lit("1")))
+    return e.select(
+        "event_id",
+        F.size(m).alias("n_keys"),
+        F.size(concat).alias("n_keys_concat"),
+        F.size(F.map_filter(m, lambda k, v: k != "k")).alias("n_nonk"),
+        F.element_at(F.map_values(m), -1).alias("k_val"),
+    )
+
+
+@query(
     "j2b_q5_shape",
     section="J2",
     oracle=f"""
