@@ -44,6 +44,53 @@ def running_counts_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def tws_available() -> bool:
+    """transformWithStateInPandas needs protobuf for its state-server
+    protocol; absent in some runtimes (gate, don't crash mid-query)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def running_counts_tws(events: DataFrame) -> DataFrame:
+    """Same running counts via Spark 4's ``transformWithStateInPandas``
+    (the successor API: typed per-key state handles, timers, TTL;
+    requires the RocksDB state store — the provider this engine would
+    run at 100 TB state anyway, SURVEY §4.4).  Check
+    :func:`tws_available` first; the state protocol needs protobuf."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningCounts(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("counts", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            n, total = self._state.get() if self._state.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._state.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningCounts(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def running_counts_batch(events: DataFrame) -> DataFrame:
     """Batch oracle for the stateful stream: same totals, plain agg."""
     from pyspark.sql import functions as F

@@ -156,6 +156,31 @@ def test_j10_stream_static_join(spark, staged):
     assert _rows(result, "c_mktsegment", "n") == _rows(batch, "c_mktsegment", "n")
 
 
+def test_t6b_transform_with_state(spark, staged):
+    """transformWithStateInPandas (Spark 4 typed-state API) running
+    counts equal the batch aggregation.  Needs the RocksDB provider."""
+    from chronicle_sniffer_spark.streaming.stateful import running_counts_tws, tws_available
+
+    if not tws_available():
+        pytest.skip("google.protobuf not installed — TWS state protocol unavailable")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = read_events_stream(spark, staged, max_files_per_trigger=2)
+        result = run_to_completion(running_counts_tws(stream), "t6b_stream", "update")
+        pdf = result.toPandas()
+        last = pdf.groupby("user_id").tail(1).set_index("user_id").sort_index()
+        batch = running_counts_batch(load_table(spark, SF_SMOKE, "events")).toPandas()
+        batch = batch.set_index("user_id").sort_index()
+        assert list(last.index) == list(batch.index)
+        assert (last["n_events"] == batch["n_events"]).all()
+        assert (last["total_value"] - batch["total_value"]).abs().max() < 1e-6
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
 def test_s6_notification_validation(spark):
     d = tempfile.mkdtemp(prefix="css_notif_")
     msgs = [
