@@ -75,3 +75,59 @@ def per_file_metrics(udm: DataFrame) -> DataFrame:
         F.min("event_ts").alias("first_event_ts"),
         F.max("event_ts").alias("last_event_ts"),
     )
+
+
+def main(argv: list[str] | None = None) -> int:
+    """CLI mirroring the reference's converter entry point
+    (json2udm_cloud.py:364-408): input path (file/glob/dir of tshark
+    JSON, or .pcap with --pcap), output dir; exit 0 on success, 1 when
+    every row failed (the reference's empty-output guard,
+    processor_app.py:165-167)."""
+    import argparse
+    import time
+
+    p = argparse.ArgumentParser(prog="chronicle_sniffer_spark.etl")
+    p.add_argument("input", help="tshark JSON file/glob/dir, or pcap dir with --pcap")
+    p.add_argument("output", help="output directory (parquet + per-file udm.json)")
+    p.add_argument("--pcap", action="store_true", help="decode .pcap input (S4 path)")
+    p.add_argument(
+        "--processing-time",
+        default=None,
+        help="injected deterministic fallback timestamp (ISO-8601 Z); default: now",
+    )
+    args = p.parse_args(argv)
+
+    from datetime import datetime, timezone
+
+    proc_time = args.processing_time or (
+        datetime.now(timezone.utc).strftime("%Y-%m-%dT%H:%M:%S.%f") + "Z"
+    )
+    from chronicle_sniffer_spark.session import get_spark
+
+    t0 = time.time()
+    spark = get_spark("chronicle-etl")
+    if args.pcap:
+        from chronicle_sniffer_spark.sources.pcap import read_pcap
+
+        udm = project_udm(read_pcap(spark, args.input), proc_time).withColumn(
+            "event_date", F.to_date("event_ts")
+        )
+    else:
+        udm = convert_directory(spark, args.input, proc_time)
+    write_udm_parquet(udm.drop("event"), os.path.join(args.output, "udm_parquet"))
+    write_udm_json_per_file(udm, os.path.join(args.output, "udm_json"))
+    metrics = per_file_metrics(udm).collect()
+    total = 0
+    for m in metrics:
+        total += m.processed_packet_count
+        # the reference's per-file metric log lines (terraform/main.tf:238-548)
+        print(f"UDM_PACKETS_PROCESSED: {m.processed_packet_count} FILE: {m.file}")
+        print(f"UDM_PACKET_ERRORS: {m.error_event_count} FILE: {m.file}")
+    print(f"PROCESSING_DURATION_SECONDS: {time.time() - t0:.2f}")
+    return 0 if total > 0 else 1
+
+
+if __name__ == "__main__":  # pragma: no cover - thin CLI shim
+    import sys
+
+    sys.exit(main())
