@@ -16,6 +16,7 @@ import json
 import os
 import re
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -163,6 +164,20 @@ def main() -> None:
     t0 = time.time()
     udm.write.format("noop").mode("overwrite").save()
     timings["udm_b1_60k_packets"] = round(time.time() - t0, 3)
+
+    # B5/B6: the end-to-end streaming pipeline (file in → UDM parquet
+    # out, AvailableNow replay of the corpus in 4 micro-batches).
+    import shutil
+
+    from chronicle_sniffer_spark.streaming.udm_pipeline import run_udm_stream
+
+    stream_out = tempfile.mkdtemp(prefix="css_bench_stream_")
+    t0 = time.time()
+    run_udm_stream(
+        spark, corpus, stream_out, "2025-09-05T12:00:00.000000Z", max_files_per_trigger=8
+    )
+    timings["udm_stream_e2e_60k"] = round(time.time() - t0, 3)
+    shutil.rmtree(stream_out, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -48,10 +48,13 @@ def run_udm_stream(
     out_dir: str,
     processing_time: str,
     checkpoint_dir: str | None = None,
+    max_files_per_trigger: int = 4,
 ) -> None:
     """Drive the capture directory to completion (AvailableNow replay —
     the same call tails a live directory with a different trigger)."""
-    udm_stream = project_udm(read_capture_stream(spark, in_dir), processing_time).withColumn(
+    udm_stream = project_udm(
+        read_capture_stream(spark, in_dir, max_files_per_trigger), processing_time
+    ).withColumn(
         "event_date", F.to_date("event_ts")
     )
     events_dir = os.path.join(out_dir, "udm_events")
