@@ -113,6 +113,36 @@ def p6b_base64_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "j2c_q14_promo_revenue",
+    section="J2/A6",
+    oracle=f"""
+    SELECT round(
+             100.00 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN {O_DISC_PRICE} END)
+                          AS DOUBLE)
+             / CAST(SUM({O_DISC_PRICE}) AS DOUBLE), 4) AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= DATE '1995-09-01' AND l_shipdate < DATE '1995-10-01'
+    """,
+)
+def j2c_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: fact⋈part with conditional revenue share —
+    the dim side broadcasts, the CASE aggregates map-side."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1995-09-01") & (F.col("l_shipdate") < "1995-10-01")
+    )
+    p = _t(spark, sf_dir, "part")
+    j = li.join(p, li.l_partkey == p.p_partkey)
+    promo = F.sum(
+        F.when(F.col("p_type").like("PROMO%"), disc_price_dec())
+    ).cast("double")
+    return j.agg(
+        F.round(F.lit(100.0) * promo / F.sum(disc_price_dec()).cast("double"), 4).alias(
+            "promo_revenue_pct"
+        )
+    )
+
+
+@query(
     "p9b_higher_order",
     section="P9",
     oracle="""
