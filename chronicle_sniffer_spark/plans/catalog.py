@@ -53,6 +53,7 @@ _SUBMODULES = (
     "chronicle_sniffer_spark.plans.extensions",
     "chronicle_sniffer_spark.plans.dedup_sim",
     "chronicle_sniffer_spark.plans.coverage2",
+    "chronicle_sniffer_spark.plans.coverage3",
 )
 
 
