@@ -6,15 +6,24 @@ Scale shape (the 100 TB story):
 
 1. **Shingling is a narrow flatMap** — no shuffle; each doc emits its
    distinct word n-grams.
-2. **Candidate generation is an inverted-index self-join on the gram**,
-   never an all-pairs cross join.  The one skew hazard is a stop-gram
-   shared by millions of documents; ``max_df`` drops grams whose
-   document frequency exceeds the cap *before* the self-join, which
-   bounds the per-gram join fan-out at ``max_df²`` rows.  (Standard
-   trick: a gram that common carries no signal anyway.)
-3. **Jaccard is then computed exactly** for candidate pairs only, from
-   the *uncapped* gram sets, so the cap affects recall of
-   candidate generation but never the correctness of a reported score.
+2. **Candidate generation is a prefix-filtered inverted-index
+   self-join** (the standard set-similarity-join prefix filter: under
+   any global total order of grams, two sets with Jaccard ≥ t must
+   share a gram within the first ``|g| - ceil(t*|g|) + 1`` grams of
+   each set's ordering).  Ordering grams by ascending document
+   frequency puts the *rarest* grams in the prefix, so the per-gram
+   join fan-out collapses: common grams — the skew hazard AND the
+   bulk of the candidate volume — never enter the index.  A
+   ``max_df`` cap on prefix entries remains as a hard skew guard for
+   adversarial corpora (a gram rare enough to be in many prefixes but
+   still shared by millions of docs).
+3. **A size filter rides on the join**: Jaccard ≥ t forces
+   ``t*|a| <= |b| <= |a|/t``, pruning mismatched-length pairs before
+   the pair shuffle.
+4. **Jaccard is then computed exactly** for candidate pairs only, from
+   the *full* gram sets, so filtering affects candidate recall only
+   through the proven-lossless prefix bound — never the correctness
+   of a reported score.
 
 Reference tie-in: generalizes the ref's exact-membership dedup
 (`sniffer/sniffer_entrypoint.sh:117-128` processed-file set) to
@@ -23,7 +32,7 @@ content-similarity dedup for training-data pipelines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -46,32 +55,84 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """(doc_a, doc_b, jaccard) for pairs with Jaccard ≥ threshold.
 
-    Three shuffles total: gram-distinct, the per-gram candidate join,
-    and the intersection count — each keyed by gram or pair, never by
-    document body.
+    Shuffle inventory: gram-distinct, df agg (by gram), df join (by
+    gram), window+set-build (ONE doc_id shuffle — the groupBy reuses
+    the window's partitioning), prefix self-join (by gram), pair
+    distinct, and the two scoring joins (by doc).  Every key is a gram,
+    a doc id, or a pair — never a document body.
     """
     grams = word_ngrams(docs, n)
 
-    # one row per doc: its sorted gram set (bounded by doc length) —
-    # computed ONCE; every later stage joins this one-row-per-doc table
-    # instead of re-deriving the exploded gram relation
-    gram_sets = grams.groupBy("doc_id").agg(
-        F.sort_array(F.collect_set("gram")).alias("grams")
-    )
+    # global gram order = (document frequency asc, gram) — rarest first
+    df = grams.groupBy("gram").agg(F.count("*").alias("df"))
+    gdf = grams.join(df, "gram")
 
-    # candidate pairs from rare grams only (fan-out bounded by max_df²)
-    rare = grams.join(
-        grams.groupBy("gram").agg(F.count("*").alias("df")).filter(F.col("df") <= max_df),
+    w = Window.partitionBy("doc_id").orderBy("df", "gram")
+    ranked = gdf.select(
+        "doc_id",
         "gram",
-    ).select("doc_id", "gram")
-    a, b = rare.alias("a"), rare.alias("b")
-    cand = (
-        a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+        "df",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("doc_id")).alias("n_grams"),
     )
 
-    # exact Jaccard over the UNCAPPED gram sets, candidates only —
+    # one row per doc: its sorted full gram set, built from the already
+    # doc_id-partitioned `ranked` (no extra shuffle); scoring joins
+    # read this, so prefix pruning can never change a score
+    gram_sets = ranked.groupBy("doc_id").agg(
+        F.sort_array(F.collect_set("gram")).alias("grams"),
+        F.first("n_grams").alias("n_grams"),
+    )
+
+    # prefix filter (epsilon-relaxed so score-side 6dp rounding can
+    # never admit a pair the candidate side already pruned)
+    t = threshold - 1e-6
+    prefix_len = F.col("n_grams") - F.ceil(F.lit(t) * F.col("n_grams")) + 1
+    prefix = ranked.filter((F.col("rn") <= prefix_len) & (F.col("df") <= max_df)).select(
+        "doc_id", "gram", "n_grams", "rn"
+    )
+
+    a, b = prefix.alias("a"), prefix.alias("b")
+    matches = a.join(
+        b,
+        (F.col("a.gram") == F.col("b.gram"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & (F.col("b.n_grams") >= F.lit(t) * F.col("a.n_grams"))
+        & (F.col("b.n_grams") * F.lit(t) <= F.col("a.n_grams")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.n_grams").alias("na"),
+        F.col("b.n_grams").alias("nb"),
+        F.col("a.rn").alias("rn_a"),
+        F.col("b.rn").alias("rn_b"),
+    )
+
+    # positional filter (PPJoin, Xiao et al. WWW'08): per-doc ranks
+    # follow the one global (df, gram) order, so the last shared prefix
+    # gram attains max rank in BOTH docs; every common gram earlier in
+    # the order lies in both prefixes (hence is one of the counted
+    # matches), and every later one fits in the min() remainder.  So
+    #   |a∩b| <= shared + min(na - max_rn_a, nb - max_rn_b)
+    # and Jaccard >= t needs |a∩b| >= t/(1+t) * (na+nb).  Same shuffle
+    # the pair-distinct needed anyway — strictly more pruning for free.
+    overlap_bound = F.col("shared") + F.least(
+        F.col("na") - F.col("max_rn_a"), F.col("nb") - F.col("max_rn_b")
+    )
+    cand = (
+        matches.groupBy("doc_a", "doc_b")
+        .agg(
+            F.count("*").alias("shared"),
+            F.first("na").alias("na"),
+            F.first("nb").alias("nb"),
+            F.max("rn_a").alias("max_rn_a"),
+            F.max("rn_b").alias("max_rn_b"),
+        )
+        .filter(overlap_bound >= F.lit(t / (1.0 + t)) * (F.col("na") + F.col("nb")))
+        .select("doc_a", "doc_b")
+    )
+
+    # exact Jaccard over the full gram sets, candidates only —
     # array_intersect stays JVM-side, sets travel once per candidate
     sa = gram_sets.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("grams_a"))
     sb = gram_sets.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("grams_b"))

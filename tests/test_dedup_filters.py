@@ -1,0 +1,84 @@
+"""Candidate-filter losslessness for the n-gram Jaccard join.
+
+The prefix filter and the PPJoin positional filter
+(operators/dedup.py) prune candidate pairs using proven bounds; a
+wrong bound silently DROPS true near-dup pairs while every other
+check still passes (the oracle at sf0.01 exercises one corpus shape
+only).  These tests compare the filtered pipeline against brute-force
+all-pairs Jaccard on adversarial corpora: heavy shared vocabulary,
+skewed doc lengths, exact duplicates, and threshold-boundary pairs.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import pytest
+
+from chronicle_sniffer_spark.operators.dedup import ngram_jaccard_pairs
+
+N = 3
+
+
+def _grams(text: str) -> set[str]:
+    w = text.split(" ")
+    if len(w) <= N - 1:
+        return {" ".join(w[0:N])}
+    return {" ".join(w[i : i + N]) for i in range(len(w) - N + 1)}
+
+
+def _brute_force(rows: list[tuple[int, str]], threshold: float) -> set[tuple[int, int, float]]:
+    out = set()
+    for (ida, ta), (idb, tb) in itertools.combinations(sorted(rows), 2):
+        ga, gb = _grams(ta), _grams(tb)
+        j = round(len(ga & gb) / len(ga | gb), 6)
+        if j >= threshold:
+            out.add((ida, idb, j))
+    return out
+
+
+def _corpus_shared_vocab() -> list[tuple[int, str]]:
+    # 26-word vocabulary, 40-word docs: near-worst case for an
+    # inverted index (every gram is frequent)
+    vocab = [chr(ord("a") + i) for i in range(26)]
+    rows = []
+    for d in range(60):
+        words = [vocab[(d * 7 + i * (1 + d % 3)) % 26] for i in range(40)]
+        rows.append((d, " ".join(words)))
+    # exact duplicate + one-word edit (boundary-ish pair)
+    rows.append((100, rows[0][1]))
+    rows.append((101, rows[0][1].replace(" ", " z ", 1)))
+    return rows
+
+
+def _corpus_skewed_lengths() -> list[tuple[int, str]]:
+    rows = []
+    for d in range(30):
+        length = 5 + 10 * (d % 7)  # 5..65 words
+        words = [f"w{(d + i) % 9}" for i in range(length)]
+        rows.append((d, " ".join(words)))
+    return rows
+
+
+@pytest.mark.parametrize("threshold", [0.3, 0.5, 0.8])
+@pytest.mark.parametrize("corpus", [_corpus_shared_vocab, _corpus_skewed_lengths])
+def test_filtered_join_equals_brute_force(spark, corpus, threshold):
+    rows = corpus()
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in ngram_jaccard_pairs(docs, n=N, threshold=threshold, max_df=10**6).collect()
+    }
+    assert got == _brute_force(rows, threshold)
+
+
+def test_max_df_cap_only_reduces_recall(spark):
+    # the df cap is a skew guard: it may drop pairs but must never
+    # invent or mis-score one
+    rows = _corpus_shared_vocab()
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in ngram_jaccard_pairs(docs, n=N, threshold=0.5, max_df=3).collect()
+    }
+    assert capped <= _brute_force(rows, 0.5)
