@@ -1,0 +1,151 @@
+"""IVF (inverted-file) approximate nearest-neighbor search
+(SURVEY.md §2B L3 — the second scale path next to the LSH buckets in
+:mod:`operators.similarity`).
+
+Structure: a deterministic k-means partitions the corpus into
+``n_centroids`` cells; each vector is stored under its nearest
+centroid (the "inverted file").  A query probes only the ``n_probe``
+cells whose centroids are nearest to it, computing exact cosine for
+those candidates alone.
+
+Scale shape (100 TB): the cell assignment is one broadcast join
+(centroid table is KB-sized) + a min_by aggregate — no all-pairs
+anything; the probe reads ``n_probe/n_centroids`` of the corpus,
+pruned BEFORE any distance math by an equi-filter on cell id, which a
+partitioned/bucketed-by-cell layout turns into partition pruning at
+the scan.  Centroid training at scale runs on a sample — the train
+step is O(n · n_centroids · n_iter) but embarrassingly parallel.
+
+Determinism (what makes the operator testable, and the reason this is
+not a straight port of any library):
+
+- init: centroids = the ``n_centroids`` corpus vectors with smallest
+  ``vec_id`` — no RNG;
+- update: per-dimension centroid means go through exact
+  ``DECIMAL(28,12)`` sums, so double association order across
+  partitions can never flip a borderline assignment between runs;
+- ties in assignment break on lowest centroid id via min(struct).
+
+Probing ALL cells (``n_probe = n_centroids``) degenerates to exact
+brute force — the equivalence the tests assert against
+:func:`similarity.cosine_pairs`-style scoring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from chronicle_sniffer_spark.operators.similarity import as_double, cosine
+
+N_CENTROIDS = 16
+N_ITER = 4
+N_PROBE = 4
+
+
+def _centroid_df(spark, centroids: list[tuple[int, list[float]]]) -> DataFrame:
+    return spark.createDataFrame(centroids, "cid int, cvec array<double>")
+
+
+def _assign(vectors: DataFrame, cent: DataFrame) -> DataFrame:
+    """vec_id → nearest centroid id (squared-L2; broadcast + min_by)."""
+    diff = F.zip_with(F.col("v"), F.col("cvec"), lambda a, b: (a - b) * (a - b))
+    d2 = F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x)
+    return (
+        vectors.join(F.broadcast(cent))
+        .select("vec_id", "v", F.struct(d2.alias("d2"), F.col("cid").alias("cid")).alias("dc"))
+        .groupBy("vec_id")
+        .agg(F.min("dc").getField("cid").alias("cid"), F.first("v").alias("v"))
+    )
+
+
+MAX_TRAIN = 2048
+
+
+def train_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = N_CENTROIDS,
+    n_iter: int = N_ITER,
+    max_train: int = MAX_TRAIN,
+) -> list[tuple[int, list[float]]]:
+    """Deterministic Lloyd iterations; returns the small centroid table
+    (n_centroids × dim doubles) to the driver — the one intentionally
+    driver-sized object in this operator, same role as a broadcast ML
+    model.
+
+    Training runs on a deterministic modulo-sample of ≤ ``max_train``
+    vectors (``vec_id % m == 0`` — stable across runs and
+    partitionings), so train cost is flat in corpus size; cell QUALITY
+    at 100 TB comes from the sample being representative, which a key
+    hash-sample is.  Assignment of the full corpus stays exact."""
+    spark = embeddings.sparkSession
+    vecs = embeddings.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    n = vecs.count()
+    if n > max_train:
+        m = -(-n // max_train)  # ceil
+        vecs = vecs.filter(F.col("vec_id") % m == 0)
+    init = vecs.orderBy("vec_id").limit(n_centroids).collect()
+    centroids = [(i, list(r.v)) for i, r in enumerate(init)]
+
+    for _ in range(n_iter):
+        assigned = _assign(vecs, _centroid_df(spark, centroids))
+        # exact-decimal per-dimension mean: order-independent
+        dims = assigned.select("cid", F.posexplode("v").alias("pos", "x"))
+        new = (
+            dims.groupBy("cid", "pos")
+            .agg(
+                (
+                    F.sum(F.col("x").cast("decimal(28,12)")).cast("double") / F.count("x")
+                ).alias("m")
+            )
+            .groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("cid", F.col("pm.m").alias("cvec"))
+            .collect()
+        )
+        # a cell can go empty: its centroid keeps its previous position
+        fresh = {r.cid: list(r.cvec) for r in new}
+        centroids = [(cid, fresh.get(cid, old)) for cid, old in centroids]
+    return centroids
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    n_centroids: int = N_CENTROIDS,
+    n_iter: int = N_ITER,
+    n_probe: int = N_PROBE,
+) -> DataFrame:
+    """IVF approximate top-k cosine neighbors of one corpus vector.
+
+    Plan: broadcast-assign cells → filter to the query's ``n_probe``
+    nearest cells (an IN filter on cell id — partition-prunable) →
+    exact cosine on the survivors → TakeOrderedAndProject top-k."""
+    spark = embeddings.sparkSession
+    centroids = train_centroids(embeddings, n_centroids, n_iter)
+    vecs = embeddings.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    assigned = _assign(vecs, _centroid_df(spark, centroids))
+
+    qrow = vecs.filter(F.col("vec_id") == query_vec_id).collect()
+    if not qrow:
+        raise KeyError(f"query_vec_id {query_vec_id} not in corpus")
+    qv = list(qrow[0].v)
+
+    # driver-side probe choice: n_centroids tiny distances
+    def d2(a: list[float], b: list[float]) -> float:
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    probe = [cid for cid, _ in sorted(centroids, key=lambda c: (d2(c[1], qv), c[0]))[:n_probe]]
+
+    qcol = F.array(*[F.lit(x) for x in qv])
+    scored = (
+        assigned.filter(F.col("cid").isin(probe) & (F.col("vec_id") != query_vec_id))
+        .select("vec_id", F.round(cosine(F.col("v"), qcol), 6).alias("sim"))
+    )
+    topk = scored.orderBy(F.col("sim").desc(), F.col("vec_id")).limit(k)
+    w = Window.orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return topk.withColumn("rank", F.row_number().over(w))
+
+
+__all__ = ["train_centroids", "ivf_topk", "N_CENTROIDS", "N_ITER", "N_PROBE"]

@@ -135,6 +135,18 @@ def l3_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk(_t(spark, sf_dir, "embeddings"), ANN_QUERY_VEC, ANN_K)
 
 
+@query("l3_ann_ivf_topk", section="L3", oracle=None)
+def l3_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: deterministic k-means cells, probe the 4 nearest of 16,
+    exact cosine inside probed cells (operators/ivf.py).  No SQL oracle
+    — Lloyd iterations aren't expressible in DuckDB; the invariants
+    (full-probe ≡ brute force, determinism, recall floor) are pytest
+    checks in tests/test_ivf.py."""
+    from chronicle_sniffer_spark.operators.ivf import ivf_topk
+
+    return ivf_topk(_t(spark, sf_dir, "embeddings"), ANN_QUERY_VEC, ANN_K)
+
+
 # GPT-2-style pre-tokenizer, RE2/Java-compatible subset (no lookahead):
 # letter runs, digit runs, punctuation runs — each optionally preceded
 # by one space — plus residual whitespace runs.

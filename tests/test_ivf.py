@@ -1,0 +1,69 @@
+"""IVF ANN invariants (operators/ivf.py).
+
+No SQL oracle can express the k-means training, so correctness rests
+on three checkable properties instead:
+
+1. **Full probe degenerates to exact brute force** — probing every
+   cell must reproduce the brute-force cosine top-k exactly (same
+   ids, sims, ranks).  This validates assignment, scoring, and
+   ranking end-to-end; only the *pruning* is then approximate.
+2. **Determinism** — two independent runs (fresh plans, fresh
+   k-means) return identical rows; the decimal-sum centroid update
+   and lowest-vec_id init leave no float-association or RNG slack.
+3. **Recall floor** — at the default 4-of-16 probe, top-10 recall
+   vs brute force stays above 0.5 on the test corpus (the documented
+   accuracy/cost dial; exact value is corpus-dependent).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from chronicle_sniffer_spark.operators.ivf import ivf_topk
+from chronicle_sniffer_spark.operators.similarity import as_double, cosine
+from chronicle_sniffer_spark.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+QUERY, K = 0, 10
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF, "embeddings")
+
+
+def _brute_topk(emb, query_vec_id: int, k: int):
+    vecs = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    qv = vecs.filter(F.col("vec_id") == query_vec_id).collect()[0].v
+    qcol = F.array(*[F.lit(x) for x in qv])
+    scored = vecs.filter(F.col("vec_id") != query_vec_id).select(
+        "vec_id", F.round(cosine(F.col("v"), qcol), 6).alias("sim")
+    )
+    topk = scored.orderBy(F.col("sim").desc(), F.col("vec_id")).limit(k)
+    w = Window.orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return topk.withColumn("rank", F.row_number().over(w))
+
+
+def test_full_probe_equals_brute_force(emb):
+    full = ivf_topk(emb, QUERY, K, n_centroids=8, n_iter=2, n_probe=8)
+    brute = _brute_topk(emb, QUERY, K)
+    assert sorted(map(tuple, full.collect())) == sorted(map(tuple, brute.collect()))
+
+
+def test_deterministic_across_runs(emb):
+    a = sorted(map(tuple, ivf_topk(emb, QUERY, K).collect()))
+    b = sorted(map(tuple, ivf_topk(emb, QUERY, K).collect()))
+    assert a == b
+
+
+def test_default_probe_recall_floor(emb):
+    got = {r.vec_id for r in ivf_topk(emb, QUERY, K).collect()}
+    want = {r.vec_id for r in _brute_topk(emb, QUERY, K).collect()}
+    assert len(got & want) / K >= 0.5
+
+
+def test_unknown_query_raises(emb):
+    with pytest.raises(KeyError):
+        ivf_topk(emb, -12345, K)
