@@ -54,6 +54,7 @@ _SUBMODULES = (
     "chronicle_sniffer_spark.plans.dedup_sim",
     "chronicle_sniffer_spark.plans.coverage2",
     "chronicle_sniffer_spark.plans.coverage3",
+    "chronicle_sniffer_spark.plans.timeseries",
 )
 
 

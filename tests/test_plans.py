@@ -90,3 +90,37 @@ def test_exact_dedup_shuffles_hash_not_body(plans):
     # shuffle key is the 16-byte md5, never the document text
     ex = [ln for ln in p.splitlines() if "hashpartitioning" in ln]
     assert ex and all("text#" not in ln for ln in ex)
+
+
+def test_exists_decorrelates_to_semi_join(plans):
+    # correlated EXISTS (Q4 shape) must become one semi join carrying
+    # the extra range predicate as its condition — not a per-row probe
+    p = plans("j4b_q4_exists")
+    assert "LeftSemi" in p
+    assert "CartesianProduct" not in p
+    assert "l_shipdate" in next(
+        ln for ln in p.splitlines() if "Join condition" in ln and "shipdate" in ln
+    )
+
+
+def test_not_exists_decorrelates_to_anti_join(plans):
+    p = plans("j5b_q22_anti_subquery")
+    assert "LeftAnti" in p
+    assert "CartesianProduct" not in p
+
+
+def test_correlated_scalar_agg_becomes_join(plans):
+    # Q17 shape: the per-part average is aggregated once then joined,
+    # never re-evaluated per probe row
+    p = plans("sq2_q17_correlated")
+    assert "CartesianProduct" not in p
+    assert p.count("HashAggregate") >= 2  # per-part avg + final agg
+
+
+def test_scalar_subquery_pushed_into_scan(plans):
+    # the uncorrelated scalar threshold is evaluated once and pushed
+    # down to the parquet reader as a runtime filter
+    p = plans("j5b_q22_anti_subquery")
+    assert any(
+        "PushedFilters" in ln and "ScalarSubquery" in ln for ln in p.splitlines()
+    )
