@@ -25,7 +25,8 @@ from chronicle_sniffer_spark.plans import registry
 from chronicle_sniffer_spark.session import get_spark
 
 # Headline set: one per bench target in BASELINE.md §2 plus the
-# LLM-pipeline ops. (B2=a1, B3=j2, B4=o1/w1, B7=l1/l2.)
+# LLM-pipeline ops (B2=a1, B3=j2, B4=o1/w1, B7=l1/l2) and the
+# subquery/time-series shapes a warehouse user hits daily.
 HEADLINE = (
     "a1_q1_pricing_summary",
     "j2_q3_shape",
@@ -34,6 +35,9 @@ HEADLINE = (
     "w4_running_total",
     "j8_asof",
     "a8_exp_histogram",
+    "a9b_q18_large_orders",
+    "sq2_q17_correlated",
+    "ts1_gapfill_ffill",
     "l1_exact_dedup",
     "l2_minhash_signatures",
     "l2_ngram_jaccard",
@@ -46,6 +50,7 @@ HEADLINE = (
 _SMALL = {
     "a1_q1_pricing_summary",
     "o1_sort_limit",
+    "sq2_q17_correlated",
     "l3_cosine_topk",
     "l3_ann_lsh_topk",
     "a8_exp_histogram",
