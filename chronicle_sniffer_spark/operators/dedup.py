@@ -149,3 +149,49 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def connected_components(
+    pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b", max_iter: int = 30
+) -> DataFrame:
+    """Near-dup pairs → clusters: (node, cluster_id = min reachable id).
+
+    Min-label propagation: each round every node takes the min of its
+    own and its neighbors' labels — one join + one groupBy per round,
+    converging in O(component diameter) rounds.  Near-dup graphs are
+    piles of small dense cliques (diameter 1-2), so this settles in a
+    couple of rounds; for adversarially long chains at 100 TB, swap in
+    the large-star/small-star alternation (Kiveris et al., same join
+    primitives, logarithmic rounds).  Deterministic: min over ids.
+
+    Raises after ``max_iter`` non-converged rounds rather than
+    returning a partial clustering.
+    """
+    fwd = pairs.select(F.col(src).alias("s"), F.col(dst).alias("t"))
+    rev = pairs.select(F.col(dst).alias("s"), F.col(src).alias("t"))
+    edges = fwd.union(rev).distinct().cache()
+    labels = edges.select(F.col("s").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    ).cache()
+    try:
+        for _ in range(max_iter):
+            nbr = (
+                edges.join(labels, edges["t"] == labels["node"])
+                .select(edges["s"].alias("node"), labels["label"])
+            )
+            new_labels = (
+                nbr.union(labels).groupBy("node").agg(F.min("label").alias("label")).cache()
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .filter(F.col("n.label") < F.col("o.label"))
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                return labels
+        raise RuntimeError(f"connected_components: not converged after {max_iter} rounds")
+    finally:
+        edges.unpersist()

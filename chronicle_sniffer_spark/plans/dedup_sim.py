@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from chronicle_sniffer_spark.operators.dedup import ngram_jaccard_pairs
+from chronicle_sniffer_spark.operators.dedup import connected_components, ngram_jaccard_pairs
 from chronicle_sniffer_spark.operators.similarity import (
     ann_topk,
     cosine_pairs,
@@ -81,6 +81,52 @@ def l2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         n=NGRAM_N,
         threshold=JACCARD_THRESHOLD,
         max_df=NGRAM_MAX_DF,
+    )
+
+
+@query(
+    "l2_dedup_clusters",
+    section="L2",
+    oracle=f"""
+    WITH RECURSIVE {_ORACLE_GRAMS_CTE},
+    pairs AS (
+      SELECT i.doc_a, i.doc_b
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.doc_a
+      JOIN sizes sb ON sb.doc_id = i.doc_b
+      WHERE round(i.n_inter * 1.0 / (sa.n_grams + sb.n_grams - i.n_inter), 6)
+            >= {JACCARD_THRESHOLD}
+    ),
+    edges AS (
+      SELECT doc_a AS s, doc_b AS t FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(s, t) AS (
+      SELECT s, s FROM (SELECT DISTINCT s FROM edges)
+      UNION
+      SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s
+    )
+    SELECT s AS doc_id, min(t) AS cluster_id, s = min(t) AS is_canonical
+    FROM reach GROUP BY s
+    """,
+)
+def l2_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → connected components → canonical-doc choice
+    (min doc_id per cluster) — the step that turns pairwise similarity
+    into an actual dedup decision.  Spark: min-label propagation
+    (operators/dedup.py); oracle: recursive-CTE reachability closure.
+    Singleton docs (no near-dup) are out of scope on both sides."""
+    pairs = ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"),
+        n=NGRAM_N,
+        threshold=JACCARD_THRESHOLD,
+        max_df=NGRAM_MAX_DF,
+    )
+    labels = connected_components(pairs)
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        (F.col("node") == F.col("label")).alias("is_canonical"),
     )
 
 

@@ -82,3 +82,32 @@ def test_max_df_cap_only_reduces_recall(spark):
         for r in ngram_jaccard_pairs(docs, n=N, threshold=0.5, max_df=3).collect()
     }
     assert capped <= _brute_force(rows, 0.5)
+
+
+def test_connected_components_known_graphs(spark):
+    from chronicle_sniffer_spark.operators.dedup import connected_components
+
+    # chain 1-2-3-4 (diameter 3: needs multiple rounds), clique {10,11,12},
+    # pair {20,21}; singletons never appear in pairs, so never in output
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "doc_a long, doc_b long",
+    )
+    got = {(r.node, r.label) for r in connected_components(pairs).collect()}
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10), (12, 10),
+        (20, 20), (21, 20),
+    }
+
+
+def test_connected_components_raises_when_iter_capped(spark):
+    import pytest as _pytest
+
+    from chronicle_sniffer_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "doc_a long, doc_b long"
+    )
+    with _pytest.raises(RuntimeError, match="not converged"):
+        connected_components(chain, max_iter=2)
