@@ -347,3 +347,106 @@ def w1c_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cdist"),
     )
+
+
+@query(
+    "a11_min_by_max_by",
+    section="A6/A7",
+    oracle="""
+    SELECT c_nationkey,
+           arg_max(c_name, CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) * 10000000
+                           + c_custkey) AS richest,
+           arg_min(c_name, CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) * 10000000
+                           + c_custkey) AS poorest
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def a11_min_by_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """arg-max/arg-min aggregates (the 'row for the extreme value'
+    pattern without a window+filter).  Tie-break folded into one exact
+    BIGINT key: (acctbal, custkey) — via DECIMAL so Spark's
+    truncating double→int cast and DuckDB's rounding one never see a
+    fraction; DuckDB's arg_max can't order by a struct."""
+    c = _t(spark, sf_dir, "customer")
+    key = (
+        F.col("c_acctbal").cast("decimal(18,2)") * 100
+    ).cast("bigint") * 10000000 + F.col("c_custkey")
+    return c.groupBy("c_nationkey").agg(
+        F.max_by("c_name", key).alias("richest"),
+        F.min_by("c_name", key).alias("poorest"),
+    )
+
+
+@query(
+    "a7b_listagg",
+    section="A7",
+    oracle="""
+    SELECT o_custkey,
+           string_agg(o_orderpriority, ',' ORDER BY o_orderpriority, o_orderkey) AS prios
+    FROM orders WHERE o_custkey < 100 GROUP BY o_custkey
+    """,
+)
+def a7b_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (listagg WITHIN GROUP / string_agg)
+    — deterministic via a full ORDER BY inside the aggregate."""
+    _views(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_custkey,
+               listagg(o_orderpriority, ',')
+                 WITHIN GROUP (ORDER BY o_orderpriority, o_orderkey) AS prios
+        FROM orders WHERE o_custkey < 100 GROUP BY o_custkey
+        """
+    )
+
+
+@query(
+    "p6c_string_edit",
+    section="P6",
+    oracle="""
+    SELECT c_custkey,
+           levenshtein(c_mktsegment, 'BUILDING') AS edit_dist,
+           split_part(c_name, '#', 2) AS name_tail,
+           reverse(c_mktsegment) AS rev,
+           repeat(left(c_mktsegment, 2), 2) AS rep
+    FROM customer WHERE c_custkey <= 200
+    """,
+)
+def p6c_string_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit distance + positional split + reverse/repeat — the string
+    surface fuzzy matching and feature extraction lean on."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 200)
+    return c.select(
+        "c_custkey",
+        F.levenshtein("c_mktsegment", F.lit("BUILDING")).alias("edit_dist"),
+        F.split_part(F.col("c_name"), F.lit("#"), F.lit(2)).alias("name_tail"),
+        F.reverse("c_mktsegment").alias("rev"),
+        F.repeat(F.substring("c_mktsegment", 1, 2), 2).alias("rep"),
+    )
+
+
+@query(
+    "p7b_calendar_arith",
+    section="P7",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3m,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end,
+           quarter(o_orderdate) AS qtr,
+           dayofyear(o_orderdate) AS doy,
+           CAST(date_trunc('week', o_orderdate) AS DATE) AS week_start
+    FROM orders WHERE o_orderkey <= 2000
+    """,
+)
+def p7b_calendar_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar arithmetic: month-add with end-of-month clamping,
+    last_day, quarter/day-of-year extraction, ISO week truncation."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    return o.select(
+        "o_orderkey",
+        F.add_months(F.col("o_orderdate"), 3).alias("plus3m"),
+        F.last_day("o_orderdate").alias("month_end"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.dayofyear("o_orderdate").alias("doy"),
+        F.to_date(F.date_trunc("week", "o_orderdate")).alias("week_start"),
+    )
