@@ -33,6 +33,11 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _oracle_grams_cte(rel: str = "documents") -> str:
+    """The shingle→candidate→intersection CTE chain over ``rel``."""
+    return _ORACLE_GRAMS_CTE.replace("FROM documents)", f"FROM {rel})")
+
+
 _ORACLE_GRAMS_CTE = f"""
     grams AS (
       SELECT DISTINCT doc_id, array_to_string(words[i:i+{NGRAM_N - 1}], ' ') AS gram
@@ -284,4 +289,74 @@ def l5_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = extract_features(media, dim=16)
     return feats.select(
         "media_id", F.round(F.aggregate("feature", F.lit(0.0), lambda a, v: a + v), 6).alias("feature_sum")
+    )
+
+
+@query(
+    "l6_curation_pipeline",
+    section="L1/L2/L4",
+    oracle=f"""
+    WITH RECURSIVE kept_docs AS (
+      SELECT d.* FROM documents d
+      JOIN (SELECT min(doc_id) AS doc_id
+            FROM documents
+            WHERE lang = 'en' AND n_chars >= 100
+            GROUP BY sha256(text)) k USING (doc_id)
+      WHERE d.lang = 'en' AND d.n_chars >= 100
+    ),
+    {_oracle_grams_cte("kept_docs")},
+    pairs AS (
+      SELECT i.doc_a, i.doc_b
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.doc_a
+      JOIN sizes sb ON sb.doc_id = i.doc_b
+      WHERE round(i.n_inter * 1.0 / (sa.n_grams + sb.n_grams - i.n_inter), 6)
+            >= {JACCARD_THRESHOLD}
+    ),
+    edges AS (
+      SELECT doc_a AS s, doc_b AS t FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(s, t) AS (
+      SELECT s, s FROM (SELECT DISTINCT s FROM edges)
+      UNION
+      SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s
+    ),
+    noncanon AS (SELECT s AS doc_id FROM reach GROUP BY s HAVING s <> min(t))
+    SELECT source, count(*) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+    FROM kept_docs
+    WHERE doc_id NOT IN (SELECT doc_id FROM noncanon)
+    GROUP BY source
+    """,
+)
+def l6_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship composite: the curation chain a training-data pipeline
+    actually runs — quality gate (lang + length) → exact dedup (keep
+    min doc_id per sha256) → near-dup dedup (Jaccard pairs → connected
+    components → canonical survivor) → per-source doc/token accounting.
+    Every stage is a previously-verified operator; this entry verifies
+    they COMPOSE (the shared grams CTE is re-rooted onto the filtered
+    `kept_docs` CTE so near-dup runs on survivors, not the raw table)."""
+    from chronicle_sniffer_spark.operators.dedup import connected_components
+
+    d = _t(spark, sf_dir, "documents").filter(
+        (F.col("lang") == "en") & (F.col("n_chars") >= 100)
+    )
+    h = d.withColumn("h", F.sha2("text", 256))
+    keep_exact = h.groupBy("h").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    kept1 = h.join(keep_exact, "doc_id", "left_semi").drop("h")
+
+    pairs = ngram_jaccard_pairs(
+        kept1.select("doc_id", "text"), n=NGRAM_N, threshold=JACCARD_THRESHOLD,
+        max_df=NGRAM_MAX_DF,
+    )
+    labels = connected_components(pairs)
+    noncanon = labels.filter(F.col("node") != F.col("label")).select(
+        F.col("node").alias("doc_id")
+    )
+    kept2 = kept1.join(noncanon, "doc_id", "left_anti")
+    return kept2.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).alias("total_tokens"),
     )
