@@ -55,6 +55,7 @@ _SUBMODULES = (
     "chronicle_sniffer_spark.plans.coverage2",
     "chronicle_sniffer_spark.plans.coverage3",
     "chronicle_sniffer_spark.plans.timeseries",
+    "chronicle_sniffer_spark.plans.tpch_extra",
 )
 
 
