@@ -1,0 +1,71 @@
+"""Stream–stream joins (Structured Streaming; completes the join
+surface beyond J10's stream–static case).
+
+The reference correlates two event streams only implicitly — the
+dashboard charts upload events against processing-latency events by
+label (`terraform/dashboards/main_operational_dashboard.json:30-128`).
+Here that becomes a first-class *watermarked interval equi-join*: two
+streams co-partitioned by key, each side buffering state bounded by
+its watermark plus the join's time interval.
+
+Scale notes (100 TB): state size = key cardinality × interval width —
+the watermark delay is the knob that bounds it; both sides shuffle
+once on the join key into the same state-store partitioning, so the
+join adds exactly one stateful stage.  AQE does not apply inside a
+streaming stage: size `spark.sql.shuffle.partitions` to the key
+cardinality up front (state-store partition count is fixed at first
+checkpoint).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def click_purchase_attribution(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    attribution_window: str = "1 hour",
+    watermark_delay: str = "45 days",
+) -> DataFrame:
+    """Inner stream–stream join: purchases attributed to a same-user
+    click at-or-before the purchase within ``attribution_window``.
+
+    Both inputs need ``user_id``, ``event_id``, ``ts``, ``value``.
+    The interval condition (purchase.ts in [click.ts, click.ts + w])
+    lets Spark expire click state once the purchase-side watermark
+    passes click.ts + w.  Works identically on static DataFrames, so
+    tests assert stream ≡ batch on the same inputs.
+    """
+    c = (
+        clicks.withWatermark("ts", watermark_delay)
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    p = (
+        purchases.withWatermark("ts", watermark_delay)
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    return c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {attribution_window}")),
+        "inner",
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        "click_ts",
+        "purchase_ts",
+        "purchase_value",
+    )

@@ -220,3 +220,25 @@ def test_t8_s7_dlq_and_idempotency(spark):
     before = st["attempts"]["good_a.pcap"]
     sink.process(batch, 99)
     assert sink.state()["attempts"]["good_a.pcap"] == before
+
+
+def test_t9_stream_stream_interval_join(spark, staged):
+    """Stream–stream watermarked interval join (clicks ⋈ purchases per
+    user within 1 hour) equals the same join run as a batch plan.
+    Append mode: inner-join rows emit as soon as both sides match."""
+    from chronicle_sniffer_spark.streaming.joins import click_purchase_attribution
+
+    def split(df):
+        return (
+            df.filter(df.event_type == "click"),
+            df.filter(df.event_type == "purchase"),
+        )
+
+    stream = read_events_stream(spark, staged, max_files_per_trigger=2)
+    result = run_to_completion(
+        click_purchase_attribution(*split(stream)), "t9_stream", "append"
+    )
+    batch = click_purchase_attribution(*split(load_table(spark, SF_SMOKE, "events")))
+    cols = ("user_id", "click_id", "purchase_id", "purchase_value")
+    assert len(_rows(batch, *cols)) > 0
+    assert _rows(result, *cols) == _rows(batch, *cols)
