@@ -314,3 +314,108 @@ def l5_content_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     byte-exact (multimodal decode plumbing lives in operators/multimodal)."""
     d = _t(spark, sf_dir, "documents")
     return d.select("doc_id", F.md5(F.col("text").cast("binary")).alias("content_hash"))
+
+
+CHUNK_SIZE = 32  # words per chunk
+CHUNK_OVERLAP = 8
+_CHUNK_STEP = CHUNK_SIZE - CHUNK_OVERLAP
+
+
+@query(
+    "l4_chunking",
+    section="L4",
+    oracle=f"""
+    SELECT doc_id,
+           CAST((s - 1) / {_CHUNK_STEP} AS BIGINT) AS chunk_idx,
+           s AS start_word,
+           least({CHUNK_SIZE}, len(words) - s + 1) AS chunk_words,
+           array_to_string(words[s:s+{CHUNK_SIZE - 1}], ' ') AS chunk_text
+    FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+         unnest(generate_series(1, greatest(len(words) - {CHUNK_OVERLAP}, 1),
+                                {_CHUNK_STEP})) AS t(s)
+    """,
+)
+def l4_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking — the context-window prep step
+    of a training/RAG pipeline: each doc becomes overlapping
+    {CHUNK_SIZE}-word chunks with stride, keeping word offsets so
+    chunks can be traced back to their source span.  A narrow
+    flatMap (sequence + explode + slice): no shuffle, bounded memory
+    per partition, embarrassingly parallel at 100 TB."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", F.split("text", " ").alias("words"))
+    starts = F.explode(
+        F.sequence(
+            F.lit(1),
+            F.greatest(F.size("words") - CHUNK_OVERLAP, F.lit(1)),
+            F.lit(_CHUNK_STEP),
+        )
+    ).alias("s")
+    return d.select("doc_id", "words", starts).select(
+        "doc_id",
+        ((F.col("s") - 1) / _CHUNK_STEP).cast("bigint").alias("chunk_idx"),
+        F.col("s").alias("start_word"),
+        F.least(F.lit(CHUNK_SIZE), F.size("words") - F.col("s") + 1).alias("chunk_words"),
+        F.array_join(F.slice("words", F.col("s"), CHUNK_SIZE), " ").alias("chunk_text"),
+    )
+
+
+CONTAM_N = 5  # containment n-gram width
+CONTAM_MIN_RATIO = 0.5
+
+
+@query(
+    "l4_contamination",
+    section="L4",
+    oracle=f"""
+    WITH tg AS (
+      SELECT DISTINCT doc_id, array_to_string(words[i:i+{CONTAM_N - 1}], ' ') AS gram
+      FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents
+            WHERE doc_id % 10 <> 0),
+           unnest(generate_series(1, greatest(len(words) - {CONTAM_N - 1}, 1))) AS t(i)
+    ),
+    bg AS (
+      SELECT DISTINCT array_to_string(words[i:i+{CONTAM_N - 1}], ' ') AS gram
+      FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents
+            WHERE doc_id % 10 = 0),
+           unnest(generate_series(1, greatest(len(words) - {CONTAM_N - 1}, 1))) AS t(i)
+    )
+    SELECT doc_id, count(*) AS n_grams,
+           SUM(CASE WHEN bg.gram IS NOT NULL THEN 1 ELSE 0 END) AS n_hit,
+           round(SUM(CASE WHEN bg.gram IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS containment
+    FROM tg LEFT JOIN bg ON tg.gram = bg.gram
+    GROUP BY doc_id
+    HAVING containment >= {CONTAM_MIN_RATIO}
+    """,
+)
+def l4_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination detection: the fraction of each training
+    doc's word {CONTAM_N}-grams contained in a benchmark set (here the
+    deterministic doc_id%100==0 slice standing in for an eval suite).
+    Scale shape: the benchmark gram set is small by construction, so
+    it BROADCASTS — the 100 TB training side streams through a
+    broadcast hash join with no shuffle; the only shuffle is the
+    per-doc ratio aggregation."""
+
+    def grams(df: DataFrame) -> DataFrame:
+        e = F.expr(
+            f"transform(sequence(1, greatest(size(split(text, ' ')) - {CONTAM_N - 1}, 1)),"
+            f" i -> array_join(slice(split(text, ' '), i, {CONTAM_N}), ' '))"
+        )
+        return df.select("doc_id", F.explode(e).alias("gram")).distinct()
+
+    docs = _t(spark, sf_dir, "documents")
+    tg = grams(docs.filter(F.col("doc_id") % 10 != 0))
+    bg = grams(docs.filter(F.col("doc_id") % 10 == 0)).select("gram").distinct()
+    hit = tg.join(F.broadcast(bg).withColumn("hit", F.lit(1)), "gram", "left")
+    return (
+        hit.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hit"),
+            F.round(
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))) / F.count("*"), 6
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= CONTAM_MIN_RATIO)
+    )
