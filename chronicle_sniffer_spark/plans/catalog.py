@@ -20,6 +20,16 @@ Determinism rules used throughout (SURVEY.md §7.4-5):
   and the oracle SQL (driver sorts columns by name before hashing).
 - **Sets returned through LIMIT are made deterministic** with a full
   tie-breaking ORDER BY key.
+- **Integer conditional sums are cast**: DuckDB types ``SUM(CASE …
+  THEN 1 …)`` as HUGEINT, which a pandas-based hasher renders as
+  float64 while Spark's BIGINT stays int64 — wrap oracle integer SUMs
+  in ``CAST(... AS BIGINT)`` (round-1 driver hash-fails j3_full_outer
+  / l4_contamination were exactly this).
+- **No DateType output columns**: Spark DateType reaches pandas as
+  ``datetime.date`` objects while DuckDB DATE becomes datetime64, so
+  identical values hash differently.  Surface day-granularity results
+  as TIMESTAMP on both sides (``.cast("timestamp")`` + ``CAST(... AS
+  TIMESTAMP)``).  ``tools/check_correctness.py`` warns on both traps.
 """
 
 from __future__ import annotations

@@ -430,23 +430,29 @@ def p6c_string_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
     section="P7",
     oracle="""
     SELECT o_orderkey,
-           CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3m,
-           last_day(CAST(o_orderdate AS DATE)) AS month_end,
+           CAST(o_orderdate + INTERVAL 3 MONTH AS TIMESTAMP) AS plus3m,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
            quarter(o_orderdate) AS qtr,
            dayofyear(o_orderdate) AS doy,
-           CAST(date_trunc('week', o_orderdate) AS DATE) AS week_start
+           CAST(date_trunc('week', o_orderdate) AS TIMESTAMP) AS week_start
     FROM orders WHERE o_orderkey <= 2000
     """,
 )
 def p7b_calendar_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Calendar arithmetic: month-add with end-of-month clamping,
-    last_day, quarter/day-of-year extraction, ISO week truncation."""
+    last_day, quarter/day-of-year extraction, ISO week truncation.
+
+    Calendar results surface as TIMESTAMP, not DATE: Spark DateType
+    arrives in pandas as datetime.date objects while DuckDB DATE
+    becomes datetime64, so a pandas-based hasher (the driver's) sees
+    different representations of identical values.  TIMESTAMP maps to
+    datetime64 from both engines."""
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
     return o.select(
         "o_orderkey",
-        F.add_months(F.col("o_orderdate"), 3).alias("plus3m"),
-        F.last_day("o_orderdate").alias("month_end"),
+        F.add_months(F.col("o_orderdate"), 3).cast("timestamp").alias("plus3m"),
+        F.last_day("o_orderdate").cast("timestamp").alias("month_end"),
         F.quarter("o_orderdate").alias("qtr"),
         F.dayofyear("o_orderdate").alias("doy"),
-        F.to_date(F.date_trunc("week", "o_orderdate")).alias("week_start"),
+        F.date_trunc("week", "o_orderdate").alias("week_start"),
     )

@@ -422,8 +422,8 @@ def j3_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     section="J3",
     oracle="""
     SELECT count(*) AS n_rows,
-           sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_no_orders,
-           sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS n_no_customer
+           CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_no_orders,
+           CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_no_customer
     FROM customer FULL JOIN orders ON c_custkey = o_custkey
     """,
 )

@@ -49,7 +49,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
       SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
       FROM span
     )
-    SELECT g.user_id, g.day, d.day_sum,
+    SELECT g.user_id, CAST(g.day AS TIMESTAMP) AS day, d.day_sum,
            last_value(d.day_sum IGNORE NULLS) OVER (
              PARTITION BY g.user_id ORDER BY g.day
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled,
@@ -78,7 +78,10 @@ def ts1_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         grid.join(daily, ["user_id", "day"], "left")
         .select(
             "user_id",
-            "day",
+            # TIMESTAMP, not DATE: both engines then reach the driver's
+            # pandas-based hasher as datetime64 (DateType would arrive
+            # as datetime.date objects from Spark only).
+            F.col("day").cast("timestamp").alias("day"),
             "day_sum",
             F.last("day_sum", ignorenulls=True).over(w).alias("filled"),
             F.col("day_sum").isNull().alias("is_gap"),

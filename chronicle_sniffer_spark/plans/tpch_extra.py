@@ -148,10 +148,10 @@ def j2f_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 90
                 THEN 'late' ELSE 'ontime' END AS ship_bucket,
-           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders, lineitem
     WHERE o_orderkey = l_orderkey
       AND l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'

@@ -17,21 +17,43 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
+from pyspark.sql.types import DateType
 
 from chronicle_sniffer_spark.plans import registry
 from chronicle_sniffer_spark.session import get_spark
 from chronicle_sniffer_spark.tables import TABLE_NAMES
 
 
+import numpy as np
+import pandas as pd
+
+
 def canon_value(v):
+    """Canonicalize one cell the way a pandas-based hasher would see it.
+
+    Both engines' results are fetched as pandas DataFrames first, so a
+    DuckDB HUGEINT (-> float64) vs Spark BIGINT (-> int64) shows up as
+    "0.00" vs "0" here — the exact class of divergence the driver's
+    hash check catches and the old fetchall() path silently hid.
+    """
+    if isinstance(v, (np.ndarray, list, tuple)):
+        return "[" + ",".join(canon_value(x) for x in v) + "]"
+    if isinstance(v, np.bool_):
+        v = bool(v)
+    if isinstance(v, bool):
+        return str(v)
+    if isinstance(v, np.integer):
+        return str(int(v))
+    if isinstance(v, np.floating):
+        v = float(v)
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
         return f"{round(v, 2):.2f}"
-    if isinstance(v, bool):
-        return str(bool(v))
-    if v is None:
+    if v is None or v is pd.NaT or (isinstance(v, float) and math.isnan(v)):
         return "NULL"
+    if isinstance(v, pd.Timestamp):
+        return v.isoformat()
     return str(v)
 
 
@@ -62,8 +84,13 @@ def main() -> int:
         t0 = time.time()
         try:
             sdf = spec.spark_fn(spark, sf_dir)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            dcols = [f.name for f in sdf.schema.fields if isinstance(f.dataType, DateType)]
+            if dcols:
+                print(f"WARN {name}: Spark DateType output columns {dcols} — "
+                      f"cast to TIMESTAMP on both sides for driver hash parity")
+            spdf = sdf.toPandas()
+            scols = list(spdf.columns)
+            srows = list(map(tuple, spdf.itertuples(index=False, name=None)))
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {exc}")
             failures.append(name)
@@ -74,14 +101,19 @@ def main() -> int:
             print(f"rows {name}: {len(srows)} rows (no oracle) [{time.time()-t0:.1f}s]")
             continue
         try:
-            res = con.execute(spec.oracle)
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            rel = con.sql(spec.oracle)
+            huge = [c for c, t in zip(rel.columns, rel.types) if "HUGEINT" in str(t)]
+            opdf = rel.df()
+            ocols = list(opdf.columns)
+            orows = list(map(tuple, opdf.itertuples(index=False, name=None)))
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {exc}")
             failures.append(name)
             n_fail += 1
             continue
+        if huge:
+            print(f"WARN {name}: oracle columns typed HUGEINT {huge} — "
+                  f"wrap in CAST(... AS BIGINT) for driver hash parity")
         s_c = canon_rows(scols, srows)
         o_c = canon_rows(ocols, orows)
         schema_ok = sorted(scols) == sorted(ocols)
