@@ -44,6 +44,15 @@ HEADLINE = (
     "l3_cosine_topk",
     "l3_ann_lsh_topk",
     "a10_salted_skew_agg",
+    # rows-only (non-oracle) surface, so regressions there are visible
+    # round-over-round too
+    "udm_projection",
+    "s4_pcap_ingest",
+    "udm_per_file_metrics",
+    "l4_fingerprint",
+    "l3_ann_ivf_topk",
+    "l5_feature_extract",
+    "t9_interval_join_batch",
 )
 
 # Results small enough that collect() is the realistic consumption path.
@@ -60,19 +69,23 @@ _SMALL = {
 
 UDM_BENCH_PACKETS = 60_000
 UDM_BENCH_FILES = 32
+# 10× corpus for the amortized-throughput metric: fixed per-job costs
+# (Catalyst planning ~0.6 s + per-task plan deserialization ~0.4 s)
+# dominate the 60 k one-shot number but vanish on real job sizes.
+UDM_AMORTIZED_PACKETS = 600_000
 
 
-def _stage_udm_corpus() -> str:
-    """Generate (once) a 60k-packet tshark-JSON corpus split across
+def _stage_udm_corpus(n_packets: int = UDM_BENCH_PACKETS) -> str:
+    """Generate (once) an n-packet tshark-JSON corpus split across
     files, mirroring the reference's rotated-capture unit of work."""
     import json
 
-    base = os.path.join("/tmp", f"css_bench_udm_{UDM_BENCH_PACKETS}")
+    base = os.path.join("/tmp", f"css_bench_udm_{n_packets}")
     marker = os.path.join(base, "_done")
     if os.path.exists(marker):
         return base
     os.makedirs(base, exist_ok=True)
-    per_file = UDM_BENCH_PACKETS // UDM_BENCH_FILES
+    per_file = n_packets // UDM_BENCH_FILES
     for fi in range(UDM_BENCH_FILES):
         pkts = []
         for i in range(per_file):
@@ -161,14 +174,35 @@ def main() -> None:
     # steady-state (what a long-running cluster job sees) is the warm run.
     from chronicle_sniffer_spark.etl import convert_directory
 
+    # Measures the parquet-table path: full typed-event projection,
+    # no udm_json (to_json belongs to the JSON sink only and is
+    # pruned out of this plan).
     corpus = _stage_udm_corpus()
     udm = convert_directory(
         spark, os.path.join(corpus, "*.json"), "2025-09-05T12:00:00.000000Z"
-    ).drop("event")
+    ).drop("udm_json")
     udm.write.format("noop").mode("overwrite").save()  # warm-up (codegen+JIT)
     t0 = time.time()
     udm.write.format("noop").mode("overwrite").save()
     timings["udm_b1_60k_packets"] = round(time.time() - t0, 3)
+
+    # B1 amortized: same pipeline over 10× packets.  The one-shot 60k
+    # number is dominated by fixed per-job cost (driver planning +
+    # per-task plan deserialization, ~1.0 s total); real ingest jobs
+    # (and the 100 TB posture) amortize that across hours, so
+    # throughput-per-core is reported from the larger corpus.  See
+    # BASELINE.md §2 B1 for the measured breakdown.
+    corpus_xl = _stage_udm_corpus(UDM_AMORTIZED_PACKETS)
+    udm_xl = convert_directory(
+        spark, os.path.join(corpus_xl, "*.json"), "2025-09-05T12:00:00.000000Z"
+    ).drop("udm_json")
+    udm_xl.write.format("noop").mode("overwrite").save()
+    t0 = time.time()
+    udm_xl.write.format("noop").mode("overwrite").save()
+    dt = time.time() - t0
+    timings["udm_b1_600k_amortized"] = round(dt, 3)
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    b1_throughput = round(UDM_AMORTIZED_PACKETS / dt / cpus, 1)
 
     # B5/B6: the end-to-end streaming pipeline (file in → UDM parquet
     # out, AvailableNow replay of the corpus in 4 micro-batches).
@@ -192,6 +226,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "udm_b1_pkts_per_sec_per_core": b1_throughput,
                 "sf": sf,
             }
         )

@@ -7,11 +7,18 @@ per file and buffers each file's output in memory
 is partitions × executors and whose memory is bounded per partition.
 
 Sinks:
-- ``write_udm_parquet``  partitioned analytics table (S8)
-- ``write_udm_json_per_file``  one ``<base>.udm.json`` per input file,
-  overwrite-idempotent (R24; naming processor_app.py:139-141, blob
-  overwrite idempotency :171)
-- ``per_file_metrics``  processed/error counters per file (R23) and
+- ``write_udm_parquet``  partitioned analytics table (S8) storing the
+  TYPED ``event`` struct — the JSON serialization is never computed on
+  this path (column pruning removes it)
+- ``write_udm_json_per_file``  newline-delimited UDM JSON per source
+  capture file (the distributed write)
+- ``write_udm_json_array_per_file``  the reference's exact output
+  format on top of it: one ``<base>.udm.json`` JSON-array file per
+  input capture (R24; naming processor_app.py:139-141, array format
+  json2udm_cloud.py:395, blob overwrite idempotency :171)
+- ``per_file_metrics``  processed/error/malformed counters per file
+  (R23; error counts only PacketProcessingError events, matching the
+  reference's UDM_PACKET_ERRORS, json2udm_cloud.py:340) and
   wall-clock duration logging shape (R25)
 """
 
@@ -36,17 +43,22 @@ def convert_directory(spark: SparkSession, in_path: str, processing_time: str) -
 def write_udm_parquet(udm: DataFrame, out_dir: str) -> None:
     """S8: partitioned table sink — date partitioning matches the query
     pattern (dashboards aggregate by time) so partition pruning applies
-    at 100 TB."""
-    udm.write.mode("overwrite").partitionBy("event_date").parquet(out_dir)
+    at 100 TB.  Stores the typed ``event`` struct; the ``udm_json``
+    serialization is excluded so column pruning keeps ``to_json`` out
+    of this plan entirely (it belongs to the JSON sink only)."""
+    cols = [c for c in udm.columns if c != "udm_json"]
+    udm.select(*cols).write.mode("overwrite").partitionBy("event_date").parquet(out_dir)
 
 
 def write_udm_json_per_file(udm: DataFrame, out_dir: str) -> list[str]:
-    """R24: one UDM JSON array file per source capture file.
+    """Newline-delimited UDM JSON, grouped per source capture file.
 
     Implemented as a partitionBy on the source basename over the text
     sink: each input file's events land under
     ``<out_dir>/source_base=<name>/``, written in one pass, no driver
     loop over files.  Returns the list of per-file output directories.
+    (For the reference's exact one-array-file-per-capture format, see
+    :func:`write_udm_json_array_per_file`.)
     """
     named = udm.withColumn(
         "source_base",
@@ -66,12 +78,60 @@ def write_udm_json_per_file(udm: DataFrame, out_dir: str) -> list[str]:
     )
 
 
+def write_udm_json_array_per_file(udm: DataFrame, out_dir: str) -> list[str]:
+    """R24 byte-format parity: one ``<base>.udm.json`` file per source
+    capture, each a single JSON ARRAY of UDM events — the reference's
+    exact output shape (json2udm_cloud.py:395, naming
+    processor_app.py:139-141).
+
+    The heavy lifting (serialize + group by source file) is the
+    distributed :func:`write_udm_json_per_file`; this adds a streaming
+    concatenation pass per capture file.  That pass is O(one capture
+    file) memory and parallel across files at the filesystem level —
+    capture files are rotation-bounded (R1/R3), so this never scales
+    with total corpus size, only with single-capture size.
+    """
+    part_dirs = write_udm_json_per_file(udm, out_dir)
+    outputs = []
+    for d in part_dirs:
+        base = os.path.basename(d).split("=", 1)[1]
+        target = os.path.join(out_dir, f"{base}.udm.json")
+        with open(target, "w") as out:
+            out.write("[\n")
+            first = True
+            for part in sorted(os.listdir(d)):
+                if not part.endswith(".txt"):
+                    continue
+                with open(os.path.join(d, part)) as fh:
+                    for line in fh:
+                        line = line.strip()
+                        if not line:
+                            continue
+                        if not first:
+                            out.write(",\n")
+                        out.write(line)
+                        first = False
+            out.write("\n]\n")
+        outputs.append(target)
+    return sorted(outputs)
+
+
 def per_file_metrics(udm: DataFrame) -> DataFrame:
-    """R23/R25: per-file processed/error counters (the reference's
-    UDM_PACKETS_PROCESSED / UDM_PACKET_ERRORS log metrics)."""
+    """R23/R25: per-file processed/error counters.  ``error_event_count``
+    counts only PacketProcessingError quarantine events — the
+    reference's UDM_PACKET_ERRORS metric (json2udm_cloud.py:340);
+    malformed-but-parsed packets are surfaced separately so the R23
+    metric is not inflated."""
+    has_malformed = "is_malformed" in udm.columns
+    malformed = (
+        F.sum(F.when(F.col("is_malformed"), 1).otherwise(0))
+        if has_malformed
+        else F.lit(0)
+    )
     return udm.groupBy(F.regexp_extract("source_file", r"([^/]+)$", 1).alias("file")).agg(
         F.count("*").alias("processed_packet_count"),
         F.sum(F.when(F.col("is_error"), 1).otherwise(0)).alias("error_event_count"),
+        malformed.alias("malformed_event_count"),
         F.min("event_ts").alias("first_event_ts"),
         F.max("event_ts").alias("last_event_ts"),
     )
@@ -114,15 +174,20 @@ def main(argv: list[str] | None = None) -> int:
         )
     else:
         udm = convert_directory(spark, args.input, proc_time)
-    write_udm_parquet(udm.drop("event"), os.path.join(args.output, "udm_parquet"))
-    write_udm_json_per_file(udm, os.path.join(args.output, "udm_json"))
-    metrics = per_file_metrics(udm).collect()
-    total = 0
-    for m in metrics:
-        total += m.processed_packet_count
+    write_udm_parquet(udm, os.path.join(args.output, "udm_parquet"))
+    write_udm_json_array_per_file(udm, os.path.join(args.output, "udm_json"))
+    # Metrics go to a sink (no O(n_files) driver materialization); the
+    # log lines stream through a bounded iterator, and the exit-code
+    # total is a single-row aggregate.
+    metrics_dir = os.path.join(args.output, "file_metrics")
+    metrics = per_file_metrics(udm)
+    metrics.write.mode("overwrite").parquet(metrics_dir)
+    spark_metrics = spark.read.parquet(metrics_dir)
+    for m in spark_metrics.toLocalIterator():
         # the reference's per-file metric log lines (terraform/main.tf:238-548)
         print(f"UDM_PACKETS_PROCESSED: {m.processed_packet_count} FILE: {m.file}")
         print(f"UDM_PACKET_ERRORS: {m.error_event_count} FILE: {m.file}")
+    total = spark_metrics.agg(F.sum("processed_packet_count").alias("n")).collect()[0].n or 0
     print(f"PROCESSING_DURATION_SECONDS: {time.time() - t0:.2f}")
     return 0 if total > 0 else 1
 

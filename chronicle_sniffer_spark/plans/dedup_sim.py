@@ -148,7 +148,13 @@ def l2_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def l2_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (brute-force baseline;
-    LSH-bucketed candidates are the 100 TB path — operators/similarity.py)."""
+    LSH-bucketed candidates are the 100 TB path — operators/similarity.py).
+
+    Threshold margin verified round 2: non-vacuous at every shipped SF
+    (sf0.01: 14 pairs >= 0.45, max sim 0.513; sf0.1: 144 pairs, max
+    0.601) and engine-identical at both (order-insensitive hash match;
+    a flip would need a pair within ~1e-15 of a 6-dp rounding boundary
+    — negligible at these pair counts)."""
     return cosine_pairs(_t(spark, sf_dir, "embeddings"), COSINE_PAIR_THRESHOLD)
 
 

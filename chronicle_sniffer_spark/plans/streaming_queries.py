@@ -85,6 +85,34 @@ def t3_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "t9_interval_join_batch",
+    section="T9/J9",
+    oracle="""
+    WITH c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
+               FROM events WHERE event_id % 2 = 0),
+         p AS (SELECT user_id, event_id AS purchase_id, ts AS purchase_ts,
+                      value AS purchase_value
+               FROM events WHERE event_id % 2 = 1)
+    SELECT c.user_id, click_id, purchase_id, click_ts, purchase_ts, purchase_value
+    FROM c JOIN p ON c.user_id = p.user_id
+     AND purchase_ts >= click_ts
+     AND purchase_ts <= click_ts + INTERVAL 1 HOUR
+    """,
+)
+def t9_interval_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of the T9 watermarked stream-stream interval join
+    (streaming/joins.py — identical plan minus the state store; the
+    stream ≡ batch parity is asserted in tests/test_streaming.py).
+    Gives the T9 surface a hard oracle row and a benchable shape."""
+    from chronicle_sniffer_spark.streaming.joins import click_purchase_attribution
+
+    ev = load_table(spark, sf_dir, "events")
+    return click_purchase_attribution(
+        ev.filter(F.col("event_id") % 2 == 0), ev.filter(F.col("event_id") % 2 == 1)
+    )
+
+
+@query(
     "t5_dedup",
     section="T5",
     oracle="SELECT count(DISTINCT event_id) AS n FROM events",

@@ -346,8 +346,64 @@ def read_pcap(spark: SparkSession, path: str) -> DataFrame:
             yield pd.DataFrame({"packet_json": out_json, "source_file": out_file})
 
     decoded = files.select("path", "content").mapInPandas(decode, DECODED_DDL)
+    return _shape_decoded(decoded)
+
+
+def _shape_decoded(decoded: DataFrame) -> DataFrame:
+    """packet_json rows → the json_source column contract."""
     return decoded.select(
         F.parse_json(F.col("packet_json")).alias("_source"),
         F.lit(None).cast("string").alias("_corrupt_record"),
         "source_file",
     )
+
+
+def tshark_available() -> bool:
+    import shutil as _sh
+
+    return _sh.which("tshark") is not None
+
+
+def read_pcap_tshark(spark: SparkSession, path: str) -> DataFrame:
+    """S4 fidelity mode: decode via a ``tshark -r <file> -T json``
+    subprocess per capture file — byte-for-byte the reference's decode
+    (processor_app.py:150-155), covering every protocol tshark knows
+    rather than the native decoder's subset.
+
+    Same plan shape as :func:`read_pcap` (binaryFile → Arrow-batched
+    map, one task per rotated capture, no shuffle); the map writes the
+    file bytes to executor-local tmp and streams tshark's JSON array
+    back.  Raises RuntimeError where tshark is absent — callers pick
+    the native decoder via :func:`tshark_available`.
+    """
+    import pandas as pd
+
+    files = spark.read.format("binaryFile").load(path)
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import subprocess
+        import tempfile
+
+        for pdf in batches:
+            out_json, out_file = [], []
+            for path_, content in zip(pdf["path"], pdf["content"]):
+                with tempfile.NamedTemporaryFile(suffix=".pcap") as tmp:
+                    tmp.write(bytes(content))
+                    tmp.flush()
+                    proc = subprocess.run(
+                        ["tshark", "-r", tmp.name, "-T", "json"],
+                        capture_output=True,
+                        check=False,
+                    )
+                if proc.returncode != 0:
+                    raise RuntimeError(
+                        f"tshark failed on {path_}: {proc.stderr[:500]!r}"
+                    )
+                for pkt in json.loads(proc.stdout or b"[]"):
+                    # keep only the reference's unit: the _source object
+                    src = pkt.get("_source", pkt)
+                    out_json.append(json.dumps(src, separators=(",", ":")))
+                    out_file.append(path_)
+            yield pd.DataFrame({"packet_json": out_json, "source_file": out_file})
+
+    return _shape_decoded(files.select("path", "content").mapInPandas(decode, DECODED_DDL))

@@ -52,10 +52,13 @@ def run_udm_stream(
 ) -> None:
     """Drive the capture directory to completion (AvailableNow replay —
     the same call tails a live directory with a different trigger)."""
-    udm_stream = project_udm(
-        read_capture_stream(spark, in_dir, max_files_per_trigger), processing_time
-    ).withColumn(
-        "event_date", F.to_date("event_ts")
+    # udm_json excluded before the sink: the streamed table stores the
+    # typed event struct, so no to_json runs in the micro-batch (same
+    # rule as the batch parquet sink).
+    udm_stream = (
+        project_udm(read_capture_stream(spark, in_dir, max_files_per_trigger), processing_time)
+        .drop("udm_json")
+        .withColumn("event_date", F.to_date("event_ts"))
     )
     events_dir = os.path.join(out_dir, "udm_events")
     metrics_dir = os.path.join(out_dir, "file_metrics")
@@ -65,9 +68,7 @@ def run_udm_stream(
         # both keyed by source file so redelivery overwrites, not dups
         batch.persist()
         try:
-            batch.drop("event").write.mode("append").partitionBy("event_date").parquet(
-                events_dir
-            )
+            batch.write.mode("append").partitionBy("event_date").parquet(events_dir)
             per_file_metrics(batch).withColumn("epoch", F.lit(epoch_id)).write.mode(
                 "append"
             ).parquet(metrics_dir)

@@ -25,6 +25,9 @@ def test_convert_and_sinks(spark):
     back = spark.read.parquet(pq_dir)
     assert back.count() == udm.count()
 
+    # S8 stores the typed event struct, not the JSON serialization
+    assert "event" in back.columns and "udm_json" not in back.columns
+
     # R24: one output dir per source file
     json_dir = os.path.join(base, "udm_json")
     outs = etl.write_udm_json_per_file(udm, json_dir)
@@ -48,6 +51,21 @@ def test_convert_and_sinks(spark):
     assert metrics["mixed_error_packet.json"].error_event_count == 3
     assert metrics["corrupt_root.json"].processed_packet_count == 1
     assert metrics["corrupt_root.json"].error_event_count == 1
+
+    # R24 byte-format parity: one <base>.udm.json JSON ARRAY per capture
+    arr_dir = os.path.join(base, "udm_json_array")
+    arr_outs = etl.write_udm_json_array_per_file(udm, arr_dir)
+    arr_names = {os.path.basename(p) for p in arr_outs}
+    assert "synflood.udm.json" in arr_names
+    with open(next(p for p in arr_outs if p.endswith("synflood.udm.json"))) as fh:
+        arr = json.load(fh)
+    assert isinstance(arr, list) and len(arr) == 50
+    assert all("event" in e for e in arr)
+
+    # R23: malformed packets are counted separately, not as errors
+    m2 = {r.file: r for r in etl.per_file_metrics(udm).collect()}
+    assert m2["no_layers.json"].error_event_count == 0
+    assert m2["no_layers.json"].malformed_event_count == 2
 
     # idempotent redelivery: rewriting produces identical content
     outs2 = etl.write_udm_json_per_file(udm, json_dir)

@@ -74,3 +74,24 @@ def test_pcap_to_udm_end_to_end(spark):
     # [:26] truncation parity with the reference (json2udm_cloud.py:31):
     # a 2-digit day leaves room for only 4 fraction digits
     assert rows[0].ts == "2025-06-10T13:14:15.123400Z"
+
+
+def test_tshark_fidelity_mode(spark):
+    """S4 fidelity path (processor_app.py:150-155): same pcap through a
+    real tshark subprocess must classify identically to the native
+    decoder.  Skips where the container ships no tshark."""
+    import pytest
+
+    from chronicle_sniffer_spark.sources.pcap import read_pcap_tshark, tshark_available
+
+    if not tshark_available():
+        pytest.skip("tshark not installed in this container")
+    d = tempfile.mkdtemp(prefix="css_pcap_tshark_")
+    with open(os.path.join(d, "capture_1.pcap"), "wb") as f:
+        f.write(pcap_bytes(example_packets()))
+    udm = project_udm(
+        read_pcap_tshark(spark, d), processing_time="2025-01-01T00:00:00.000000Z"
+    )
+    rows = udm.select(F.col("event.metadata.event_type").alias("et")).collect()
+    assert len(rows) == 7
+    assert rows[0].et in ("NETWORK_HTTP", "NETWORK_CONNECTION")

@@ -18,7 +18,12 @@ PROC_TIME = "2025-09-05T12:00:00.000000Z"
 
 
 def _key(df):
-    return sorted((r.udm_json, os.path.basename(r.source_file)) for r in df.collect())
+    # canonical serialization of the typed event struct (the streamed
+    # table stores `event`, the batch side can serve either form)
+    rows = df.select(
+        F.to_json(F.struct(F.col("event").alias("event"))).alias("j"), "source_file"
+    ).collect()
+    return sorted((r.j, os.path.basename(r.source_file)) for r in rows)
 
 
 def test_stream_pipeline_equals_batch_and_resumes(spark):
