@@ -41,6 +41,7 @@ HEADLINE = (
     "l1_exact_dedup",
     "l2_minhash_signatures",
     "l2_ngram_jaccard",
+    "l2_simhash_pairs",
     "l3_cosine_topk",
     "l3_ann_lsh_topk",
     "a10_salted_skew_agg",

@@ -45,7 +45,7 @@ _NIBS = (
 _FP = (
     f"aggregate(sequence(0, {SIMHASH_BITS - 1}), 0L, (acc, i) -> acc + IF("
     " aggregate(nibs, 0, (s, n) ->"
-    "   s + IF(((element_at(n, (i div 4) + 1) >> (i % 4)) & 1) = 1, 1, -1)) > 0,"
+    "   s + IF(((element_at(n, CAST((i div 4) + 1 AS INT)) >> (i % 4)) & 1) = 1, 1, -1)) > 0,"
     " shiftleft(1L, i), 0L))"
 )
 

@@ -136,6 +136,46 @@ def l2_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "l2_simhash_pairs",
+    section="L2",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS t
+      FROM documents
+    ),
+    tokbits AS (
+      SELECT doc_id, b.i AS bit,
+             CASE WHEN ((strpos('0123456789abcdef',
+                                substr(md5(t), (b.i // 4) + 1, 1)) - 1)
+                        >> (b.i % 4)) & 1 = 1
+                  THEN 1 ELSE -1 END AS v
+      FROM toks, (SELECT unnest(generate_series(0, 62)) AS i) b
+    ),
+    fps AS (
+      SELECT doc_id,
+             SUM(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS fp
+      FROM (SELECT doc_id, bit, SUM(v) AS s FROM tokbits GROUP BY doc_id, bit)
+      GROUP BY doc_id
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
+    FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.fp, b.fp)) <= 3
+    """,
+)
+def l2_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pairs (operators/simhash.py): 63-bit
+    Charikar fingerprints from md5 token votes, banded candidate
+    equi-join (4 bands x 16 bits; pigeonhole-complete for hamming <=
+    3), exact hamming verify.  The oracle is the all-pairs form —
+    band completeness makes them identical, which is exactly the
+    property worth hash-checking."""
+    from chronicle_sniffer_spark.operators.simhash import simhash_pairs
+
+    return simhash_pairs(_t(spark, sf_dir, "documents"))
+
+
+@query(
     "l2_embedding_near_dup",
     section="L2",
     oracle=f"""
