@@ -66,6 +66,7 @@ _SUBMODULES = (
     "chronicle_sniffer_spark.plans.coverage3",
     "chronicle_sniffer_spark.plans.timeseries",
     "chronicle_sniffer_spark.plans.tpch_extra",
+    "chronicle_sniffer_spark.plans.curation",
 )
 
 
