@@ -124,3 +124,35 @@ def test_scalar_subquery_pushed_into_scan(plans):
     assert any(
         "PushedFilters" in ln and "ScalarSubquery" in ln for ln in p.splitlines()
     )
+
+
+def test_simhash_banded_join_no_cartesian(plans):
+    """SimHash candidates come from a (band, value) equi-join — no
+    all-pairs anywhere; fingerprint bodies never shuffle."""
+    p = plans("l2_simhash_pairs")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_sequence_packing_single_window_shuffle(plans):
+    """Packing runs one window per source partition plus the final
+    agg — no global ordering (a global sort would serialize 100 TB
+    through one ordering)."""
+    p = plans("l6_sequence_packing")
+    assert "Window" in p
+    # the window partitions by source, not a global ORDER BY
+    assert "Sort [source" in p or "partitionBy" in p or "source" in p
+    assert "CartesianProduct" not in p
+
+
+def test_stratified_sample_no_shuffle(plans):
+    """Hash-acceptance sampling is a pure per-row filter: the plan has
+    no exchange at all."""
+    p = plans("l6_stratified_sample")
+    assert "Exchange" not in p
+
+
+def test_pii_scrub_no_shuffle(plans):
+    p = plans("l4_pii_scrub")
+    assert "Exchange" not in p
