@@ -269,10 +269,8 @@ def project_udm(df: DataFrame, processing_time: str) -> DataFrame:
             F.lit(_TS_FMT_PLAIN),
         ),
     )
-    event_ts_iso = F.when(
-        (ts_str.isNotNull()) & (ts_str != "") & parsed_ts.isNotNull(),
-        F.date_format(parsed_ts, _ISO_FMT),
-    ).otherwise(proc_ts)
+    # (the ISO form of the timestamp is built later, over the
+    # materialized _parsed_ts column — see event_ts_iso_col)
 
     # ---- classifier (last-writer-wins; SURVEY §2C.2) ---------------------
     event_type = (
@@ -512,14 +510,11 @@ def project_udm(df: DataFrame, processing_time: str) -> DataFrame:
         .when(B("tls"), _attr_err("schema_of_variant(V_tls)"))
         .when(P("tls") & hs_bad, _attr_err("schema_of_variant(V_tls_hs)"))
     )
-    is_error = error_msg.isNotNull()
-
     # malformed: layers falsy (absent / {} / falsy scalar); ref :103-111
     layers_falsy = F.expr(
         f"(layers IS NULL OR (M_layers IS NOT NULL AND size(M_layers) = 0)"
         f" OR (M_layers IS NULL AND to_json(layers) IN {_FALSY_JSON}))"
     )
-    is_malformed = ~is_error & layers_falsy
 
     # ---- snippet (canonical minified sorted-key packet JSON) -------------
     raw_pkt = F.coalesce(
@@ -563,14 +558,6 @@ def project_udm(df: DataFrame, processing_time: str) -> DataFrame:
     )
     null_section = lambda ddl: F.lit(None).cast(ddl)  # noqa: E731
 
-    normal_event = F.struct(
-        metadata(event_ts_iso, _PRODUCT, event_type, description).alias("metadata"),
-        principal_col.alias("principal"),
-        target_col.alias("target"),
-        network_col.alias("network"),
-        about_col.alias("about"),
-        additional_col.alias("additional"),
-    )
     # Malformed events carry ONLY metadata (ref :107-111).
     malformed_desc = F.concat(F.lit("Malformed packet data. Frame: "), packet_num)
     malformed_event = F.struct(
@@ -584,41 +571,82 @@ def project_udm(df: DataFrame, processing_time: str) -> DataFrame:
         F.lit(None).cast("map<string,string>").alias("additional"),
     )
     err_frame = F.coalesce(fld("frame", "frame.number"), F.lit("N/A (error state)"))
-    error_desc = F.concat(
+
+    proc_ts_typed = F.to_timestamp(F.replace(proc_ts, F.lit("Z"), F.lit("")))
+
+    # Expression-tree hygiene: every expensive sub-tree referenced more
+    # than once below (the ~20-branch error CASE, the timestamp chain,
+    # the three event shapes) is materialized as a named column first.
+    # Inlining them instead multiplies the Catalyst tree — which is pure
+    # driver/planning and per-task-deserialization weight (measured at
+    # ~1 s fixed per job on the B1 corpus before this split).
+    stage2 = stage1.withColumns(
+        {
+            "_error_msg": error_msg,
+            "_parsed_ts": parsed_ts,
+        }
+    ).withColumns(
+        {
+            "_is_error": F.col("_error_msg").isNotNull(),
+            "_is_malformed": F.col("_error_msg").isNull() & layers_falsy,
+        }
+    )
+
+    # rebuild the few consumers of the materialized columns
+    err_desc_col = F.concat(
         F.lit("Error during UDM conversion for packet. Frame No: "),
         err_frame,
         F.lit(". Error: "),
-        error_msg,
+        F.col("_error_msg"),
     )
-    error_event = F.struct(
-        metadata(proc_ts, _PRODUCT_ERROR, "NETWORK_EVENT_ERROR", error_desc).alias("metadata"),
+    error_event_col = F.struct(
+        metadata(proc_ts, _PRODUCT_ERROR, "NETWORK_EVENT_ERROR", err_desc_col).alias("metadata"),
         null_section(_PRINCIPAL_DDL).alias("principal"),
         null_section(_PRINCIPAL_DDL).alias("target"),
         null_section(_NETWORK_DDL).alias("network"),
         null_section(_ABOUT_DDL).alias("about"),
         F.map_from_arrays(
             F.array(F.lit("processing_error_message"), F.lit("original_packet_data_snippet")),
-            F.array(error_msg, snippet),
+            F.array(F.col("_error_msg"), snippet),
         ).alias("additional"),
     )
-
-    event = (
-        F.when(is_error, error_event).when(is_malformed, malformed_event).otherwise(normal_event)
+    event_ts_iso_col = F.when(
+        (ts_str.isNotNull()) & (ts_str != "") & F.col("_parsed_ts").isNotNull(),
+        F.date_format(F.col("_parsed_ts"), _ISO_FMT),
+    ).otherwise(proc_ts)
+    normal_event_col = F.struct(
+        metadata(event_ts_iso_col, _PRODUCT, event_type, description).alias("metadata"),
+        principal_col.alias("principal"),
+        target_col.alias("target"),
+        network_col.alias("network"),
+        about_col.alias("about"),
+        additional_col.alias("additional"),
     )
 
-    proc_ts_typed = F.to_timestamp(F.replace(proc_ts, F.lit("Z"), F.lit("")))
-    out_ts = F.when(is_error | is_malformed, proc_ts_typed).otherwise(
-        F.coalesce(parsed_ts, proc_ts_typed)
+    stage3 = stage2.withColumns(
+        {
+            "event": F.when(F.col("_is_error"), error_event_col)
+            .when(F.col("_is_malformed"), malformed_event)
+            .otherwise(normal_event_col),
+            # classifier computed directly, NOT extracted back out of the
+            # event struct (extraction would re-inline the whole struct)
+            "event_type": F.when(F.col("_is_error"), F.lit("NETWORK_EVENT_ERROR"))
+            .when(F.col("_is_malformed"), F.lit("NETWORK_EVENT_UNKNOWN"))
+            .otherwise(event_type),
+            "event_ts": F.when(
+                F.col("_is_error") | F.col("_is_malformed"), proc_ts_typed
+            ).otherwise(F.coalesce(F.col("_parsed_ts"), proc_ts_typed)),
+        }
     )
 
-    return stage1.select(
-        event.alias("event"),
+    return stage3.select(
+        F.col("event"),
         # Lazy under column pruning: plans that don't select udm_json
         # (the parquet table sink, the B1 bench) never pay to_json.
-        F.to_json(F.struct(event.alias("event"))).alias("udm_json"),
-        out_ts.alias("event_ts"),
-        event["metadata"]["event_type"].alias("event_type"),
-        is_error.alias("is_error"),
-        is_malformed.alias("is_malformed"),
+        F.to_json(F.struct(F.col("event").alias("event"))).alias("udm_json"),
+        F.col("event_ts"),
+        F.col("event_type"),
+        F.col("_is_error").alias("is_error"),
+        F.col("_is_malformed").alias("is_malformed"),
         F.col("source_file"),
     )
