@@ -67,6 +67,7 @@ _SUBMODULES = (
     "chronicle_sniffer_spark.plans.timeseries",
     "chronicle_sniffer_spark.plans.tpch_extra",
     "chronicle_sniffer_spark.plans.curation",
+    "chronicle_sniffer_spark.plans.quality",
 )
 
 

@@ -156,3 +156,40 @@ def test_stratified_sample_no_shuffle(plans):
 def test_pii_scrub_no_shuffle(plans):
     p = plans("l4_pii_scrub")
     assert "Exchange" not in p
+
+
+def test_quality_filter_and_shuffle_key_no_exchange(plans):
+    """C4 quality gate and the global-shuffle key assignment are pure
+    per-row expressions: no Exchange anywhere, scan pruned to the
+    needed columns."""
+    for name in ("l4_c4_quality_filter", "l6_global_shuffle"):
+        p = plans(name)
+        assert "Exchange" not in p
+    p = plans("l6_global_shuffle")
+    rs = next(ln for ln in p.splitlines() if "ReadSchema" in ln)
+    assert "text" not in rs  # only doc_id is read
+
+
+def test_repetition_signals_shuffle_keys_are_small(plans):
+    """Repetition signals shuffle on (doc_id, word) then doc_id —
+    partial aggregation before each exchange, never a document body
+    as a shuffle payload."""
+    p = plans("l4_repetition_signals")
+    assert p.count(") Exchange") <= 2
+    assert "partial_" in p  # map-side combine before the shuffle
+
+
+def test_url_blocklist_broadcast_anti(plans):
+    """The domain blocklist joins as a broadcast LEFT ANTI — the small
+    side never shuffles the corpus."""
+    p = plans("l4_url_domains")
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_hash_split_single_agg_exchange(plans):
+    """Split assignment is per-row arithmetic; the only exchange is
+    the tiny (split, lang) stats aggregation."""
+    p = plans("l6_hash_split")
+    assert p.count(") Exchange") <= 1
+    assert "partial_" in p
