@@ -45,6 +45,12 @@ HEADLINE = (
     "l3_cosine_topk",
     "l3_ann_lsh_topk",
     "a10_salted_skew_agg",
+    # round-2 additions: repetition/quality/split/layout family
+    "l4_repetition_signals",
+    "l4_top_bigram",
+    "l4_c4_quality_filter",
+    "l6_hash_split",
+    "s8_zorder_key",
     # rows-only (non-oracle) surface, so regressions there are visible
     # round-over-round too
     "udm_projection",

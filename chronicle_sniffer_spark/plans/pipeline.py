@@ -100,3 +100,92 @@ def s3_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = os.path.join(tempfile.gettempdir(), "css_s3_csv_roundtrip")
     r.write.mode("overwrite").option("header", True).csv(out)
     return spark.read.schema("r_regionkey int, r_name string").option("header", True).csv(out)
+
+
+@query(
+    "s9_orc_roundtrip",
+    section="S3",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def s9_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink → ORC scan round-trips the nation dim byte-exact
+    (columnar-format coverage beyond parquet/CSV/JSON; ORC is a
+    first-class Spark source with the same pushdown/pruning path)."""
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    out = os.path.join(tempfile.gettempdir(), "css_s9_orc_roundtrip")
+    n.write.mode("overwrite").orc(out)
+    return spark.read.schema("n_nationkey int, n_name string, n_regionkey int").orc(out)
+
+
+# ---------------------------------------------------------------------------
+# S8 extension: Z-order (space-filling-curve) layout key
+# ---------------------------------------------------------------------------
+
+_ZBITS = 6  # 6 bits per dimension → 12-bit z-value
+
+
+def _z_spark(x: str, y: str) -> str:
+    terms = [
+        f"shiftleft(shiftright({x}, {i}) & 1, {2 * i}) + "
+        f"shiftleft(shiftright({y}, {i}) & 1, {2 * i + 1})"
+        for i in range(_ZBITS)
+    ]
+    return " + ".join(terms)
+
+
+def _z_duck(x: str, y: str) -> str:
+    terms = [
+        f"((({x} >> {i}) & 1) << {2 * i}) + ((({y} >> {i}) & 1) << {2 * i + 1})"
+        for i in range(_ZBITS)
+    ]
+    return " + ".join(terms)
+
+
+@query(
+    "s8_zorder_key",
+    section="S8",
+    oracle=f"""
+    WITH dims AS (
+      SELECT c_custkey,
+             CAST(c_nationkey AS INTEGER) AS zx,
+             CAST(least(greatest(floor((c_acctbal + 1000.0) / 200.0), 0), 63) AS INTEGER) AS zy
+      FROM customer
+    )
+    SELECT c_custkey, zx, zy,
+           CAST({_z_duck("zx", "zy")} AS INTEGER) AS zval
+    FROM dims
+    """,
+)
+def s8_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout key: bit-interleaves nation and a
+    64-bucket balance band so a range-partitioned, sorted write
+    co-locates rows that are close in BOTH dimensions — the standard
+    data-layout move for multi-dimension data skipping at 100 TB
+    (min/max footer stats prune on either predicate).  The interleave
+    is a pure integer expression (JVM-side, no UDF); the companion
+    clustered write is `zorder_write` below, plan-asserted in
+    tests/test_plans.py."""
+    c = load_table(spark, sf_dir, "customer")
+    dims = c.select(
+        "c_custkey",
+        F.col("c_nationkey").cast("int").alias("zx"),
+        F.least(F.greatest(F.floor((F.col("c_acctbal") + 1000.0) / 200.0), F.lit(0)), F.lit(63))
+        .cast("int")
+        .alias("zy"),
+    )
+    return dims.select(
+        "c_custkey", "zx", "zy", F.expr(_z_spark("zx", "zy")).cast("int").alias("zval")
+    )
+
+
+def zorder_write(df: DataFrame, zcol: str, out_dir: str, n_files: int = 8) -> None:
+    """Clustered write: range-partition on the z-value and sort within
+    partitions, so every output file covers a tight z-range (tight
+    min/max on both interleaved dimensions).  One range-exchange, no
+    global sort bottleneck — the sort is per-partition."""
+    (
+        df.repartitionByRange(n_files, F.col(zcol))
+        .sortWithinPartitions(zcol)
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )

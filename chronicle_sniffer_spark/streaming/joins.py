@@ -69,3 +69,50 @@ def click_purchase_attribution(
         "purchase_ts",
         "purchase_value",
     )
+
+
+def click_purchase_attribution_outer(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    attribution_window: str = "1 hour",
+    watermark_delay: str = "1 minute",
+) -> DataFrame:
+    """LEFT OUTER stream–stream join: every click emits, with its
+    attributed purchase when one exists and nulls otherwise.
+
+    Outer stream–stream semantics (Structured Streaming): a matched
+    row emits as soon as both sides meet; an UNMATCHED click emits
+    only once the watermark proves no purchase can still arrive —
+    i.e. when watermark > click_ts + attribution_window.  State stays
+    bounded by the same rule.  The default watermark delay here is
+    deliberately small (unlike the inner variant's 45 days) because
+    null-side emission waits on watermark advancement; tests compare
+    against the batch plan below a click_ts cutoff of
+    max(ts) - window - delay, the region where stream and batch
+    provably agree.
+    """
+    c = clicks.withWatermark("ts", watermark_delay).select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.withWatermark("ts", watermark_delay).select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    return c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {attribution_window}")),
+        "left_outer",
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        "click_ts",
+        "purchase_ts",
+        "purchase_value",
+    )

@@ -58,3 +58,46 @@ def run_to_completion(
     )
     q.awaitTermination()
     return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def stage_events_time_ordered(
+    spark: SparkSession, sf_dir: str, n_files: int = 4, out_dir: str | None = None
+) -> tuple[str, list]:
+    """Stage events as n time-range files with strictly increasing
+    modification times, so the file stream replays them in event-time
+    order (no late-arrival drops).  Returns (dir, per-file max ts).
+
+    This mirrors real rotated-capture ingestion — file k covers a
+    later time slice than file k-1 — which is the regime where outer
+    stream–stream joins are meaningful (round-robin replay makes half
+    the input "late" and watermark-dropped on arrival).
+    """
+    import shutil
+    import time as _time
+
+    out = out_dir or os.path.join(tempfile.mkdtemp(prefix="css_stream_sorted_"), "events")
+    os.makedirs(out, exist_ok=True)
+    ev = load_table(spark, sf_dir, "events")
+    probs = [i / n_files for i in range(1, n_files)]
+    cuts = ev.selectExpr("cast(ts as double) d").approxQuantile("d", probs, 0.0)
+    import pyspark.sql.functions as F
+
+    bounds: list = []
+    lo = None
+    for i in range(n_files):
+        hi = cuts[i] if i < len(cuts) else None
+        sl = ev
+        if lo is not None:
+            sl = sl.filter(F.col("ts").cast("double") > lo)
+        if hi is not None:
+            sl = sl.filter(F.col("ts").cast("double") <= hi)
+        tmp = tempfile.mkdtemp(prefix="css_slice_")
+        sl.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        dst = os.path.join(out, f"slice_{i:03d}.parquet")
+        shutil.move(os.path.join(tmp, part), dst)
+        t = _time.time() + i * 2  # strictly increasing mtimes
+        os.utime(dst, (t, t))
+        bounds.append(sl.agg(F.max("ts")).collect()[0][0])
+        lo = hi
+    return out, bounds

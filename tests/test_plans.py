@@ -193,3 +193,35 @@ def test_hash_split_single_agg_exchange(plans):
     p = plans("l6_hash_split")
     assert p.count(") Exchange") <= 1
     assert "partial_" in p
+
+
+def test_zorder_write_is_range_partitioned(spark, tmp_path):
+    """The z-order clustered write range-partitions on the z-value
+    (per-file tight z-ranges) with a per-partition sort — no global
+    single-partition sort."""
+    from chronicle_sniffer_spark.plans.pipeline import s8_zorder_key, zorder_write
+    from tests.conftest import SF_SMOKE
+
+    df = s8_zorder_key(spark, SF_SMOKE)
+    out = str(tmp_path / "zorder")
+    zorder_write(df, "zval", out, n_files=4)
+    # re-derive the written plan shape: range exchange + in-partition sort
+    planned = df.repartitionByRange(4, "zval").sortWithinPartitions("zval")
+    p = spark._jvm.PythonSQLUtils.explainString(planned._jdf.queryExecution(), "formatted")
+    assert "rangepartitioning(zval" in p
+    sort_line = next(ln for ln in p.splitlines() if ln.startswith("Arguments: [zval"))
+    assert "false, 0" in sort_line  # global=false: per-partition sort only
+    # locality: every output file's zval span is a fraction of the domain
+    import pyspark.sql.functions as F
+
+    got = spark.read.parquet(out)
+    spans = sorted(
+        got.groupBy(F.input_file_name().alias("f"))
+        .agg(F.min("zval").alias("lo"), F.max("zval").alias("hi"))
+        .collect(),
+        key=lambda r: r.lo,
+    )
+    assert len(spans) >= 3
+    # files cover disjoint z-ranges: min/max footer stats prune cleanly
+    for prev, cur in zip(spans, spans[1:]):
+        assert cur.lo > prev.hi

@@ -242,3 +242,59 @@ def test_t9_stream_stream_interval_join(spark, staged):
     cols = ("user_id", "click_id", "purchase_id", "purchase_value")
     assert len(_rows(batch, *cols)) > 0
     assert _rows(result, *cols) == _rows(batch, *cols)
+
+
+def test_t9b_stream_stream_outer_join(spark):
+    """LEFT OUTER stream–stream join equals the batch plan in the
+    watermark-closed region.  Input replays in event-time order
+    (time-ordered staging — the real rotated-capture regime); below
+    the cutoff click_ts < wm_last - window, where wm_last is the
+    watermark entering the final micro-batch, every click has either
+    matched or provably expired and been emitted, so stream and batch
+    agree row-for-row including null-purchase rows.  Above the cutoff
+    the stream legitimately withholds unmatched clicks (their expiry
+    is decided only by the post-final watermark update) — matched
+    rows are still compared everywhere."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from chronicle_sniffer_spark.streaming.joins import click_purchase_attribution_outer
+    from chronicle_sniffer_spark.streaming.runtime import stage_events_time_ordered
+
+    def split(df):
+        return (
+            df.filter(df.event_type == "click"),
+            df.filter(df.event_type == "purchase"),
+        )
+
+    staged2, bounds = stage_events_time_ordered(spark, SF_SMOKE, n_files=4)
+    stream = read_events_stream(spark, staged2, max_files_per_trigger=2)
+    result = run_to_completion(
+        click_purchase_attribution_outer(*split(stream)), "t9b_stream", "append"
+    )
+    events = load_table(spark, SF_SMOKE, "events")
+    batch = click_purchase_attribution_outer(*split(events))
+    cols = ("user_id", "click_id", "purchase_id", "purchase_value")
+
+    # matched rows need no watermark eviction: equal everywhere
+    m_stream = _rows(result.filter(F.col("purchase_id").isNotNull()), *cols)
+    m_batch = _rows(batch.filter(F.col("purchase_id").isNotNull()), *cols)
+    assert len(m_batch) > 0
+    assert m_stream == m_batch
+
+    # watermark entering the final micro-batch = max ts of batch 1
+    # (files 0-1) minus the 1 min delay; unmatched clicks below
+    # cutoff = wm_last - window were evicted+emitted before the end
+    wm_last = bounds[1] - datetime.timedelta(minutes=1)
+    cutoff = wm_last - datetime.timedelta(hours=1, seconds=1)
+    s_rows = _rows(result.filter(F.col("click_ts") < F.lit(cutoff)), *cols)
+    b_rows = _rows(batch.filter(F.col("click_ts") < F.lit(cutoff)), *cols)
+    assert len(b_rows) > 0
+    assert any(r[2] is None for r in b_rows)  # nulls actually exercised
+    assert s_rows == b_rows
+
+    # no spurious nulls anywhere: stream null rows are a subset of batch's
+    sn = _rows(result.filter(F.col("purchase_id").isNull()), *cols)
+    bn = set(_rows(batch.filter(F.col("purchase_id").isNull()), *cols))
+    assert all(r in bn for r in sn)
