@@ -5,8 +5,15 @@ metadata struct; every transform is Arrow-batched (``mapInPandas`` /
 ``pandas_udf``) so payload bytes cross the JVM↔Python boundary in
 columnar batches, never row-at-a-time.
 
-The container ships no image/audio codecs (PIL/ffmpeg absent), so the
-*decode* step is stubbed two ways, both clearly marked:
+Decode support is two-tier.  Formats simple enough to implement from
+their public specs have REAL pure-numpy codecs (24-bit BMP and PCM16
+WAV — ``operators/codecs.py``): ``synthesize_media_encoded`` +
+``image_stats``/``audio_stats`` below decode actual bytes, and the
+``l5_image_decode``/``l5_audio_stats`` catalog queries verify the
+decoded statistics against closed-form DuckDB oracles end-to-end.
+Compressed formats (png/jpeg/mp4) need codecs the container doesn't
+ship (PIL/ffmpeg absent), so that decode step is stubbed two ways,
+both clearly marked:
 
 - ``decode_image(..., strict=True)`` raises ``NotImplementedError``
   where a real codec would run — the Spark-side plumbing (schema,
@@ -142,3 +149,130 @@ def sample_frames(media: DataFrame, every_ms: int = 200) -> Column | DataFrame:
             F.sequence(F.lit(0), F.col("meta.duration_ms") - 1, F.lit(every_ms))
         ).alias("frame_idx", "frame_ts_ms"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Real codecs (BMP / PCM-WAV — pure numpy, no external libs; see
+# operators/codecs.py).  These upgrade the decode step from stub to a
+# real byte-level decode for the formats simple enough to implement
+# from their public specs.  Compressed formats (png/jpeg/mp4) remain
+# behind the strict-mode NotImplementedError above.
+# ---------------------------------------------------------------------------
+
+IMAGE_STATS_DDL = (
+    "media_id bigint, width int, height int, n_pixels bigint,"
+    " mean_r double, mean_g double, mean_b double"
+)
+AUDIO_STATS_DDL = (
+    "media_id bigint, sample_rate int, n_samples bigint, duration_ms int,"
+    " rms double, mean double"
+)
+
+
+def synthesize_media_encoded(documents: DataFrame) -> DataFrame:
+    """Media corpus with REAL encoded payloads, derived only from
+    doc_id so decoded statistics are closed-form (and therefore
+    DuckDB-oracle-checkable end-to-end through the byte codecs):
+
+    - doc_id % 3 == 0 → solid-color 24-bit BMP, dims/color from doc_id
+    - doc_id % 3 == 1 → PCM16 WAV square wave: amplitude A from
+      doc_id, alternating ±A (mean 0, RMS exactly A), 8 kHz
+    - doc_id % 3 == 2 → opaque fake-MP4 bytes (no container codec)
+
+    The encode runs in mapInPandas (Arrow batches); the scan is pruned
+    to doc_id only — no text bytes travel.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from chronicle_sniffer_spark.operators.codecs import encode_bmp, encode_wav
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {"media_id": [], "kind": [], "payload": [], "meta": []}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                meta = dict.fromkeys(
+                    ("format", "width", "height", "sample_rate", "duration_ms", "n_frames")
+                )
+                if d % 3 == 0:
+                    w, h = 16 + (d % 8) * 4, 16 + (d % 5) * 4
+                    color = np.array([d % 256, (d * 7) % 256, (d * 13) % 256], dtype=np.uint8)
+                    payload = encode_bmp(np.broadcast_to(color, (h, w, 3)).astype(np.uint8))
+                    kind = "image"
+                    meta.update(format="bmp", width=w, height=h)
+                elif d % 3 == 1:
+                    n, amp = 800 + (d % 5) * 400, 1000 + (d % 20) * 100
+                    s = np.empty(n, dtype=np.int16)
+                    s[0::2], s[1::2] = amp, -amp
+                    payload = encode_wav(s, 8000)
+                    kind = "audio"
+                    meta.update(format="wav", sample_rate=8000, duration_ms=n // 8)
+                else:
+                    dur = 1000 + (d % 7) * 500
+                    payload = b"\x00FAKEMP4" + d.to_bytes(8, "little")
+                    kind = "video"
+                    meta.update(format="mp4", duration_ms=dur, n_frames=dur // 40)
+                rows["media_id"].append(d)
+                rows["kind"].append(kind)
+                rows["payload"].append(payload)
+                rows["meta"].append(meta)
+            yield pd.DataFrame(rows)
+
+    return documents.select("doc_id").mapInPandas(op, MEDIA_DDL)
+
+
+def image_stats(media: DataFrame) -> DataFrame:
+    """Real BMP decode → per-image dimensions and channel means.
+    Narrow Arrow-batched map; only small stats leave the stage.
+    Malformed payloads surface as a per-row ValueError → quarantined
+    as nulls would be in production; here they raise (strict corpus)."""
+    import pandas as pd
+
+    from chronicle_sniffer_spark.operators.codecs import decode_bmp
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in (
+                "media_id", "width", "height", "n_pixels", "mean_r", "mean_g", "mean_b"
+            )}
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                px = decode_bmp(bytes(b))
+                h, w, _ = px.shape
+                m = px.reshape(-1, 3).astype("f8").mean(axis=0)
+                out["media_id"].append(int(mid))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_pixels"].append(w * h)
+                out["mean_r"].append(float(m[0]))
+                out["mean_g"].append(float(m[1]))
+                out["mean_b"].append(float(m[2]))
+            yield pd.DataFrame(out)
+
+    return media.filter(F.col("kind") == "image").mapInPandas(op, IMAGE_STATS_DDL)
+
+
+def audio_stats(media: DataFrame) -> DataFrame:
+    """Real PCM-WAV decode → sample counts, duration, RMS, mean."""
+    import numpy as np
+    import pandas as pd
+
+    from chronicle_sniffer_spark.operators.codecs import decode_wav
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in (
+                "media_id", "sample_rate", "n_samples", "duration_ms", "rms", "mean"
+            )}
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                s, rate = decode_wav(bytes(b))
+                sf = s.astype("f8")
+                out["media_id"].append(int(mid))
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(int(s.shape[0]))
+                out["duration_ms"].append(int(s.shape[0] * 1000 // rate))
+                out["rms"].append(float(np.sqrt((sf * sf).mean())))
+                out["mean"].append(float(sf.mean()))
+            yield pd.DataFrame(out)
+
+    return media.filter(F.col("kind") == "audio").mapInPandas(op, AUDIO_STATS_DDL)

@@ -406,3 +406,58 @@ def l6_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum(F.size(F.split("text", " "))).alias("total_tokens"),
     )
+
+
+@query(
+    "l5_image_decode",
+    section="L5",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(16 + (doc_id % 8) * 4 AS INTEGER) AS width,
+           CAST(16 + (doc_id % 5) * 4 AS INTEGER) AS height,
+           CAST((16 + (doc_id % 8) * 4) * (16 + (doc_id % 5) * 4) AS BIGINT) AS n_pixels,
+           CAST(doc_id % 256 AS DOUBLE) AS mean_r,
+           CAST((doc_id * 7) % 256 AS DOUBLE) AS mean_g,
+           CAST((doc_id * 13) % 256 AS DOUBLE) AS mean_b
+    FROM documents WHERE doc_id % 3 = 0
+    """,
+)
+def l5_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, oracle-checked end-to-end through bytes: the
+    corpus is encoded to actual 24-bit BMPs (pure-numpy codec), decoded
+    back pixel-by-pixel, and per-image channel means compared against
+    the closed-form values the solid-color construction implies.  Any
+    byte-level bug in encoder or decoder (row padding, BGR order,
+    bottom-up rows) breaks the hash match."""
+    from chronicle_sniffer_spark.operators.multimodal import (
+        image_stats,
+        synthesize_media_encoded,
+    )
+
+    return image_stats(synthesize_media_encoded(_t(spark, sf_dir, "documents")))
+
+
+@query(
+    "l5_audio_stats",
+    section="L5",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(8000 AS INTEGER) AS sample_rate,
+           CAST(800 + (doc_id % 5) * 400 AS BIGINT) AS n_samples,
+           CAST((800 + (doc_id % 5) * 400) / 8 AS INTEGER) AS duration_ms,
+           CAST(1000 + (doc_id % 20) * 100 AS DOUBLE) AS rms,
+           0.0 AS mean
+    FROM documents WHERE doc_id % 3 = 1
+    """,
+)
+def l5_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode, oracle-checked through bytes: PCM16 WAV
+    square waves (alternating ±A) encode and decode with the
+    pure-numpy codec; RMS is exactly A and mean exactly 0, so DuckDB
+    recomputes both in closed form from doc_id."""
+    from chronicle_sniffer_spark.operators.multimodal import (
+        audio_stats,
+        synthesize_media_encoded,
+    )
+
+    return audio_stats(synthesize_media_encoded(_t(spark, sf_dir, "documents")))
