@@ -446,7 +446,7 @@ def l5_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(800 + (doc_id % 5) * 400 AS BIGINT) AS n_samples,
            CAST((800 + (doc_id % 5) * 400) / 8 AS INTEGER) AS duration_ms,
            CAST(1000 + (doc_id % 20) * 100 AS DOUBLE) AS rms,
-           0.0 AS mean
+           CAST(0.0 AS DOUBLE) AS mean
     FROM documents WHERE doc_id % 3 = 1
     """,
 )

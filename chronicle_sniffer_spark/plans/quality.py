@@ -327,3 +327,110 @@ def l4_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.groupBy("domain").agg(
         F.count("*").alias("n_docs"), F.min("doc_id").alias("first_doc")
     )
+
+
+# ---------------------------------------------------------------------------
+# O9/S8: CDC latest-record-wins and MERGE/upsert shapes
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "o9_cdc_latest",
+    section="O3",
+    oracle="""
+    WITH changes AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate, v
+      FROM orders, unnest(generate_series(0, o_orderkey % 3)) AS t(v)
+    ),
+    ranked AS (
+      SELECT o_orderkey, o_orderstatus,
+             o_totalprice + v * 10.0 AS price_v, v,
+             row_number() OVER (PARTITION BY o_orderkey ORDER BY v DESC) AS rn
+      FROM changes
+    )
+    SELECT o_orderkey, o_orderstatus, price_v AS latest_price,
+           CAST(v AS BIGINT) AS latest_version
+    FROM ranked WHERE rn = 1
+    """,
+)
+def o9_cdc_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture compaction: latest-record-wins per key.  A
+    synthetic change stream (1–3 versions per order, price bumped per
+    version) collapses to the newest version with one ranking window.
+    At 100 TB this is the standard log-compaction shape: shuffle once
+    on the key, per-partition heap — never a self-join against the
+    history."""
+    o = _t(spark, sf_dir, "orders")
+    changes = o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.explode(F.sequence(F.lit(0), (F.col("o_orderkey") % 3).cast("int"))).alias("v"),
+    ).withColumn("price_v", F.col("o_totalprice") + F.col("v") * 10.0)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_orderkey").orderBy(F.col("v").desc())
+    return (
+        changes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.col("price_v").alias("latest_price"),
+            F.col("v").cast("bigint").alias("latest_version"),
+        )
+    )
+
+
+@query(
+    "s8_merge_upsert",
+    section="S8",
+    oracle="""
+    WITH updates AS (
+      SELECT o_orderkey,
+             'P' AS new_status,
+             o_totalprice * 1.1 AS new_price
+      FROM orders WHERE o_orderkey % 7 = 0
+    ),
+    inserts AS (
+      SELECT o_orderkey + 10000000 AS o_orderkey,
+             'N' AS new_status,
+             o_totalprice AS new_price
+      FROM orders WHERE o_orderkey % 31 = 0
+    ),
+    delta AS (SELECT * FROM updates UNION ALL SELECT * FROM inserts)
+    SELECT coalesce(b.o_orderkey, d.o_orderkey) AS o_orderkey,
+           coalesce(d.new_status, b.o_orderstatus) AS status,
+           coalesce(d.new_price, b.o_totalprice) AS price,
+           CAST(CASE WHEN d.o_orderkey IS NULL THEN 0 ELSE 1 END AS INTEGER) AS was_merged
+    FROM orders b FULL OUTER JOIN delta d USING (o_orderkey)
+    """,
+)
+def s8_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert without a table format: apply a delta batch
+    (updates to every 7th order, inserts of new keys) to the base
+    table as one FULL OUTER join + coalesce — matched rows take the
+    delta's values, unmatched base rows pass through, unmatched delta
+    rows insert.  The scale shape is a single co-partitioned join on
+    the merge key; with a bucketed base table the shuffle drops to the
+    delta side only (tests/test_bucketing.py shows that layout)."""
+    o = _t(spark, sf_dir, "orders")
+    updates = o.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        F.lit("P").alias("new_status"),
+        (F.col("o_totalprice") * 1.1).alias("new_price"),
+    )
+    inserts = o.filter(F.col("o_orderkey") % 31 == 0).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        F.lit("N").alias("new_status"),
+        F.col("o_totalprice").alias("new_price"),
+    )
+    delta = updates.unionAll(inserts)
+    base = o.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    merged = base.join(delta, "o_orderkey", "full_outer")
+    return merged.select(
+        "o_orderkey",
+        F.coalesce("new_status", "o_orderstatus").alias("status"),
+        F.coalesce("new_price", "o_totalprice").alias("price"),
+        F.when(F.col("new_status").isNull(), 0).otherwise(1).cast("int").alias("was_merged"),
+    )
