@@ -1,7 +1,8 @@
 """Corpus-quality and split operators for training-data curation:
 Gopher-style repetition signals, C4-style quality gating, hash-based
-train/val/test splitting, deterministic global shuffle, and URL/domain
-blocklist filtering.
+train/val/test splitting, deterministic global shuffle, URL/domain
+blocklist filtering — plus the warehouse-maintenance shapes (CDC
+latest-record compaction, MERGE/upsert).
 
 All shapes here follow the public heuristics literature (Rae et al.
 2021 "Scaling Language Models" appendix A / Gopher repetition filters;
