@@ -171,7 +171,11 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        run(name)  # warm: codegen + JIT
+        run(name)  # warm 1: codegen compile
+        run(name)  # warm 2: JIT reaches steady state (multi-stage plans
+        # like l2_ngram_jaccard measured 8.4 s after one warm run vs
+        # 2.4 s true steady state — one warm pass is not enough once
+        # the catalog is this large)
         t0 = time.time()
         run(name)
         timings[name] = round(time.time() - t0, 3)
@@ -179,6 +183,13 @@ def main() -> None:
     # B1: UDM projection throughput (BASELINE.md). First run pays JIT +
     # whole-stage-codegen compile for the ~400-expression projection;
     # steady-state (what a long-running cluster job sees) is the warm run.
+    # Fresh session first: after 32 queries x 3 executions the JVM's
+    # old gen is full of plan/broadcast state and GC pressure inflated
+    # the B1/stream tail up to 2x in full-bench runs — a dedicated
+    # ingest job (the thing B1 models) doesn't carry that baggage.
+    spark.stop()
+    spark = get_spark("bench-b1")
+
     from chronicle_sniffer_spark.etl import convert_directory
 
     # Measures the parquet-table path: full typed-event projection,
@@ -210,6 +221,12 @@ def main() -> None:
     timings["udm_b1_600k_amortized"] = round(dt, 3)
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     b1_throughput = round(UDM_AMORTIZED_PACKETS / dt / cpus, 1)
+    # Marginal rate via differencing: the 60k and 600k jobs carry the
+    # same ~1 s fixed cost (driver planning + per-task plan deser), so
+    # (Δpackets / Δwall) cancels it — this is the per-core rate a
+    # long-running 100 TB ingest sees (BASELINE.md B1b).
+    d_wall = max(dt - timings["udm_b1_60k_packets"], 0.1)
+    b1_marginal = round((UDM_AMORTIZED_PACKETS - UDM_BENCH_PACKETS) / d_wall / cpus, 1)
 
     # B5/B6: the end-to-end streaming pipeline (file in → UDM parquet
     # out, AvailableNow replay of the corpus in 4 micro-batches).
@@ -234,6 +251,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "udm_b1_pkts_per_sec_per_core": b1_throughput,
+                "udm_b1_marginal_pkts_per_sec_per_core": b1_marginal,
                 "sf": sf,
             }
         )
