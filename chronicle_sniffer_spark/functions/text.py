@@ -85,13 +85,22 @@ def simhash64(text: Column) -> Column:
     bit position sum ±1 votes and take the sign.  aggregate() over 64
     bit positions stays JVM-side.
     """
-    tok_hashes = F.expr("transform(split(text, ' '), w -> xxhash64(w))")
-    # For bit i: vote = sum over tokens of (bit set ? 1 : -1); bit i of
-    # the simhash = vote > 0.  Build via one aggregate per bit folded
-    # into a packed bigint.
+    # Single pass: hash each token ONCE, fold a 64-counter vote array
+    # across tokens, then pack the vote signs into the bigint.  (The
+    # earlier per-bit formulation re-split the text and re-hashed every
+    # token once per bit — 64x the work, and higher-order functions
+    # evaluate interpreted, so it dominated the fingerprint query's
+    # wall time at sf0.1.)  For corpus-scale jobs prefer the
+    # explode/groupBy formulation in operators/simhash.py, which stays
+    # in whole-stage codegen end-to-end.
     return F.expr(
-        "aggregate(sequence(0, 63), CAST(0 AS BIGINT), (acc, i) ->"
-        " acc + CAST(CASE WHEN aggregate(transform(split(text, ' '), w -> xxhash64(w)),"
-        "   CAST(0 AS BIGINT), (v, h) -> v + CASE WHEN ((h >> i) & 1) = 1 THEN 1 ELSE -1 END)"
-        "   > 0 THEN 1 ELSE 0 END AS BIGINT) << i)"
+        "aggregate("
+        " zip_with("
+        "   aggregate(transform(split(text, ' '), w -> xxhash64(w)),"
+        "     array_repeat(CAST(0 AS BIGINT), 64),"
+        "     (acc, h) -> zip_with(acc, sequence(0, 63),"
+        "       (a, i) -> a + IF(((h >> i) & 1) = 1, 1L, -1L))),"
+        "   sequence(0, 63),"
+        "   (v, i) -> IF(v > 0, shiftleft(1L, i), 0L)),"
+        " 0L, (acc, x) -> acc + x)"
     ).alias("simhash")
