@@ -435,3 +435,78 @@ def s8_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("new_price", "o_totalprice").alias("price"),
         F.when(F.col("new_status").isNull(), 0).otherwise(1).cast("int").alias("was_merged"),
     )
+
+
+# ---------------------------------------------------------------------------
+# L4: TF-IDF term scoring
+# ---------------------------------------------------------------------------
+
+TFIDF_TOP_K = 3
+
+
+@query(
+    "l4_tfidf",
+    section="L4",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, w, count(*) AS tf FROM words GROUP BY doc_id, w
+    ),
+    df AS (
+      SELECT w, count(DISTINCT doc_id) AS df FROM words GROUP BY w
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.w, CAST(tf.tf AS BIGINT) AS tf,
+             CAST(df.df AS BIGINT) AS df,
+             tf.tf * (CAST(n.n_docs AS DOUBLE) + 1.0) / (df.df + 1.0) AS score
+      FROM tf JOIN df USING (w) CROSS JOIN n
+    )
+    SELECT doc_id, w, tf, df, round(score, 6) AS score,
+           CAST(rnk AS INTEGER) AS rnk
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY score DESC, w) AS rnk
+          FROM scored)
+    WHERE rnk <= {TFIDF_TOP_K}
+    """,
+)
+def l4_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{{k}} distinguishing terms per document by TF-IDF-style
+    weighting.  The inverse-document-frequency factor is the unlogged
+    ratio (n_docs+1)/(df+1): the log is a monotone transform of the
+    per-term factor and omitting it keeps every arithmetic step a
+    single IEEE operation, which both engines compute bit-identically
+    (libm ``ln`` is not guaranteed to round identically across
+    implementations — the kind of last-ulp slack that flips a rank
+    boundary).  Shapes: two token-keyed aggregations (tf per doc, df
+    corpus-wide), a broadcast of the scalar doc count, and a per-doc
+    ranking window — all shuffle keys are tokens or doc ids."""
+    d = _t(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    tf = words.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    df = words.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df, "w")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "w",
+            "tf",
+            "df",
+            (F.col("tf") * (F.col("n_docs").cast("double") + 1.0) / (F.col("df") + 1.0)).alias(
+                "score"
+            ),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("w"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TFIDF_TOP_K)
+        .select("doc_id", "w", "tf", "df", F.round("score", 6).alias("score"),
+                F.col("rnk").cast("int").alias("rnk"))
+    )

@@ -123,3 +123,32 @@ def t5_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     redelivered = ev.unionByName(ev)
     return redelivered.dropDuplicates(["event_id"]).agg(F.count("*").alias("n"))
+
+
+@query(
+    "t9b_outer_join_batch",
+    section="T9",
+    oracle="""
+    WITH c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
+               FROM events WHERE event_type = 'click'),
+         p AS (SELECT user_id, event_id AS purchase_id, ts AS purchase_ts,
+                      value AS purchase_value
+               FROM events WHERE event_type = 'purchase')
+    SELECT c.user_id, click_id, purchase_id, click_ts, purchase_ts, purchase_value
+    FROM c LEFT JOIN p ON c.user_id = p.user_id
+     AND purchase_ts >= click_ts
+     AND purchase_ts <= click_ts + INTERVAL 1 HOUR
+    """,
+)
+def t9b_outer_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of the T9b LEFT OUTER stream-stream join — identical
+    plan minus the state store (the stream emits the same rows in the
+    watermark-closed region, asserted in tests/test_streaming.py).
+    Gives the outer-join streaming surface a hard oracle row."""
+    from chronicle_sniffer_spark.streaming.joins import click_purchase_attribution_outer
+
+    ev = load_table(spark, sf_dir, "events")
+    return click_purchase_attribution_outer(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+    )
