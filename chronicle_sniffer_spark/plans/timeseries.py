@@ -171,3 +171,115 @@ def a8b_width_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.groupBy(
         F.width_bucket("o_totalprice", F.lit(0), F.lit(500000), F.lit(20)).alias("bucket")
     ).agg(F.count("*").alias("n"))
+
+
+@query(
+    "ts2_funnel_conversion",
+    section="W4/A6",
+    oracle="""
+    WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+         c AS (SELECT e.user_id, min(e.ts) AS t_click
+               FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t_view
+               WHERE e.event_type = 'click' GROUP BY e.user_id),
+         p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+               FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t_click
+               WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+    SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_view,
+           CAST((SELECT count(*) FROM c) AS BIGINT) AS n_click_after_view,
+           CAST((SELECT count(*) FROM p) AS BIGINT) AS n_purchase_after_click,
+           round((SELECT count(*) FROM p) * 1.0 / (SELECT count(*) FROM v), 6)
+             AS full_funnel_rate
+    """,
+)
+def ts2_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered event funnel (view → click → purchase): each stage
+    keeps users whose first stage-N event strictly follows their first
+    stage-(N-1) event.  Three user-keyed min-aggregations chained by
+    equi-joins on user_id — at 100 TB each stage is one shuffle on the
+    user key with partial min combine; no window over the full event
+    history and no self-join explosion (the join input is one row per
+    user, not per event)."""
+    ev = _t(spark, sf_dir, "events")
+
+    def first_after(etype: str, prev: DataFrame, prev_col: str, alias: str) -> DataFrame:
+        e = ev.filter(F.col("event_type") == etype)
+        return (
+            e.join(prev, "user_id")
+            .filter(F.col("ts") > F.col(prev_col))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(alias))
+        )
+
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = first_after("click", v, "t_view", "t_click")
+    p = first_after("purchase", c, "t_click", "t_purchase")
+    nv = v.agg(F.count("*").alias("n_view"))
+    nc = c.agg(F.count("*").alias("n_click_after_view"))
+    np_ = p.agg(F.count("*").alias("n_purchase_after_click"))
+    return (
+        nv.crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(np_))
+        .select(
+            "n_view",
+            "n_click_after_view",
+            "n_purchase_after_click",
+            F.round(F.col("n_purchase_after_click") * 1.0 / F.col("n_view"), 6).alias(
+                "full_funnel_rate"
+            ),
+        )
+    )
+
+
+@query(
+    "ts3_retention_cohorts",
+    section="W4/A5",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             CAST(floor((epoch(date_trunc('week', e.ts)) - epoch(f.cohort_week))
+                        / 604800) AS INTEGER) AS week_offset
+      FROM events e JOIN firsts f ON e.user_id = f.user_id
+    )
+    SELECT cohort_week, week_offset, CAST(count(*) AS BIGINT) AS n_users
+    FROM activity GROUP BY cohort_week, week_offset
+    """,
+)
+def ts3_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users grouped by first-seen week,
+    counted in every later week they were active (the classic cohort
+    retention matrix).  The cohort dimension joins back as one row per
+    user (broadcastable at realistic user counts), activity dedups on
+    (user, week) before counting, and week arithmetic runs on unix
+    seconds so both engines bucket identically; cohort_week stays
+    TIMESTAMP (never DateType) per the catalog hashing rules."""
+    ev = _t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("timestamp").alias("cohort_week")
+    )
+    activity = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.floor(
+                (
+                    F.unix_timestamp(F.date_trunc("week", F.col("ts")))
+                    - F.unix_timestamp("cohort_week")
+                )
+                / 604800
+            )
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "week_offset").agg(F.count("*").alias("n_users"))
