@@ -189,3 +189,35 @@ def zorder_write(df: DataFrame, zcol: str, out_dir: str, n_files: int = 8) -> No
         .write.mode("overwrite")
         .parquet(out_dir)
     )
+
+
+@query(
+    "s10_python_datasource",
+    section="S2",
+    oracle="""
+    SELECT CASE CAST(i % 4 AS INTEGER) WHEN 0 THEN 'tcp' WHEN 1 THEN 'udp'
+                WHEN 2 THEN 'icmp' ELSE 'dns' END AS proto,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(64 + (i * 31) % 1400) AS BIGINT) AS total_len,
+           min(i) AS first_id, max(i) AS last_id
+    FROM range(20000) t(i)
+    GROUP BY proto
+    """,
+)
+def s10_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python Data Source connector (Spark 4 `datasource` API,
+    sources/packet_source.py) read end-to-end: 20k deterministic
+    synthetic packets generated partition-parallel on executors,
+    aggregated per protocol.  The DuckDB oracle recomputes the same
+    aggregates from range() arithmetic, so range-split or type bugs in
+    the connector break the hash."""
+    from chronicle_sniffer_spark.sources.packet_source import register
+
+    register(spark)
+    pkts = spark.read.format("synth_packets").option("n", 20000).option("parts", 8).load()
+    return pkts.groupBy("proto").agg(
+        F.count("*").alias("n"),
+        F.sum("length").alias("total_len"),
+        F.min("pkt_id").alias("first_id"),
+        F.max("pkt_id").alias("last_id"),
+    )

@@ -95,3 +95,22 @@ def test_tshark_fidelity_mode(spark):
     rows = udm.select(F.col("event.metadata.event_type").alias("et")).collect()
     assert len(rows) == 7
     assert rows[0].et in ("NETWORK_HTTP", "NETWORK_CONNECTION")
+
+
+def test_python_datasource_partitioned_deterministic(spark):
+    """The custom synth_packets Python Data Source reads
+    partition-parallel (one task per declared input partition) and is
+    deterministic across reads; row formulas match the closed-form
+    oracle in s10_python_datasource."""
+    import pyspark.sql.functions as F
+
+    from chronicle_sniffer_spark.sources.packet_source import register
+
+    register(spark)
+    df = spark.read.format("synth_packets").option("n", 1000).option("parts", 4).load()
+    assert df.count() == 1000
+    pids = df.select(F.spark_partition_id().alias("p")).distinct().count()
+    assert pids == 4
+    assert sorted(map(tuple, df.collect())) == sorted(map(tuple, df.collect()))
+    row0 = df.filter("pkt_id = 77").collect()[0]
+    assert (row0.proto, row0.dst_port, row0.length) == ("udp", 1024 + 77, 64 + 77 * 31 % 1400)
