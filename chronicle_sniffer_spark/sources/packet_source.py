@@ -18,7 +18,12 @@ range splits, or type drift all break the match).
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 
 def _row(i: int):
@@ -63,7 +68,34 @@ class SynthPacketsDataSource(DataSource):
     def reader(self, schema):
         return SynthPacketsReader(self.options)
 
+    def simpleStreamReader(self, schema):
+        return SynthPacketsStreamReader(self.options)
+
 
 def register(spark) -> None:
     """Idempotent registration (re-registering replaces the prior one)."""
     spark.dataSource.register(SynthPacketsDataSource)
+
+
+class SynthPacketsStreamReader(SimpleDataSourceStreamReader):
+    """Streaming form: each micro-batch emits the next ``batch_size``
+    packet ids.  Offsets are plain dicts ({"next": i}) checkpointed by
+    the engine — restart resumes exactly where the last commit left
+    off, giving the connector end-to-end exactly-once with the default
+    file-sink/foreachBatch machinery (S5/S6-class source, custom
+    implementation)."""
+
+    def __init__(self, options):
+        self.batch_size = int(options.get("batch_size", 1000))
+        self.max_rows = int(options.get("n", 10_000))
+
+    def initialOffset(self):
+        return {"next": 0}
+
+    def read(self, start: dict):
+        lo = int(start["next"])
+        hi = min(lo + self.batch_size, self.max_rows)
+        return iter([_row(i) for i in range(lo, hi)]), {"next": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter([_row(i) for i in range(int(start["next"]), int(end["next"]))])

@@ -298,3 +298,36 @@ def test_t9b_stream_stream_outer_join(spark):
     sn = _rows(result.filter(F.col("purchase_id").isNull()), *cols)
     bn = set(_rows(batch.filter(F.col("purchase_id").isNull()), *cols))
     assert all(r in bn for r in sn)
+
+
+def test_s10_python_datasource_stream_resumes(spark, tmp_path):
+    """The custom Python Data Source's streaming reader checkpoints
+    plain-dict offsets: each restarted run resumes at the committed
+    offset and processes exactly one micro-batch (simple stream
+    readers run single-batch under AvailableNow), so five runs drain
+    the 5000-row source exactly once — no gaps, no duplicates."""
+    from pyspark.sql import functions as F
+
+    from chronicle_sniffer_spark.sources.packet_source import register
+
+    register(spark)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    for _ in range(5):
+        stream = (
+            spark.readStream.format("synth_packets")
+            .option("n", 5000)
+            .option("batch_size", 1000)
+            .load()
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == 5000
+    assert got.select("pkt_id").distinct().count() == 5000
+    assert got.agg(F.min("pkt_id"), F.max("pkt_id")).collect()[0][0:2] == (0, 4999)
