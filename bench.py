@@ -51,6 +51,15 @@ HEADLINE = (
     "l4_c4_quality_filter",
     "l6_hash_split",
     "s8_zorder_key",
+    "l4_tfidf",
+    "o9_cdc_latest",
+    "s8_merge_upsert",
+    "ts2_funnel_conversion",
+    "ts3_retention_cohorts",
+    "t9b_outer_join_batch",
+    "l5_image_decode",
+    "l5_audio_stats",
+    "s10_python_datasource",
     # rows-only (non-oracle) surface, so regressions there are visible
     # round-over-round too
     "udm_projection",

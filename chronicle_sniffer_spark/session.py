@@ -37,6 +37,13 @@ def get_spark(app_name: str = "chronicle_sniffer_spark") -> SparkSession:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
+        # The UDM projection compiles to a ~400-expression generated
+        # class; with 100+ catalog queries live in one session the
+        # default 100-entry codegen cache evicts it and re-compilation
+        # (Janino, seconds for a class that size) shows up as bimodal
+        # query times.  A large app serving many plans wants this high
+        # on a cluster too.
+        .config("spark.sql.codegen.cache.maxEntries", "1000")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         # events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
