@@ -45,24 +45,38 @@ def _driver_status() -> dict[str, bool]:
     return status
 
 
-def _ordered_specs():
-    """Registry entries, never-driver-checked first.
+def _round_key() -> int:
+    """Upcoming round number = committed CORRECTNESS files + 1."""
+    return len(glob.glob(os.path.join(_HERE, "CORRECTNESS_r*.json"))) + 1
 
-    The round-1 gate recorded rows for only the first 50 enumerated
+
+def _ordered_specs():
+    """Registry entries, never-driver-checked first, then greens in a
+    round-rotated order.
+
+    The driver's gate records rows for only the first ~50 enumerated
     queries, so enumeration order decides which entries get a hard
     correctness row.  Rank: (0) no driver row yet, (1) driver row but
-    red, (2) green.  Stable sort preserves registration order within
-    each rank.
-    """
-    status = _driver_status()
+    red — both in stable registration order — then (2) all greens,
+    ordered by md5(round:name).  The round-keyed hash reshuffles the
+    green block deterministically every round, so with ~50 slots over
+    ~130 greens every entry is re-checked within a few rounds instead
+    of the same lowest-ranked 50 forever (a regression in any green
+    entry would otherwise never re-hit the hard gate)."""
+    import hashlib
 
-    def rank(item) -> int:
+    status = _driver_status()
+    rnd = _round_key()
+
+    def sort_key(item):
         name = item[0]
         if name not in status:
-            return 0
-        return 1 if not status[name] else 2
+            return (0, "")
+        if not status[name]:
+            return (1, "")
+        return (2, hashlib.md5(f"r{rnd}:{name}".encode()).hexdigest())
 
-    return sorted(registry().items(), key=rank)
+    return sorted(registry().items(), key=sort_key)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -32,8 +32,7 @@ def token_count(text: Column) -> Column:
 
 def stopword_ratio(text: Column) -> Column:
     toks = tokens(text)
-    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
-    hits = F.size(F.expr(f"filter(split(text, ' '), w -> w IN ({stop_list}))"))
+    hits = F.size(F.filter(toks, lambda w: w.isin(*STOPWORDS)))
     return F.round(hits.cast("double") / F.size(toks), 6)
 
 
@@ -56,12 +55,17 @@ def lang_guess(text: Column) -> Column:
     """Marker-word vote across the lexicons; 'und' (undetermined) when
     nothing matches."""
     toks = tokens(text)
+
+    def _in_markers(markers):
+        # single-arg closure: a two-parameter lambda (w, m=...) would be
+        # treated by PySpark as an (element, index) function
+        return lambda w: w.isin(*markers)
+
     scores = []
     for lang, markers in LANG_MARKERS.items():
-        lst = ", ".join(f"'{w}'" for w in markers)
         scores.append(
             F.struct(
-                F.size(F.expr(f"filter(split(text, ' '), w -> w IN ({lst}))")).alias("n"),
+                F.size(F.filter(toks, _in_markers(markers))).alias("n"),
                 F.lit(lang).alias("lang"),
             )
         )
@@ -86,21 +90,29 @@ def simhash64(text: Column) -> Column:
     bit positions stays JVM-side.
     """
     # Single pass: hash each token ONCE, fold a 64-counter vote array
-    # across tokens, then pack the vote signs into the bigint.  (The
-    # earlier per-bit formulation re-split the text and re-hashed every
-    # token once per bit — 64x the work, and higher-order functions
-    # evaluate interpreted, so it dominated the fingerprint query's
-    # wall time at sf0.1.)  For corpus-scale jobs prefer the
-    # explode/groupBy formulation in operators/simhash.py, which stays
-    # in whole-stage codegen end-to-end.
-    return F.expr(
-        "aggregate("
-        " zip_with("
-        "   aggregate(transform(split(text, ' '), w -> xxhash64(w)),"
-        "     array_repeat(CAST(0 AS BIGINT), 64),"
-        "     (acc, h) -> zip_with(acc, sequence(0, 63),"
-        "       (a, i) -> a + IF(((h >> i) & 1) = 1, 1L, -1L))),"
-        "   sequence(0, 63),"
-        "   (v, i) -> IF(v > 0, shiftleft(1L, i), 0L)),"
-        " 0L, (acc, x) -> acc + x)"
+    # across tokens, then pack the vote signs into the bigint.  Built
+    # from the passed Column via Python-side higher-order functions —
+    # an earlier version hard-coded `split(text, ' ')` in an F.expr
+    # string, silently ignoring the argument on renamed/derived
+    # columns.  For corpus-scale jobs prefer the explode/groupBy
+    # formulation in operators/simhash.py, which stays in whole-stage
+    # codegen end-to-end.
+    one = F.lit(1).cast("bigint")
+    tok_hashes = F.transform(tokens(text), lambda w: F.xxhash64(w))
+    votes = F.aggregate(
+        tok_hashes,
+        F.array_repeat(F.lit(0).cast("bigint"), 64),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda a, i: a + F.when(F.bit_get(h, i) == 1, one).otherwise(-one),
+        ),
+    )
+    # Pack sign bits MSB-first: fold acc = (acc << 1) | sign(vote_i),
+    # visiting bit 63 down to bit 0 — identical to sum(shiftleft(1, i))
+    # over positive votes, but expressible without a variable shift.
+    return F.aggregate(
+        F.reverse(votes),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: F.shiftleft(acc, 1) + F.when(v > 0, one).otherwise(F.lit(0).cast("bigint")),
     ).alias("simhash")

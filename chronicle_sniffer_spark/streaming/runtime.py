@@ -79,7 +79,10 @@ def stage_events_time_ordered(
     os.makedirs(out, exist_ok=True)
     ev = load_table(spark, sf_dir, "events")
     probs = [i / n_files for i in range(1, n_files)]
-    cuts = ev.selectExpr("cast(ts as double) d").approxQuantile("d", probs, 0.0)
+    # NTZ-safe: parquet may carry ts as TIMESTAMP_NTZ (isAdjustedToUTC=0) and
+    # Spark refuses TIMESTAMP_NTZ -> DOUBLE; go through timestamp_ltz first.
+    ts_num = "cast(unix_micros(cast(ts as timestamp_ltz)) as double)"
+    cuts = ev.selectExpr(f"{ts_num} d").approxQuantile("d", probs, 0.0)
     import pyspark.sql.functions as F
 
     bounds: list = []
@@ -88,9 +91,9 @@ def stage_events_time_ordered(
         hi = cuts[i] if i < len(cuts) else None
         sl = ev
         if lo is not None:
-            sl = sl.filter(F.col("ts").cast("double") > lo)
+            sl = sl.filter(F.expr(ts_num) > F.lit(lo))
         if hi is not None:
-            sl = sl.filter(F.col("ts").cast("double") <= hi)
+            sl = sl.filter(F.expr(ts_num) <= F.lit(hi))
         tmp = tempfile.mkdtemp(prefix="css_slice_")
         sl.coalesce(1).write.mode("overwrite").parquet(tmp)
         part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))

@@ -52,3 +52,28 @@ def test_entry_contract(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert set(mod.oracle_sql()) <= set(mod.queries())
+
+
+def test_entry_ordering_rotates_greens():
+    """Never-checked entries lead; the green block is reshuffled by a
+    round-keyed hash so the driver's ~50-row gate re-checks every
+    green within a few rounds instead of the same fixed prefix."""
+    import hashlib
+
+    import __spark_entry__ as mod
+
+    status = mod._driver_status()
+    ordered = [name for name, _ in mod._ordered_specs()]
+    unchecked = [n for n in ordered if n not in status]
+    red = [n for n in ordered if n in status and not status[n]]
+    greens = [n for n in ordered if status.get(n)]
+    # Partition order: unchecked, then red, then greens.
+    assert ordered == unchecked + red + greens
+    # Green block follows the deterministic round-keyed hash order.
+    rnd = mod._round_key()
+    expected = sorted(greens, key=lambda n: hashlib.md5(f"r{rnd}:{n}".encode()).hexdigest())
+    assert greens == expected
+    # The rotation actually changes between rounds (no fixed prefix).
+    nxt = sorted(greens, key=lambda n: hashlib.md5(f"r{rnd + 1}:{n}".encode()).hexdigest())
+    if len(greens) > 10:
+        assert greens[:10] != nxt[:10]

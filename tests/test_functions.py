@@ -46,3 +46,29 @@ def test_lang_guess(spark):
     assert _one(spark, "the cat is on the mat and happy", TX.lang_guess(F.col("text"))) == "en"
     assert _one(spark, "el perro de la casa que ladra", TX.lang_guess(F.col("text"))) == "es"
     assert _one(spark, "xyzzy plugh qwerty", TX.lang_guess(F.col("text"))) == "und"
+
+
+def test_column_argument_respected_on_renamed_and_derived_columns(spark):
+    """Regression: these functions once hard-coded `split(text, ' ')` in
+    F.expr strings, silently ignoring the passed Column.  Calling them
+    on a renamed column must equal calling them on one named `text`,
+    and a derived column must actually transform the input."""
+    s = "the quick brown fox jumps over the lazy dog"
+    via_text = {
+        "simhash": _one(spark, s, TX.simhash64(F.col("text"))),
+        "stop": _one(spark, s, TX.stopword_ratio(F.col("text"))),
+        "lang": _one(spark, s, TX.lang_guess(F.col("text"))),
+    }
+    renamed = spark.createDataFrame([(s,)], "body string")
+    row = renamed.select(
+        TX.simhash64(F.col("body")).alias("simhash"),
+        TX.stopword_ratio(F.col("body")).alias("stop"),
+        TX.lang_guess(F.col("body")).alias("lang"),
+    ).collect()[0]
+    assert row.simhash == via_text["simhash"]
+    assert row.stop == via_text["stop"]
+    assert row.lang == via_text["lang"]
+    # Derived column: uppercasing breaks the lowercase stopword matches,
+    # so the result must differ from the plain-text one.
+    derived = renamed.select(TX.stopword_ratio(F.upper(F.col("body"))).alias("stop")).collect()[0]
+    assert derived.stop == 0.0 != via_text["stop"]
