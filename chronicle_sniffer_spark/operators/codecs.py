@@ -1,11 +1,11 @@
-"""Pure-numpy media codecs: uncompressed 24-bit BMP and PCM16 WAV.
+"""Pure-numpy media codecs: uncompressed 24-bit BMP, PCM16 WAV, and
+8-bit RGB PNG (deflate + all five filter types).
 
-The container ships no PIL/ffmpeg, but these two formats are simple
-enough to implement from their public specifications with ``struct``
-and numpy alone — which upgrades the L5 decode step from a stub to a
-real byte-level decode for the formats it covers.  Compressed formats
-(PNG/JPEG/MP4) remain behind the strict-mode ``NotImplementedError``
-in :mod:`operators.multimodal`.
+The container ships no PIL/ffmpeg, but these formats are implementable
+from their public specifications with ``struct``, ``zlib`` and numpy
+alone — which upgrades the L5 decode step from a stub to a real
+byte-level decode for the formats covered.  JPEG/MP4 remain behind the
+strict-mode ``NotImplementedError`` in :mod:`operators.multimodal`.
 
 Formats (public specs):
 - BMP: BITMAPFILEHEADER (14 bytes) + BITMAPINFOHEADER (40 bytes),
@@ -13,6 +13,13 @@ Formats (public specs):
   stored B,G,R.
 - WAV: RIFF container, ``fmt `` chunk (PCM, mono or interleaved) +
   ``data`` chunk of little-endian int16 samples.
+- PNG (RFC 2083 / W3C spec): signature + chunk stream (IHDR/IDAT/
+  IEND, CRC-32 verified), IDAT = zlib-deflated scanlines, each
+  scanline prefixed by a filter byte 0-4 (None/Sub/Up/Average/Paeth).
+  Supported image type: 8-bit/channel truecolor RGB (color type 2),
+  non-interlaced — the compressed-format spirit of the reference's
+  decode-at-the-edge step (processor_app.py:150-155) with the most
+  common image container.
 
 Everything is deterministic and allocation-bounded: decoders validate
 headers and sizes before touching pixel/sample data and raise
@@ -23,6 +30,7 @@ rows, never crashes).
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
@@ -126,3 +134,162 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     if n_channels > 1:
         samples = samples.reshape(-1, n_channels)
     return samples.copy(), sample_rate
+
+
+# ---------------------------------------------------------------------------
+# PNG (8-bit RGB, filters 0-4, non-interlaced)
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_BPP = 3  # bytes per pixel (8-bit RGB)
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Paeth predictor (spec §6.6), vectorized over int16 inputs."""
+    p = a.astype(np.int16) + b.astype(np.int16) - c.astype(np.int16)
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    out = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+    return out.astype(np.uint8)
+
+
+def _filter_row(ftype: int, raw: np.ndarray, prev: np.ndarray) -> np.ndarray:
+    """Apply filter `ftype` to a raw scanline (encode direction).
+    All five filters vectorize on encode because `left` comes from the
+    RAW bytes, not the reconstruction."""
+    left = np.concatenate([np.zeros(_BPP, np.uint8), raw[:-_BPP]])
+    if ftype == 0:
+        return raw
+    if ftype == 1:
+        return raw - left  # uint8 wraparound == mod-256 arithmetic
+    if ftype == 2:
+        return raw - prev
+    if ftype == 3:
+        avg = (left.astype(np.int16) + prev.astype(np.int16)) // 2
+        return raw - avg.astype(np.uint8)
+    if ftype == 4:
+        up_left = np.concatenate([np.zeros(_BPP, np.uint8), prev[:-_BPP]])
+        return raw - _paeth(left, prev, up_left)
+    raise ValueError(f"bad PNG filter type {ftype}")
+
+
+def _unfilter_row(ftype: int, filt: np.ndarray, prev: np.ndarray) -> np.ndarray:
+    """Invert filter `ftype` (decode direction).  Sub/Average/Paeth
+    depend on the RECONSTRUCTED left pixel, so those run per-pixel
+    along the row (vector over the 3 channels); None/Up vectorize."""
+    if ftype == 0:
+        return filt.copy()
+    if ftype == 2:
+        return filt + prev
+    if ftype == 1:
+        # cumulative sum per channel stride, mod 256
+        px = filt.reshape(-1, _BPP).astype(np.int64).cumsum(axis=0) % 256
+        return px.astype(np.uint8).reshape(-1)
+    out = np.zeros_like(filt)
+    w = filt.shape[0] // _BPP
+    for x in range(w):
+        i = x * _BPP
+        left = out[i - _BPP : i] if x else np.zeros(_BPP, np.uint8)
+        up = prev[i : i + _BPP]
+        if ftype == 3:
+            pred = ((left.astype(np.int16) + up.astype(np.int16)) // 2).astype(np.uint8)
+        elif ftype == 4:
+            up_left = prev[i - _BPP : i] if x else np.zeros(_BPP, np.uint8)
+            pred = _paeth(left, up, up_left)
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[i : i + _BPP] = filt[i : i + _BPP] + pred
+    return out
+
+
+def encode_png(pixels: np.ndarray, filters: int | list[int] | None = None) -> bytes:
+    """Encode an (H, W, 3) uint8 RGB array as an 8-bit truecolor PNG.
+
+    ``filters``: scanline filter selection — None (all 0), a single
+    type 0-4 for every row, or a per-row list.  Exercising non-zero
+    types produces byte-different IDAT streams that must decode to
+    identical pixels (the round-trip tests rely on this).
+    """
+    if pixels.ndim != 3 or pixels.shape[2] != 3 or pixels.dtype != np.uint8:
+        raise ValueError(f"expected (H, W, 3) uint8, got {pixels.shape} {pixels.dtype}")
+    h, w, _ = pixels.shape
+    if isinstance(filters, int) or filters is None:
+        filters = [filters or 0] * h
+    if len(filters) != h:
+        raise ValueError(f"need {h} filter types, got {len(filters)}")
+    prev = np.zeros(w * _BPP, np.uint8)
+    scanlines = bytearray()
+    for y in range(h):
+        raw = np.ascontiguousarray(pixels[y]).reshape(-1)
+        ftype = int(filters[y])
+        scanlines.append(ftype)
+        scanlines.extend(_filter_row(ftype, raw, prev).tobytes())
+        prev = raw
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    idat = zlib.compress(bytes(scanlines), 6)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Decode an 8-bit truecolor RGB PNG to an (H, W, 3) uint8 array.
+
+    Validates the signature, per-chunk CRC-32, IHDR constraints
+    (bit depth 8, color type 2, deflate, adaptive filtering,
+    non-interlaced) and the decompressed scanline length before
+    unfiltering.  Raises ``ValueError`` on anything malformed."""
+    if len(data) < len(_PNG_SIG) + 12 or data[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat, seen_end = len(_PNG_SIG), None, bytearray(), False
+    while pos + 12 <= len(data):
+        (clen,) = struct.unpack_from(">I", data, pos)
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + clen]
+        if len(body) != clen:
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack_from(">I", data, pos + 8 + clen)
+        if crc != (zlib.crc32(ctype + body) & 0xFFFFFFFF):
+            raise ValueError(f"PNG CRC mismatch in {ctype!r}")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat.extend(body)
+        elif ctype == b"IEND":
+            seen_end = True
+            break
+        pos += 12 + clen
+    if ihdr is None or not idat or not seen_end:
+        raise ValueError("missing IHDR/IDAT/IEND")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or color != 2 or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG (depth={depth}, color={color}, interlace={interlace})"
+        )
+    if w <= 0 or h <= 0 or w * h > 64_000_000:
+        raise ValueError(f"bad PNG dimensions {w}x{h}")
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"bad PNG deflate stream: {e}") from None
+    stride = 1 + w * _BPP
+    if len(raw) != h * stride:
+        raise ValueError(f"bad scanline payload: {len(raw)} != {h * stride}")
+    arr = np.frombuffer(raw, np.uint8).reshape(h, stride)
+    out = np.zeros((h, w * _BPP), np.uint8)
+    prev = np.zeros(w * _BPP, np.uint8)
+    for y in range(h):
+        prev = _unfilter_row(int(arr[y, 0]), arr[y, 1:], prev)
+        out[y] = prev
+    return out.reshape(h, w, _BPP)

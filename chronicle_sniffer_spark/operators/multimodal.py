@@ -11,9 +11,12 @@ WAV — ``operators/codecs.py``): ``synthesize_media_encoded`` +
 ``image_stats``/``audio_stats`` below decode actual bytes, and the
 ``l5_image_decode``/``l5_audio_stats`` catalog queries verify the
 decoded statistics against closed-form DuckDB oracles end-to-end.
-Compressed formats (png/jpeg/mp4) need codecs the container doesn't
-ship (PIL/ffmpeg absent), so that decode step is stubbed two ways,
-both clearly marked:
+PNG also has a REAL codec (stdlib zlib deflate + numpy unfiltering of
+all five scanline filter types, ``operators/codecs.py``), verified by
+the ``l5_png_decode`` catalog query the same closed-form way.  The
+remaining compressed formats (jpeg/mp4) need codecs the container
+doesn't ship (PIL/ffmpeg absent), so that decode step is stubbed two
+ways, both clearly marked:
 
 - ``decode_image(..., strict=True)`` raises ``NotImplementedError``
   where a real codec would run — the Spark-side plumbing (schema,
@@ -152,11 +155,11 @@ def sample_frames(media: DataFrame, every_ms: int = 200) -> Column | DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Real codecs (BMP / PCM-WAV — pure numpy, no external libs; see
-# operators/codecs.py).  These upgrade the decode step from stub to a
-# real byte-level decode for the formats simple enough to implement
-# from their public specs.  Compressed formats (png/jpeg/mp4) remain
-# behind the strict-mode NotImplementedError above.
+# Real codecs (BMP / PCM-WAV / PNG — pure numpy + stdlib zlib, no
+# external libs; see operators/codecs.py).  These upgrade the decode
+# step from stub to a real byte-level decode.  The remaining
+# compressed formats (jpeg/mp4) stay behind the strict-mode
+# NotImplementedError above.
 # ---------------------------------------------------------------------------
 
 IMAGE_STATS_DDL = (
@@ -276,3 +279,69 @@ def audio_stats(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.filter(F.col("kind") == "audio").mapInPandas(op, AUDIO_STATS_DDL)
+
+
+def synthesize_png_corpus(documents: DataFrame) -> DataFrame:
+    """PNG corpus with REAL compressed payloads, derived only from
+    doc_id (closed-form → DuckDB-oracle-checkable through the codec):
+    solid-color 8-bit RGB PNGs on the doc_id % 3 == 2 slot, dims and
+    color from doc_id, and the scanline filter type CYCLING
+    (doc_id + row) % 5 — so every decode path (None/Sub/Up/Average/
+    Paeth unfiltering, deflate, CRC) runs against real bytes on every
+    image.  Scan pruned to doc_id; no text bytes travel."""
+    import pandas as pd
+
+    from chronicle_sniffer_spark.operators.codecs import encode_png
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows: dict[str, list] = {"media_id": [], "kind": [], "payload": [], "meta": []}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 12 + (d % 9) * 4, 12 + (d % 7) * 4
+                color = np.array([(d * 3) % 256, (d * 5) % 256, (d * 11) % 256], np.uint8)
+                px = np.broadcast_to(color, (h, w, 3)).astype(np.uint8)
+                payload = encode_png(px, [(d + y) % 5 for y in range(h)])
+                meta = dict.fromkeys(
+                    ("format", "width", "height", "sample_rate", "duration_ms", "n_frames")
+                )
+                meta.update(format="png", width=w, height=h)
+                rows["media_id"].append(d)
+                rows["kind"].append("image")
+                rows["payload"].append(payload)
+                rows["meta"].append(meta)
+            yield pd.DataFrame(rows)
+
+    return (
+        documents.filter(F.col("doc_id") % 3 == 2).select("doc_id").mapInPandas(op, MEDIA_DDL)
+    )
+
+
+def png_stats(media: DataFrame) -> DataFrame:
+    """Real PNG decode → per-image dimensions and channel means
+    (same narrow Arrow-batched shape as :func:`image_stats`)."""
+    import pandas as pd
+
+    from chronicle_sniffer_spark.operators.codecs import decode_png
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in (
+                "media_id", "width", "height", "n_pixels", "mean_r", "mean_g", "mean_b"
+            )}
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                px = decode_png(bytes(b))
+                h, w, _ = px.shape
+                m = px.reshape(-1, 3).astype("f8").mean(axis=0)
+                out["media_id"].append(int(mid))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_pixels"].append(w * h)
+                out["mean_r"].append(float(m[0]))
+                out["mean_g"].append(float(m[1]))
+                out["mean_b"].append(float(m[2]))
+            yield pd.DataFrame(out)
+
+    return media.filter(F.col("kind") == "image").mapInPandas(op, IMAGE_STATS_DDL)

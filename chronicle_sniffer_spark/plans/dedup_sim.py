@@ -461,3 +461,37 @@ def l5_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return audio_stats(synthesize_media_encoded(_t(spark, sf_dir, "documents")))
+
+
+@query(
+    "l5_png_decode",
+    section="L5",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(12 + (doc_id % 9) * 4 AS INTEGER) AS width,
+           CAST(12 + (doc_id % 7) * 4 AS INTEGER) AS height,
+           CAST((12 + (doc_id % 9) * 4) * (12 + (doc_id % 7) * 4) AS BIGINT) AS n_pixels,
+           CAST((doc_id * 3) % 256 AS DOUBLE) AS mean_r,
+           CAST((doc_id * 5) % 256 AS DOUBLE) AS mean_g,
+           CAST((doc_id * 11) % 256 AS DOUBLE) AS mean_b
+    FROM documents WHERE doc_id % 3 = 2
+    """,
+)
+def l5_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-image decode, oracle-checked end-to-end through
+    bytes: solid-color 8-bit RGB PNGs (stdlib-zlib deflate + numpy
+    unfiltering, operators/codecs.py) with the scanline filter type
+    cycling (doc_id + row) % 5, decoded back pixel-by-pixel; channel
+    means must equal the closed-form colors the construction implies.
+    Any bug in deflate framing, CRC handling, or any of the five
+    filter reconstructions (incl. sequential Average/Paeth) breaks the
+    hash match.  Upgrades L5 decode from 'uncompressed formats only':
+    the reference decodes media at the edge of the DAG
+    (processor_app.py:150-155); PNG is the most common image container
+    a curation pipeline meets."""
+    from chronicle_sniffer_spark.operators.multimodal import (
+        png_stats,
+        synthesize_png_corpus,
+    )
+
+    return png_stats(synthesize_png_corpus(_t(spark, sf_dir, "documents")))

@@ -185,18 +185,6 @@ def _stage1(df: DataFrame) -> DataFrame:
     ).withColumns(
         {
             "M_flags_tree": F.expr(f"try_cast(V_flags_tree AS {_MAPV})"),
-            "q_names": F.expr(
-                "filter(transform(map_values(dns_queries), x -> x['dns.qry.name']),"
-                " v -> v IS NOT NULL)"
-            ),
-            "q_types": F.expr(
-                "filter(transform(map_values(dns_queries), x -> x['dns.qry.type']),"
-                " v -> v IS NOT NULL)"
-            ),
-            "a_ttls": F.expr(
-                "filter(transform(map_values(dns_answers), x -> x['dns.resp.ttl']),"
-                " v -> v IS NOT NULL)"
-            ),
             # tls.record: dict OR list; only the FIRST record is analyzed
             # (SURVEY §2C.7; json2udm_cloud.py:233-236)
             "tls_rec": F.expr(
@@ -243,7 +231,75 @@ def project_udm(df: DataFrame, processing_time: str) -> DataFrame:
     ISO-8601 string like ``2025-01-01T00:00:00.000000Z``.
     """
     proc_ts = F.lit(processing_time)
+
+    # ---- ttl-error islet (the ONE interpreted operator) ------------------
+    # Higher-order functions (transform/filter/exists lambdas) are
+    # CodegenFallback expressions: a single one in a Project knocks the
+    # ENTIRE operator out of whole-stage codegen, and the ~400-expression
+    # event assembly then evaluates interpreted (measured ~3x slower on
+    # the B1 corpus).  Every former lambda in the hot path is rewritten
+    # below with codegen-supported builtins; the one irreducible lambda —
+    # "first TTL that fails int()", which needs a filter — is computed
+    # HERE, at the bottom of the DAG on the raw 3-column rows, so the
+    # interpreted operator boundary stays narrow.  The `_ttl_err_msg`
+    # shield column references `_ttl_err_raw` twice, which stops
+    # CollapseProject from inlining the lambda back up into the codegen
+    # projections (it only inlines aliases referenced once or cheap).
+    _DNS_ANS_INLINE = (
+        f"try_cast(try_element_at(try_cast(try_element_at("
+        f"try_cast(try_variant_get(_source, '$.layers') AS {_MAPV}), 'dns') AS {_MAPV}),"
+        f" 'Answers') AS {DNS_ANSWERS_DDL})"
+    )
+    _M_DNS_INLINE = (
+        f"try_cast(try_element_at("
+        f"try_cast(try_variant_get(_source, '$.layers') AS {_MAPV}), 'dns') AS {_MAPV})"
+    )
+    _A_TTLS_INLINE = (
+        f"filter(transform(map_values({_DNS_ANS_INLINE}), x -> x['dns.resp.ttl']),"
+        f" v -> v IS NOT NULL)"
+    )
+    df = df.withColumn(
+        "_ttl_err_raw",
+        F.expr(
+            f"CASE WHEN ({_M_DNS_INLINE}) IS NOT NULL AND size({_M_DNS_INLINE}) > 0"
+            f" AND exists({_A_TTLS_INLINE}, t -> try_cast(t AS int) IS NULL)"
+            f" THEN concat('invalid literal for int() with base 10: ''',"
+            f"   filter({_A_TTLS_INLINE}, t -> try_cast(t AS int) IS NULL)[0], '''')"
+            f" END"
+        ),
+    ).withColumn(
+        "_ttl_err_msg",
+        F.expr("CASE WHEN _ttl_err_raw IS NOT NULL THEN _ttl_err_raw END"),
+    )
+
     stage1 = _stage1(df)
+
+    # ---- dns arrays, codegen-safe (no lambdas) ---------------------------
+    # Null-compaction via concat_ws/split: concat_ws skips NULL elements
+    # and keeps empty strings, so split(concat_ws(S, arr), S) equals
+    # filter(arr, v -> v IS NOT NULL) for every array whose values don't
+    # contain the \x01 sentinel (tshark JSON emits printable DNS fields;
+    # documented exactness caveat).  The all-dropped result '' is
+    # disambiguated with array_max: NULL max means every element was
+    # NULL (-> empty), a non-NULL max means a lone '' survived.
+    _SEP = "\x01"
+
+    def _compact(raw_expr: str) -> str:
+        joined = f"concat_ws('{_SEP}', {raw_expr})"
+        return (
+            f"CASE WHEN ({raw_expr}) IS NULL THEN NULL"
+            f" WHEN {joined} != '' THEN split({joined}, '{_SEP}')"
+            f" WHEN array_max({raw_expr}) IS NOT NULL THEN array('')"
+            f" ELSE CAST(array() AS array<string>) END"
+        )
+
+    stage1 = stage1.withColumns(
+        {
+            "q_names": F.expr(_compact("map_values(dns_queries).`dns.qry.name`")),
+            "q_types": F.expr(_compact("map_values(dns_queries).`dns.qry.type`")),
+            "a_ttls": F.expr(_compact("map_values(dns_answers).`dns.resp.ttl`")),
+        }
+    )
 
     P = lambda n: F.col(f"P_{n}")  # noqa: E731  (non-empty dict)
     B = lambda n: F.col(f"B_{n}")  # noqa: E731  (truthy non-dict → error)
@@ -344,11 +400,16 @@ def project_udm(df: DataFrame, processing_time: str) -> DataFrame:
     )
 
     # ---- DNS (index-guarded zip, SURVEY §2C.6; ref :194-223) -------------
+    # arrays_zip pads the shorter side with NULLs and slice(.., 1,
+    # size(q_names)) trims to the names' length — identical to the
+    # reference's `if i < len(q_types)` guard, without a lambda.
     queries_arr = F.expr(
-        "transform(q_names, (n, i) -> struct("
-        " n AS name, CASE WHEN i < size(q_types) THEN q_types[i] END AS type))"
+        "CAST(slice(arrays_zip(q_names, q_types), 1, size(q_names))"
+        " AS array<struct<name string, type string>>)"
     )
-    a_ttls_int = F.expr("transform(a_ttls, t -> try_cast(t AS int))")
+    # try_cast on an array applies per element (NULL on failure) — same
+    # as transform(a_ttls, t -> try_cast(t AS int)), lambda-free.
+    a_ttls_int = F.expr("try_cast(a_ttls AS array<int>)")
     has_queries = dns_present & (F.size("q_names") > 0)
     has_answers = dns_present & (F.size("a_ttls") > 0)
     has_resp_flag = dns_present & F.col("dns_response_flag").isNotNull()
@@ -388,6 +449,11 @@ def project_udm(df: DataFrame, processing_time: str) -> DataFrame:
     )
 
     # ---- about (append order: http host, http url, dns names, sni) ------
+    # The reference's final truthy filter (ref :283) drops ""-only
+    # items; the http/tls entries are truthy-guarded at construction,
+    # so only the dns names need the "" scrub — array_remove does it
+    # lambda-free, and arrays_zip-with-empty + cast turns the names
+    # into {hostname, url: NULL} structs without a transform.
     empty_about = F.expr(f"CAST(array() AS {_ABOUT_DDL})")
     about_http_host = F.when(
         P("http") & truthy_str(h["host"]),
@@ -399,7 +465,10 @@ def project_udm(df: DataFrame, processing_time: str) -> DataFrame:
     ).otherwise(empty_about)
     about_dns = F.when(
         has_queries,
-        F.expr("transform(q_names, n -> struct(n AS hostname, CAST(NULL AS string) AS url))"),
+        F.expr(
+            f"CAST(arrays_zip(array_remove(q_names, ''), CAST(array() AS array<string>))"
+            f" AS {_ABOUT_DDL})"
+        ),
     ).otherwise(empty_about)
     about_tls = F.when(
         P("tls") & truthy_str(F.col("tls_sni")),
@@ -408,13 +477,7 @@ def project_udm(df: DataFrame, processing_time: str) -> DataFrame:
         ),
     ).otherwise(empty_about)
     about_all = F.concat(about_http_host, about_http_url, about_dns, about_tls)
-    # ref :283 — keep items where any value is truthy (drops ""-only items)
-    about_filtered = F.filter(
-        about_all,
-        lambda x: (x["hostname"].isNotNull() & (x["hostname"] != ""))
-        | (x["url"].isNotNull() & (x["url"] != "")),
-    )
-    about_col = F.when(F.size(about_filtered) > 0, about_filtered)
+    about_col = F.when(F.size(about_all) > 0, about_all)
 
     # ---- additional ------------------------------------------------------
     empty_map = F.expr("map()").cast("map<string,string>")
@@ -464,8 +527,6 @@ def project_udm(df: DataFrame, processing_time: str) -> DataFrame:
     def int_fail(col_expr: str) -> Column:
         return F.expr(f"({col_expr} IS NOT NULL AND try_cast({col_expr} AS int) IS NULL)")
 
-    ttl_bad = F.expr("exists(a_ttls, t -> try_cast(t AS int) IS NULL)")
-    first_bad_ttl = "filter(a_ttls, t -> try_cast(t AS int) IS NULL)[0]"
     flags_tree_bad = F.expr(
         f"(V_flags_tree IS NOT NULL AND M_flags_tree IS NULL"
         f" AND to_json(V_flags_tree) NOT IN {_FALSY_JSON})"
@@ -505,7 +566,7 @@ def project_udm(df: DataFrame, processing_time: str) -> DataFrame:
             _int_err("L_http.`http.response.code`"),
         )
         .when(B("dns"), _attr_err("schema_of_variant(V_dns)"))
-        .when(dns_present & ttl_bad, _int_err(first_bad_ttl))
+        .when(F.col("_ttl_err_msg").isNotNull(), F.col("_ttl_err_msg"))
         .when(dns_present & flags_tree_bad, _attr_err("schema_of_variant(V_flags_tree)"))
         .when(B("tls"), _attr_err("schema_of_variant(V_tls)"))
         .when(P("tls") & hs_bad, _attr_err("schema_of_variant(V_tls_hs)"))
