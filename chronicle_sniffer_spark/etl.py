@@ -79,10 +79,16 @@ def write_udm_json_per_file(udm: DataFrame, out_dir: str) -> list[str]:
 
 
 def write_udm_json_array_per_file(udm: DataFrame, out_dir: str) -> list[str]:
-    """R24 byte-format parity: one ``<base>.udm.json`` file per source
-    capture, each a single JSON ARRAY of UDM events — the reference's
-    exact output shape (json2udm_cloud.py:395, naming
-    processor_app.py:139-141).
+    """R24 output-shape parity: one ``<base>.udm.json`` file per
+    source capture, each a single JSON ARRAY of UDM events — the
+    reference's output SHAPE and naming (json2udm_cloud.py:395,
+    processor_app.py:139-141).  NOT byte-identical to the reference:
+    it writes ``json.dump(..., indent=4)`` with source key order,
+    while this emits one compact sorted-key object per event (same
+    information, deterministic; a pretty-printer pass would close the
+    gap if bytes ever matter).  ``out_dir`` must be a local
+    filesystem path — the concatenation pass uses ``os`` I/O (an
+    object-store target would need fsspec or a JVM-side copy).
 
     The heavy lifting (serialize + group by source file) is the
     distributed :func:`write_udm_json_per_file`; this adds a streaming

@@ -121,21 +121,53 @@ def ann_topk(embeddings: DataFrame, query_vec_id: int, k: int = 10) -> DataFrame
     return topk.withColumn("rank", F.row_number().over(w))
 
 
-def cosine_pairs(embeddings: DataFrame, threshold: float) -> DataFrame:
-    """Exact all-pairs cosine ≥ threshold (doc-level near-dup by
-    embedding).  Brute force — the oracle-checkable baseline; at scale
+def cosine_sims(embeddings: DataFrame) -> DataFrame:
+    """Exact all-pairs cosine similarities (vec_a < vec_b, 6-dp
+    rounded).  Brute force — the oracle-checkable baseline; at scale
     swap the self-join for the bucket join in :func:`ann_topk` (same
     scoring expression, candidates from shared LSH buckets)."""
     slim = embeddings.select("vec_id", as_double(F.col("embedding")).alias("v"))
     a, b = slim.alias("a"), slim.alias("b")
+    return a.join(b, F.col("a.vec_id") < F.col("b.vec_id")).select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("sim"),
+    )
+
+
+def cosine_pairs(embeddings: DataFrame, threshold: float) -> DataFrame:
+    """Exact all-pairs cosine ≥ a FIXED threshold."""
+    return cosine_sims(embeddings).filter(F.col("sim") >= threshold)
+
+
+NEAR_DUP_SIGMA = 3.5
+
+
+def robust_sigma_threshold(sims: DataFrame, c: float = NEAR_DUP_SIGMA) -> DataFrame:
+    """One-row DataFrame [thr]: ``round(mean + c * stddev_pop, 6)`` of
+    the pair-sim distribution — the corpus-DERIVED near-duplicate
+    cutoff.  A literal threshold has to track the corpus (0.45 sat
+    0.063 under the sf0.01 noise ceiling and the ceiling rises with
+    scale: max noise sim 0.48 → 0.51 → 0.60 across the shipped SFs); a
+    c-sigma cutoff rides the distribution instead.  Deterministic and
+    engine-portable: DuckDB re-derives the identical value from the
+    same 6-dp rounded sims (float-order noise in the moments is ~1e-12,
+    far inside the 6-dp rounding), so the driver hash-compare is exact."""
+    return sims.agg(
+        F.round(F.avg("sim") + F.lit(c) * F.stddev_pop("sim"), 6).alias("thr")
+    )
+
+
+def cosine_pairs_adaptive(embeddings: DataFrame) -> DataFrame:
+    """Near-dup pairs with the corpus-derived c-sigma threshold.  The
+    1-row threshold joins back by broadcast — no collect, the cutoff
+    stays inside the plan."""
+    sims = cosine_sims(embeddings)
+    thr = robust_sigma_threshold(sims)
     return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("sim"),
-        )
-        .filter(F.col("sim") >= threshold)
+        sims.crossJoin(F.broadcast(thr))
+        .filter(F.col("sim") >= F.col("thr"))
+        .select("vec_a", "vec_b", "sim")
     )
 
 

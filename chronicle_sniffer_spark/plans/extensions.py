@@ -247,13 +247,44 @@ def l4_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "l4_fingerprint",
     section="L4",
-    oracle=None,  # xxhash64 is Spark-specific; determinism golden-tested in pytest
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS t
+      FROM documents
+    ),
+    tokbits AS (
+      SELECT doc_id, b.i AS bit,
+             CASE WHEN ((strpos('0123456789abcdef',
+                                substr(md5(t), (b.i // 4) + 1, 1)) - 1)
+                        >> (b.i % 4)) & 1 = 1
+                  THEN 1 ELSE -1 END AS v
+      FROM toks, (SELECT unnest(generate_series(0, 62)) AS i) b
+    ),
+    fps AS (
+      SELECT doc_id,
+             SUM(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS fp
+      FROM (SELECT doc_id, bit, SUM(v) AS s FROM tokbits GROUP BY doc_id, bit)
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           md5(lower(regexp_replace(d.text, '[ \\t\\n\\r\\f]+', ' ', 'g'))) AS fingerprint,
+           fps.fp AS simhash
+    FROM documents d LEFT JOIN fps ON d.doc_id = fps.doc_id
+    """,
 )
 def l4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit content fingerprints + SimHash near-dup signatures."""
+    """Content fingerprint + SimHash near-dup signature per document,
+    in the md5 forms DuckDB recomputes bit-for-bit (was rows-only on
+    xxhash64, which is Spark-specific; the xxhash64 variants remain in
+    functions/text.py for throughput-first jobs, golden-tested).  The
+    fingerprint is md5 over whitespace-normalized lowercased text; the
+    signature is the operators/simhash.py 63-bit fingerprint (one md5
+    per token, codegen nibble fold, partial-aggregated vote sums)."""
+    from chronicle_sniffer_spark.operators.simhash import simhash_fingerprints
+
     d = _t(spark, sf_dir, "documents")
+    fps = simhash_fingerprints(d.select("doc_id", "text"))
     return d.select(
         "doc_id",
-        TX.fingerprint64(F.col("text")).alias("fingerprint"),
-        TX.simhash64(F.col("text")).alias("simhash"),
-    )
+        F.md5(F.lower(F.regexp_replace("text", "[ \\t\\n\\r\\f]+", " "))).alias("fingerprint"),
+    ).join(fps.select("doc_id", F.col("fp").alias("simhash")), "doc_id", "left")

@@ -14,7 +14,6 @@ contract (SURVEY §2C.8):
 
 from __future__ import annotations
 
-import json
 import os
 from dataclasses import dataclass, field
 
@@ -53,9 +52,19 @@ class DlqSink:
     ``filename`` key.  Output files are written once per filename
     (overwrite = idempotent under redelivery); a failing filename is
     retried up to ``max_attempts`` deliveries, then routed to the DLQ
-    exactly once.  Attempt counts persist in ``state_dir`` so the
-    contract survives restarts (the reference delegates this to
-    Pub/Sub's delivery accounting).
+    exactly once.
+
+    The ledger is EXECUTOR-SIDE marker files under ``state_dir``
+    (``done/<fn>``, ``dlq/<fn>``, ``attempts/<fn>/<k>``) — one write
+    per filename event, no driver ``collect()`` and no single mutable
+    state blob.  ``distinct()`` gives each filename exactly one owner
+    task per batch, so marker writes never race; on a cluster the same
+    layout lands on shared storage (the pattern of Spark's own
+    ``_spark_metadata`` commit logs).  Earlier rounds collected the
+    filenames to the driver and rewrote one attempts.json per batch —
+    bounded by ``maxFilesPerTrigger``, but a needless driver hop and a
+    serialization point at 100× the file count.  The reference
+    delegates this accounting to Pub/Sub delivery counts.
     """
 
     out_dir: str
@@ -63,45 +72,56 @@ class DlqSink:
     max_attempts: int = 5
     fail_filenames: set[str] = field(default_factory=set)  # test hook: simulated failures
 
-    def _state_path(self) -> str:
-        return os.path.join(self.state_dir, "attempts.json")
-
-    def _load(self) -> dict:
-        try:
-            with open(self._state_path()) as f:
-                return json.load(f)
-        except FileNotFoundError:
-            return {"attempts": {}, "done": [], "dlq": []}
-
-    def _save(self, st: dict) -> None:
-        os.makedirs(self.state_dir, exist_ok=True)
-        tmp = self._state_path() + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(st, f)
-        os.replace(tmp, self._state_path())  # atomic commit marker (R5)
-
     def process(self, batch_df: DataFrame, epoch_id: int) -> None:
-        st = self._load()
-        os.makedirs(self.out_dir, exist_ok=True)
-        # small per-batch control metadata — the data plane stays distributed;
-        # only filenames (the reference's IR, SURVEY §3) reach the driver
-        for row in batch_df.select("filename").distinct().collect():
-            fn = row.filename
-            if fn in st["done"] or fn in st["dlq"]:
-                continue  # redelivery of a completed file: idempotent no-op
-            attempts = st["attempts"].get(fn, 0) + 1
-            st["attempts"][fn] = attempts
-            try:
-                if fn in self.fail_filenames:
-                    raise RuntimeError(f"simulated processing failure for {fn}")
-                out = os.path.join(self.out_dir, fn + ".out")
-                with open(out, "w") as f:
-                    f.write(f"processed epoch={epoch_id}\n")
-                st["done"].append(fn)
-            except Exception:  # noqa: BLE001
-                if attempts >= self.max_attempts:
-                    st["dlq"].append(fn)  # dead-letter exactly once
-        self._save(st)
+        out_dir, state_dir = self.out_dir, self.state_dir
+        max_attempts, fail = self.max_attempts, set(self.fail_filenames)
+
+        def handle(rows) -> None:
+            import os as _os
+
+            for row in rows:
+                fn = row.filename
+                done_m = _os.path.join(state_dir, "done", fn)
+                dlq_m = _os.path.join(state_dir, "dlq", fn)
+                if _os.path.exists(done_m) or _os.path.exists(dlq_m):
+                    continue  # redelivery of a completed file: idempotent no-op
+                att_dir = _os.path.join(state_dir, "attempts", fn)
+                _os.makedirs(att_dir, exist_ok=True)
+                attempts = len(_os.listdir(att_dir)) + 1
+                with open(_os.path.join(att_dir, f"{attempts:06d}"), "w") as f:
+                    f.write(f"epoch={epoch_id}\n")
+                try:
+                    if fn in fail:
+                        raise RuntimeError(f"simulated processing failure for {fn}")
+                    _os.makedirs(out_dir, exist_ok=True)
+                    out = _os.path.join(out_dir, fn + ".out")
+                    tmp = out + ".tmp"
+                    with open(tmp, "w") as f:
+                        f.write(f"processed epoch={epoch_id}\n")
+                    _os.replace(tmp, out)  # atomic publish (R5)
+                    _os.makedirs(_os.path.dirname(done_m), exist_ok=True)
+                    with open(done_m, "w") as f:
+                        f.write(f"epoch={epoch_id}\n")
+                except Exception:  # noqa: BLE001
+                    if attempts >= max_attempts:
+                        _os.makedirs(_os.path.dirname(dlq_m), exist_ok=True)
+                        with open(dlq_m, "w") as f:
+                            f.write(f"epoch={epoch_id}\n")  # dead-letter exactly once
+
+        batch_df.select("filename").distinct().foreachPartition(handle)
 
     def state(self) -> dict:
-        return self._load()
+        """Aggregate the marker ledger into the classic shape
+        ``{attempts: {fn: n}, done: [...], dlq: [...]}``."""
+
+        def names(sub: str) -> list[str]:
+            try:
+                return sorted(os.listdir(os.path.join(self.state_dir, sub)))
+            except FileNotFoundError:
+                return []
+
+        attempts = {
+            fn: len(os.listdir(os.path.join(self.state_dir, "attempts", fn)))
+            for fn in names("attempts")
+        }
+        return {"attempts": attempts, "done": names("done"), "dlq": names("dlq")}

@@ -111,3 +111,39 @@ def test_connected_components_raises_when_iter_capped(spark):
     )
     with _pytest.raises(RuntimeError, match="not converged"):
         connected_components(chain, max_iter=2)
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup: corpus-derived threshold margin
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("sf_dir", [
+    "/root/testdata/sf0.001",
+    "/root/testdata/sf0.01",
+    "/root/testdata/sf0.1",
+])
+def test_embedding_threshold_robust_at_every_sf(spark, sf_dir):
+    """The corpus-derived c-sigma cutoff must be non-vacuous (both
+    sides populated) and selective (<0.1% of pairs) at every shipped
+    scale factor — the properties the old 0.45 literal lost as the
+    noise ceiling rose with SF (max sim 0.48 → 0.51 → 0.60)."""
+    from pyspark.sql import functions as F
+
+    from chronicle_sniffer_spark.operators.similarity import (
+        cosine_sims,
+        robust_sigma_threshold,
+    )
+    from chronicle_sniffer_spark.tables import load_table
+
+    sims = cosine_sims(load_table(spark, sf_dir, "embeddings")).cache()
+    try:
+        thr = robust_sigma_threshold(sims).first()["thr"]
+        # the derivation tracks the (stable) noise distribution, not SF
+        assert 0.3 < thr < 0.6, f"{sf_dir}: threshold {thr} outside sane band"
+        n_above = sims.filter(F.col("sim") >= thr).count()
+        n_total = sims.count()
+        assert n_above > 0, f"{sf_dir}: vacuous threshold (no pairs above)"
+        assert n_above < n_total * 0.001, f"{sf_dir}: {n_above}/{n_total} above — not selective"
+    finally:
+        sims.unpersist()
