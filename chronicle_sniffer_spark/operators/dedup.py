@@ -32,8 +32,37 @@ content-similarity dedup for training-data pipelines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def ngram_zip_expr(n: int, words_sql: str = "split(text, ' ')") -> str:
+    """SQL for the word-n-gram array WITHOUT a lambda: zip the words
+    array with its own k-shifted slices and trim to the gram count.
+
+    transform(sequence(...), i -> array_join(slice(words, i, n)))
+    computes the same grams, but higher-order functions are
+    CodegenFallback expressions — one in a Project/Generate knocks the
+    operator out of whole-stage codegen and the gram fan-out evaluates
+    interpreted (measured 2.5x slower at sf0.1).  arrays_zip pads the
+    shorter slices with NULL and the gram join skips NULLs, which
+    reproduces array_join's short-gram behavior for docs with fewer
+    than n words.  Callers concat_ws(' ', z.`0`, ..., z.`n-1`) after
+    exploding."""
+    shifts = ", ".join(
+        f"slice({words_sql}, {k + 1}, greatest(size({words_sql}) - {k}, 0))"
+        for k in range(1, n)
+    )
+    return (
+        f"slice(arrays_zip({words_sql}, {shifts}),"
+        f" 1, greatest(size({words_sql}) - {n - 1}, 1))"
+    )
+
+
+def ngram_gram_col(n: int, zipped: str = "z") -> Column:
+    """concat_ws over the zipped struct's positional fields (skips the
+    NULL padding on short docs)."""
+    return F.concat_ws(" ", *[F.col(f"{zipped}.`{k}`") for k in range(n)])
 
 
 def word_ngrams(docs: DataFrame, n: int = 3) -> DataFrame:
@@ -41,13 +70,15 @@ def word_ngrams(docs: DataFrame, n: int = 3) -> DataFrame:
 
     Repartition before the explode so the ~|text|× fan-out map stage
     doesn't run in the scan's (possibly single-file) partitioning.
+    Gram generation is the lambda-free zip form (whole-stage codegen;
+    see :func:`ngram_zip_expr`).
     """
     docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism, "doc_id")
-    grams = F.expr(
-        f"transform(sequence(1, greatest(size(split(text, ' ')) - {n - 1}, 1)),"
-        f" i -> array_join(slice(split(text, ' '), i, {n}), ' '))"
+    return (
+        docs.select("doc_id", F.explode(F.expr(ngram_zip_expr(n))).alias("z"))
+        .select("doc_id", ngram_gram_col(n).alias("gram"))
+        .distinct()
     )
-    return docs.select("doc_id", F.explode(grams).alias("gram")).distinct()
 
 
 def ngram_jaccard_pairs(

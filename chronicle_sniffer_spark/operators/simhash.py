@@ -57,10 +57,12 @@ def simhash_fingerprints(docs: DataFrame) -> DataFrame:
     recomputed md5 once per nibble, which measured ~700 s CPU on one
     partition at sf0.1; this shape runs the same corpus in seconds and
     parallelizes by document."""
+    # row-level filter after the explode, not an array filter lambda:
+    # higher-order functions are CodegenFallback and would knock the
+    # fan-out operator out of whole-stage codegen
     tokens = docs.select(
-        "doc_id",
-        F.explode(F.expr("filter(split(lower(text), ' '), x -> x != '')")).alias("t"),
-    )
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("t")
+    ).filter(F.col("t") != "")
     tokv = tokens.withColumn("h", F.md5("t")).withColumn(
         "tokv", F.expr(f"({_TOKV}) & {(1 << SIMHASH_BITS) - 1}")
     )

@@ -400,11 +400,13 @@ def l4_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc ratio aggregation."""
 
     def grams(df: DataFrame) -> DataFrame:
-        e = F.expr(
-            f"transform(sequence(1, greatest(size(split(text, ' ')) - {CONTAM_N - 1}, 1)),"
-            f" i -> array_join(slice(split(text, ' '), i, {CONTAM_N}), ' '))"
+        from chronicle_sniffer_spark.operators.dedup import ngram_gram_col, ngram_zip_expr
+
+        return (
+            df.select("doc_id", F.explode(F.expr(ngram_zip_expr(CONTAM_N))).alias("z"))
+            .select("doc_id", ngram_gram_col(CONTAM_N).alias("gram"))
+            .distinct()
         )
-        return df.select("doc_id", F.explode(e).alias("gram")).distinct()
 
     docs = _t(spark, sf_dir, "documents")
     tg = grams(docs.filter(F.col("doc_id") % 10 != 0))

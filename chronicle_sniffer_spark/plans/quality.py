@@ -101,18 +101,23 @@ def l4_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
 def l4_top_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-2-gram share per document (the Gopher "fraction of
     characters in the most common n-gram" signal at word granularity).
-    Bigrams are built with a sequence/transform expression (JVM-side,
-    no UDF); the guard keeps Spark's descending-sequence edge case
-    (sequence(1,0) == [1,0]) from minting bogus pairs on 1-word docs —
-    DuckDB's generate_series(1,0) is empty, and explode-of-empty drops
-    the row identically in both engines."""
+    Bigrams are built with the lambda-free arrays_zip form (JVM-side,
+    whole-stage codegen — a transform lambda would knock the fan-out
+    Project out of codegen); the size guard keeps 1-word docs from
+    minting bogus pairs — DuckDB's generate_series(1,0) is empty, and
+    explode-of-empty drops the row identically in both engines."""
     d = _t(spark, sf_dir, "documents")
     ws = d.select("doc_id", F.split("text", " ").alias("a"))
     bigrams = F.when(
         F.size("a") >= 2,
-        F.expr("transform(sequence(1, size(a) - 1), i -> concat(a[i-1], ' ', a[i]))"),
-    ).otherwise(F.array().cast("array<string>"))
-    bg = ws.select("doc_id", F.explode(bigrams).alias("b"))
+        F.expr(
+            "CAST(slice(arrays_zip(a, slice(a, 2, greatest(size(a) - 1, 0))),"
+            " 1, greatest(size(a) - 1, 1)) AS array<struct<`0` string, `1` string>>)"
+        ),
+    ).otherwise(F.array().cast("array<struct<`0` string, `1` string>>"))
+    bg = ws.select("doc_id", F.explode(bigrams).alias("z")).select(
+        "doc_id", F.concat_ws(" ", F.col("z.`0`"), F.col("z.`1`")).alias("b")
+    )
     bc = bg.groupBy("doc_id", "b").agg(F.count("*").alias("c"))
     return bc.groupBy("doc_id").agg(
         F.sum("c").alias("n_bigrams"),
