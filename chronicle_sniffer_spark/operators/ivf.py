@@ -148,4 +148,61 @@ def ivf_topk(
     return topk.withColumn("rank", F.row_number().over(w))
 
 
-__all__ = ["train_centroids", "ivf_topk", "N_CENTROIDS", "N_ITER", "N_PROBE"]
+def ivf_index_write(
+    embeddings: DataFrame,
+    index_dir: str,
+    n_centroids: int = N_CENTROIDS,
+    n_iter: int = N_ITER,
+) -> list[tuple[int, list[float]]]:
+    """Materialize the inverted file as a cid-PARTITIONED parquet
+    layout (``index_dir/cells/cid=<k>/...`` + ``index_dir/centroids``)
+    — the on-disk form where the probe's IN filter becomes partition
+    pruning at the scan (asserted by
+    tests/test_ivf.py::test_probe_filter_prunes_partitions).  At
+    100 TB the index is written once and served many times; each query
+    then reads ``n_probe/n_centroids`` of the corpus bytes."""
+    spark = embeddings.sparkSession
+    centroids = train_centroids(embeddings, n_centroids, n_iter)
+    vecs = embeddings.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    assigned = _assign(vecs, _centroid_df(spark, centroids))
+    assigned.write.partitionBy("cid").mode("overwrite").parquet(f"{index_dir}/cells")
+    _centroid_df(spark, centroids).write.mode("overwrite").parquet(f"{index_dir}/centroids")
+    return centroids
+
+
+def ivf_topk_from_index(
+    spark,
+    index_dir: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = N_PROBE,
+) -> DataFrame:
+    """Probe a materialized index: nearest ``n_probe`` centroids from
+    the KB-sized centroid table, then an IN filter on ``cid`` that the
+    partitioned layout turns into partition pruning — only the probed
+    cells' files are listed or read."""
+    centroids = [
+        (r.cid, list(r.cvec)) for r in spark.read.parquet(f"{index_dir}/centroids").collect()
+    ]
+
+    def d2(a: list[float], b: list[float]) -> float:
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    probe = [cid for cid, c in sorted(centroids, key=lambda c: (d2(c[1], query_vec), c[0]))[:n_probe]]
+    qcol = F.array(*[F.lit(x) for x in query_vec])
+    cells = spark.read.parquet(f"{index_dir}/cells").filter(F.col("cid").isin(probe))
+    scored = cells.select("vec_id", F.round(cosine(F.col("v"), qcol), 6).alias("sim"))
+    topk = scored.orderBy(F.col("sim").desc(), F.col("vec_id")).limit(k)
+    w = Window.orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return topk.withColumn("rank", F.row_number().over(w))
+
+
+__all__ = [
+    "train_centroids",
+    "ivf_topk",
+    "ivf_index_write",
+    "ivf_topk_from_index",
+    "N_CENTROIDS",
+    "N_ITER",
+    "N_PROBE",
+]

@@ -68,6 +68,7 @@ _SUBMODULES = (
     "chronicle_sniffer_spark.plans.tpch_extra",
     "chronicle_sniffer_spark.plans.curation",
     "chronicle_sniffer_spark.plans.quality",
+    "chronicle_sniffer_spark.plans.partsupp",
 )
 
 

@@ -1,7 +1,8 @@
 """Remaining TPC-H plan shapes expressible over the reduced testdata
-schema (no ``partsupp`` table, so Q2/Q9/Q11/Q16/Q20 are out of reach;
-Q12/Q19/Q21 are adapted to the available columns, keeping their plan
-shape intact).
+schema (Q12/Q19/Q21 are adapted to the available columns, keeping
+their plan shape intact; Q2/Q9/Q11/Q16/Q20 — which need ``partsupp``
+— live in :mod:`plans.partsupp` over a deterministically DERIVED
+partsupp both engines build identically).
 
 These complete the join/decorrelation surface of SURVEY.md §2B (J2,
 J5, A6, P3, scalar subqueries): self-joined nation pairs with a

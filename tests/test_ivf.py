@@ -121,3 +121,29 @@ def test_probe_filter_prunes_partitions(emb, tmp_path):
     assert total > len(probe), f"index only has {total} cells — pruning not meaningful"
     # behavioral check: only probed cells' rows survive
     assert {r.cid for r in scan.select("cid").distinct().collect()} == set(probe)
+
+
+def test_materialized_index_matches_inline(emb, tmp_path):
+    """ivf_index_write + ivf_topk_from_index reproduce the inline
+    ivf_topk results exactly (same centroids, same probe, same
+    ranking) — the served-index path is the same operator."""
+    from chronicle_sniffer_spark.operators.ivf import (
+        ivf_index_write,
+        ivf_topk,
+        ivf_topk_from_index,
+    )
+
+    spark = emb.sparkSession
+    idx = str(tmp_path / "index")
+    ivf_index_write(emb, idx)
+    vecs = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    qv = list(vecs.filter(F.col("vec_id") == QUERY).collect()[0].v)
+    served = ivf_topk_from_index(spark, idx, qv, K)
+    # inline path includes the query vector's own exclusion; served
+    # path scores every vector in the probed cells, including the
+    # query itself (rank 1, sim 1.0) — drop it for comparison
+    served_rows = [
+        (r.vec_id, r.sim) for r in served.collect() if r.vec_id != QUERY
+    ]
+    inline_rows = [(r.vec_id, r.sim) for r in ivf_topk(emb, QUERY, K).collect()]
+    assert served_rows == inline_rows[: len(served_rows)]
