@@ -13,10 +13,12 @@ WAV — ``operators/codecs.py``): ``synthesize_media_encoded`` +
 decoded statistics against closed-form DuckDB oracles end-to-end.
 PNG also has a REAL codec (stdlib zlib deflate + numpy unfiltering of
 all five scanline filter types, ``operators/codecs.py``), verified by
-the ``l5_png_decode`` catalog query the same closed-form way.  The
-remaining compressed formats (jpeg/mp4) need codecs the container
-doesn't ship (PIL/ffmpeg absent), so that decode step is stubbed two
-ways, both clearly marked:
+the ``l5_png_decode`` catalog query the same closed-form way, and
+baseline grayscale JPEG has a REAL entropy pipeline
+(``operators/jpeg.py`` — DCT, zigzag, DC/AC Huffman, byte stuffing),
+verified by ``l5_jpeg_decode``.  The remaining formats (color JPEG,
+MP4) need codecs the container doesn't ship (PIL/ffmpeg absent), so
+that decode step is stubbed two ways, both clearly marked:
 
 - ``decode_image(..., strict=True)`` raises ``NotImplementedError``
   where a real codec would run — the Spark-side plumbing (schema,
@@ -155,11 +157,11 @@ def sample_frames(media: DataFrame, every_ms: int = 200) -> Column | DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Real codecs (BMP / PCM-WAV / PNG — pure numpy + stdlib zlib, no
-# external libs; see operators/codecs.py).  These upgrade the decode
-# step from stub to a real byte-level decode.  The remaining
-# compressed formats (jpeg/mp4) stay behind the strict-mode
-# NotImplementedError above.
+# Real codecs (BMP / PCM-WAV / PNG / baseline grayscale JPEG — pure
+# numpy + stdlib zlib, no external libs; operators/codecs.py and
+# operators/jpeg.py).  These upgrade the decode step from stub to a
+# real byte-level decode.  Color JPEG and MP4 stay behind the
+# strict-mode NotImplementedError above.
 # ---------------------------------------------------------------------------
 
 IMAGE_STATS_DDL = (
@@ -345,3 +347,66 @@ def png_stats(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.filter(F.col("kind") == "image").mapInPandas(op, IMAGE_STATS_DDL)
+
+
+JPEG_STATS_DDL = "media_id bigint, width int, height int, n_pixels bigint, mean_gray double"
+
+
+def synthesize_jpeg_corpus(documents: DataFrame) -> DataFrame:
+    """Baseline-JPEG corpus with REAL entropy-coded payloads
+    (operators/jpeg.py), derived only from doc_id: solid grayscale
+    images whose level-shift offset is EVEN, so the Annex-K quantized
+    DC reconstructs the value bit-exactly and the decoded statistics
+    are closed-form (catalog `l5_jpeg_decode`).  Exercises the full
+    pipeline — DCT, zigzag, DC-diff + AC Huffman, byte stuffing —
+    through real bytes on every image."""
+    import numpy as np
+    import pandas as pd
+
+    from chronicle_sniffer_spark.operators.jpeg import encode_jpeg_gray
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {"media_id": [], "kind": [], "payload": [], "meta": []}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 8 * (2 + d % 5), 8 * (2 + d % 3)
+                v = 2 * ((d * 7) % 128)
+                payload = encode_jpeg_gray(np.full((h, w), v, dtype=np.uint8))
+                meta = dict.fromkeys(
+                    ("format", "width", "height", "sample_rate", "duration_ms", "n_frames")
+                )
+                meta.update(format="jpeg", width=w, height=h)
+                rows["media_id"].append(d)
+                rows["kind"].append("image")
+                rows["payload"].append(payload)
+                rows["meta"].append(meta)
+            yield pd.DataFrame(rows)
+
+    return (
+        documents.filter(F.col("doc_id") % 3 == 0).select("doc_id").mapInPandas(op, MEDIA_DDL)
+    )
+
+
+def jpeg_stats(media: DataFrame) -> DataFrame:
+    """Real baseline-JPEG decode → dimensions + mean gray level."""
+    import pandas as pd
+
+    from chronicle_sniffer_spark.operators.jpeg import decode_jpeg_gray
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in (
+                "media_id", "width", "height", "n_pixels", "mean_gray"
+            )}
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                px = decode_jpeg_gray(bytes(b))
+                h, w = px.shape
+                out["media_id"].append(int(mid))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_pixels"].append(w * h)
+                out["mean_gray"].append(float(px.astype("f8").mean()))
+            yield pd.DataFrame(out)
+
+    return media.filter(F.col("kind") == "image").mapInPandas(op, JPEG_STATS_DDL)

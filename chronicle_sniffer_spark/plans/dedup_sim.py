@@ -524,3 +524,32 @@ def l5_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return png_stats(synthesize_png_corpus(_t(spark, sf_dir, "documents")))
+
+
+@query(
+    "l5_jpeg_decode",
+    section="L5",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(8 * (2 + doc_id % 5) AS INTEGER) AS width,
+           CAST(8 * (2 + doc_id % 3) AS INTEGER) AS height,
+           CAST(8 * (2 + doc_id % 5) * 8 * (2 + doc_id % 3) AS BIGINT) AS n_pixels,
+           CAST(2 * ((doc_id * 7) % 128) AS DOUBLE) AS mean_gray
+    FROM documents WHERE doc_id % 3 = 0
+    """,
+)
+def l5_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG decode, oracle-checked through entropy-coded
+    bytes: solid grayscale JPEGs (operators/jpeg.py — 8x8 DCT, Annex-K
+    quantization + Huffman tables, DC-difference/AC run-length coding,
+    byte stuffing) built with EVEN level-shift offsets, so quantized
+    DC reconstructs the gray value bit-exactly and DuckDB recomputes
+    the decoded means in closed form.  Any bug in the bit reader,
+    Huffman tables, zigzag order, dequantization, or IDCT breaks the
+    hash match."""
+    from chronicle_sniffer_spark.operators.multimodal import (
+        jpeg_stats,
+        synthesize_jpeg_corpus,
+    )
+
+    return jpeg_stats(synthesize_jpeg_corpus(_t(spark, sf_dir, "documents")))

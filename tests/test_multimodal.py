@@ -247,3 +247,78 @@ def test_png_corpus_decodes_on_spark(spark):
         assert abs(r["mean_r"] - float(px[:, :, 0].mean())) < 1e-9
         # solid color by construction
         assert int(px[:, :, 0].min()) == int(px[:, :, 0].max()) == (mid * 3) % 256
+
+
+# ---------------------------------------------------------------------------
+# baseline grayscale JPEG (operators/jpeg.py)
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_flat_even_offsets_exact():
+    """Flat blocks with even level-shift offsets survive Annex-K DC
+    quantization bit-exactly — the property the closed-form oracle
+    relies on — including DC-difference chaining across blocks."""
+    import numpy as np
+
+    from chronicle_sniffer_spark.operators.jpeg import decode_jpeg_gray, encode_jpeg_gray
+
+    for v in (0, 2, 64, 128, 200, 254):
+        px = np.full((16, 24), v, dtype=np.uint8)
+        assert (decode_jpeg_gray(encode_jpeg_gray(px)) == px).all()
+    halves = np.zeros((16, 32), dtype=np.uint8)
+    halves[:, :16], halves[:, 16:] = 100, 180
+    assert (decode_jpeg_gray(encode_jpeg_gray(halves)) == halves).all()
+
+
+def test_jpeg_lossy_bounds_and_determinism():
+    import numpy as np
+
+    from chronicle_sniffer_spark.operators.jpeg import decode_jpeg_gray, encode_jpeg_gray
+
+    x = np.linspace(0, 255, 64)
+    grad = np.clip(np.add.outer(x, x) / 2, 0, 255).astype(np.uint8)
+    dec = decode_jpeg_gray(encode_jpeg_gray(grad))
+    assert np.abs(dec.astype(int) - grad.astype(int)).max() <= 12
+    rng = np.random.default_rng(7)
+    noise = rng.integers(0, 256, (24, 40), dtype=np.uint8)
+    enc = encode_jpeg_gray(noise)
+    assert (decode_jpeg_gray(enc) == decode_jpeg_gray(enc)).all()
+
+
+def test_jpeg_rejects_malformed():
+    import numpy as np
+    import pytest
+
+    from chronicle_sniffer_spark.operators.jpeg import decode_jpeg_gray, encode_jpeg_gray
+
+    with pytest.raises(ValueError):
+        decode_jpeg_gray(b"NOTAJPEG")
+    good = encode_jpeg_gray(np.full((8, 8), 100, dtype=np.uint8))
+    with pytest.raises(ValueError):
+        decode_jpeg_gray(good[:-4])  # EOI gone
+    with pytest.raises(ValueError):
+        encode_jpeg_gray(np.zeros((9, 8), dtype=np.uint8))  # not multiple of 8
+
+
+def test_jpeg_corpus_decodes_on_spark(spark):
+    import numpy as np
+
+    from chronicle_sniffer_spark.operators.jpeg import decode_jpeg_gray
+    from chronicle_sniffer_spark.operators.multimodal import (
+        jpeg_stats,
+        synthesize_jpeg_corpus,
+    )
+    from chronicle_sniffer_spark.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(30)
+    media = synthesize_jpeg_corpus(docs)
+    local = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    assert local
+    got = {r["media_id"]: r for r in jpeg_stats(media).collect()}
+    assert set(got) == set(local)
+    for mid, payload in local.items():
+        px = decode_jpeg_gray(payload)
+        r = got[mid]
+        assert (r["height"], r["width"]) == px.shape
+        assert r["mean_gray"] == float(px.astype("f8").mean()) == 2 * ((mid * 7) % 128)
