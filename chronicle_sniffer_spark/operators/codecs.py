@@ -137,6 +137,101 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
 
 
 # ---------------------------------------------------------------------------
+# MP4 / ISO BMFF container (box parse only — sample decode is the
+# stubbed step; ISO/IEC 14496-12 box grammar is public)
+# ---------------------------------------------------------------------------
+
+
+def encode_mp4_skeleton(duration_ms: int, timescale: int = 1000, n_tracks: int = 1) -> bytes:
+    """Minimal valid ISO-BMFF structure: ftyp + moov(mvhd + trak(tkhd)
+    per track) + a placeholder mdat.  Carries real container metadata
+    (timescale, duration, track count) in spec-correct boxes; no
+    samples — the codec layer (H.264 etc.) is out of scope."""
+
+    def box(btype: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", len(body) + 8) + btype + body
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    duration = duration_ms * timescale // 1000
+    mvhd = box(
+        b"mvhd",
+        struct.pack(">B3x", 0)  # version 0, flags
+        + struct.pack(">IIII", 0, 0, timescale, duration)  # ctime mtime ts dur
+        + struct.pack(">iH2x", 0x00010000, 0x0100)  # rate 1.0, volume 1.0
+        + b"\x00" * 8  # reserved
+        + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24  # pre_defined
+        + struct.pack(">I", n_tracks + 1),  # next_track_ID
+    )
+    traks = b""
+    for tid in range(1, n_tracks + 1):
+        tkhd = box(
+            b"tkhd",
+            struct.pack(">B3B", 0, 0, 0, 7)  # version 0, flags=enabled|in-movie
+            + struct.pack(">IIIII", 0, 0, tid, 0, duration)
+            + b"\x00" * 8
+            + struct.pack(">hhhh", 0, 0, 0, 0)
+            + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+            + struct.pack(">II", 640 << 16, 480 << 16),
+        )
+        traks += box(b"trak", tkhd)
+    moov = box(b"moov", mvhd + traks)
+    mdat = box(b"mdat", b"")
+    return ftyp + moov + mdat
+
+
+def probe_mp4(data: bytes) -> dict:
+    """Parse the box tree and return container metadata:
+    ``{major_brand, timescale, duration_ms, n_tracks}``.  Validates
+    the box grammar (sizes, nesting) and raises ``ValueError`` on
+    malformed input.  This is the real container-level half of video
+    ingestion; per-sample decode stays stubbed (no ffmpeg)."""
+    if len(data) < 16:
+        raise ValueError("not an MP4 payload")
+
+    def walk(buf: bytes, start: int, end: int):
+        pos = start
+        while pos + 8 <= end:
+            (size,) = struct.unpack_from(">I", buf, pos)
+            btype = buf[pos + 4 : pos + 8]
+            if size == 1 or size == 0:
+                raise ValueError("64-bit/to-end box sizes unsupported")
+            if size < 8 or pos + size > end:
+                raise ValueError(f"bad box size {size} for {btype!r}")
+            yield btype, pos + 8, pos + size
+            pos += size
+        if pos != end:
+            raise ValueError("trailing bytes after last box")
+
+    major = None
+    timescale = duration = None
+    n_tracks = 0
+    top = list(walk(data, 0, len(data)))
+    if not top or top[0][0] != b"ftyp":
+        raise ValueError("missing ftyp")
+    for btype, s, e in top:
+        if btype == b"ftyp":
+            major = data[s : s + 4].decode("ascii", "replace")
+        elif btype == b"moov":
+            for ityp, is_, ie in walk(data, s, e):
+                if ityp == b"mvhd":
+                    version = data[is_]
+                    if version != 0:
+                        raise ValueError("mvhd version 1 unsupported")
+                    _, _, timescale, duration = struct.unpack_from(">IIII", data, is_ + 4)
+                elif ityp == b"trak":
+                    n_tracks += 1
+    if major is None or timescale in (None, 0):
+        raise ValueError("missing moov/mvhd")
+    return {
+        "major_brand": major,
+        "timescale": timescale,
+        "duration_ms": duration * 1000 // timescale,
+        "n_tracks": n_tracks,
+    }
+
+
+# ---------------------------------------------------------------------------
 # PNG (8-bit RGB, filters 0-4, non-interlaced)
 # ---------------------------------------------------------------------------
 

@@ -182,7 +182,9 @@ def synthesize_media_encoded(documents: DataFrame) -> DataFrame:
     - doc_id % 3 == 0 → solid-color 24-bit BMP, dims/color from doc_id
     - doc_id % 3 == 1 → PCM16 WAV square wave: amplitude A from
       doc_id, alternating ±A (mean 0, RMS exactly A), 8 kHz
-    - doc_id % 3 == 2 → opaque fake-MP4 bytes (no container codec)
+    - doc_id % 3 == 2 → spec-correct ISO-BMFF skeleton (real ftyp/
+      moov/mvhd/trak boxes, duration + track count from doc_id; no
+      samples — the codec layer is the stubbed step)
 
     The encode runs in mapInPandas (Arrow batches); the scan is pruned
     to doc_id only — no text bytes travel.
@@ -214,8 +216,10 @@ def synthesize_media_encoded(documents: DataFrame) -> DataFrame:
                     kind = "audio"
                     meta.update(format="wav", sample_rate=8000, duration_ms=n // 8)
                 else:
+                    from chronicle_sniffer_spark.operators.codecs import encode_mp4_skeleton
+
                     dur = 1000 + (d % 7) * 500
-                    payload = b"\x00FAKEMP4" + d.to_bytes(8, "little")
+                    payload = encode_mp4_skeleton(dur, n_tracks=1 + d % 2)
                     kind = "video"
                     meta.update(format="mp4", duration_ms=dur, n_frames=dur // 40)
                 rows["media_id"].append(d)
@@ -410,3 +414,35 @@ def jpeg_stats(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.filter(F.col("kind") == "image").mapInPandas(op, JPEG_STATS_DDL)
+
+
+MP4_PROBE_DDL = (
+    "media_id bigint, major_brand string, timescale int, duration_ms int, n_tracks int"
+)
+
+
+def mp4_probe_stats(media: DataFrame) -> DataFrame:
+    """Real ISO-BMFF box parse over the video payloads: brand,
+    timescale, duration, track count from spec-correct ftyp/moov/mvhd/
+    trak boxes (operators/codecs.py:probe_mp4).  Per-sample decode is
+    the step that stays stubbed — this is the container-level half a
+    curation pipeline needs for filtering/routing before any codec."""
+    import pandas as pd
+
+    from chronicle_sniffer_spark.operators.codecs import probe_mp4
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in (
+                "media_id", "major_brand", "timescale", "duration_ms", "n_tracks"
+            )}
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                info = probe_mp4(bytes(b))
+                out["media_id"].append(int(mid))
+                out["major_brand"].append(info["major_brand"])
+                out["timescale"].append(info["timescale"])
+                out["duration_ms"].append(info["duration_ms"])
+                out["n_tracks"].append(info["n_tracks"])
+            yield pd.DataFrame(out)
+
+    return media.filter(F.col("kind") == "video").mapInPandas(op, MP4_PROBE_DDL)

@@ -553,3 +553,31 @@ def l5_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return jpeg_stats(synthesize_jpeg_corpus(_t(spark, sf_dir, "documents")))
+
+
+@query(
+    "l5_mp4_probe",
+    section="L5",
+    oracle="""
+    SELECT doc_id AS media_id,
+           'isom' AS major_brand,
+           CAST(1000 AS INTEGER) AS timescale,
+           CAST(1000 + (doc_id % 7) * 500 AS INTEGER) AS duration_ms,
+           CAST(1 + doc_id % 2 AS INTEGER) AS n_tracks
+    FROM documents WHERE doc_id % 3 = 2
+    """,
+)
+def l5_mp4_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL ISO-BMFF container probe, oracle-checked through bytes:
+    the video corpus now carries spec-correct ftyp/moov/mvhd/trak box
+    structures (operators/codecs.py), and the probe walks the box
+    grammar to recover brand, timescale, duration and track count —
+    the container-level half of video ingestion a curation pipeline
+    filters and routes on.  Per-sample decode (H.264 etc.) remains the
+    honest stub (no ffmpeg in the container)."""
+    from chronicle_sniffer_spark.operators.multimodal import (
+        mp4_probe_stats,
+        synthesize_media_encoded,
+    )
+
+    return mp4_probe_stats(synthesize_media_encoded(_t(spark, sf_dir, "documents")))

@@ -322,3 +322,33 @@ def test_jpeg_corpus_decodes_on_spark(spark):
         r = got[mid]
         assert (r["height"], r["width"]) == px.shape
         assert r["mean_gray"] == float(px.astype("f8").mean()) == 2 * ((mid * 7) % 128)
+
+
+# ---------------------------------------------------------------------------
+# MP4 / ISO-BMFF container probe
+# ---------------------------------------------------------------------------
+
+
+def test_mp4_skeleton_probe_roundtrip():
+    from chronicle_sniffer_spark.operators.codecs import encode_mp4_skeleton, probe_mp4
+
+    for dur, tracks in ((1000, 1), (3500, 2), (40, 1)):
+        info = probe_mp4(encode_mp4_skeleton(dur, n_tracks=tracks))
+        assert info["major_brand"] == "isom"
+        assert info["timescale"] == 1000
+        assert info["duration_ms"] == dur
+        assert info["n_tracks"] == tracks
+
+
+def test_mp4_probe_rejects_malformed():
+    import pytest
+
+    from chronicle_sniffer_spark.operators.codecs import encode_mp4_skeleton, probe_mp4
+
+    with pytest.raises(ValueError):
+        probe_mp4(b"\x00FAKEMP4" + (123).to_bytes(8, "little"))  # the old fake bytes
+    good = encode_mp4_skeleton(1000)
+    with pytest.raises(ValueError):
+        probe_mp4(good[:-4])  # truncated box
+    with pytest.raises(ValueError):
+        probe_mp4(good[8:])  # ftyp gone
