@@ -69,6 +69,16 @@ HEADLINE = (
     "l3_ann_ivf_topk",
     "l5_feature_extract",
     "t9_interval_join_batch",
+    # round-4 additions: derived-partsupp TPC-H, real compressed-media
+    # decode, adaptive embedding near-dup, span dedup
+    "j2g_q9_product_profit",
+    "sq4_q2_min_cost_supplier",
+    "a9c_q11_important_stock",
+    "l5_png_decode",
+    "l5_jpeg_decode",
+    "l5_mp4_probe",
+    "l2_embedding_near_dup",
+    "l4_span_dedup",
 )
 
 # Results small enough that collect() is the realistic consumption path.

@@ -515,3 +515,69 @@ def l4_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "w", "tf", "df", F.round("score", 6).alias("score"),
                 F.col("rnk").cast("int").alias("rnk"))
     )
+
+
+SPAN_N = 16  # tokens per span (the Lee-et-al exact-substring granularity class)
+
+
+@query(
+    "l4_span_dedup",
+    section="L4",
+    oracle=f"""
+    WITH spans AS (
+      SELECT DISTINCT doc_id, array_to_string(words[i:i+{SPAN_N - 1}], ' ') AS span
+      FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+           unnest(generate_series(1, greatest(len(words) - {SPAN_N - 1}, 1))) AS t(i)
+    ),
+    shared AS (
+      SELECT span FROM spans GROUP BY span HAVING count(DISTINCT doc_id) >= 2
+    )
+    SELECT s.doc_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(CASE WHEN sh.span IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+           round(sum(CASE WHEN sh.span IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+             AS dup_span_frac
+    FROM spans s LEFT JOIN shared sh ON s.span = sh.span
+    GROUP BY s.doc_id
+    """,
+)
+def l4_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated token spans — the exact-substring
+    dedup signal (Lee et al., "Deduplicating Training Data Makes
+    Language Models Better"): for each document, the fraction of its
+    distinct 16-token spans that also appear verbatim in at least one
+    OTHER document.  A curation pipeline cuts or down-weights the
+    flagged spans.
+
+    Scale shape: spans are generated with the lambda-free zip form
+    (whole-stage codegen), keyed by md5 so the shuffle key is 16 bytes
+    — span TEXT never shuffles; the shared-span set is an aggregation
+    on that key (count distinct docs >= 2) followed by a key join
+    back.  The oracle groups on the span text directly — identical
+    counts (md5 collisions are negligible and would fail the hash
+    match if one ever occurred)."""
+    from chronicle_sniffer_spark.operators.dedup import ngram_gram_col, ngram_zip_expr
+
+    d = _t(spark, sf_dir, "documents")
+    spans = (
+        d.select("doc_id", F.explode(F.expr(ngram_zip_expr(SPAN_N))).alias("z"))
+        .select("doc_id", F.md5(ngram_gram_col(SPAN_N)).alias("h"))
+        .distinct()
+    )
+    shared = (
+        spans.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h", F.lit(1).alias("hit"))
+    )
+    return (
+        spans.join(shared, "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_dup_spans"),
+            F.round(
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))) * 1.0 / F.count("*"), 6
+            ).alias("dup_span_frac"),
+        )
+    )
