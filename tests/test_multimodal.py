@@ -352,3 +352,54 @@ def test_mp4_probe_rejects_malformed():
         probe_mp4(good[:-4])  # truncated box
     with pytest.raises(ValueError):
         probe_mp4(good[8:])  # ftyp gone
+
+
+# ---------------------------------------------------------------------------
+# property-based codec tests (hypothesis)
+# ---------------------------------------------------------------------------
+
+
+def test_png_roundtrip_property():
+    """Any uint8 RGB array round-trips under any filter assignment."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from chronicle_sniffer_spark.operators.codecs import decode_png, encode_png
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        h=st.integers(1, 12),
+        w=st.integers(1, 12),
+        seed=st.integers(0, 2**31 - 1),
+        base_filter=st.integers(0, 4),
+    )
+    def check(h, w, seed, base_filter):
+        rng = np.random.default_rng(seed)
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        filters = [(base_filter + y) % 5 for y in range(h)]
+        assert (decode_png(encode_png(px, filters)) == px).all()
+
+    check()
+
+
+def test_jpeg_flat_exactness_property():
+    """EVERY even gray value is bit-exact through the full JPEG
+    entropy pipeline at every supported block-multiple size."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from chronicle_sniffer_spark.operators.jpeg import decode_jpeg_gray, encode_jpeg_gray
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        v=st.integers(0, 127),
+        bh=st.integers(1, 4),
+        bw=st.integers(1, 4),
+    )
+    def check(v, bh, bw):
+        px = np.full((8 * bh, 8 * bw), 2 * v, dtype=np.uint8)
+        assert (decode_jpeg_gray(encode_jpeg_gray(px)) == px).all()
+
+    check()
