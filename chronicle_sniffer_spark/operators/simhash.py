@@ -81,15 +81,16 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING) -> Da
     assert max_hamming < SIMHASH_BANDS, "pigeonhole completeness needs hamming < bands"
     mask = (1 << SIMHASH_BAND_BITS) - 1
     fps = simhash_fingerprints(docs)
+    # literal array of per-band structs (band count is a constant):
+    # lambda-free, so the fan-out Generate stays in whole-stage codegen
+    band_structs = ", ".join(
+        f"struct({k} AS band, shiftright(fp, {k * SIMHASH_BAND_BITS}) & {mask} AS val)"
+        for k in range(SIMHASH_BANDS)
+    )
     bands = fps.select(
         "doc_id",
         "fp",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {SIMHASH_BANDS - 1}), k ->"
-                f" struct(k AS band, shiftright(fp, k * {SIMHASH_BAND_BITS}) & {mask} AS val))"
-            )
-        ).alias("b"),
+        F.explode(F.expr(f"array({band_structs})")).alias("b"),
     ).select("doc_id", "fp", "b.band", "b.val")
     a, b = bands.alias("a"), bands.alias("b")
     cand = (

@@ -46,7 +46,10 @@ _BIT_WEIGHTS = [2 ** (N_BITS - 1 - i) for i in range(N_BITS)]  # [8,4,2,1]
 
 
 def as_double(emb: Column) -> Column:
-    return F.transform(emb, lambda x: x.cast("double"))
+    # array cast, not transform(x -> cast): same per-element semantics
+    # but codegen (a transform lambda is CodegenFallback and would
+    # knock the enclosing Project out of whole-stage codegen)
+    return emb.cast("array<double>")
 
 
 def dot(a: Column, b: Column) -> Column:

@@ -196,7 +196,7 @@ def l3_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/similarity.py.
     """
     e = _t(spark, sf_dir, "embeddings")
-    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    dbl = F.col("embedding").cast("array<double>")  # codegen array cast, no lambda
     q = e.filter(F.col("vec_id") == 0).select(dbl.alias("qv"))
     scored = (
         e.filter(F.col("vec_id") != 0)
