@@ -14,11 +14,13 @@ decoded statistics against closed-form DuckDB oracles end-to-end.
 PNG also has a REAL codec (stdlib zlib deflate + numpy unfiltering of
 all five scanline filter types, ``operators/codecs.py``), verified by
 the ``l5_png_decode`` catalog query the same closed-form way, and
-baseline grayscale JPEG has a REAL entropy pipeline
-(``operators/jpeg.py`` — DCT, zigzag, DC/AC Huffman, byte stuffing),
-verified by ``l5_jpeg_decode``.  The remaining formats (color JPEG,
-MP4) need codecs the container doesn't ship (PIL/ffmpeg absent), so
-that decode step is stubbed two ways, both clearly marked:
+baseline JPEG has a REAL entropy pipeline for both grayscale and
+4:4:4 YCbCr color (``operators/jpeg.py`` — DCT, zigzag, per-component
+DC/AC Huffman with interleaved MCUs, byte stuffing), verified by
+``l5_jpeg_decode``/``l5_jpeg_color_decode``.  What remains stubbed:
+chroma-subsampled (4:2:0) JPEG and per-sample video decode — codecs
+the container doesn't ship (PIL/ffmpeg absent) — two ways, both
+clearly marked:
 
 - ``decode_image(..., strict=True)`` raises ``NotImplementedError``
   where a real codec would run — the Spark-side plumbing (schema,
@@ -157,11 +159,11 @@ def sample_frames(media: DataFrame, every_ms: int = 200) -> Column | DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Real codecs (BMP / PCM-WAV / PNG / baseline grayscale JPEG — pure
-# numpy + stdlib zlib, no external libs; operators/codecs.py and
-# operators/jpeg.py).  These upgrade the decode step from stub to a
-# real byte-level decode.  Color JPEG and MP4 stay behind the
-# strict-mode NotImplementedError above.
+# Real codecs (BMP / PCM-WAV / PNG / baseline JPEG gray + 4:4:4 color
+# — pure numpy + stdlib zlib, no external libs; operators/codecs.py
+# and operators/jpeg.py).  These upgrade the decode step from stub to
+# a real byte-level decode.  Subsampled (4:2:0) JPEG and video sample
+# decode stay behind the strict-mode NotImplementedError above.
 # ---------------------------------------------------------------------------
 
 IMAGE_STATS_DDL = (
@@ -446,3 +448,72 @@ def mp4_probe_stats(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.filter(F.col("kind") == "video").mapInPandas(op, MP4_PROBE_DDL)
+
+
+JPEG_COLOR_DDL = (
+    "media_id bigint, width int, height int, mean_y double, mean_cb double, mean_cr double"
+)
+
+
+def synthesize_jpeg_color_corpus(documents: DataFrame) -> DataFrame:
+    """4:4:4 color-JPEG corpus with REAL interleaved-MCU payloads
+    (operators/jpeg.py): flat YCbCr planes on the exactness lattices —
+    luma on even level-shift offsets (Q00=16), chroma on 128+17k
+    (Q00=17) — so every plane reconstructs bit-exactly and the decoded
+    means are closed-form (catalog `l5_jpeg_color_decode`)."""
+    import numpy as np
+    import pandas as pd
+
+    from chronicle_sniffer_spark.operators.jpeg import encode_jpeg_ycbcr444
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {"media_id": [], "kind": [], "payload": [], "meta": []}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 8 * (2 + d % 4), 8 * (2 + d % 3)
+                y = 2 * ((d * 11) % 128)
+                cb = 128 + 17 * ((d % 15) - 7)
+                cr = 128 + 17 * (((d * 3) % 15) - 7)
+                pl = np.empty((h, w, 3), dtype=np.uint8)
+                pl[:, :, 0], pl[:, :, 1], pl[:, :, 2] = y, cb, cr
+                meta = dict.fromkeys(
+                    ("format", "width", "height", "sample_rate", "duration_ms", "n_frames")
+                )
+                meta.update(format="jpeg", width=w, height=h)
+                rows["media_id"].append(d)
+                rows["kind"].append("image")
+                rows["payload"].append(encode_jpeg_ycbcr444(pl))
+                rows["meta"].append(meta)
+            yield pd.DataFrame(rows)
+
+    return (
+        documents.filter(F.col("doc_id") % 3 == 1).select("doc_id").mapInPandas(op, MEDIA_DDL)
+    )
+
+
+def jpeg_color_stats(media: DataFrame) -> DataFrame:
+    """Real 4:4:4 color-JPEG decode → per-plane means (YCbCr, exact —
+    display RGB conversion is a separate, rounding step)."""
+    import pandas as pd
+
+    from chronicle_sniffer_spark.operators.jpeg import decode_jpeg_ycbcr444
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in (
+                "media_id", "width", "height", "mean_y", "mean_cb", "mean_cr"
+            )}
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                px = decode_jpeg_ycbcr444(bytes(b))
+                h, w, _ = px.shape
+                m = px.reshape(-1, 3).astype("f8").mean(axis=0)
+                out["media_id"].append(int(mid))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["mean_y"].append(float(m[0]))
+                out["mean_cb"].append(float(m[1]))
+                out["mean_cr"].append(float(m[2]))
+            yield pd.DataFrame(out)
+
+    return media.filter(F.col("kind") == "image").mapInPandas(op, JPEG_COLOR_DDL)

@@ -556,6 +556,37 @@ def l5_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "l5_jpeg_color_decode",
+    section="L5",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(8 * (2 + doc_id % 4) AS INTEGER) AS width,
+           CAST(8 * (2 + doc_id % 3) AS INTEGER) AS height,
+           CAST(2 * ((doc_id * 11) % 128) AS DOUBLE) AS mean_y,
+           CAST(128 + 17 * ((doc_id % 15) - 7) AS DOUBLE) AS mean_cb,
+           CAST(128 + 17 * (((doc_id * 3) % 15) - 7) AS DOUBLE) AS mean_cr
+    FROM documents WHERE doc_id % 3 = 1
+    """,
+)
+def l5_jpeg_color_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL 4:4:4 color-JPEG decode, oracle-checked through
+    interleaved-MCU entropy bytes: flat YCbCr planes on the exactness
+    lattices (luma even offsets for Q00=16; chroma 128+17k for
+    Q00=17), so each plane reconstructs bit-exactly and DuckDB
+    recomputes the per-plane means in closed form.  Exercises the
+    chrominance quantization + Huffman tables and the per-component
+    DC-predictor interleaving the grayscale entry cannot reach.  The
+    decoder returns YCbCr planes exactly; RGB display conversion is a
+    separate (inherently rounding) helper."""
+    from chronicle_sniffer_spark.operators.multimodal import (
+        jpeg_color_stats,
+        synthesize_jpeg_color_corpus,
+    )
+
+    return jpeg_color_stats(synthesize_jpeg_color_corpus(_t(spark, sf_dir, "documents")))
+
+
+@query(
     "l5_mp4_probe",
     section="L5",
     oracle="""

@@ -403,3 +403,81 @@ def test_jpeg_flat_exactness_property():
         assert (decode_jpeg_gray(encode_jpeg_gray(px)) == px).all()
 
     check()
+
+
+# ---------------------------------------------------------------------------
+# 4:4:4 color JPEG
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_color_flat_lattice_exact():
+    """Flat YCbCr planes on the exactness lattices (luma even offset,
+    chroma 128+17k) round-trip bit-exactly through the interleaved
+    three-component pipeline, including per-component DC chaining."""
+    import numpy as np
+
+    from chronicle_sniffer_spark.operators.jpeg import (
+        decode_jpeg_ycbcr444,
+        encode_jpeg_ycbcr444,
+    )
+
+    for y, cb, cr in ((128, 128, 128), (64, 77, 213), (0, 9, 247), (254, 128 - 17, 128 + 17)):
+        pl = np.empty((16, 32, 3), dtype=np.uint8)
+        pl[:, :, 0], pl[:, :, 1], pl[:, :, 2] = y, cb, cr
+        assert (decode_jpeg_ycbcr444(encode_jpeg_ycbcr444(pl)) == pl).all(), (y, cb, cr)
+    # two flat halves: per-component DC differences across MCUs
+    pl = np.empty((8, 32, 3), dtype=np.uint8)
+    pl[:, :16] = (100, 128, 145)
+    pl[:, 16:] = (180, 111, 128)
+    assert (decode_jpeg_ycbcr444(encode_jpeg_ycbcr444(pl)) == pl).all()
+
+
+def test_jpeg_color_lossy_bounds_and_component_mismatch():
+    import numpy as np
+    import pytest
+
+    from chronicle_sniffer_spark.operators.jpeg import (
+        decode_jpeg_gray,
+        decode_jpeg_ycbcr444,
+        encode_jpeg_gray,
+        encode_jpeg_ycbcr444,
+        ycbcr_to_rgb,
+    )
+
+    x = np.linspace(0, 255, 64)
+    grad = np.clip(np.add.outer(x[:32], x) / 2, 0, 255).astype(np.uint8)
+    pl = np.stack([grad] * 3, axis=2)
+    dec = decode_jpeg_ycbcr444(encode_jpeg_ycbcr444(pl))
+    assert np.abs(dec.astype(int) - pl.astype(int)).max() <= 20
+    rgb = ycbcr_to_rgb(dec)
+    assert rgb.shape == dec.shape and rgb.dtype == np.uint8
+    with pytest.raises(ValueError):
+        decode_jpeg_gray(encode_jpeg_ycbcr444(pl))
+    with pytest.raises(ValueError):
+        decode_jpeg_ycbcr444(encode_jpeg_gray(grad))
+
+
+def test_jpeg_color_corpus_decodes_on_spark(spark):
+    import numpy as np
+
+    from chronicle_sniffer_spark.operators.jpeg import decode_jpeg_ycbcr444
+    from chronicle_sniffer_spark.operators.multimodal import (
+        jpeg_color_stats,
+        synthesize_jpeg_color_corpus,
+    )
+    from chronicle_sniffer_spark.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(30)
+    media = synthesize_jpeg_color_corpus(docs)
+    local = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    assert local
+    got = {r["media_id"]: r for r in jpeg_color_stats(media).collect()}
+    assert set(got) == set(local)
+    for mid, payload in local.items():
+        px = decode_jpeg_ycbcr444(payload)
+        r = got[mid]
+        assert (r["height"], r["width"]) == px.shape[:2]
+        assert r["mean_y"] == 2 * ((mid * 11) % 128)
+        assert r["mean_cb"] == 128 + 17 * ((mid % 15) - 7)
+        assert r["mean_cr"] == 128 + 17 * (((mid * 3) % 15) - 7)
