@@ -76,6 +76,7 @@ HEADLINE = (
     "a9c_q11_important_stock",
     "l5_png_decode",
     "l5_jpeg_decode",
+    "l5_jpeg_color_decode",
     "l5_mp4_probe",
     "l2_embedding_near_dup",
     "l4_span_dedup",
