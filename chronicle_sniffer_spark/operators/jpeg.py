@@ -511,3 +511,159 @@ def ycbcr_to_rgb(planes: np.ndarray) -> np.ndarray:
         [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb], axis=2
     )
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def encode_jpeg_ycbcr420(planes: np.ndarray) -> bytes:
+    """Encode an (H, W, 3) uint8 YCbCr array (H, W multiples of 16) as
+    a baseline 4:2:0 JPEG: each 16×16 MCU carries four Y blocks and
+    one 2×2-mean-downsampled block each of Cb and Cr (Y sampling 2×2,
+    chroma 1×1), with per-component DC predictors."""
+    if planes.ndim != 3 or planes.shape[2] != 3 or planes.dtype != np.uint8:
+        raise ValueError(f"expected (H, W, 3) uint8 YCbCr, got {planes.shape} {planes.dtype}")
+    h, w, _ = planes.shape
+    if h % 16 or w % 16 or h == 0 or w == 0:
+        raise ValueError(f"dimensions must be non-zero multiples of 16, got {h}x{w}")
+
+    yf = planes[:, :, 0].astype(np.float64) - 128.0
+    # 2x2 mean downsample, rounded to the uint8 grid first (what a real
+    # subsampler emits), then level-shifted
+    sub = planes.astype(np.float64).reshape(h // 2, 2, w // 2, 2, 3).mean(axis=(1, 3))
+    sub = np.clip(np.round(sub), 0, 255)
+    cbf = sub[:, :, 1] - 128.0
+    crf = sub[:, :, 2] - 128.0
+
+    bw = _BitWriter()
+    prev = [0, 0, 0]
+    for my in range(0, h, 16):
+        for mx in range(0, w, 16):
+            for dy in (0, 8):
+                for dx in (0, 8):
+                    prev[0] = _encode_block(
+                        bw, yf[my + dy : my + dy + 8, mx + dx : mx + dx + 8],
+                        QTABLE, _DC_ENC, _AC_ENC, prev[0],
+                    )
+            cy, cx = my // 2, mx // 2
+            prev[1] = _encode_block(
+                bw, cbf[cy : cy + 8, cx : cx + 8], QTABLE_C, _DC_ENC_C, _AC_ENC_C, prev[1]
+            )
+            prev[2] = _encode_block(
+                bw, crf[cy : cy + 8, cx : cx + 8], QTABLE_C, _DC_ENC_C, _AC_ENC_C, prev[2]
+            )
+    scan = bw.flush()
+
+    dqt = _seg(0xFFDB, b"\x00" + bytes(QTABLE[r, c] for r, c in _ZZ)) + _seg(
+        0xFFDB, b"\x01" + bytes(QTABLE_C[r, c] for r, c in _ZZ)
+    )
+    sof = _seg(
+        0xFFC0,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + bytes([1, 0x22, 0])  # Y: 2x2 sampling
+        + bytes([2, 0x11, 1])
+        + bytes([3, 0x11, 1]),
+    )
+    dht = (
+        _seg(0xFFC4, b"\x00" + bytes(DC_BITS) + bytes(DC_VALS))
+        + _seg(0xFFC4, b"\x10" + bytes(AC_BITS) + bytes(AC_VALS))
+        + _seg(0xFFC4, b"\x01" + bytes(DC_BITS_C) + bytes(DC_VALS_C))
+        + _seg(0xFFC4, b"\x11" + bytes(AC_BITS_C) + bytes(AC_VALS_C))
+    )
+    sos = _seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    return b"\xff\xd8" + dqt + sof + dht + sos + scan + b"\xff\xd9"
+
+
+def decode_jpeg_ycbcr420(data: bytes) -> np.ndarray:
+    """Decode a baseline 4:2:0 JPEG (Y 2×2, chroma 1×1 — the shape
+    this codec emits and the most common JPEG in the wild) to
+    (H, W, 3) uint8 YCbCr planes, chroma upsampled by replication
+    (exact for flat chroma, the closed-form-oracle regime)."""
+    # reuse the segment parser by re-walking headers here with 4:2:0
+    # sampling accepted; scan layout differs from 4:4:4 so the MCU
+    # loop is dedicated
+    if len(data) < 4 or data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    dc_tables: dict[int, dict] = {}
+    ac_tables: dict[int, dict] = {}
+    h = w = -1
+    comp_quant: dict[int, int] = {}
+    samplings: dict[int, int] = {}
+    scan_comps: list[tuple[int, int, int]] = []
+    scan_start = None
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"bad marker alignment at {pos}")
+        marker = struct.unpack_from(">H", data, pos)[0]
+        if marker == 0xFFD9:
+            break
+        (seglen,) = struct.unpack_from(">H", data, pos + 2)
+        body = data[pos + 4 : pos + 2 + seglen]
+        if len(body) != seglen - 2:
+            raise ValueError("truncated JPEG segment")
+        if marker == 0xFFDB:
+            off = 0
+            while off < len(body):
+                pq, tq = body[off] >> 4, body[off] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                tbl = np.zeros((8, 8), dtype=np.int32)
+                for k, (r, c) in enumerate(_ZZ):
+                    tbl[r, c] = body[off + 1 + k]
+                qtables[tq] = tbl
+                off += 65
+        elif marker == 0xFFC0:
+            precision, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
+            if precision != 8 or ncomp != 3:
+                raise ValueError(f"unsupported SOF0 for 4:2:0 (ncomp={ncomp})")
+            for ci in range(ncomp):
+                cid, hv, tq = body[6 + 3 * ci], body[7 + 3 * ci], body[8 + 3 * ci]
+                comp_quant[cid] = tq
+                samplings[cid] = hv
+        elif marker == 0xFFC4:
+            off = 0
+            while off < len(body):
+                tc, th = body[off] >> 4, body[off] & 0x0F
+                bits = list(body[off + 1 : off + 17])
+                nv = sum(bits)
+                vals = list(body[off + 17 : off + 17 + nv])
+                (dc_tables if tc == 0 else ac_tables)[th] = _huff_decoder(bits, vals)
+                off += 17 + nv
+        elif marker == 0xFFDA:
+            if body[0] != 3:
+                raise ValueError("expected 3-component scan")
+            for si in range(3):
+                cid = body[1 + 2 * si]
+                tt = body[2 + 2 * si]
+                scan_comps.append((cid, tt >> 4, tt & 0x0F))
+            scan_start = pos + 2 + seglen
+            break
+        pos += 2 + seglen
+    if scan_start is None or h <= 0 or w <= 0:
+        raise ValueError("missing SOF/SOS")
+    if h % 16 or w % 16:
+        raise ValueError(f"dimensions must be multiples of 16, got {h}x{w}")
+    ids = [cid for cid, _, _ in scan_comps]
+    if samplings.get(ids[0]) != 0x22 or any(samplings.get(c) != 0x11 for c in ids[1:]):
+        raise ValueError("only 4:2:0 (Y 2x2, chroma 1x1) supported here")
+    tabs = []
+    for cid, tdc, tac in scan_comps:
+        tabs.append(
+            (dc_tables[tdc], ac_tables[tac], qtables[comp_quant[cid]].astype(np.float64))
+        )
+    end = data.rfind(b"\xff\xd9")
+    if end < 0:
+        raise ValueError("missing EOI")
+    reader = _BitReader(data[scan_start:end])
+    out = np.zeros((h, w, 3), dtype=np.uint8)
+    prev = [0, 0, 0]
+    for my in range(0, h, 16):
+        for mx in range(0, w, 16):
+            for dy in (0, 8):
+                for dx in (0, 8):
+                    block, prev[0] = _decode_block(reader, *tabs[0], prev[0])
+                    out[my + dy : my + dy + 8, mx + dx : mx + dx + 8, 0] = block
+            for ci in (1, 2):
+                block, prev[ci] = _decode_block(reader, *tabs[ci], prev[ci])
+                up = np.repeat(np.repeat(block, 2, axis=0), 2, axis=1)
+                out[my : my + 16, mx : mx + 16, ci] = up
+    return out

@@ -14,13 +14,13 @@ decoded statistics against closed-form DuckDB oracles end-to-end.
 PNG also has a REAL codec (stdlib zlib deflate + numpy unfiltering of
 all five scanline filter types, ``operators/codecs.py``), verified by
 the ``l5_png_decode`` catalog query the same closed-form way, and
-baseline JPEG has a REAL entropy pipeline for both grayscale and
-4:4:4 YCbCr color (``operators/jpeg.py`` — DCT, zigzag, per-component
-DC/AC Huffman with interleaved MCUs, byte stuffing), verified by
-``l5_jpeg_decode``/``l5_jpeg_color_decode``.  What remains stubbed:
-chroma-subsampled (4:2:0) JPEG and per-sample video decode — codecs
-the container doesn't ship (PIL/ffmpeg absent) — two ways, both
-clearly marked:
+baseline JPEG has a REAL entropy pipeline for grayscale, 4:4:4 color,
+AND 4:2:0 chroma-subsampled color (``operators/jpeg.py`` — DCT,
+zigzag, per-component DC/AC Huffman, four-Y-block MCU interleave,
+byte stuffing), verified by ``l5_jpeg_decode``/``l5_jpeg_color_decode``
+/``l5_jpeg420_decode``.  What remains stubbed is per-sample VIDEO
+decode only (no ffmpeg in the container) — two ways, both clearly
+marked:
 
 - ``decode_image(..., strict=True)`` raises ``NotImplementedError``
   where a real codec would run — the Spark-side plumbing (schema,
@@ -159,11 +159,11 @@ def sample_frames(media: DataFrame, every_ms: int = 200) -> Column | DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Real codecs (BMP / PCM-WAV / PNG / baseline JPEG gray + 4:4:4 color
-# — pure numpy + stdlib zlib, no external libs; operators/codecs.py
-# and operators/jpeg.py).  These upgrade the decode step from stub to
-# a real byte-level decode.  Subsampled (4:2:0) JPEG and video sample
-# decode stay behind the strict-mode NotImplementedError above.
+# Real codecs (BMP / PCM-WAV / PNG / baseline JPEG gray + 4:4:4 +
+# 4:2:0 — pure numpy + stdlib zlib, no external libs;
+# operators/codecs.py and operators/jpeg.py).  These upgrade the
+# decode step from stub to a real byte-level decode.  Only video
+# sample decode stays behind the strict-mode NotImplementedError.
 # ---------------------------------------------------------------------------
 
 IMAGE_STATS_DDL = (
@@ -506,6 +506,68 @@ def jpeg_color_stats(media: DataFrame) -> DataFrame:
             )}
             for mid, b in zip(pdf["media_id"], pdf["payload"]):
                 px = decode_jpeg_ycbcr444(bytes(b))
+                h, w, _ = px.shape
+                m = px.reshape(-1, 3).astype("f8").mean(axis=0)
+                out["media_id"].append(int(mid))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["mean_y"].append(float(m[0]))
+                out["mean_cb"].append(float(m[1]))
+                out["mean_cr"].append(float(m[2]))
+            yield pd.DataFrame(out)
+
+    return media.filter(F.col("kind") == "image").mapInPandas(op, JPEG_COLOR_DDL)
+
+
+def synthesize_jpeg420_corpus(documents: DataFrame) -> DataFrame:
+    """4:2:0 subsampled-JPEG corpus (operators/jpeg.py): flat YCbCr on
+    the exactness lattices, dims multiples of 16 — the wild's most
+    common JPEG layout, closed-form through subsampled chroma and the
+    four-Y-block MCU interleave (catalog `l5_jpeg420_decode`)."""
+    import numpy as np
+    import pandas as pd
+
+    from chronicle_sniffer_spark.operators.jpeg import encode_jpeg_ycbcr420
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {"media_id": [], "kind": [], "payload": [], "meta": []}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 16 * (1 + d % 3), 16 * (1 + d % 2)
+                y = 2 * ((d * 13) % 128)
+                cb = 128 + 17 * ((d % 13) - 6)
+                cr = 128 + 17 * (((d * 5) % 13) - 6)
+                pl = np.empty((h, w, 3), dtype=np.uint8)
+                pl[:, :, 0], pl[:, :, 1], pl[:, :, 2] = y, cb, cr
+                meta = dict.fromkeys(
+                    ("format", "width", "height", "sample_rate", "duration_ms", "n_frames")
+                )
+                meta.update(format="jpeg", width=w, height=h)
+                rows["media_id"].append(d)
+                rows["kind"].append("image")
+                rows["payload"].append(encode_jpeg_ycbcr420(pl))
+                rows["meta"].append(meta)
+            yield pd.DataFrame(rows)
+
+    return (
+        documents.filter(F.col("doc_id") % 3 == 2).select("doc_id").mapInPandas(op, MEDIA_DDL)
+    )
+
+
+def jpeg420_stats(media: DataFrame) -> DataFrame:
+    """Real 4:2:0 JPEG decode → per-plane means (YCbCr)."""
+    import pandas as pd
+
+    from chronicle_sniffer_spark.operators.jpeg import decode_jpeg_ycbcr420
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in (
+                "media_id", "width", "height", "mean_y", "mean_cb", "mean_cr"
+            )}
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                px = decode_jpeg_ycbcr420(bytes(b))
                 h, w, _ = px.shape
                 m = px.reshape(-1, 3).astype("f8").mean(axis=0)
                 out["media_id"].append(int(mid))

@@ -587,6 +587,34 @@ def l5_jpeg_color_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "l5_jpeg420_decode",
+    section="L5",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(16 * (1 + doc_id % 3) AS INTEGER) AS width,
+           CAST(16 * (1 + doc_id % 2) AS INTEGER) AS height,
+           CAST(2 * ((doc_id * 13) % 128) AS DOUBLE) AS mean_y,
+           CAST(128 + 17 * ((doc_id % 13) - 6) AS DOUBLE) AS mean_cb,
+           CAST(128 + 17 * (((doc_id * 5) % 13) - 6) AS DOUBLE) AS mean_cr
+    FROM documents WHERE doc_id % 3 = 2
+    """,
+)
+def l5_jpeg420_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL 4:2:0 chroma-subsampled JPEG decode — the wild's most
+    common JPEG layout — oracle-checked through bytes: 16×16 MCUs of
+    four Y blocks + one downsampled Cb/Cr each, flat planes on the
+    exactness lattices so subsample + entropy-code + decode +
+    replicate-upsample reconstructs every plane bit-exactly.  Closes
+    the image-decode story: every decode stub left is video samples."""
+    from chronicle_sniffer_spark.operators.multimodal import (
+        jpeg420_stats,
+        synthesize_jpeg420_corpus,
+    )
+
+    return jpeg420_stats(synthesize_jpeg420_corpus(_t(spark, sf_dir, "documents")))
+
+
+@query(
     "l5_mp4_probe",
     section="L5",
     oracle="""

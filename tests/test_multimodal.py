@@ -481,3 +481,46 @@ def test_jpeg_color_corpus_decodes_on_spark(spark):
         assert r["mean_y"] == 2 * ((mid * 11) % 128)
         assert r["mean_cb"] == 128 + 17 * ((mid % 15) - 7)
         assert r["mean_cr"] == 128 + 17 * (((mid * 3) % 15) - 7)
+
+
+def test_jpeg420_flat_lattice_exact_and_bounds():
+    """4:2:0: flat lattice planes exact through subsample + entropy +
+    replicate-upsample; gradients bounded; wrong-layout rejects."""
+    import numpy as np
+    import pytest
+
+    from chronicle_sniffer_spark.operators.jpeg import (
+        decode_jpeg_ycbcr420,
+        encode_jpeg_ycbcr420,
+        encode_jpeg_ycbcr444,
+    )
+
+    for y, cb, cr in ((128, 128, 128), (64, 77, 213), (0, 9, 247)):
+        pl = np.empty((32, 48, 3), dtype=np.uint8)
+        pl[:, :, 0], pl[:, :, 1], pl[:, :, 2] = y, cb, cr
+        assert (decode_jpeg_ycbcr420(encode_jpeg_ycbcr420(pl)) == pl).all(), (y, cb, cr)
+    x = np.linspace(0, 255, 64)
+    grad = np.stack([np.clip(np.add.outer(x[:32], x) / 2, 0, 255)] * 3, axis=2).astype(np.uint8)
+    dec = decode_jpeg_ycbcr420(encode_jpeg_ycbcr420(grad))
+    assert np.abs(dec.astype(int) - grad.astype(int)).max() <= 40
+    with pytest.raises(ValueError):
+        decode_jpeg_ycbcr420(encode_jpeg_ycbcr444(grad))  # 4:4:4 stream
+    with pytest.raises(ValueError):
+        encode_jpeg_ycbcr420(grad[:24])  # not a multiple of 16
+
+
+def test_jpeg420_corpus_decodes_on_spark(spark):
+    from chronicle_sniffer_spark.operators.multimodal import (
+        jpeg420_stats,
+        synthesize_jpeg420_corpus,
+    )
+    from chronicle_sniffer_spark.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(30)
+    got = {r["media_id"]: r for r in jpeg420_stats(synthesize_jpeg420_corpus(docs)).collect()}
+    assert got
+    for mid, r in got.items():
+        assert r["mean_y"] == 2 * ((mid * 13) % 128)
+        assert r["mean_cb"] == 128 + 17 * ((mid % 13) - 6)
+        assert r["mean_cr"] == 128 + 17 * (((mid * 5) % 13) - 6)
