@@ -77,6 +77,7 @@ HEADLINE = (
     "l5_png_decode",
     "l5_jpeg_decode",
     "l5_jpeg_color_decode",
+    "l5_jpeg420_decode",
     "l5_mp4_probe",
     "l2_embedding_near_dup",
     "l4_span_dedup",

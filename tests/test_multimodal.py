@@ -524,3 +524,20 @@ def test_jpeg420_corpus_decodes_on_spark(spark):
         assert r["mean_y"] == 2 * ((mid * 13) % 128)
         assert r["mean_cb"] == 128 + 17 * ((mid % 13) - 6)
         assert r["mean_cr"] == 128 + 17 * (((mid * 5) % 13) - 6)
+
+
+def test_ycbcr_to_rgb_known_values():
+    """Neutral chroma maps to pure gray exactly; primary-ish vectors
+    land on the JFIF closed-form values."""
+    import numpy as np
+
+    from chronicle_sniffer_spark.operators.jpeg import ycbcr_to_rgb
+
+    gray = np.empty((2, 2, 3), dtype=np.uint8)
+    gray[:, :, 0], gray[:, :, 1], gray[:, :, 2] = 137, 128, 128
+    assert (ycbcr_to_rgb(gray) == 137).all()
+    # Y=76, Cb=85, Cr=255 is (approximately) pure red's YCbCr
+    red = np.empty((1, 1, 3), dtype=np.uint8)
+    red[0, 0] = (76, 85, 255)
+    r, g, b = ycbcr_to_rgb(red)[0, 0]
+    assert r == 254 and g <= 30 and b <= 10, (r, g, b)
