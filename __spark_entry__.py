@@ -21,13 +21,14 @@ sys.path.insert(0, _HERE)
 from chronicle_sniffer_spark.plans import registry  # noqa: E402
 
 
-def _driver_status() -> dict[str, bool]:
-    """name -> all-green, from the committed CORRECTNESS_r*.json files.
+def _driver_status() -> dict[str, str]:
+    """name -> 'green' | 'red' | 'no_oracle', from the committed
+    CORRECTNESS_r*.json files.
 
     Later rounds override earlier ones, so this self-maintains as the
     driver's gate results accumulate in the repo.
     """
-    status: dict[str, bool] = {}
+    status: dict[str, str] = {}
     for path in sorted(glob.glob(os.path.join(_HERE, "CORRECTNESS_r*.json"))):
         try:
             with open(path) as fh:
@@ -35,13 +36,19 @@ def _driver_status() -> dict[str, bool]:
         except (OSError, ValueError):
             continue
         for name, row in data.items():
-            if isinstance(row, dict):
-                status[name] = (
-                    bool(row.get("rows_match"))
-                    and bool(row.get("schema_match"))
-                    and row.get("hash_match") is not False
-                    and not row.get("err")
-                )
+            if not isinstance(row, dict):
+                continue
+            if row.get("err") == "no_oracle":
+                status[name] = "no_oracle"
+            elif (
+                bool(row.get("rows_match"))
+                and bool(row.get("schema_match"))
+                and row.get("hash_match") is not False
+                and not row.get("err")
+            ):
+                status[name] = "green"
+            else:
+                status[name] = "red"
     return status
 
 
@@ -56,25 +63,36 @@ def _ordered_specs():
 
     The driver's gate records rows for only the first ~50 enumerated
     queries, so enumeration order decides which entries get a hard
-    correctness row.  Rank: (0) no driver row yet, (1) driver row but
-    red — both in stable registration order — then (2) all greens,
-    ordered by md5(round:name).  The round-keyed hash reshuffles the
+    correctness row.  Rank: (0) no driver row yet — including a
+    formerly rows-only entry that has since GAINED an oracle, whose
+    old `no_oracle` row verified nothing — (1) driver row but red —
+    both in stable registration order — then (2) all greens, ordered
+    by md5(round:name), and finally (3) entries that are rows-only BY
+    DESIGN (no oracle declared).  The round-keyed hash reshuffles the
     green block deterministically every round, so with ~50 slots over
-    ~130 greens every entry is re-checked within a few rounds instead
-    of the same lowest-ranked 50 forever (a regression in any green
-    entry would otherwise never re-hit the hard gate)."""
+    ~140 greens every entry is re-checked within a few rounds instead
+    of the same lowest-ranked 50 forever.  Permanent rows-only entries
+    sort last because their driver row re-verifies nothing the pytest
+    suite doesn't already cover — burning 4 of ~50 gate slots on them
+    every round cost ~8% of green-rotation coverage (round-4 verdict)."""
     import hashlib
 
     status = _driver_status()
     rnd = _round_key()
 
     def sort_key(item):
-        name = item[0]
-        if name not in status:
+        name, spec = item
+        st = status.get(name)
+        rotation = hashlib.md5(f"r{rnd}:{name}".encode()).hexdigest()
+        if spec.oracle is None:
+            return (3, rotation)
+        if st is None or st == "no_oracle":
+            # never checked, or only ever recorded a weak rows-only row
+            # (e.g. the entry gained an oracle after its last record)
             return (0, "")
-        if not status[name]:
+        if st == "red":
             return (1, "")
-        return (2, hashlib.md5(f"r{rnd}:{name}".encode()).hexdigest())
+        return (2, rotation)
 
     return sorted(registry().items(), key=sort_key)
 

@@ -83,6 +83,11 @@ HEADLINE = (
     "l4_span_dedup",
 )
 
+# Entries with documented ±18% round-over-round drift on identical code
+# (round-4 verdict watch items) report the MEDIAN of N timed runs — the
+# same noise-robust treatment the B1 marginal-rate pairs already get.
+_MEDIAN_REPS = {"udm_projection": 3, "udm_stream_e2e_60k": 3}
+
 # Results small enough that collect() is the realistic consumption path.
 _SMALL = {
     "a1_q1_pricing_summary",
@@ -190,6 +195,8 @@ def main() -> None:
         else:
             df.write.format("noop").mode("overwrite").save()
 
+    import statistics
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         run(name)  # warm 1: codegen compile
@@ -197,9 +204,13 @@ def main() -> None:
         # like l2_ngram_jaccard measured 8.4 s after one warm run vs
         # 2.4 s true steady state — one warm pass is not enough once
         # the catalog is this large)
-        t0 = time.time()
-        run(name)
-        timings[name] = round(time.time() - t0, 3)
+        reps = _MEDIAN_REPS.get(name, 1)
+        samples = []
+        for _ in range(reps):
+            t0 = time.time()
+            run(name)
+            samples.append(time.time() - t0)
+        timings[name] = round(statistics.median(samples), 3)
 
     # B1: UDM projection throughput (BASELINE.md). First run pays JIT +
     # whole-stage-codegen compile for the ~400-expression projection;
@@ -259,8 +270,6 @@ def main() -> None:
     timings["udm_b1_600k_amortized"] = round(min(runs_xl), 3)
     dt = min(runs_xl)
     b1_throughput = round(UDM_AMORTIZED_PACKETS / dt / cpus, 1)
-    import statistics
-
     b1_marginal = round(statistics.median(marginals), 1) if marginals else None
 
     # B5/B6: the end-to-end streaming pipeline (file in → UDM parquet
@@ -269,13 +278,16 @@ def main() -> None:
 
     from chronicle_sniffer_spark.streaming.udm_pipeline import run_udm_stream
 
-    stream_out = tempfile.mkdtemp(prefix="css_bench_stream_")
-    t0 = time.time()
-    run_udm_stream(
-        spark, corpus, stream_out, "2025-09-05T12:00:00.000000Z", max_files_per_trigger=8
-    )
-    timings["udm_stream_e2e_60k"] = round(time.time() - t0, 3)
-    shutil.rmtree(stream_out, ignore_errors=True)
+    stream_samples = []
+    for _ in range(_MEDIAN_REPS["udm_stream_e2e_60k"]):
+        stream_out = tempfile.mkdtemp(prefix="css_bench_stream_")
+        t0 = time.time()
+        run_udm_stream(
+            spark, corpus, stream_out, "2025-09-05T12:00:00.000000Z", max_files_per_trigger=8
+        )
+        stream_samples.append(time.time() - t0)
+        shutil.rmtree(stream_out, ignore_errors=True)
+    timings["udm_stream_e2e_60k"] = round(statistics.median(stream_samples), 3)
 
     total = round(sum(timings.values()), 3)
     print(

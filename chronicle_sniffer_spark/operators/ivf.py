@@ -197,11 +197,106 @@ def ivf_topk_from_index(
     return topk.withColumn("rank", F.row_number().over(w))
 
 
+def oracle_ivf_sql(
+    query_vec_id: int,
+    k: int,
+    n_centroids: int = N_CENTROIDS,
+    n_iter: int = N_ITER,
+    n_probe: int = N_PROBE,
+    max_train: int = MAX_TRAIN,
+) -> str:
+    """DuckDB re-derivation of the ENTIRE IVF pipeline — train, assign,
+    probe, score — as one SQL string, giving `l3_ann_ivf_topk` a hard
+    oracle row (round-4 verdict item 2).
+
+    The Lloyd loop is SQL-expressible because every loop bound is a
+    compile-time constant (``n_iter`` iterations over ``n_centroids``
+    cells): each iteration unrolls to an assignment CTE (argmin over
+    euclidean distance, ties to lowest cid — `ORDER BY dist, cid`
+    mirrors numpy argmin) and an update CTE (per-dimension AVG via
+    zipped unnest, empty cells keeping their previous position via the
+    LEFT JOIN coalesce).  The modulo-sample guard is reproduced too,
+    though at every shipped SF the corpus (≤2048 vectors) IS the train
+    set.  Shared float caveat (same class as the documented 6-dp
+    half-boundary channel in operators/similarity.py): both engines
+    sum doubles in different association orders, so an argmin could in
+    principle flip on a ~1e-15 near-tie; the embeddings are continuous
+    random vectors, making that acceptably improbable.
+    """
+    cte = [
+        f"""
+    vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    nn AS (SELECT count(*) AS n FROM vecs),
+    train AS (
+      SELECT vec_id, v FROM vecs, nn
+      WHERE vec_id % (CASE WHEN nn.n > {max_train}
+                           THEN (nn.n + {max_train - 1}) // {max_train}
+                           ELSE 1 END) = 0
+    ),
+    c0 AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cvec
+      FROM train ORDER BY vec_id LIMIT {n_centroids}
+    )"""
+    ]
+    for i in range(n_iter):
+        cte.append(
+            f"""
+    a{i} AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT t.vec_id, t.v, c.cid,
+               row_number() OVER (PARTITION BY t.vec_id
+                                  ORDER BY list_distance(t.v, c.cvec), c.cid) AS rn
+        FROM train t, c{i} c) WHERE rn = 1
+    ),
+    m{i} AS (
+      SELECT cid, list(m ORDER BY idx) AS cvec FROM (
+        SELECT cid, idx, avg(val) AS m FROM (
+          SELECT cid, unnest(v) AS val,
+                 unnest(generate_series(1, len(v))) AS idx
+          FROM a{i}) GROUP BY cid, idx) GROUP BY cid
+    ),
+    c{i + 1} AS (
+      SELECT c.cid, coalesce(m.cvec, c.cvec) AS cvec
+      FROM c{i} c LEFT JOIN m{i} m USING (cid)
+    )"""
+        )
+    cte.append(
+        f"""
+    qv AS (SELECT v FROM vecs WHERE vec_id = {query_vec_id}),
+    probe AS (
+      SELECT cid FROM c{n_iter}, qv
+      ORDER BY list_distance(cvec, qv.v), cid LIMIT {n_probe}
+    ),
+    assigned AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT x.vec_id, x.v, c.cid,
+               row_number() OVER (PARTITION BY x.vec_id
+                                  ORDER BY list_distance(x.v, c.cvec), c.cid) AS rn
+        FROM vecs x, c{n_iter} c) WHERE rn = 1
+    ),
+    scored AS (
+      SELECT a.vec_id, round(list_cosine_similarity(a.v, qv.v), 6) AS sim
+      FROM assigned a JOIN probe p USING (cid), qv
+      WHERE a.vec_id <> {query_vec_id}
+    )"""
+    )
+    return (
+        "WITH "
+        + ",".join(cte)
+        + f"""
+    SELECT vec_id, sim, CAST(rank AS INTEGER) AS rank FROM (
+      SELECT vec_id, sim, row_number() OVER (ORDER BY sim DESC, vec_id) AS rank
+      FROM scored) WHERE rank <= {k}
+    """
+    )
+
+
 __all__ = [
     "train_centroids",
     "ivf_topk",
     "ivf_index_write",
     "ivf_topk_from_index",
+    "oracle_ivf_sql",
     "N_CENTROIDS",
     "N_ITER",
     "N_PROBE",

@@ -1,5 +1,5 @@
-"""Pure-numpy baseline JPEG codec (ITU-T T.81): grayscale AND
-4:4:4 YCbCr color.
+"""Pure-numpy baseline JPEG codec (ITU-T T.81): grayscale, 4:4:4 AND
+4:2:0 YCbCr color.
 
 The third REAL compressed-format codec next to PNG (deflate) and the
 uncompressed BMP/WAV in :mod:`operators.codecs`: a complete baseline
@@ -23,8 +23,11 @@ the YCbCr planes directly (exact); :func:`ycbcr_to_rgb` is the
 separate, inherently-rounding display conversion.  General images are
 lossy, as JPEG is; the tests bound reconstruction error instead.
 
-Chroma subsampling (4:2:0) and MP4 sample decode remain behind the
-strict-mode stub in :mod:`operators.multimodal`.
+Chroma subsampling (4:2:0) is implemented by
+:func:`encode_jpeg_ycbcr420` / :func:`decode_jpeg_ycbcr420` (oracle
+`l5_jpeg420_decode`): chroma is averaged over 2×2 blocks before the
+DCT, so solid images on the chroma lattice stay exact.  MP4 *sample*
+decode lives in :mod:`operators.multimodal` on top of this codec.
 """
 
 from __future__ import annotations
@@ -647,6 +650,10 @@ def decode_jpeg_ycbcr420(data: bytes) -> np.ndarray:
         raise ValueError("only 4:2:0 (Y 2x2, chroma 1x1) supported here")
     tabs = []
     for cid, tdc, tac in scan_comps:
+        if cid not in comp_quant or comp_quant[cid] not in qtables:
+            raise ValueError("missing quant table for scan component")
+        if tdc not in dc_tables or tac not in ac_tables:
+            raise ValueError("missing Huffman table for scan component")
         tabs.append(
             (dc_tables[tdc], ac_tables[tac], qtables[comp_quant[cid]].astype(np.float64))
         )

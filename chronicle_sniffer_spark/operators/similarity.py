@@ -150,12 +150,16 @@ def cosine_sims(embeddings: DataFrame) -> DataFrame:
 
     spark = embeddings.sparkSession
     slim = embeddings.select("vec_id", as_double(F.col("embedding")).alias("v"))
-    rows = slim.collect()  # bounded: oracle-scoped brute force (guard below)
-    if len(rows) > BRUTE_FORCE_MAX:
+    # Guard BEFORE the collect spends driver memory: an executor-side
+    # limit+count trips on the (BRUTE_FORCE_MAX+1)-th row without ever
+    # shipping a vector to the driver.
+    probe = slim.limit(BRUTE_FORCE_MAX + 1).count()
+    if probe > BRUTE_FORCE_MAX:
         raise ValueError(
-            f"{len(rows)} vectors exceeds the brute-force scope "
-            f"({BRUTE_FORCE_MAX}); use ann_topk / operators.ivf at scale"
+            f"more than {BRUTE_FORCE_MAX} vectors exceeds the brute-force "
+            "scope; use ann_topk / operators.ivf at scale"
         )
+    rows = slim.collect()  # bounded: guard above capped the cardinality
     ids = np.array([r.vec_id for r in rows], dtype=np.int64)
     mat = np.array([r.v for r in rows], dtype=np.float64)
     norms = np.linalg.norm(mat, axis=1)
@@ -206,8 +210,10 @@ def robust_sigma_threshold(sims: DataFrame, c: float = NEAR_DUP_SIGMA) -> DataFr
 def cosine_pairs_adaptive(embeddings: DataFrame) -> DataFrame:
     """Near-dup pairs with the corpus-derived c-sigma threshold.  The
     1-row threshold joins back by broadcast — no collect, the cutoff
-    stays inside the plan."""
-    sims = cosine_sims(embeddings)
+    stays inside the plan.  The sims DataFrame is cached because both
+    consumers (the threshold agg and the filter) would otherwise
+    re-run the N×N matmul stage."""
+    sims = cosine_sims(embeddings).cache()
     thr = robust_sigma_threshold(sims)
     return (
         sims.crossJoin(F.broadcast(thr))

@@ -240,13 +240,21 @@ def l3_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk(_t(spark, sf_dir, "embeddings"), ANN_QUERY_VEC, ANN_K)
 
 
-@query("l3_ann_ivf_topk", section="L3", oracle=None)
+def _ivf_oracle() -> str:
+    from chronicle_sniffer_spark.operators.ivf import oracle_ivf_sql
+
+    return oracle_ivf_sql(ANN_QUERY_VEC, ANN_K)
+
+
+@query("l3_ann_ivf_topk", section="L3", oracle=_ivf_oracle())
 def l3_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: deterministic k-means cells, probe the 4 nearest of 16,
-    exact cosine inside probed cells (operators/ivf.py).  No SQL oracle
-    — Lloyd iterations aren't expressible in DuckDB; the invariants
-    (full-probe ≡ brute force, determinism, recall floor) are pytest
-    checks in tests/test_ivf.py."""
+    exact cosine inside probed cells (operators/ivf.py).  HARD oracle:
+    the Lloyd loop's bounds are compile-time constants, so the whole
+    train→assign→probe→score pipeline unrolls into DuckDB CTEs
+    (operators/ivf.py::oracle_ivf_sql); the structural invariants
+    (full-probe ≡ brute force, determinism, recall floor, partition
+    pruning) stay pytest checks in tests/test_ivf.py."""
     from chronicle_sniffer_spark.operators.ivf import ivf_topk
 
     return ivf_topk(_t(spark, sf_dir, "embeddings"), ANN_QUERY_VEC, ANN_K)

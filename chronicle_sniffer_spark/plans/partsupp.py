@@ -13,7 +13,11 @@ driver-checkable entry.
 Derivation (identical SQL-visible arithmetic in Spark and DuckDB):
 
 - ``ps_suppkey  = (p_partkey*7 + k*13) % S``  for k ∈ 0..3 — distinct
-  per part for every shipped supplier count S (13k mod S distinct).
+  per part whenever ``13*d % S != 0`` for d ∈ {1,2,3}, i.e. for every
+  S outside {1, 2, 3, 13, 26, 39}.  All shipped SFs use S ∈
+  {10, 100, 1000}; :func:`derived_partsupp` rejects the degenerate
+  counts once at materialization so a PK-violating partsupp can never
+  be built silently.
 - ``ps_availqty = 100 + (p_partkey*4 + k) % 9901``
 - ``ps_supplycost`` = exact DECIMAL(18,4) cents×0.01 (multiplication,
   not division, so neither engine's decimal-division scale rules can
@@ -29,6 +33,8 @@ colors) while preserving each query's plan shape.
 """
 
 from __future__ import annotations
+
+import os
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -57,30 +63,53 @@ PARTSUPP_CTE = """
 """
 
 
+# ps_suppkey stride 13 over k ∈ 0..3 collides iff S divides 13, 26 or
+# 39 (module docstring) — reject those supplier counts outright.
+_DEGENERATE_SUPPLIER_COUNTS = frozenset({1, 2, 3, 13, 26, 39})
+
+# (applicationId, abspath(sf_dir)) -> cached partsupp DataFrame, so the
+# five Q-shapes share ONE materialization per session instead of
+# re-running the explode per query (free at sf0.1, measurable at sf1+).
+_PS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def derived_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The Spark side of the shared derivation (module docstring)."""
+    """The Spark side of the shared derivation (module docstring).
+
+    Materialized once per (session, sf_dir): the supplier count is a
+    bounded 1-row collect used both for the degeneracy guard and as a
+    literal in the suppkey arithmetic, and the resulting 4×|part|
+    DataFrame is cached so Q2/Q9/Q11/Q16/Q20 reuse one build.
+    """
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    cached = _PS_CACHE.get(key)
+    if cached is not None:
+        return cached
+    n_sup = _t(spark, sf_dir, "supplier").count()
+    if n_sup in _DEGENERATE_SUPPLIER_COUNTS:
+        raise ValueError(
+            f"supplier count {n_sup} makes the stride-13 ps_suppkey derivation "
+            "collide (duplicate (ps_partkey, ps_suppkey) rows); regenerate the "
+            "testdata with >= 4 suppliers and S not in {1,2,3,13,26,39}"
+        )
     part = _t(spark, sf_dir, "part").select("p_partkey")
-    cnt = _t(spark, sf_dir, "supplier").agg(F.count("*").alias("cnt"))
-    base = (
-        part.crossJoin(F.broadcast(cnt))
-        .select(
-            F.col("p_partkey").alias("ps_partkey"),
-            F.explode(F.expr("sequence(0, 3)")).alias("k"),
-            "cnt",
-        )
-        .select(
-            "ps_partkey",
-            ((F.col("ps_partkey") * 7 + F.col("k") * 13) % F.col("cnt")).alias("ps_suppkey"),
-            (F.lit(100) + (F.col("ps_partkey") * 4 + F.col("k")) % 9901)
-            .cast("int")
-            .alias("ps_availqty"),
-        )
+    base = part.select(
+        F.col("p_partkey").alias("ps_partkey"),
+        F.explode(F.expr("sequence(0, 3)")).alias("k"),
+    ).select(
+        "ps_partkey",
+        ((F.col("ps_partkey") * 7 + F.col("k") * 13) % F.lit(n_sup)).alias("ps_suppkey"),
+        (F.lit(100) + (F.col("ps_partkey") * 4 + F.col("k")) % 9901)
+        .cast("int")
+        .alias("ps_availqty"),
     )
     cents = F.lit(100) + (F.col("ps_partkey") * 31 + F.col("ps_suppkey") * 17) % 90000
-    return base.withColumn(
+    df = base.withColumn(
         "ps_supplycost",
         (cents.cast("decimal(18,2)") * F.lit("0.01").cast("decimal(3,2)")).cast("decimal(18,4)"),
-    )
+    ).cache()
+    _PS_CACHE[key] = df
+    return df
 
 
 @query(

@@ -55,20 +55,29 @@ def test_entry_contract(spark):
 
 
 def test_entry_ordering_rotates_greens():
-    """Never-checked entries lead; the green block is reshuffled by a
-    round-keyed hash so the driver's ~50-row gate re-checks every
-    green within a few rounds instead of the same fixed prefix."""
+    """Never-checked entries lead; by-design rows-only entries (no
+    oracle) sort LAST so they stop burning hard-gate slots; the green
+    block is reshuffled by a round-keyed hash so the driver's ~50-row
+    gate re-checks every green within a few rounds instead of the same
+    fixed prefix."""
     import hashlib
 
     import __spark_entry__ as mod
 
     status = mod._driver_status()
     ordered = [name for name, _ in mod._ordered_specs()]
-    unchecked = [n for n in ordered if n not in status]
-    red = [n for n in ordered if n in status and not status[n]]
-    greens = [n for n in ordered if status.get(n)]
-    # Partition order: unchecked, then red, then greens.
-    assert ordered == unchecked + red + greens
+    no_oracle = [n for n in ordered if REG[n].oracle is None]
+    unchecked = [
+        n
+        for n in ordered
+        if n not in no_oracle and status.get(n) in (None, "no_oracle")
+    ]
+    red = [n for n in ordered if n not in no_oracle and status.get(n) == "red"]
+    greens = [n for n in ordered if n not in no_oracle and status.get(n) == "green"]
+    # Partition order: unchecked, red, rotated greens, rows-only last.
+    assert ordered == unchecked + red + greens + no_oracle
+    # The permanent rows-only entries no longer lead the gate.
+    assert set(no_oracle) == set(ROWS_ONLY_QUERIES)
     # Green block follows the deterministic round-keyed hash order.
     rnd = mod._round_key()
     expected = sorted(greens, key=lambda n: hashlib.md5(f"r{rnd}:{n}".encode()).hexdigest())
@@ -77,3 +86,20 @@ def test_entry_ordering_rotates_greens():
     nxt = sorted(greens, key=lambda n: hashlib.md5(f"r{rnd + 1}:{n}".encode()).hexdigest())
     if len(greens) > 10:
         assert greens[:10] != nxt[:10]
+
+
+def test_entry_ordering_promotes_newly_oracled():
+    """An entry whose last driver row was `no_oracle` but which NOW
+    declares an oracle must re-rank at the head (its old row verified
+    nothing)."""
+    import __spark_entry__ as mod
+
+    status = mod._driver_status()
+    promoted = [
+        n
+        for n, spec in REG.items()
+        if spec.oracle is not None and status.get(n) == "no_oracle"
+    ]
+    ordered = [name for name, _ in mod._ordered_specs()]
+    for name in promoted:
+        assert ordered.index(name) < 50, f"{name} gained an oracle but is not gate-ranked"
