@@ -81,6 +81,8 @@ HEADLINE = (
     "l5_mp4_probe",
     "l2_embedding_near_dup",
     "l4_span_dedup",
+    # round-5 addition: per-sample MJPEG-in-MP4 video decode
+    "l5_video_decode",
 )
 
 # Entries with documented ±18% round-over-round drift on identical code

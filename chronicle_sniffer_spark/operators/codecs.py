@@ -4,8 +4,13 @@
 The container ships no PIL/ffmpeg, but these formats are implementable
 from their public specifications with ``struct``, ``zlib`` and numpy
 alone — which upgrades the L5 decode step from a stub to a real
-byte-level decode for the formats covered.  JPEG/MP4 remain behind the
-strict-mode ``NotImplementedError`` in :mod:`operators.multimodal`.
+byte-level decode for the formats covered.  Baseline JPEG lives in
+:mod:`operators.jpeg`; MP4 here covers both the container probe
+(:func:`probe_mp4`) and REAL per-sample access: :func:`encode_mp4_mjpeg`
+writes a spec-correct sample table (stsd/stts/stsc/stsz/stco) over an
+``mdat`` of Motion-JPEG frames and :func:`decode_mp4_samples` walks it
+back to the exact per-sample byte ranges — chained with the JPEG
+decoder this is a complete video decode for MJPEG tracks.
 
 Formats (public specs):
 - BMP: BITMAPFILEHEADER (14 bytes) + BITMAPINFOHEADER (40 bytes),
@@ -229,6 +234,187 @@ def probe_mp4(data: bytes) -> dict:
         "duration_ms": duration * 1000 // timescale,
         "n_tracks": n_tracks,
     }
+
+
+def _box(btype: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", len(body) + 8) + btype + body
+
+
+def _full(btype: bytes, body: bytes, version: int = 0, flags: int = 0) -> bytes:
+    return _box(btype, struct.pack(">B", version) + struct.pack(">I", flags)[1:] + body)
+
+
+def encode_mp4_mjpeg(
+    frames: list[bytes],
+    width: int,
+    height: int,
+    frame_duration_ms: int = 40,
+    timescale: int = 1000,
+) -> bytes:
+    """Write a playable single-track Motion-JPEG MP4 (ISO 14496-12):
+    ftyp + moov with a full sample table — stsd('mjpg'
+    VisualSampleEntry), stts (constant delta), stsc (one chunk), stsz
+    (real per-sample sizes), stco (real file offset into mdat) — over
+    an mdat of the concatenated JPEG frame bytes.  The stco offset is
+    computable in one pass because every box size is known before the
+    mdat is placed (stco itself is fixed-width)."""
+    if not frames:
+        raise ValueError("MJPEG track needs at least one frame")
+    n = len(frames)
+    delta = frame_duration_ms * timescale // 1000
+    duration = n * delta
+
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+
+    name = b"\x05mjpeg" + b"\x00" * 26  # 32-byte pascal compressorname
+    sample_entry = _box(
+        b"mjpg",
+        b"\x00" * 6
+        + struct.pack(">H", 1)  # data_reference_index
+        + b"\x00" * 16  # pre_defined/reserved
+        + struct.pack(">HH", width, height)
+        + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
+        + struct.pack(">I", 0)
+        + struct.pack(">H", 1)  # frame_count per sample
+        + name
+        + struct.pack(">Hh", 24, -1),  # depth, pre_defined
+    )
+    stsd = _full(b"stsd", struct.pack(">I", 1) + sample_entry)
+    stts = _full(b"stts", struct.pack(">III", 1, n, delta))
+    stsc = _full(b"stsc", struct.pack(">IIII", 1, 1, n, 1))
+    stsz = _full(b"stsz", struct.pack(">II", 0, n) + b"".join(
+        struct.pack(">I", len(f)) for f in frames
+    ))
+    # stco's 4-byte offset field is size-invariant: build the tree with
+    # a placeholder, measure, then fill the real mdat payload offset.
+    def build(chunk_offset: int) -> bytes:
+        stco = _full(b"stco", struct.pack(">II", 1, chunk_offset))
+        stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+        url = _full(b"url ", b"", flags=1)  # self-contained
+        dref = _full(b"dref", struct.pack(">I", 1) + url)
+        dinf = _box(b"dinf", dref)
+        vmhd = _full(b"vmhd", struct.pack(">HHHH", 0, 0, 0, 0), flags=1)
+        minf = _box(b"minf", vmhd + dinf + stbl)
+        mdhd = _full(
+            b"mdhd",
+            struct.pack(">IIII", 0, 0, timescale, duration)
+            + struct.pack(">HH", 0x55C4, 0),  # language 'und'
+        )
+        hdlr = _full(
+            b"hdlr", struct.pack(">I", 0) + b"vide" + b"\x00" * 12 + b"mjpeg\x00"
+        )
+        mdia = _box(b"mdia", mdhd + hdlr + minf)
+        tkhd = _full(
+            b"tkhd",
+            struct.pack(">IIIII", 0, 0, 1, 0, duration)
+            + b"\x00" * 8
+            + struct.pack(">hhhh", 0, 0, 0, 0)
+            + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+            + struct.pack(">II", width << 16, height << 16),
+            flags=7,
+        )
+        trak = _box(b"trak", tkhd + mdia)
+        mvhd = _full(
+            b"mvhd",
+            struct.pack(">IIII", 0, 0, timescale, duration)
+            + struct.pack(">iH2x", 0x00010000, 0x0100)
+            + b"\x00" * 8
+            + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+            + b"\x00" * 24
+            + struct.pack(">I", 2),
+        )
+        return ftyp + _box(b"moov", mvhd + trak)
+
+    head_len = len(build(0))
+    head = build(head_len + 8)  # mdat payload starts after its 8-byte header
+    return head + _box(b"mdat", b"".join(frames))
+
+
+def decode_mp4_samples(data: bytes) -> dict:
+    """Walk the box tree back to the per-sample byte ranges: stsc maps
+    chunks to sample runs, stco gives each chunk's file offset, stsz
+    the consecutive sample sizes — the inverse of
+    :func:`encode_mp4_mjpeg` but general over any single-trak
+    stsc/stco layout.  Returns ``{"format": <stsd entry type>,
+    "samples": [bytes, ...]}``; raises ``ValueError`` on malformed or
+    out-of-bounds tables (callers map that to quarantine rows)."""
+
+    def walk(start: int, end: int):
+        pos = start
+        while pos + 8 <= end:
+            (size,) = struct.unpack_from(">I", data, pos)
+            btype = data[pos + 4 : pos + 8]
+            if size in (0, 1) or size < 8 or pos + size > end:
+                raise ValueError(f"bad box size {size} for {btype!r}")
+            yield btype, pos + 8, pos + size
+            pos += size
+        if pos != end:
+            raise ValueError("trailing bytes after last box")
+
+    def find(start: int, end: int, btype: bytes) -> tuple[int, int]:
+        for t, s, e in walk(start, end):
+            if t == btype:
+                return s, e
+        raise ValueError(f"missing {btype!r} box")
+
+    if len(data) < 16:
+        raise ValueError("not an MP4 payload")
+    moov = find(0, len(data), b"moov")
+    trak = find(*moov, b"trak")
+    stbl = find(*find(*find(*trak, b"mdia"), b"minf"), b"stbl")
+
+    s, _ = find(*stbl, b"stsd")
+    (n_entries,) = struct.unpack_from(">I", data, s + 4)
+    if n_entries < 1:
+        raise ValueError("empty stsd")
+    fmt = data[s + 12 : s + 16].decode("ascii", "replace")
+
+    s, e = find(*stbl, b"stsz")
+    sample_size, n_samples = struct.unpack_from(">II", data, s + 4)
+    if sample_size:
+        sizes = [sample_size] * n_samples
+    else:
+        if s + 12 + 4 * n_samples > e:
+            raise ValueError("stsz table truncated")
+        sizes = list(struct.unpack_from(f">{n_samples}I", data, s + 12))
+
+    s, e = find(*stbl, b"stco")
+    (n_chunks,) = struct.unpack_from(">I", data, s + 4)
+    if s + 8 + 4 * n_chunks > e:
+        raise ValueError("stco table truncated")
+    offsets = list(struct.unpack_from(f">{n_chunks}I", data, s + 8))
+
+    s, e = find(*stbl, b"stsc")
+    (n_runs,) = struct.unpack_from(">I", data, s + 4)
+    if s + 8 + 12 * n_runs > e:
+        raise ValueError("stsc table truncated")
+    runs = [struct.unpack_from(">III", data, s + 8 + 12 * i) for i in range(n_runs)]
+    if not runs or runs[0][0] != 1:
+        raise ValueError("stsc must start at chunk 1")
+
+    # chunk index (1-based) -> samples_per_chunk, from the stsc runs
+    per_chunk = []
+    for i, (first, spc, _sdi) in enumerate(runs):
+        last = runs[i + 1][0] - 1 if i + 1 < len(runs) else n_chunks
+        if first > last:
+            raise ValueError("non-monotonic stsc runs")
+        per_chunk.extend([spc] * (last - first + 1))
+
+    samples: list[bytes] = []
+    si = 0
+    for ci, off in enumerate(offsets):
+        for _ in range(per_chunk[ci] if ci < len(per_chunk) else 0):
+            if si >= n_samples:
+                break
+            size = sizes[si]
+            if off + size > len(data):
+                raise ValueError("sample range out of bounds")
+            samples.append(data[off : off + size])
+            off += size
+            si += 1
+    if si != n_samples:
+        raise ValueError(f"sample table inconsistent: mapped {si} of {n_samples}")
+    return {"format": fmt, "samples": samples}
 
 
 # ---------------------------------------------------------------------------

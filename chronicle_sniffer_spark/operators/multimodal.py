@@ -18,16 +18,15 @@ baseline JPEG has a REAL entropy pipeline for grayscale, 4:4:4 color,
 AND 4:2:0 chroma-subsampled color (``operators/jpeg.py`` — DCT,
 zigzag, per-component DC/AC Huffman, four-Y-block MCU interleave,
 byte stuffing), verified by ``l5_jpeg_decode``/``l5_jpeg_color_decode``
-/``l5_jpeg420_decode``.  What remains stubbed is per-sample VIDEO
-decode only (no ffmpeg in the container) — two ways, both clearly
-marked:
-
-- ``decode_image(..., strict=True)`` raises ``NotImplementedError``
-  where a real codec would run — the Spark-side plumbing (schema,
-  batching, partitioning) is what's real and tested;
-- the default path substitutes a **deterministic fake decode** (header
-  parse + payload-hash statistics) so downstream operators and tests
-  have stable values to assert against.
+/``l5_jpeg420_decode``.  VIDEO now decodes real bytes too: the MP4
+sample table (stsd/stts/stsc/stsz/stco) is written and walked by
+``operators/codecs.py`` and Motion-JPEG samples run through the JPEG
+codec per frame (``video_decode_stats``, catalog ``l5_video_decode``)
+— no ``NotImplementedError`` remains on any media path.  Non-MJPEG
+video codecs (H.264 etc.) raise ``ValueError`` like every other
+unsupported format, the quarantine-row contract.  ``decode_image``
+keeps a cheap non-strict mode (metadata dimensions + payload digest,
+no decode) for the routing/filtering half of a curation pipeline.
 
 Scale shape: payloads never shuffle unless the user asks for it —
 feature extraction and decode are narrow maps; only the (small)
@@ -41,13 +40,6 @@ from typing import Iterator
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-
-try:  # pragma: no cover - not present in this container
-    from PIL import Image  # noqa: F401
-
-    _HAS_PIL = True
-except ImportError:
-    _HAS_PIL = False
 
 MEDIA_META_DDL = (
     "struct<format string, width int, height int, sample_rate int,"
@@ -94,22 +86,58 @@ def payload_integrity(media: DataFrame) -> DataFrame:
     return media.select("media_id", F.md5(F.col("payload")).alias("payload_md5"))
 
 
+def _decode_image_bytes(b: bytes):
+    """Magic-byte dispatch to the in-repo codecs: returns
+    ``(pixels, mode)`` or raises ``ValueError`` for formats with no
+    codec here (callers map that to quarantine rows)."""
+    import numpy as np
+
+    from chronicle_sniffer_spark.operators import codecs, jpeg
+
+    if b[:8] == b"\x89PNG\r\n\x1a\n":
+        return codecs.decode_png(b), "RGB"
+    if b[:2] == b"BM":
+        return codecs.decode_bmp(b), "RGB"
+    if b[:2] == b"\xff\xd8":
+        try:
+            px = jpeg._decode_jpeg(b)  # grayscale or 4:4:4
+            return (px[:, :, 0], "L") if px.shape[2] == 1 else (px, "YCbCr")
+        except ValueError as err:
+            if "subsampling" not in str(err):
+                raise
+            return jpeg.decode_jpeg_ycbcr420(b), "YCbCr"
+    raise ValueError(f"no codec for image payload starting {bytes(b[:4])!r}")
+
+
 def decode_image(media: DataFrame, strict: bool = False) -> DataFrame:
     """Image decode over ``mapInPandas``.
 
-    ``strict=True`` marks where the real codec belongs and raises
-    ``NotImplementedError`` per batch when no codec is available.  The
-    default deterministic fake reports metadata dimensions and a
-    payload digest as the "pixel" statistic.
+    ``strict=True`` runs the REAL in-repo codecs (PNG / BMP / baseline
+    JPEG gray, 4:4:4 and 4:2:0 — magic-byte dispatch), reporting
+    decoded dimensions and an md5 over the decoded pixel bytes; a
+    payload in a format with no codec here raises ``ValueError``.  The
+    default mode keeps the cheap metadata path: dimensions from the
+    meta struct and a payload digest, no decode — the routing/
+    filtering half a curation pipeline runs before spending decode
+    cycles.
     """
     import pandas as pd
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if strict and not _HAS_PIL:
-                raise NotImplementedError(
-                    "image decode requires an image codec (PIL) — not shipped in this container"
-                )
+            if strict:
+                out: dict[str, list] = {k: [] for k in (
+                    "media_id", "width", "height", "mode", "pixel_hash"
+                )}
+                for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                    px, mode = _decode_image_bytes(bytes(b))
+                    out["media_id"].append(int(mid))
+                    out["height"].append(px.shape[0])
+                    out["width"].append(px.shape[1])
+                    out["mode"].append(mode)
+                    out["pixel_hash"].append(hashlib.md5(px.tobytes()).hexdigest())
+                yield pd.DataFrame(out)
+                continue
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -147,8 +175,8 @@ def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
 
 def sample_frames(media: DataFrame, every_ms: int = 200) -> Column | DataFrame:
     """Video frame sampling: one row per sampled timestamp.  Pure
-    column expressions (sequence + posexplode) — the *byte* decode of
-    each frame is the stubbed step; offsets/timestamps are real."""
+    column expressions (sequence + posexplode); the byte-level frame
+    decode is :func:`video_decode_stats`."""
     video = media.filter(F.col("kind") == "video")
     return video.select(
         "media_id",
@@ -160,10 +188,9 @@ def sample_frames(media: DataFrame, every_ms: int = 200) -> Column | DataFrame:
 
 # ---------------------------------------------------------------------------
 # Real codecs (BMP / PCM-WAV / PNG / baseline JPEG gray + 4:4:4 +
-# 4:2:0 — pure numpy + stdlib zlib, no external libs;
-# operators/codecs.py and operators/jpeg.py).  These upgrade the
-# decode step from stub to a real byte-level decode.  Only video
-# sample decode stays behind the strict-mode NotImplementedError.
+# 4:2:0 / MJPEG-in-MP4 — pure numpy + stdlib zlib, no external libs;
+# operators/codecs.py and operators/jpeg.py).  These upgrade every
+# decode step, video included, to a real byte-level decode.
 # ---------------------------------------------------------------------------
 
 IMAGE_STATS_DDL = (
@@ -186,7 +213,8 @@ def synthesize_media_encoded(documents: DataFrame) -> DataFrame:
       doc_id, alternating ±A (mean 0, RMS exactly A), 8 kHz
     - doc_id % 3 == 2 → spec-correct ISO-BMFF skeleton (real ftyp/
       moov/mvhd/trak boxes, duration + track count from doc_id; no
-      samples — the codec layer is the stubbed step)
+      samples — :func:`synthesize_mjpeg_video_corpus` is the
+      with-samples corpus)
 
     The encode runs in mapInPandas (Arrow batches); the scan is pruned
     to doc_id only — no text bytes travel.
@@ -426,9 +454,9 @@ MP4_PROBE_DDL = (
 def mp4_probe_stats(media: DataFrame) -> DataFrame:
     """Real ISO-BMFF box parse over the video payloads: brand,
     timescale, duration, track count from spec-correct ftyp/moov/mvhd/
-    trak boxes (operators/codecs.py:probe_mp4).  Per-sample decode is
-    the step that stays stubbed — this is the container-level half a
-    curation pipeline needs for filtering/routing before any codec."""
+    trak boxes (operators/codecs.py:probe_mp4) — the container-level
+    half a curation pipeline filters/routes on before spending decode
+    cycles; :func:`video_decode_stats` is the per-sample half."""
     import pandas as pd
 
     from chronicle_sniffer_spark.operators.codecs import probe_mp4
@@ -553,6 +581,98 @@ def synthesize_jpeg420_corpus(documents: DataFrame) -> DataFrame:
     return (
         documents.filter(F.col("doc_id") % 3 == 2).select("doc_id").mapInPandas(op, MEDIA_DDL)
     )
+
+
+VIDEO_STATS_DDL = (
+    "media_id bigint, n_frames int, width int, height int,"
+    " mean_gray double, wsum_gray double"
+)
+
+
+def synthesize_mjpeg_video_corpus(documents: DataFrame) -> DataFrame:
+    """Motion-JPEG MP4 corpus with REAL playable payloads: per video,
+    ``2 + doc_id % 4`` flat grayscale JPEG frames on the exactness
+    lattice (even level-shift values decode bit-exactly, operators/
+    jpeg.py), wrapped by :func:`codecs.encode_mp4_mjpeg` in a full
+    ISO-BMFF sample table.  Frame f of video d is the solid value
+    ``2*((d*7 + f*11) % 128)`` — distinct per frame, so decoded
+    statistics prove per-sample extraction order, and closed-form, so
+    DuckDB recomputes them without any codec (catalog
+    `l5_video_decode`)."""
+    import numpy as np
+    import pandas as pd
+
+    from chronicle_sniffer_spark.operators.codecs import encode_mp4_mjpeg
+    from chronicle_sniffer_spark.operators.jpeg import encode_jpeg_gray
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {"media_id": [], "kind": [], "payload": [], "meta": []}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = 2 + d % 4
+                w, h = 8 * (1 + d % 3), 8 * (1 + d % 2)
+                frames = [
+                    encode_jpeg_gray(
+                        np.full((h, w), 2 * ((d * 7 + f * 11) % 128), dtype=np.uint8)
+                    )
+                    for f in range(n)
+                ]
+                meta = dict.fromkeys(
+                    ("format", "width", "height", "sample_rate", "duration_ms", "n_frames")
+                )
+                meta.update(
+                    format="mp4", width=w, height=h, duration_ms=40 * n, n_frames=n
+                )
+                rows["media_id"].append(d)
+                rows["kind"].append("video")
+                rows["payload"].append(encode_mp4_mjpeg(frames, w, h))
+                rows["meta"].append(meta)
+            yield pd.DataFrame(rows)
+
+    return (
+        documents.filter(F.col("doc_id") % 3 == 2).select("doc_id").mapInPandas(op, MEDIA_DDL)
+    )
+
+
+def video_decode_stats(media: DataFrame) -> DataFrame:
+    """REAL per-sample video decode: walk the MP4 sample table to the
+    exact frame byte ranges (codecs.decode_mp4_samples), baseline-JPEG
+    decode every frame (operators/jpeg.py), and aggregate per video —
+    frame count, dimensions, mean gray over all frames, and a
+    frame-index-weighted sum ``Σ (f+1)·mean(frame_f)`` that only comes
+    out right if every sample was extracted AND ordered correctly.
+    Closes the last decode stub: no NotImplementedError remains on any
+    media path."""
+    import pandas as pd
+
+    from chronicle_sniffer_spark.operators.codecs import decode_mp4_samples
+    from chronicle_sniffer_spark.operators.jpeg import decode_jpeg_gray
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in (
+                "media_id", "n_frames", "width", "height", "mean_gray", "wsum_gray"
+            )}
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                parsed = decode_mp4_samples(bytes(b))
+                if parsed["format"] not in ("mjpg", "jpeg"):
+                    raise ValueError(f"unsupported video sample format {parsed['format']!r}")
+                means = []
+                w = h = None
+                for s in parsed["samples"]:
+                    px = decode_jpeg_gray(s)
+                    h, w = px.shape
+                    means.append(float(px.astype("f8").mean()))
+                out["media_id"].append(int(mid))
+                out["n_frames"].append(len(means))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["mean_gray"].append(sum(means) / len(means))
+                out["wsum_gray"].append(sum((f + 1) * m for f, m in enumerate(means)))
+            yield pd.DataFrame(out)
+
+    return media.filter(F.col("kind") == "video").mapInPandas(op, VIDEO_STATS_DDL)
 
 
 def jpeg420_stats(media: DataFrame) -> DataFrame:

@@ -612,8 +612,7 @@ def l5_jpeg420_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     common JPEG layout — oracle-checked through bytes: 16×16 MCUs of
     four Y blocks + one downsampled Cb/Cr each, flat planes on the
     exactness lattices so subsample + entropy-code + decode +
-    replicate-upsample reconstructs every plane bit-exactly.  Closes
-    the image-decode story: every decode stub left is video samples."""
+    replicate-upsample reconstructs every plane bit-exactly."""
     from chronicle_sniffer_spark.operators.multimodal import (
         jpeg420_stats,
         synthesize_jpeg420_corpus,
@@ -640,11 +639,46 @@ def l5_mp4_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     structures (operators/codecs.py), and the probe walks the box
     grammar to recover brand, timescale, duration and track count —
     the container-level half of video ingestion a curation pipeline
-    filters and routes on.  Per-sample decode (H.264 etc.) remains the
-    honest stub (no ffmpeg in the container)."""
+    filters and routes on.  Per-SAMPLE decode is `l5_video_decode`."""
     from chronicle_sniffer_spark.operators.multimodal import (
         mp4_probe_stats,
         synthesize_media_encoded,
     )
 
     return mp4_probe_stats(synthesize_media_encoded(_t(spark, sf_dir, "documents")))
+
+
+@query(
+    "l5_video_decode",
+    section="L5",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, unnest(generate_series(0, CAST(1 + doc_id % 4 AS BIGINT))) AS f
+      FROM documents WHERE doc_id % 3 = 2
+    )
+    SELECT doc_id AS media_id,
+           CAST(2 + doc_id % 4 AS INTEGER) AS n_frames,
+           CAST(8 * (1 + doc_id % 3) AS INTEGER) AS width,
+           CAST(8 * (1 + doc_id % 2) AS INTEGER) AS height,
+           sum(2 * ((doc_id * 7 + f * 11) % 128)) / count(*) AS mean_gray,
+           CAST(sum((f + 1) * 2 * ((doc_id * 7 + f * 11) % 128)) AS DOUBLE) AS wsum_gray
+    FROM f GROUP BY doc_id
+    """,
+)
+def l5_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL per-sample video decode, oracle-checked through bytes: each
+    video is a playable Motion-JPEG MP4 (full stsd/stts/stsc/stsz/stco
+    sample table, operators/codecs.py), decode walks the table to the
+    exact frame byte ranges and baseline-JPEG-decodes every frame
+    (operators/jpeg.py).  Frames sit on the exactness lattice with a
+    DISTINCT value per frame, so the frame-index-weighted sum only
+    matches DuckDB's closed form if extraction hit every sample in
+    order.  The reference decodes media bytes at the DAG edge the same
+    way (processor_app.py:150-155, tshark); closes the repo's last
+    decode stub."""
+    from chronicle_sniffer_spark.operators.multimodal import (
+        synthesize_mjpeg_video_corpus,
+        video_decode_stats,
+    )
+
+    return video_decode_stats(synthesize_mjpeg_video_corpus(_t(spark, sf_dir, "documents")))

@@ -43,9 +43,83 @@ def test_decode_image_stub_schema_and_determinism(media):
     assert rows == again
 
 
-def test_decode_image_strict_raises(media):
-    with pytest.raises(Exception, match="NotImplementedError|image codec"):
+def test_decode_image_strict_rejects_unknown_format(media):
+    # the fake-media corpus carries raw text bytes — no magic matches,
+    # so the strict path raises the quarantine-contract ValueError
+    with pytest.raises(Exception, match="no codec for image payload"):
         decode_image(media, strict=True).collect()
+
+
+def test_decode_image_strict_decodes_real_bytes(spark):
+    import numpy as np
+
+    from chronicle_sniffer_spark.operators.codecs import encode_bmp, encode_png
+    from chronicle_sniffer_spark.operators.jpeg import encode_jpeg_gray
+
+    rgb = np.arange(16 * 8 * 3, dtype=np.uint8).reshape(16, 8, 3)
+    gray = np.full((8, 16), 100, dtype=np.uint8)
+    rows = [
+        (1, "image", bytearray(encode_png(rgb)), None),
+        (2, "image", bytearray(encode_bmp(rgb)), None),
+        (3, "image", bytearray(encode_jpeg_gray(gray)), None),
+    ]
+    from chronicle_sniffer_spark.operators.multimodal import MEDIA_DDL
+
+    media = spark.createDataFrame(rows, MEDIA_DDL)
+    got = {r.media_id: r for r in decode_image(media, strict=True).collect()}
+    assert (got[1].width, got[1].height, got[1].mode) == (8, 16, "RGB")
+    assert (got[2].width, got[2].height, got[2].mode) == (8, 16, "RGB")
+    assert (got[3].width, got[3].height, got[3].mode) == (16, 8, "L")
+    # PNG and BMP round-trip the same pixels -> identical decoded hash
+    assert got[1].pixel_hash == got[2].pixel_hash
+    assert got[3].pixel_hash == hashlib.md5(gray.tobytes()).hexdigest()
+
+
+def test_mp4_mjpeg_sample_table_roundtrip():
+    import numpy as np
+
+    from chronicle_sniffer_spark.operators.codecs import (
+        decode_mp4_samples,
+        encode_mp4_mjpeg,
+        probe_mp4,
+    )
+    from chronicle_sniffer_spark.operators.jpeg import decode_jpeg_gray, encode_jpeg_gray
+
+    frames = [
+        encode_jpeg_gray(np.full((16, 24), 2 * ((7 * i + 3) % 128), dtype=np.uint8))
+        for i in range(5)
+    ]
+    mp4 = encode_mp4_mjpeg(frames, 24, 16, frame_duration_ms=40)
+    # container metadata is spec-correct for the existing probe
+    info = probe_mp4(mp4)
+    assert (info["major_brand"], info["n_tracks"], info["duration_ms"]) == ("isom", 1, 200)
+    # sample extraction is byte-exact and ordered
+    parsed = decode_mp4_samples(mp4)
+    assert parsed["format"] == "mjpg"
+    assert parsed["samples"] == frames
+    for i, s in enumerate(parsed["samples"]):
+        px = decode_jpeg_gray(s)
+        assert px.shape == (16, 24)
+        assert (px == 2 * ((7 * i + 3) % 128)).all()
+
+
+def test_mp4_mjpeg_malformed_rejected():
+    import numpy as np
+
+    from chronicle_sniffer_spark.operators.codecs import decode_mp4_samples, encode_mp4_mjpeg
+    from chronicle_sniffer_spark.operators.jpeg import encode_jpeg_gray
+
+    mp4 = encode_mp4_mjpeg(
+        [encode_jpeg_gray(np.full((8, 8), 50, dtype=np.uint8))], 8, 8
+    )
+    with pytest.raises(ValueError):
+        decode_mp4_samples(mp4[:40])  # truncated mid-tree
+    with pytest.raises(ValueError):
+        decode_mp4_samples(mp4.replace(b"stco", b"stcq"))  # missing offsets
+    with pytest.raises(ValueError):
+        decode_mp4_samples(b"junkjunkjunkjunkjunk")
+    with pytest.raises(ValueError):
+        encode_mp4_mjpeg([], 8, 8)  # empty track
 
 
 def test_extract_features_shape(media):
