@@ -81,8 +81,10 @@ HEADLINE = (
     "l5_mp4_probe",
     "l2_embedding_near_dup",
     "l4_span_dedup",
-    # round-5 addition: per-sample MJPEG-in-MP4 video decode
+    # round-5 additions: per-sample MJPEG-in-MP4 video decode,
+    # skew-join mitigation on a manufactured hot key
     "l5_video_decode",
+    "a10b_salted_skew_join",
 )
 
 # Entries with documented ±18% round-over-round drift on identical code

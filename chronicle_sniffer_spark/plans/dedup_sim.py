@@ -322,6 +322,66 @@ def a10_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "a10b_salted_skew_join",
+    section="A1/skew",
+    oracle="""
+    WITH fact AS (
+      SELECT CASE WHEN l_orderkey % 10 < 7 THEN 0 ELSE l_orderkey % 100 END AS hot_key,
+             l_extendedprice
+      FROM lineitem
+    ),
+    dim AS (
+      SELECT p_partkey % 100 AS hot_key, count(*) AS dim_n
+      FROM part GROUP BY p_partkey % 100
+    )
+    SELECT f.hot_key,
+           count(*) AS n_rows,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+           max(d.dim_n) AS dim_n
+    FROM fact f JOIN dim d ON f.hot_key = d.hot_key
+    GROUP BY f.hot_key
+    """,
+)
+def a10b_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-JOIN mitigation on a manufactured hot key (~70% of
+    lineitem rows map to key 0 — the classic 100 TB failure where one
+    reducer gets most of the fact table): the dim side replicates once
+    per salt, the fact side salts deterministically on l_orderkey, so
+    the hot key's rows spread over 8 tasks (operators/skew.py
+    salted_join).  The dim carries a shuffle_hash hint because a
+    broadcast join has no skew problem to solve — this entry
+    demonstrates the non-broadcastable-dim path; the engagement assert
+    (salt in the physical join keys, no BroadcastHashJoin, hot rows on
+    every salt) is tests/test_skew.py::test_salted_join_skew_path_engages.
+    Identical result to the plain join, per the oracle."""
+    from chronicle_sniffer_spark.operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    fact = li.select(
+        F.when(F.col("l_orderkey") % 10 < 7, F.lit(0))
+        .otherwise(F.col("l_orderkey") % 100)
+        .cast("bigint")
+        .alias("hot_key"),
+        "l_orderkey",
+        "l_extendedprice",
+    )
+    dim = (
+        _t(spark, sf_dir, "part")
+        .groupBy((F.col("p_partkey") % 100).alias("hot_key"))
+        .agg(F.count("*").alias("dim_n"))
+        .hint("shuffle_hash")
+    )
+    joined = salted_join(fact, dim, key="hot_key", salt_on="l_orderkey", n_salts=8)
+    return joined.groupBy("hot_key").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_price"),
+        F.max("dim_n").alias("dim_n"),
+    )
+
+
+@query(
     "l5_frame_sample",
     section="L5",
     oracle="""
