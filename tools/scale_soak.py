@@ -1,0 +1,126 @@
+"""Scale soak: measure per-query wall ratios sf1 / sf0.1.
+
+The correctness gate and bench stop at sf0.1 (~600k lineitem rows);
+the design target is a 1000-executor cluster on 100 TB.  This tool
+provides the first MEASURED evidence above sf0.1: it generates the
+FK-consistent sf1 replica set (tools/make_scale_data.py, ~6M lineitem
+rows = 10x data), runs the heaviest catalog queries at both SFs on the
+same session, and records per-query walls and the sf1/sf0.1 ratio.
+
+Reading the ratios: 10x data through a scan+shuffle pipeline should
+cost ~10x (near-linear); sorts and window ranks may add an n·log n
+factor; anything far above that signals a plan that would not survive
+the next 100x (the round-4 verdict's acceptance bar is <= ~12x with
+outliers explained).  The brute-force all-pairs oracle baseline
+(l2_embedding_near_dup) is excluded BY DESIGN: it is O(N^2) by
+definition and scope-guarded as an oracle, not a scale path — its
+scale paths (LSH and IVF ANN) are in the list instead.
+
+Usage: python tools/scale_soak.py [out_json]   (default SCALE_r05.json
+next to the repo root; prints one JSON line, bench.py style)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from chronicle_sniffer_spark.plans import registry
+from chronicle_sniffer_spark.session import get_spark
+from tools.make_scale_data import make_scale_data
+
+SF01_DIR = "/root/testdata/sf0.1"
+
+# The heavy/representative catalog surface: every multi-join TPC-H
+# shape, the window/sort/agg family, time-series, the full dedup and
+# similarity suite (scale paths, not the quadratic oracle), text
+# analysis, and the per-row media decodes.
+QUERIES = (
+    "a1_q1_pricing_summary",
+    "j2_q3_shape",
+    "j2g_q9_product_profit",
+    "sq4_q2_min_cost_supplier",
+    "a9c_q11_important_stock",
+    "a9b_q18_large_orders",
+    "sq2_q17_correlated",
+    "o1_sort_limit",
+    "w1_topk_per_group",
+    "w4_running_total",
+    "j8_asof",
+    "o9_cdc_latest",
+    "a10_salted_skew_agg",
+    "a10b_salted_skew_join",
+    "ts1_gapfill_ffill",
+    "ts2_funnel_conversion",
+    "ts3_retention_cohorts",
+    "l1_exact_dedup",
+    "l2_minhash_signatures",
+    "l2_ngram_jaccard",
+    "l2_simhash_pairs",
+    "l3_cosine_topk",
+    "l3_ann_lsh_topk",
+    "l3_ann_ivf_topk",
+    "l4_tfidf",
+    "l4_span_dedup",
+    "l4_fingerprint",
+    "l6_hash_split",
+    "l5_jpeg_decode",
+    "l5_video_decode",
+)
+
+
+def main() -> None:
+    out_path = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE_r05.json"
+    )
+    sf1_dir = make_scale_data()
+    spark = get_spark("scale-soak")
+    reg = registry()
+    try:
+        from bench import _SMALL  # consumption parity with the bench
+    except ImportError:
+        _SMALL = set()
+
+    def run(name: str, sf_dir: str) -> None:
+        df = reg[name].spark_fn(spark, sf_dir)
+        if name in _SMALL:
+            df.collect()
+        else:
+            df.write.format("noop").mode("overwrite").save()
+
+    results: dict[str, dict] = {}
+    for name in QUERIES:
+        row: dict = {}
+        for sf_dir, key in ((SF01_DIR, "sf0.1"), (sf1_dir, "sf1")):
+            run(name, sf_dir)  # warm: codegen compile + JIT
+            t0 = time.time()
+            run(name, sf_dir)
+            row[key] = round(time.time() - t0, 3)
+        row["ratio"] = round(row["sf1"] / row["sf0.1"], 2) if row["sf0.1"] > 0 else None
+        results[name] = row
+        print(f"{name}: sf0.1={row['sf0.1']}s sf1={row['sf1']}s ratio={row['ratio']}x",
+              file=sys.stderr)
+
+    ratios = [r["ratio"] for r in results.values() if r["ratio"]]
+    ratios.sort()
+    summary = {
+        "metric": "scale_soak_sf1_over_sf01",
+        "unit": "ratio",
+        "data_factor": 10,
+        "value": ratios[len(ratios) // 2],  # median ratio
+        "max_ratio": max(ratios),
+        "queries": results,
+        "sf1_rows": {"lineitem": 6_000_000, "documents": 50_000, "embeddings": 20_000},
+    }
+    with open(out_path, "w") as fh:
+        json.dump(summary, fh, indent=1)
+    print(json.dumps(summary))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
