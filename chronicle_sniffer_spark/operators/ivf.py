@@ -217,11 +217,10 @@ def oracle_ivf_sql(
     zipped unnest, empty cells keeping their previous position via the
     LEFT JOIN coalesce).  The modulo-sample guard is reproduced too,
     though at every shipped SF the corpus (≤2048 vectors) IS the train
-    set.  Shared float caveat (same class as the documented 6-dp
-    half-boundary channel in operators/similarity.py): both engines
-    sum doubles in different association orders, so an argmin could in
-    principle flip on a ~1e-15 near-tie; the embeddings are continuous
-    random vectors, making that acceptably improbable.
+    set.  Float caveat: both engines sum doubles in different
+    association orders, so an argmin could in principle flip on a
+    ~1e-15 near-tie; the embeddings are continuous random vectors,
+    making that acceptably improbable.
     """
     cte = [
         f"""

@@ -174,7 +174,12 @@ def cosine_sims(embeddings: DataFrame) -> DataFrame:
             vecs = np.stack(pdf["v"].to_numpy()).astype(np.float64)
             vn = np.linalg.norm(vecs, axis=1)
             vn[vn == 0.0] = 1.0
-            sims = np.round((vecs / vn[:, None]) @ m.T, 6)
+            raw = (vecs / vn[:, None]) @ m.T
+            # round half-AWAY-from-zero to match Spark round() and
+            # DuckDB round(); np.round's banker's rounding would flip a
+            # sim landing exactly on a 6-dp half boundary (round-4
+            # advice: close the channel rather than document it)
+            sims = np.sign(raw) * np.floor(np.abs(raw) * 1e6 + 0.5) / 1e6
             mask = all_ids[None, :] > bids[:, None]
             bi, oj = np.nonzero(mask)
             yield pd.DataFrame(

@@ -225,3 +225,25 @@ def test_zorder_write_is_range_partitioned(spark, tmp_path):
     # files cover disjoint z-ranges: min/max footer stats prune cleanly
     for prev, cur in zip(spans, spans[1:]):
         assert cur.lo > prev.hi
+
+
+def test_derived_partsupp_materializes_once(spark):
+    """The five partsupp Q-shapes share ONE cached derivation per
+    (session, sf_dir) — and the degenerate supplier counts that would
+    collide (ps_partkey, ps_suppkey) are rejected up front."""
+    from chronicle_sniffer_spark.plans.partsupp import (
+        _DEGENERATE_SUPPLIER_COUNTS,
+        derived_partsupp,
+    )
+    from tests.conftest import SF_SMOKE
+
+    a = derived_partsupp(spark, SF_SMOKE)
+    b = derived_partsupp(spark, SF_SMOKE)
+    assert a is b  # cache hit: no re-derivation
+    assert a.storageLevel.useMemory  # actually cached, not just memoized
+    # PK holds on the shipped data
+    n_rows = a.count()
+    n_keys = a.select("ps_partkey", "ps_suppkey").distinct().count()
+    assert n_rows == n_keys
+    # the collision set is exactly the divisors of 13*{1,2,3}
+    assert _DEGENERATE_SUPPLIER_COUNTS == {1, 2, 3, 13, 26, 39}
