@@ -82,9 +82,11 @@ HEADLINE = (
     "l2_embedding_near_dup",
     "l4_span_dedup",
     # round-5 additions: per-sample MJPEG-in-MP4 video decode,
-    # skew-join mitigation on a manufactured hot key
+    # skew-join mitigation on a manufactured hot key, IVF ANN through
+    # the materialized (partition-pruned) index
     "l5_video_decode",
     "a10b_salted_skew_join",
+    "l3_ann_ivf_index_topk",
 )
 
 # Entries with documented ±18% round-over-round drift on identical code

@@ -176,11 +176,14 @@ def ivf_topk_from_index(
     query_vec: list[float],
     k: int = 10,
     n_probe: int = N_PROBE,
+    exclude_vec_id: int | None = None,
 ) -> DataFrame:
     """Probe a materialized index: nearest ``n_probe`` centroids from
     the KB-sized centroid table, then an IN filter on ``cid`` that the
     partitioned layout turns into partition pruning — only the probed
-    cells' files are listed or read."""
+    cells' files are listed or read.  ``exclude_vec_id`` drops the
+    query's own row when the query vector comes from the corpus (the
+    :func:`ivf_topk` semantics)."""
     centroids = [
         (r.cid, list(r.cvec)) for r in spark.read.parquet(f"{index_dir}/centroids").collect()
     ]
@@ -191,6 +194,8 @@ def ivf_topk_from_index(
     probe = [cid for cid, c in sorted(centroids, key=lambda c: (d2(c[1], query_vec), c[0]))[:n_probe]]
     qcol = F.array(*[F.lit(x) for x in query_vec])
     cells = spark.read.parquet(f"{index_dir}/cells").filter(F.col("cid").isin(probe))
+    if exclude_vec_id is not None:
+        cells = cells.filter(F.col("vec_id") != exclude_vec_id)
     scored = cells.select("vec_id", F.round(cosine(F.col("v"), qcol), 6).alias("sim"))
     topk = scored.orderBy(F.col("sim").desc(), F.col("vec_id")).limit(k)
     w = Window.orderBy(F.col("sim").desc(), F.col("vec_id"))

@@ -246,6 +246,25 @@ def _ivf_oracle() -> str:
     return oracle_ivf_sql(ANN_QUERY_VEC, ANN_K)
 
 
+# (applicationId, sf_dir) -> index dir, so the materialized-index entry
+# writes the cid-partitioned layout once per session (the 100 TB shape:
+# the index is written once and served many times).
+_IVF_INDEX_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _ivf_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    import tempfile
+
+    from chronicle_sniffer_spark.operators.ivf import ivf_index_write
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _IVF_INDEX_CACHE:
+        out = tempfile.mkdtemp(prefix="css_ivf_index_")
+        ivf_index_write(_t(spark, sf_dir, "embeddings"), out)
+        _IVF_INDEX_CACHE[key] = out
+    return _IVF_INDEX_CACHE[key]
+
+
 @query("l3_ann_ivf_topk", section="L3", oracle=_ivf_oracle())
 def l3_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: deterministic k-means cells, probe the 4 nearest of 16,
@@ -258,6 +277,27 @@ def l3_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from chronicle_sniffer_spark.operators.ivf import ivf_topk
 
     return ivf_topk(_t(spark, sf_dir, "embeddings"), ANN_QUERY_VEC, ANN_K)
+
+
+@query("l3_ann_ivf_index_topk", section="L3", oracle=_ivf_oracle())
+def l3_ann_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same IVF top-k through the MATERIALIZED index — the 100 TB
+    serving shape: the cell assignment is written ONCE per session as a
+    cid-PARTITIONED parquet layout plus a KB-sized centroid table, and
+    each query's probe becomes an IN filter the layout turns into
+    partition pruning at the scan (only the probed cells' files are
+    listed or read; plan+metrics assert in
+    tests/test_ivf.py::test_probe_filter_prunes_partitions).  Same
+    unrolled-Lloyd DuckDB oracle as `l3_ann_ivf_topk` — train-then-
+    serve must return exactly what train-inline returns."""
+    from chronicle_sniffer_spark.operators.ivf import ivf_topk_from_index
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == ANN_QUERY_VEC).select("embedding").collect()
+    qv = [float(x) for x in qrow[0][0]]
+    return ivf_topk_from_index(
+        spark, _ivf_index_dir(spark, sf_dir), qv, ANN_K, exclude_vec_id=ANN_QUERY_VEC
+    )
 
 
 # GPT-2-style pre-tokenizer, RE2/Java-compatible subset (no lookahead):
