@@ -87,6 +87,7 @@ HEADLINE = (
     "l5_video_decode",
     "a10b_salted_skew_join",
     "l3_ann_ivf_index_topk",
+    "l5_gif_decode",
 )
 
 # Entries with documented ±18% round-over-round drift on identical code

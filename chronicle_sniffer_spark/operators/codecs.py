@@ -582,3 +582,169 @@ def decode_png(data: bytes) -> np.ndarray:
         prev = _unfilter_row(int(arr[y, 0]), arr[y, 1:], prev)
         out[y] = prev
     return out.reshape(h, w, _BPP)
+
+
+# ---------------------------------------------------------------------------
+# GIF87a (8-bit indexed, real LZW — the third compression family next
+# to PNG's deflate and JPEG's DCT+Huffman)
+# ---------------------------------------------------------------------------
+
+_GIF_MCS = 8  # LZW minimum code size for an 8-bit palette
+
+
+def _lzw_encode(indices: bytes, mcs: int = _GIF_MCS) -> bytes:
+    """GIF-flavor LZW: variable-width codes LSB-first, CLEAR resets the
+    dictionary when it reaches 4096 entries (the 12-bit ceiling)."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table = {bytes([i]): i for i in range(1 << mcs)}
+    next_code, width = eoi + 1, mcs + 1
+    emit(clear, width)
+    run = b""
+    for b in indices:
+        cand = run + bytes([b])
+        if cand in table:
+            run = cand
+            continue
+        emit(table[run], width)
+        if next_code < 4096:
+            table[cand] = next_code
+            next_code += 1
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        else:
+            emit(clear, width)
+            table = {bytes([i]): i for i in range(1 << mcs)}
+            next_code, width = eoi + 1, mcs + 1
+        run = bytes([b])
+    if run:
+        emit(table[run], width)
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, n_pixels: int, mcs: int = _GIF_MCS) -> bytes:
+    """Inverse of :func:`_lzw_encode`, including the KwKwK case and
+    mid-stream CLEAR resets; validates codes against the live table."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(1 << mcs)] + [b"", b""]
+    width = mcs + 1
+    prev: bytes | None = None
+    acc = nbits = pos = 0
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("LZW stream truncated before EOI")
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = [bytes([i]) for i in range(1 << mcs)] + [b"", b""]
+            width = mcs + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # KwKwK
+        else:
+            raise ValueError(f"LZW code {code} outside table of {len(table)}")
+        out.extend(entry)
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+        if len(out) > n_pixels:
+            raise ValueError("LZW output exceeds pixel count")
+    if len(out) != n_pixels:
+        raise ValueError(f"LZW decoded {len(out)} of {n_pixels} pixels")
+    return bytes(out)
+
+
+def encode_gif_gray(pixels: np.ndarray) -> bytes:
+    """Encode an (H, W) uint8 array as a GIF87a with a 256-entry
+    grayscale palette (pixel value == palette index == gray level)."""
+    if pixels.ndim != 2 or pixels.dtype != np.uint8:
+        raise ValueError(f"expected (H, W) uint8, got {pixels.shape} {pixels.dtype}")
+    h, w = pixels.shape
+    out = bytearray(b"GIF87a")
+    out += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)  # global table, 256 entries
+    for i in range(256):
+        out += bytes([i, i, i])  # grayscale palette
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)  # image descriptor
+    out.append(_GIF_MCS)
+    lzw = _lzw_encode(pixels.tobytes())
+    for off in range(0, len(lzw), 255):
+        block = lzw[off : off + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00\x3b"  # block terminator + trailer
+    return bytes(out)
+
+
+def decode_gif_gray(data: bytes) -> np.ndarray:
+    """Decode a GIF87a/89a written by :func:`encode_gif_gray` back to
+    the (H, W) uint8 gray array (validates the palette is grayscale so
+    index == gray level)."""
+    if len(data) < 13 or data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    w, h, packed, _bg, _ar = struct.unpack_from("<HHBBB", data, 6)
+    if not packed & 0x80:
+        raise ValueError("missing global color table")
+    n_colors = 2 << (packed & 0x07)
+    pos = 13
+    palette = data[pos : pos + 3 * n_colors]
+    if len(palette) < 3 * n_colors:
+        raise ValueError("truncated color table")
+    for i in range(n_colors):
+        r, g, b = palette[3 * i : 3 * i + 3]
+        if not (r == g == b == i):
+            raise ValueError("non-grayscale palette unsupported here")
+    pos += 3 * n_colors
+    while pos < len(data) and data[pos] == 0x21:  # skip extensions
+        pos += 2
+        while data[pos]:
+            pos += 1 + data[pos]
+        pos += 1
+    if pos >= len(data) or data[pos] != 0x2C:
+        raise ValueError("missing image descriptor")
+    left, top, iw, ih, ipacked = struct.unpack_from("<HHHHB", data, pos + 1)
+    if (left, top, iw, ih) != (0, 0, w, h) or ipacked & 0xC0:
+        raise ValueError("sub-rect/local-table/interlaced GIF unsupported here")
+    pos += 10
+    mcs = data[pos]
+    pos += 1
+    if mcs != _GIF_MCS:
+        raise ValueError(f"expected 8-bit LZW min code size, got {mcs}")
+    lzw = bytearray()
+    while True:
+        if pos >= len(data):
+            raise ValueError("missing block terminator")
+        n = data[pos]
+        pos += 1
+        if n == 0:
+            break
+        lzw += data[pos : pos + n]
+        pos += n
+    idx = _lzw_decode(bytes(lzw), w * h)
+    return np.frombuffer(idx, dtype=np.uint8).reshape(h, w)

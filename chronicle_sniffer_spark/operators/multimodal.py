@@ -98,6 +98,8 @@ def _decode_image_bytes(b: bytes):
         return codecs.decode_png(b), "RGB"
     if b[:2] == b"BM":
         return codecs.decode_bmp(b), "RGB"
+    if b[:5] in (b"GIF87", b"GIF89"):
+        return codecs.decode_gif_gray(b), "L"
     if b[:2] == b"\xff\xd8":
         try:
             px = jpeg._decode_jpeg(b)  # grayscale or 4:4:4
@@ -699,3 +701,65 @@ def jpeg420_stats(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.filter(F.col("kind") == "image").mapInPandas(op, JPEG_COLOR_DDL)
+
+
+GIF_STATS_DDL = (
+    "media_id bigint, width int, height int, n_pixels bigint, mean_gray double"
+)
+
+
+def synthesize_gif_corpus(documents: DataFrame) -> DataFrame:
+    """GIF87a corpus with REAL LZW-compressed payloads
+    (operators/codecs.py): solid images (value from doc_id) through the
+    grayscale-palette encoder.  GIF is lossless, so ANY value decodes
+    bit-exactly — no lattice constraint needed — and the decoded stats
+    are closed-form (catalog `l5_gif_decode`)."""
+    import numpy as np
+    import pandas as pd
+
+    from chronicle_sniffer_spark.operators.codecs import encode_gif_gray
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {"media_id": [], "kind": [], "payload": [], "meta": []}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 10 + (d % 7) * 3, 10 + (d % 5) * 3
+                v = (d * 29) % 256
+                meta = dict.fromkeys(
+                    ("format", "width", "height", "sample_rate", "duration_ms", "n_frames")
+                )
+                meta.update(format="gif", width=w, height=h)
+                rows["media_id"].append(d)
+                rows["kind"].append("image")
+                rows["payload"].append(encode_gif_gray(np.full((h, w), v, dtype=np.uint8)))
+                rows["meta"].append(meta)
+            yield pd.DataFrame(rows)
+
+    return (
+        documents.filter(F.col("doc_id") % 3 == 1).select("doc_id").mapInPandas(op, MEDIA_DDL)
+    )
+
+
+def gif_stats(media: DataFrame) -> DataFrame:
+    """Real GIF decode (LZW + palette) → dimensions + mean gray."""
+    import pandas as pd
+
+    from chronicle_sniffer_spark.operators.codecs import decode_gif_gray
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in (
+                "media_id", "width", "height", "n_pixels", "mean_gray"
+            )}
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                px = decode_gif_gray(bytes(b))
+                h, w = px.shape
+                out["media_id"].append(int(mid))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_pixels"].append(w * h)
+                out["mean_gray"].append(float(px.astype("f8").mean()))
+            yield pd.DataFrame(out)
+
+    return media.filter(F.col("kind") == "image").mapInPandas(op, GIF_STATS_DDL)

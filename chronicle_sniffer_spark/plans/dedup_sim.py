@@ -749,6 +749,33 @@ def l5_mp4_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "l5_gif_decode",
+    section="L5",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(10 + (doc_id % 7) * 3 AS INTEGER) AS width,
+           CAST(10 + (doc_id % 5) * 3 AS INTEGER) AS height,
+           CAST((10 + (doc_id % 7) * 3) * (10 + (doc_id % 5) * 3) AS BIGINT) AS n_pixels,
+           CAST((doc_id * 29) % 256 AS DOUBLE) AS mean_gray
+    FROM documents WHERE doc_id % 3 = 1
+    """,
+)
+def l5_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF87a decode, oracle-checked through bytes: a third
+    compression family (LZW — variable-width codes, dictionary resets
+    at the 12-bit ceiling, KwKwK case) next to PNG's deflate and
+    JPEG's DCT+Huffman (operators/codecs.py).  GIF is lossless, so any
+    solid value round-trips bit-exactly with no lattice constraint —
+    the decoded means are closed-form for DuckDB."""
+    from chronicle_sniffer_spark.operators.multimodal import (
+        gif_stats,
+        synthesize_gif_corpus,
+    )
+
+    return gif_stats(synthesize_gif_corpus(_t(spark, sf_dir, "documents")))
+
+
+@query(
     "l5_video_decode",
     section="L5",
     oracle="""

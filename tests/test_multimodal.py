@@ -615,3 +615,36 @@ def test_ycbcr_to_rgb_known_values():
     red[0, 0] = (76, 85, 255)
     r, g, b = ycbcr_to_rgb(red)[0, 0]
     assert r == 254 and g <= 30 and b <= 10, (r, g, b)
+
+
+def test_gif_lzw_roundtrip_and_validation():
+    import numpy as np
+
+    from chronicle_sniffer_spark.operators.codecs import decode_gif_gray, encode_gif_gray
+
+    rng = np.random.default_rng(7)
+    # odd dims, flat, gradient (dictionary growth), repeated rows
+    for px in (
+        rng.integers(0, 256, (33, 17)).astype(np.uint8),
+        np.full((40, 50), 201, np.uint8),
+        np.tile(np.arange(256, dtype=np.uint8), (20, 1)),
+        rng.integers(0, 256, (200, 300)).astype(np.uint8),  # 12-bit ceiling + CLEAR
+    ):
+        assert (decode_gif_gray(encode_gif_gray(px)) == px).all()
+    good = encode_gif_gray(np.full((8, 8), 9, np.uint8))
+    for bad in (b"NOTAGIF", good[:20], good[:-3]):
+        with pytest.raises(ValueError):
+            decode_gif_gray(bad)
+    with pytest.raises(ValueError):
+        encode_gif_gray(np.zeros((4, 4, 3), np.uint8))  # not (H, W)
+
+
+def test_decode_image_strict_handles_gif():
+    import numpy as np
+
+    from chronicle_sniffer_spark.operators.multimodal import _decode_image_bytes
+    from chronicle_sniffer_spark.operators.codecs import encode_gif_gray
+
+    px = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    got, mode = _decode_image_bytes(encode_gif_gray(px))
+    assert mode == "L" and (got == px).all()
