@@ -70,6 +70,8 @@ QUERIES = (
     "l6_hash_split",
     "l5_jpeg_decode",
     "l5_video_decode",
+    "l5_gif_decode",
+    "l3_ann_ivf_index_topk",
 )
 
 
