@@ -25,6 +25,10 @@ Formats (public specs):
   non-interlaced — the compressed-format spirit of the reference's
   decode-at-the-edge step (processor_app.py:150-155) with the most
   common image container.
+- GIF87a: logical screen descriptor + 256-entry grayscale color
+  table + image descriptor + real LZW (variable-width codes packed
+  LSB-first, dictionary growth to the 12-bit ceiling with CLEAR
+  resets, the KwKwK special case), sub-block framing, trailer.
 
 Everything is deterministic and allocation-bounded: decoders validate
 headers and sizes before touching pixel/sample data and raise
