@@ -88,6 +88,7 @@ HEADLINE = (
     "a10b_salted_skew_join",
     "l3_ann_ivf_index_topk",
     "l5_gif_decode",
+    "l5_video_color_decode",
 )
 
 # Entries with documented ±18% round-over-round drift on identical code

@@ -763,3 +763,89 @@ def gif_stats(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.filter(F.col("kind") == "image").mapInPandas(op, GIF_STATS_DDL)
+
+
+VIDEO_COLOR_DDL = (
+    "media_id bigint, n_frames int, width int, height int,"
+    " mean_y double, mean_cb double, mean_cr double"
+)
+
+
+def synthesize_mjpeg420_video_corpus(documents: DataFrame) -> DataFrame:
+    """Color Motion-JPEG MP4 corpus: each sample is a 4:2:0
+    chroma-subsampled JPEG frame (the wild's dominant layout) on the
+    exactness lattices — luma varies per FRAME, chroma per VIDEO — so
+    subsample + entropy-code + extract + decode reconstructs every
+    plane bit-exactly and the per-plane means are closed-form."""
+    import numpy as np
+    import pandas as pd
+
+    from chronicle_sniffer_spark.operators.codecs import encode_mp4_mjpeg
+    from chronicle_sniffer_spark.operators.jpeg import encode_jpeg_ycbcr420
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {"media_id": [], "kind": [], "payload": [], "meta": []}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = 2 + d % 3
+                w, h = 16 * (1 + d % 2), 16
+                cb = 128 + 17 * ((d % 13) - 6)
+                cr = 128 + 17 * (((d * 7) % 13) - 6)
+                frames = []
+                for f in range(n):
+                    pl = np.empty((h, w, 3), dtype=np.uint8)
+                    pl[:, :, 0] = 2 * ((d * 11 + f * 23) % 128)
+                    pl[:, :, 1], pl[:, :, 2] = cb, cr
+                    frames.append(encode_jpeg_ycbcr420(pl))
+                meta = dict.fromkeys(
+                    ("format", "width", "height", "sample_rate", "duration_ms", "n_frames")
+                )
+                meta.update(
+                    format="mp4", width=w, height=h, duration_ms=40 * n, n_frames=n
+                )
+                rows["media_id"].append(d)
+                rows["kind"].append("video")
+                rows["payload"].append(encode_mp4_mjpeg(frames, w, h))
+                rows["meta"].append(meta)
+            yield pd.DataFrame(rows)
+
+    return (
+        documents.filter(F.col("doc_id") % 3 == 0).select("doc_id").mapInPandas(op, MEDIA_DDL)
+    )
+
+
+def video_color_decode_stats(media: DataFrame) -> DataFrame:
+    """Per-sample COLOR video decode: sample-table walk + 4:2:0 JPEG
+    decode per frame, aggregated to per-plane YCbCr means."""
+    import pandas as pd
+
+    from chronicle_sniffer_spark.operators.codecs import decode_mp4_samples
+    from chronicle_sniffer_spark.operators.jpeg import decode_jpeg_ycbcr420
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in (
+                "media_id", "n_frames", "width", "height", "mean_y", "mean_cb", "mean_cr"
+            )}
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                parsed = decode_mp4_samples(bytes(b))
+                if parsed["format"] not in ("mjpg", "jpeg"):
+                    raise ValueError(f"unsupported video sample format {parsed['format']!r}")
+                means = []
+                w = h = None
+                for s in parsed["samples"]:
+                    px = decode_jpeg_ycbcr420(s)
+                    h, w, _ = px.shape
+                    means.append(px.reshape(-1, 3).astype("f8").mean(axis=0))
+                m = sum(means) / len(means)
+                out["media_id"].append(int(mid))
+                out["n_frames"].append(len(means))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["mean_y"].append(float(m[0]))
+                out["mean_cb"].append(float(m[1]))
+                out["mean_cr"].append(float(m[2]))
+            yield pd.DataFrame(out)
+
+    return media.filter(F.col("kind") == "video").mapInPandas(op, VIDEO_COLOR_DDL)

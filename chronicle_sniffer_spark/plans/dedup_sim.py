@@ -749,6 +749,41 @@ def l5_mp4_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "l5_video_color_decode",
+    section="L5",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, unnest(generate_series(0, CAST(1 + doc_id % 3 AS BIGINT))) AS f
+      FROM documents WHERE doc_id % 3 = 0
+    )
+    SELECT doc_id AS media_id,
+           CAST(2 + doc_id % 3 AS INTEGER) AS n_frames,
+           CAST(16 * (1 + doc_id % 2) AS INTEGER) AS width,
+           CAST(16 AS INTEGER) AS height,
+           sum(2 * ((doc_id * 11 + f * 23) % 128)) / count(*) AS mean_y,
+           CAST(128 + 17 * ((doc_id % 13) - 6) AS DOUBLE) AS mean_cb,
+           CAST(128 + 17 * (((doc_id * 7) % 13) - 6) AS DOUBLE) AS mean_cr
+    FROM f GROUP BY doc_id
+    """,
+)
+def l5_video_color_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLOR per-sample video decode: every MP4 sample is a 4:2:0
+    chroma-subsampled JPEG frame (the wild's dominant layout), luma
+    distinct per frame on the even lattice, chroma per video on the
+    128+17k lattice — sample-table walk + subsampled decode +
+    replicate-upsample reconstructs every plane bit-exactly, so the
+    per-plane means are closed-form for DuckDB."""
+    from chronicle_sniffer_spark.operators.multimodal import (
+        synthesize_mjpeg420_video_corpus,
+        video_color_decode_stats,
+    )
+
+    return video_color_decode_stats(
+        synthesize_mjpeg420_video_corpus(_t(spark, sf_dir, "documents"))
+    )
+
+
+@query(
     "l5_gif_decode",
     section="L5",
     oracle="""

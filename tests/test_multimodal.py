@@ -648,3 +648,27 @@ def test_decode_image_strict_handles_gif():
     px = np.arange(64, dtype=np.uint8).reshape(8, 8)
     got, mode = _decode_image_bytes(encode_gif_gray(px))
     assert mode == "L" and (got == px).all()
+
+
+def test_mp4_mjpeg420_color_roundtrip():
+    import numpy as np
+
+    from chronicle_sniffer_spark.operators.codecs import decode_mp4_samples, encode_mp4_mjpeg
+    from chronicle_sniffer_spark.operators.jpeg import (
+        decode_jpeg_ycbcr420,
+        encode_jpeg_ycbcr420,
+    )
+
+    frames = []
+    for f in range(3):
+        pl = np.empty((16, 32, 3), dtype=np.uint8)
+        pl[:, :, 0] = 2 * ((11 + f * 23) % 128)
+        pl[:, :, 1], pl[:, :, 2] = 128 + 17, 128 - 34
+        frames.append(encode_jpeg_ycbcr420(pl))
+    parsed = decode_mp4_samples(encode_mp4_mjpeg(frames, 32, 16))
+    assert len(parsed["samples"]) == 3
+    for f, s in enumerate(parsed["samples"]):
+        px = decode_jpeg_ycbcr420(s)
+        assert px.shape == (16, 32, 3)
+        assert (px[:, :, 0] == 2 * ((11 + f * 23) % 128)).all()
+        assert (px[:, :, 1] == 128 + 17).all() and (px[:, :, 2] == 128 - 34).all()

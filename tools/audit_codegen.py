@@ -26,6 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # design, with the fan-out bounded or the data Python-side anyway.
 ACCEPTED = {
     "l3_ann_ivf_topk",  # candidate scoring folds on a pruned cell subset
+    "l3_ann_ivf_index_topk",  # same scoring fold, over the partition-pruned index scan
     "l3_ann_lsh_topk",  # candidate scoring folds on bucket candidates
     "l3_cosine_topk",  # 1-row broadcast query; fold over N rows is bounded
     "l4_lang_quality",  # per-row stopword filter on a small table
