@@ -89,6 +89,7 @@ HEADLINE = (
     "l3_ann_ivf_index_topk",
     "l5_gif_decode",
     "l5_video_color_decode",
+    "l5_ulaw_decode",
 )
 
 # Entries with documented ±18% round-over-round drift on identical code

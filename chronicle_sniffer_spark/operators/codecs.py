@@ -752,3 +752,72 @@ def decode_gif_gray(data: bytes) -> np.ndarray:
         pos += n
     idx = _lzw_decode(bytes(lzw), w * h)
     return np.frombuffer(idx, dtype=np.uint8).reshape(h, w)
+
+
+# ---------------------------------------------------------------------------
+# G.711 mu-law (8-bit companded PCM — REAL compressed audio, the
+# logarithmic companding standard of telephony; stateless per-sample,
+# so unlike ADPCM its decode is exactly expressible in SQL)
+# ---------------------------------------------------------------------------
+
+_ULAW_BIAS = 0x84  # 132
+_ULAW_CLIP = 32635
+
+
+def ulaw_encode(samples: np.ndarray) -> bytes:
+    """Compand int16 PCM to 8-bit mu-law (G.711, 16-bit convention):
+    clip, add the 0x84 bias, segment = position of the top set bit
+    above bit 7, 4-bit mantissa, ones-complement codeword."""
+    if samples.dtype != np.int16 or samples.ndim != 1:
+        raise ValueError(f"expected 1-D int16 samples, got {samples.dtype}")
+    x = samples.astype(np.int32)
+    sign = np.where(x < 0, 0x80, 0)
+    mag = np.minimum(np.abs(x), _ULAW_CLIP) + _ULAW_BIAS
+    seg = (np.floor(np.log2(mag)) - 7).astype(np.int32)  # mag >= 132 > 2^7
+    mant = (mag >> (seg + 3)) & 0x0F
+    return ((~(sign | (seg << 4) | mant)) & 0xFF).astype(np.uint8).tobytes()
+
+
+def ulaw_decode(data: bytes) -> np.ndarray:
+    """Expand 8-bit mu-law back to int16 PCM — the exact G.711
+    inverse of :func:`ulaw_encode`:
+    ``mag = ((mant << 3 | 0x84) << seg) - 0x84`` — pure integer
+    arithmetic, so a SQL oracle can recompute it from the codeword."""
+    c = ~np.frombuffer(data, dtype=np.uint8).astype(np.int32) & 0xFF
+    seg = (c >> 4) & 0x07
+    mant = c & 0x0F
+    mag = (((mant << 3) | 0x84) << seg) - _ULAW_BIAS
+    return np.where(c & 0x80, -mag, mag).astype(np.int16)
+
+
+def encode_wav_ulaw(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Wrap mu-law-companded samples in a WAV container (format code
+    7, 8 bits per sample, block align 1 — the telephony WAV layout)."""
+    payload = ulaw_encode(samples)
+    fmt = struct.pack("<HHIIHH", 7, 1, sample_rate, sample_rate, 1, 8)
+    chunks = b"".join(
+        [b"fmt ", struct.pack("<I", len(fmt)), fmt,
+         b"data", struct.pack("<I", len(payload)), payload]
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def decode_wav_ulaw(data: bytes) -> tuple[np.ndarray, int]:
+    """Parse a format-7 WAV and expand its mu-law payload to int16."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, fmt_info, payload = 12, None, None
+    while pos + 8 <= len(data):
+        cid, clen = data[pos : pos + 4], struct.unpack_from("<I", data, pos + 4)[0]
+        body = data[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt " and len(body) >= 16:
+            fmt_info = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            payload = body
+        pos += 8 + clen + (clen & 1)
+    if fmt_info is None or payload is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, n_channels, sample_rate, _, _, bits = fmt_info
+    if audio_format != 7 or bits != 8 or n_channels != 1:
+        raise ValueError(f"not mono 8-bit mu-law (format={audio_format}, bits={bits})")
+    return ulaw_decode(payload), sample_rate

@@ -849,3 +849,72 @@ def video_color_decode_stats(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.filter(F.col("kind") == "video").mapInPandas(op, VIDEO_COLOR_DDL)
+
+
+ULAW_STATS_DDL = (
+    "media_id bigint, n_samples bigint, sample_rate int,"
+    " mean double, mean_abs double, rms double"
+)
+
+
+def synthesize_ulaw_corpus(documents: DataFrame) -> DataFrame:
+    """G.711 mu-law telephony-WAV corpus: alternating ±A square waves
+    where A is a mu-law LATTICE value (the decode of codeword
+    ``128 + (doc_id*13) % 127`` — positive codes only, so the +0/−0
+    codeword ambiguity never arises).  Companding is the identity on
+    its own lattice, so the decoded statistics are closed-form: the
+    oracle re-derives A from the codeword with the same integer
+    arithmetic as the expander."""
+    import numpy as np
+    import pandas as pd
+
+    from chronicle_sniffer_spark.operators.codecs import encode_wav_ulaw, ulaw_decode
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {"media_id": [], "kind": [], "payload": [], "meta": []}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                code = 128 + (d * 13) % 127
+                amp = int(ulaw_decode(bytes([code]))[0])
+                n = 800 + (d % 5) * 160  # even -> alternating wave means 0
+                wave = np.tile(np.array([amp, -amp], dtype=np.int16), n // 2)
+                meta = dict.fromkeys(
+                    ("format", "width", "height", "sample_rate", "duration_ms", "n_frames")
+                )
+                meta.update(format="ulaw", sample_rate=8000, duration_ms=n * 1000 // 8000)
+                rows["media_id"].append(d)
+                rows["kind"].append("audio")
+                rows["payload"].append(encode_wav_ulaw(wave, 8000))
+                rows["meta"].append(meta)
+            yield pd.DataFrame(rows)
+
+    return (
+        documents.filter(F.col("doc_id") % 3 == 2).select("doc_id").mapInPandas(op, MEDIA_DDL)
+    )
+
+
+def ulaw_stats(media: DataFrame) -> DataFrame:
+    """Real mu-law expansion (G.711 integer formula) → sample stats."""
+    import numpy as np
+    import pandas as pd
+
+    from chronicle_sniffer_spark.operators.codecs import decode_wav_ulaw
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in (
+                "media_id", "n_samples", "sample_rate", "mean", "mean_abs", "rms"
+            )}
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                s, rate = decode_wav_ulaw(bytes(b))
+                x = s.astype(np.float64)
+                out["media_id"].append(int(mid))
+                out["n_samples"].append(len(s))
+                out["sample_rate"].append(rate)
+                out["mean"].append(float(x.mean()))
+                out["mean_abs"].append(float(np.abs(x).mean()))
+                out["rms"].append(float(np.sqrt((x * x).mean())))
+            yield pd.DataFrame(out)
+
+    return media.filter(F.col("kind") == "audio").mapInPandas(op, ULAW_STATS_DDL)

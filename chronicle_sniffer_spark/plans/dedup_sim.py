@@ -749,6 +749,40 @@ def l5_mp4_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "l5_ulaw_decode",
+    section="L5",
+    oracle="""
+    WITH cw AS (
+      SELECT doc_id,
+             xor(128 + (doc_id * 13) % 127, 255) AS cc
+      FROM documents WHERE doc_id % 3 = 2
+    )
+    SELECT doc_id AS media_id,
+           CAST(800 + (doc_id % 5) * 160 AS BIGINT) AS n_samples,
+           CAST(8000 AS INTEGER) AS sample_rate,
+           CAST(0 AS DOUBLE) AS mean,
+           CAST(((cc & 15) * 8 + 132) * (1 << ((cc >> 4) & 7)) - 132 AS DOUBLE) AS mean_abs,
+           CAST(((cc & 15) * 8 + 132) * (1 << ((cc >> 4) & 7)) - 132 AS DOUBLE) AS rms
+    FROM cw
+    """,
+)
+def l5_ulaw_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-AUDIO decode (G.711 mu-law companding, the
+    telephony standard), oracle-checked through bytes: ±A square waves
+    on the mu-law lattice survive compand→expand exactly, and the
+    expander is pure integer arithmetic —
+    ``((mant*8 + 132) << seg) - 132`` — which the DuckDB oracle
+    recomputes from the codeword itself.  mean = 0 (even alternating
+    count), mean_abs = rms = A exactly."""
+    from chronicle_sniffer_spark.operators.multimodal import (
+        synthesize_ulaw_corpus,
+        ulaw_stats,
+    )
+
+    return ulaw_stats(synthesize_ulaw_corpus(_t(spark, sf_dir, "documents")))
+
+
+@query(
     "l5_video_color_decode",
     section="L5",
     oracle="""

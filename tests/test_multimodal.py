@@ -672,3 +672,39 @@ def test_mp4_mjpeg420_color_roundtrip():
         assert px.shape == (16, 32, 3)
         assert (px[:, :, 0] == 2 * ((11 + f * 23) % 128)).all()
         assert (px[:, :, 1] == 128 + 17).all() and (px[:, :, 2] == 128 - 34).all()
+
+
+def test_ulaw_codec_properties():
+    import numpy as np
+
+    from chronicle_sniffer_spark.operators.codecs import (
+        decode_wav_ulaw,
+        encode_wav_ulaw,
+        ulaw_decode,
+        ulaw_encode,
+    )
+
+    # decode->encode is the identity on all codewords except the +0/-0
+    # pair (codes 127 and 255 both decode to 0 — inherent to G.711)
+    codes = np.arange(256, dtype=np.uint8).tobytes()
+    vals = ulaw_decode(codes)
+    re = np.frombuffer(ulaw_encode(vals), dtype=np.uint8)
+    mismatch = [c for c in range(256) if re[c] != c]
+    assert mismatch == [127]
+    assert int(vals[127]) == 0 and int(vals[255]) == 0
+    # full 16-bit range coverage and odd symmetry
+    assert vals.min() == -32124 and vals.max() == 32124
+    assert (ulaw_decode(bytes(range(128))) == -ulaw_decode(bytes(range(128, 256)))).all()
+    # companding error is relatively bounded (log quantizer)
+    rng = np.random.default_rng(3)
+    x = rng.integers(-32000, 32000, 4096).astype(np.int16)
+    y = ulaw_decode(ulaw_encode(x)).astype(np.int32)
+    rel = np.abs(x - y) / np.maximum(np.abs(x.astype(np.int32)), 64)
+    assert rel.max() < 0.5
+    # WAV container round-trip on a lattice wave
+    amp = int(ulaw_decode(bytes([200]))[0])
+    wave = np.tile(np.array([amp, -amp], np.int16), 300)
+    out, rate = decode_wav_ulaw(encode_wav_ulaw(wave, 8000))
+    assert rate == 8000 and (out == wave).all()
+    with pytest.raises(ValueError):
+        decode_wav_ulaw(b"RIFFxxxxNOPE")
