@@ -331,3 +331,38 @@ def test_s10_python_datasource_stream_resumes(spark, tmp_path):
     assert got.count() == 5000
     assert got.select("pkt_id").distinct().count() == 5000
     assert got.agg(F.min("pkt_id"), F.max("pkt_id")).collect()[0][0:2] == (0, 4999)
+
+
+def test_media_decode_stream_equals_batch(spark, tmp_path):
+    """Continuous media ingest: the Arrow-batched decode operators
+    compose unchanged with Structured Streaming (mapInPandas on a
+    streaming DataFrame), and an AvailableNow replay over a staged
+    media directory decodes exactly what the batch plan decodes — the
+    shape a 100 TB training-data pipeline uses for rolling media
+    drops."""
+    from chronicle_sniffer_spark.operators.multimodal import (
+        MEDIA_DDL,
+        jpeg_stats,
+        synthesize_jpeg_corpus,
+    )
+    from chronicle_sniffer_spark.streaming.runtime import run_to_completion
+
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, SF_SMOKE, "documents").filter(F.col("doc_id") < 60)
+    media = synthesize_jpeg_corpus(docs)
+    staged = str(tmp_path / "media")
+    media.repartition(4).write.mode("overwrite").parquet(staged)
+
+    stream = (
+        spark.readStream.schema(MEDIA_DDL)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+    )
+    result = run_to_completion(jpeg_stats(stream), "media_stream", "append")
+    batch = jpeg_stats(spark.read.parquet(staged))
+    cols = ("media_id", "width", "height", "n_pixels", "mean_gray")
+    assert sorted(tuple(r) for r in result.select(*cols).collect()) == sorted(
+        tuple(r) for r in batch.select(*cols).collect()
+    )
+    assert result.count() > 0
