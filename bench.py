@@ -90,6 +90,7 @@ HEADLINE = (
     "l5_gif_decode",
     "l5_video_color_decode",
     "l5_ulaw_decode",
+    "l5_gif_anim_decode",
 )
 
 # Entries with documented ±18% round-over-round drift on identical code

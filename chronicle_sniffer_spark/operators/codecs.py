@@ -821,3 +821,89 @@ def decode_wav_ulaw(data: bytes) -> tuple[np.ndarray, int]:
     if audio_format != 7 or bits != 8 or n_channels != 1:
         raise ValueError(f"not mono 8-bit mu-law (format={audio_format}, bits={bits})")
     return ulaw_decode(payload), sample_rate
+
+
+def encode_gif_anim(frames: list[np.ndarray], delay_cs: int = 4) -> bytes:
+    """Encode (H, W) uint8 frames as an animated GIF89a: one graphics
+    control extension (delay, no disposal) + full-frame image block
+    per frame, all sharing the global grayscale palette."""
+    if not frames:
+        raise ValueError("animated GIF needs at least one frame")
+    h, w = frames[0].shape
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)
+    for i in range(256):
+        out += bytes([i, i, i])
+    for px in frames:
+        if px.shape != (h, w) or px.dtype != np.uint8:
+            raise ValueError("all frames must be (H, W) uint8 of equal size")
+        out += struct.pack("<BBBHBB", 0x21, 0xF9, 4, delay_cs, 0, 0)  # GCE
+        out.append(0)  # GCE block terminator
+        out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)
+        out.append(_GIF_MCS)
+        lzw = _lzw_encode(px.tobytes())
+        for off in range(0, len(lzw), 255):
+            block = lzw[off : off + 255]
+            out.append(len(block))
+            out += block
+        out.append(0)
+    out.append(0x3B)
+    return bytes(out)
+
+
+def decode_gif_anim(data: bytes) -> list[np.ndarray]:
+    """Decode every full-frame image block of a GIF87a/89a (grayscale
+    palette; extensions skipped, sub-rect frames rejected) — the
+    multi-frame inverse of :func:`encode_gif_anim`; a single-frame GIF
+    yields a one-element list."""
+    if len(data) < 13 or data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    w, h, packed, _bg, _ar = struct.unpack_from("<HHBBB", data, 6)
+    if not packed & 0x80:
+        raise ValueError("missing global color table")
+    n_colors = 2 << (packed & 0x07)
+    pos = 13
+    palette = data[pos : pos + 3 * n_colors]
+    if len(palette) < 3 * n_colors:
+        raise ValueError("truncated color table")
+    for i in range(n_colors):
+        r, g, b = palette[3 * i : 3 * i + 3]
+        if not (r == g == b == i):
+            raise ValueError("non-grayscale palette unsupported here")
+    pos += 3 * n_colors
+    frames: list[np.ndarray] = []
+    while pos < len(data):
+        marker = data[pos]
+        if marker == 0x3B:  # trailer
+            break
+        if marker == 0x21:  # extension: skip sub-blocks
+            pos += 2
+            while pos < len(data) and data[pos]:
+                pos += 1 + data[pos]
+            pos += 1
+            continue
+        if marker != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{marker:02x}")
+        left, top, iw, ih, ipacked = struct.unpack_from("<HHHHB", data, pos + 1)
+        if (left, top, iw, ih) != (0, 0, w, h) or ipacked & 0xC0:
+            raise ValueError("sub-rect/local-table/interlaced GIF unsupported here")
+        pos += 10
+        mcs = data[pos]
+        pos += 1
+        if mcs != _GIF_MCS:
+            raise ValueError(f"expected 8-bit LZW min code size, got {mcs}")
+        lzw = bytearray()
+        while True:
+            if pos >= len(data):
+                raise ValueError("missing block terminator")
+            n = data[pos]
+            pos += 1
+            if n == 0:
+                break
+            lzw += data[pos : pos + n]
+            pos += n
+        idx = _lzw_decode(bytes(lzw), w * h)
+        frames.append(np.frombuffer(idx, dtype=np.uint8).reshape(h, w))
+    if not frames:
+        raise ValueError("no image blocks in GIF")
+    return frames

@@ -918,3 +918,71 @@ def ulaw_stats(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.filter(F.col("kind") == "audio").mapInPandas(op, ULAW_STATS_DDL)
+
+
+GIF_ANIM_DDL = (
+    "media_id bigint, n_frames int, width int, height int,"
+    " mean_gray double, wsum_gray double"
+)
+
+
+def synthesize_gif_anim_corpus(documents: DataFrame) -> DataFrame:
+    """Animated-GIF corpus: ``2 + doc_id % 3`` solid full-size frames
+    per GIF, value distinct per frame (GIF is lossless, so any value
+    survives), each behind its own graphics-control extension."""
+    import numpy as np
+    import pandas as pd
+
+    from chronicle_sniffer_spark.operators.codecs import encode_gif_anim
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {"media_id": [], "kind": [], "payload": [], "meta": []}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = 2 + d % 3
+                w, h = 10 + (d % 4) * 4, 10 + (d % 3) * 4
+                frames = [
+                    np.full((h, w), (d * 17 + f * 31) % 256, dtype=np.uint8)
+                    for f in range(n)
+                ]
+                meta = dict.fromkeys(
+                    ("format", "width", "height", "sample_rate", "duration_ms", "n_frames")
+                )
+                meta.update(format="gif", width=w, height=h, n_frames=n, duration_ms=40 * n)
+                rows["media_id"].append(d)
+                rows["kind"].append("image")
+                rows["payload"].append(encode_gif_anim(frames))
+                rows["meta"].append(meta)
+            yield pd.DataFrame(rows)
+
+    return (
+        documents.filter(F.col("doc_id") % 3 == 0).select("doc_id").mapInPandas(op, MEDIA_DDL)
+    )
+
+
+def gif_anim_stats(media: DataFrame) -> DataFrame:
+    """Animated-GIF decode: every frame through the LZW decoder, with
+    the same frame-index-weighted sum as the video entries — it only
+    matches the closed form if every frame decoded in order."""
+    import pandas as pd
+
+    from chronicle_sniffer_spark.operators.codecs import decode_gif_anim
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in (
+                "media_id", "n_frames", "width", "height", "mean_gray", "wsum_gray"
+            )}
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                frames = decode_gif_anim(bytes(b))
+                means = [float(px.astype("f8").mean()) for px in frames]
+                out["media_id"].append(int(mid))
+                out["n_frames"].append(len(frames))
+                out["height"].append(frames[0].shape[0])
+                out["width"].append(frames[0].shape[1])
+                out["mean_gray"].append(sum(means) / len(means))
+                out["wsum_gray"].append(sum((f + 1) * m for f, m in enumerate(means)))
+            yield pd.DataFrame(out)
+
+    return media.filter(F.col("kind") == "image").mapInPandas(op, GIF_ANIM_DDL)

@@ -749,6 +749,38 @@ def l5_mp4_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "l5_gif_anim_decode",
+    section="L5",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, unnest(generate_series(0, CAST(1 + doc_id % 3 AS BIGINT))) AS f
+      FROM documents WHERE doc_id % 3 = 0
+    )
+    SELECT doc_id AS media_id,
+           CAST(2 + doc_id % 3 AS INTEGER) AS n_frames,
+           CAST(10 + (doc_id % 4) * 4 AS INTEGER) AS width,
+           CAST(10 + (doc_id % 3) * 4 AS INTEGER) AS height,
+           sum((doc_id * 17 + f * 31) % 256) / count(*) AS mean_gray,
+           CAST(sum((f + 1) * ((doc_id * 17 + f * 31) % 256)) AS DOUBLE) AS wsum_gray
+    FROM f GROUP BY doc_id
+    """,
+)
+def l5_gif_anim_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANIMATED GIF decode, oracle-checked through bytes: every frame
+    is its own LZW stream behind a graphics-control extension, value
+    distinct per frame, and the frame-index-weighted sum only matches
+    DuckDB's closed form if every frame decoded in order — the
+    web-scrape reality where 'image' columns contain multi-frame
+    payloads."""
+    from chronicle_sniffer_spark.operators.multimodal import (
+        gif_anim_stats,
+        synthesize_gif_anim_corpus,
+    )
+
+    return gif_anim_stats(synthesize_gif_anim_corpus(_t(spark, sf_dir, "documents")))
+
+
+@query(
     "l5_ulaw_decode",
     section="L5",
     oracle="""

@@ -708,3 +708,27 @@ def test_ulaw_codec_properties():
     assert rate == 8000 and (out == wave).all()
     with pytest.raises(ValueError):
         decode_wav_ulaw(b"RIFFxxxxNOPE")
+
+
+def test_gif_anim_roundtrip_and_validation():
+    import numpy as np
+
+    from chronicle_sniffer_spark.operators.codecs import (
+        decode_gif_anim,
+        encode_gif_anim,
+        encode_gif_gray,
+    )
+
+    rng = np.random.default_rng(5)
+    frames = [rng.integers(0, 256, (24, 31)).astype(np.uint8) for _ in range(4)]
+    got = decode_gif_anim(encode_gif_anim(frames))
+    assert len(got) == 4 and all((a == b).all() for a, b in zip(got, frames))
+    # a plain single-frame GIF87a decodes as a one-element list
+    one = decode_gif_anim(encode_gif_gray(frames[0]))
+    assert len(one) == 1 and (one[0] == frames[0]).all()
+    with pytest.raises(ValueError):
+        decode_gif_anim(encode_gif_anim(frames)[:-5])  # truncated
+    with pytest.raises(ValueError):
+        encode_gif_anim([])  # empty
+    with pytest.raises(ValueError):
+        encode_gif_anim([frames[0], frames[0][:8]])  # size mismatch
