@@ -1,0 +1,304 @@
+"""Product-quantization (PQ) approximate nearest-neighbor search
+(SURVEY.md §2B L3 — third scale path next to the LSH buckets and the
+IVF cells).
+
+PQ (Jégou, Douze, Schmid — "Product Quantization for Nearest Neighbor
+Search", IEEE TPAMI 2011) splits each D-dim vector into ``M``
+subvectors of ``D/M`` dims and quantizes each subspace independently with
+its own ``K``-codeword k-means codebook.  A vector is then stored as
+``M`` small integers — here 8 codes of 4 bits vs 64 float64s, a 128×
+compression — and query-time scoring is **ADC** (asymmetric distance
+computation): one ``M × K`` table of query-to-codeword distances is
+built once per query, and every corpus vector's approximate distance
+is just ``M`` table lookups + a sum.  The raw vectors are never read
+at serving time.
+
+Scale shape (100 TB): the codebook is KB-sized (M·K·D/M doubles) and
+trains on a bounded deterministic sample, exactly like
+:mod:`operators.ivf`; encoding is a single pass of per-row
+expressions (no shuffle); the ADC scan reads only the codes column
+(~1/64th of the vector bytes) and stays in a single
+TakeOrderedAndProject — the canonical billion-vector serving layout
+(often composed with IVF as IVF-PQ; both halves exist here).
+
+Determinism (mirrors :func:`ivf.train_centroids`):
+
+- train sample = ``vec_id % m == 0`` modulo-sample, collected in
+  vec_id order; init codewords = the first ``K`` subvectors;
+- argmin ties break on lowest code id (numpy argmin ≡ the SQL
+  ``ORDER BY d2, k`` row_number ≡ Spark ``array_min`` on
+  ``struct(d2, k)``);
+- the ADC lookup table is rounded to 6 dp half-away-from-zero on both
+  engines and summed EXACTLY as ``DECIMAL(18,6)``, so the
+  cross-engine association order of the final sum can never matter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from chronicle_sniffer_spark.operators.ivf import MAX_TRAIN
+from chronicle_sniffer_spark.operators.similarity import as_double
+
+SUB_M = 8  # subspaces
+K_CODE = 16  # codewords per subspace (4-bit codes)
+PQ_ITER = 3
+
+Codebooks = list[list[list[float]]]  # [m][k] -> codeword (D/M doubles)
+
+
+def train_codebooks(
+    embeddings: DataFrame,
+    m_sub: int = SUB_M,
+    k_code: int = K_CODE,
+    n_iter: int = PQ_ITER,
+    max_train: int = MAX_TRAIN,
+) -> Codebooks:
+    """Deterministic per-subspace Lloyd iterations on a bounded
+    modulo-sample; returns the KB-sized codebook table to the driver
+    (the same driver-sized-model role as IVF's centroid table)."""
+    import numpy as np
+
+    vecs = embeddings.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    n = vecs.count()
+    if n > max_train:
+        step = -(-n // max_train)  # ceil
+        vecs = vecs.filter(F.col("vec_id") % step == 0)
+    rows = vecs.orderBy("vec_id").collect()
+    x = np.array([r.v for r in rows], dtype=np.float64)
+    dim = x.shape[1]
+    if dim % m_sub:
+        raise ValueError(f"dim {dim} not divisible into {m_sub} subspaces")
+    d_sub = dim // m_sub
+    books: Codebooks = []
+    for m in range(m_sub):
+        xm = x[:, m * d_sub : (m + 1) * d_sub]
+        cent = xm[:k_code].copy()
+        for _ in range(n_iter):
+            d2 = ((xm[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            code = d2.argmin(axis=1)  # ties -> lowest k
+            for k in range(k_code):
+                mask = code == k
+                if mask.any():  # empty cell keeps its previous codeword
+                    cent[k] = xm[mask].mean(axis=0)
+        books.append([cent[k].tolist() for k in range(k_code)])
+    return books
+
+
+def _sub_d2(sub_col, codeword: list[float]):
+    """Squared L2 between a subvector column and one literal codeword
+    (left-to-right fold, matching the oracle's unrolled `+` chain)."""
+    lits = F.array(*[F.lit(float(c)) for c in codeword])
+    return F.aggregate(
+        F.zip_with(sub_col, lits, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _code_col(sub_col, book: list[list[float]]):
+    """argmin over the subspace's codewords, ties to lowest code id."""
+    cands = F.array(
+        *[
+            F.struct(_sub_d2(sub_col, cw).alias("d2"), F.lit(k).alias("k"))
+            for k, cw in enumerate(book)
+        ]
+    )
+    return F.array_min(cands).getField("k")
+
+
+def pq_encode(embeddings: DataFrame, books: Codebooks) -> DataFrame:
+    """vec_id → ``codes array<int>`` (M entries in [0, K)).  One
+    narrow per-row projection — at scale this runs once at index-build
+    time and the codes column is what gets stored/served."""
+    d_sub = len(books[0][0])
+    v = as_double(F.col("embedding")).alias("v")
+    base = embeddings.select("vec_id", v)
+    codes = F.array(
+        *[
+            _code_col(F.slice(F.col("v"), m * d_sub + 1, d_sub), book)
+            for m, book in enumerate(books)
+        ]
+    )
+    return base.select("vec_id", codes.alias("codes"))
+
+
+def _round6_half_away(x: float) -> float:
+    import math
+
+    return math.copysign(math.floor(abs(x) * 1e6 + 0.5) / 1e6, x)
+
+
+def adc_lut(query_vec: list[float], books: Codebooks) -> list[list[float]]:
+    """The per-query ADC table: lut[m][k] = round6(d2(query subvector
+    m, codeword k)) — M·K doubles, built driver-side in the exact
+    left-to-right order the oracle's unrolled SQL uses."""
+    d_sub = len(books[0][0])
+    lut: list[list[float]] = []
+    for m, book in enumerate(books):
+        q = query_vec[m * d_sub : (m + 1) * d_sub]
+        row = []
+        for cw in book:
+            d = 0.0
+            for a, b in zip(q, cw):
+                d = d + (a - b) * (a - b)
+            row.append(_round6_half_away(d))
+        lut.append(row)
+    return lut
+
+
+def pq_adc_topk(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    m_sub: int = SUB_M,
+    k_code: int = K_CODE,
+    n_iter: int = PQ_ITER,
+    books: Codebooks | None = None,
+) -> DataFrame:
+    """Approximate top-k by ADC over PQ codes.
+
+    Plan: encode (per-row expressions) → score = Σ_m lut[m][code_m]
+    as an exact decimal sum of literal-array lookups (no join, no
+    shuffle — the lut rides in the plan as M broadcast-literal arrays)
+    → TakeOrderedAndProject top-k on (approx_d2, vec_id)."""
+    if books is None:
+        books = train_codebooks(embeddings, m_sub, k_code, n_iter)
+    vecs = embeddings.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    qrow = vecs.filter(F.col("vec_id") == query_vec_id).collect()
+    if not qrow:
+        raise KeyError(f"query_vec_id {query_vec_id} not in corpus")
+    lut = adc_lut(list(qrow[0].v), books)
+
+    coded = pq_encode(embeddings, books).filter(F.col("vec_id") != query_vec_id)
+    terms = [
+        F.element_at(
+            F.array(*[F.lit(x) for x in lut[m]]),
+            F.element_at(F.col("codes"), m + 1) + 1,
+        ).cast("decimal(18,6)")
+        for m in range(len(books))
+    ]
+    total = terms[0]
+    for t in terms[1:]:
+        total = total + t
+    scored = coded.select("vec_id", total.cast("double").alias("approx_d2"))
+    topk = scored.orderBy(F.col("approx_d2").asc(), F.col("vec_id")).limit(k)
+    w = Window.orderBy(F.col("approx_d2").asc(), F.col("vec_id"))
+    return topk.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+def _d2_sql(a: str, b: str, d_sub: int) -> str:
+    """Unrolled `(a[i]-b[i])*(a[i]-b[i]) + ...` chain (left-assoc,
+    products not pow — bit-identical to the Spark fold)."""
+    return " + ".join(
+        f"({a}[{i}]-{b}[{i}])*({a}[{i}]-{b}[{i}])" for i in range(1, d_sub + 1)
+    )
+
+
+def oracle_pq_sql(
+    query_vec_id: int,
+    k: int,
+    m_sub: int = SUB_M,
+    k_code: int = K_CODE,
+    n_iter: int = PQ_ITER,
+    max_train: int = MAX_TRAIN,
+    dim: int = 64,
+) -> str:
+    """DuckDB re-derivation of the ENTIRE PQ pipeline — per-subspace
+    train, encode, LUT, ADC score — as one SQL string (the
+    :func:`ivf.oracle_ivf_sql` unrolled-Lloyd pattern, with the
+    subspace id as an extra group key so one loop trains all M
+    codebooks at once)."""
+    d_sub = dim // m_sub
+    d2 = _d2_sql("s.sv", "c.cw", d_sub)
+    cte = [
+        f"""
+    vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    nn AS (SELECT count(*) AS n FROM vecs),
+    train AS (
+      SELECT vec_id, v FROM vecs, nn
+      WHERE vec_id % (CASE WHEN nn.n > {max_train}
+                           THEN (nn.n + {max_train - 1}) // {max_train}
+                           ELSE 1 END) = 0
+    ),
+    ms AS (SELECT unnest(generate_series(0, {m_sub - 1})) AS m),
+    subs AS (
+      SELECT vec_id, m, v[m*{d_sub}+1 : m*{d_sub}+{d_sub}] AS sv FROM train, ms
+    ),
+    c0 AS (
+      SELECT m, row_number() OVER (PARTITION BY m ORDER BY vec_id) - 1 AS k,
+             sv AS cw
+      FROM subs
+      QUALIFY row_number() OVER (PARTITION BY m ORDER BY vec_id) <= {k_code}
+    )"""
+    ]
+    for i in range(n_iter):
+        cte.append(
+            f"""
+    a{i} AS (
+      SELECT vec_id, m, sv, k FROM (
+        SELECT s.vec_id, s.m, s.sv, c.k,
+               row_number() OVER (PARTITION BY s.vec_id, s.m
+                                  ORDER BY {d2}, c.k) AS rn
+        FROM subs s JOIN c{i} c ON c.m = s.m) WHERE rn = 1
+    ),
+    u{i} AS (
+      SELECT m, k, list(mu ORDER BY idx) AS cw FROM (
+        SELECT m, k, idx, avg(val) AS mu FROM (
+          SELECT m, k, unnest(sv) AS val,
+                 unnest(generate_series(1, len(sv))) AS idx FROM a{i})
+        GROUP BY m, k, idx) GROUP BY m, k
+    ),
+    c{i + 1} AS (
+      SELECT c.m, c.k, coalesce(u.cw, c.cw) AS cw
+      FROM c{i} c LEFT JOIN u{i} u ON u.m = c.m AND u.k = c.k
+    )"""
+        )
+    cf = f"c{n_iter}"
+    cte.append(
+        f"""
+    allsubs AS (
+      SELECT vec_id, m, v[m*{d_sub}+1 : m*{d_sub}+{d_sub}] AS sv FROM vecs, ms
+    ),
+    codes AS (
+      SELECT vec_id, m, k FROM (
+        SELECT s.vec_id, s.m, c.k,
+               row_number() OVER (PARTITION BY s.vec_id, s.m
+                                  ORDER BY {d2}, c.k) AS rn
+        FROM allsubs s JOIN {cf} c ON c.m = s.m) WHERE rn = 1
+    ),
+    lut AS (
+      SELECT c.m, c.k, round({_d2_sql("s.sv", "c.cw", d_sub)}, 6) AS d2
+      FROM {cf} c JOIN (SELECT m, sv FROM allsubs
+                        WHERE vec_id = {query_vec_id}) s ON s.m = c.m
+    ),
+    scored AS (
+      SELECT codes.vec_id,
+             CAST(sum(CAST(l.d2 AS DECIMAL(18,6))) AS DOUBLE) AS approx_d2
+      FROM codes JOIN lut l ON l.m = codes.m AND l.k = codes.k
+      WHERE codes.vec_id <> {query_vec_id}
+      GROUP BY codes.vec_id
+    )"""
+    )
+    return (
+        "WITH "
+        + ",".join(cte)
+        + f"""
+    SELECT vec_id, approx_d2, CAST(rnk AS INTEGER) AS rank FROM (
+      SELECT *, row_number() OVER (ORDER BY approx_d2, vec_id) AS rnk
+      FROM scored) WHERE rnk <= {k}
+    """
+    )
+
+
+__all__ = [
+    "train_codebooks",
+    "pq_encode",
+    "pq_adc_topk",
+    "adc_lut",
+    "oracle_pq_sql",
+    "SUB_M",
+    "K_CODE",
+    "PQ_ITER",
+]

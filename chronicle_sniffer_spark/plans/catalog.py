@@ -69,6 +69,7 @@ _SUBMODULES = (
     "chronicle_sniffer_spark.plans.curation",
     "chronicle_sniffer_spark.plans.quality",
     "chronicle_sniffer_spark.plans.partsupp",
+    "chronicle_sniffer_spark.plans.coverage5",
 )
 
 

@@ -1,0 +1,181 @@
+"""Round-5 catalog additions: retrieval scoring, product-quantization
+ANN, semantic (cluster-then-compare) dedup, and an XML source
+round-trip.
+
+These extend the LLM-data-pipeline surface (SURVEY.md §2B L2/L3/L4 and
+the S-series sources) with the operators a 100 TB curation + retrieval
+stack still needed after round 4:
+
+- **BM25** — the standard lexical retrieval scorer (Robertson/Spärck
+  Jones); the reference has no retrieval surface, but a training-data
+  pipeline needs lexical search for decontamination triage and corpus
+  QA.  Shapes: token-keyed tf aggregation, a 4-row broadcast df table,
+  a 1-row broadcast corpus-stats table, then a per-doc decimal sum —
+  no shuffle wider than (doc_id, term).
+- **PQ ANN** — product quantization (Jégou et al., IEEE TPAMI 2011):
+  64× vector compression (8 uint4 codes vs 64 float64) is what makes
+  billion-vector serving feasible; ADC scoring is a literal-table
+  lookup that never touches the raw vectors.
+- **Semantic dedup** — SemDeDup-style (Abbas et al., 2023): cluster
+  with k-means, compare pairs only WITHIN a cell — the quadratic
+  all-pairs cost drops to sum of per-cell quadratics, the scalable
+  shape for embedding-level dedup at corpus scale.
+- **XML scan** — Spark 4 ships a built-in XML source (SPARK-44265);
+  the round-trip entry proves schema fidelity the same way the
+  CSV/ORC entries do (plans/pipeline.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from chronicle_sniffer_spark.plans.catalog import query
+from chronicle_sniffer_spark.tables import load_table
+
+_t = load_table
+
+# ---------------------------------------------------------------------------
+# L4: BM25 retrieval scoring
+# ---------------------------------------------------------------------------
+
+BM25_QUERY = ("vector", "stream", "window", "merge")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 20
+
+_BM25_ORACLE = f"""
+    WITH docs AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+    ),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+      FROM docs
+    ),
+    tf AS (
+      SELECT doc_id, w, count(*) AS tf FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE w IN {BM25_QUERY!r}
+      GROUP BY doc_id, w
+    ),
+    dfreq AS (
+      SELECT w, count(DISTINCT doc_id) AS df FROM tf GROUP BY w
+    ),
+    term AS (
+      SELECT tf.doc_id,
+             round(round(ln(((s.n - d.df + 0.5) / (d.df + 0.5)) + 1.0), 6)
+                   * ((tf.tf * {BM25_K1 + 1.0}) /
+                      (tf.tf + {BM25_K1} * ({1.0 - BM25_B} + ({BM25_B} * dd.dl) / s.avgdl))),
+                   6) AS st
+      FROM tf
+      JOIN dfreq d USING (w)
+      JOIN docs dd ON dd.doc_id = tf.doc_id
+      CROSS JOIN stats s
+    ),
+    agg AS (
+      SELECT doc_id,
+             CAST(sum(CAST(st AS DECIMAL(18,6))) AS DOUBLE) AS score,
+             CAST(count(*) AS INTEGER) AS n_hits
+      FROM term GROUP BY doc_id
+    )
+    SELECT doc_id, score, n_hits, CAST(rnk AS INTEGER) AS rank FROM (
+      SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rnk FROM agg)
+    WHERE rnk <= {BM25_TOP_K}
+"""
+
+
+@query("l4_bm25_topk", section="L4", oracle=_BM25_ORACLE)
+def l4_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} documents for a fixed lexical query under BM25
+    (k1={k1}, b={b}) — Robertson idf ``ln((N-df+0.5)/(df+0.5)+1)``,
+    length-normalized tf saturation.
+
+    Scale shapes: the only wide shuffle is the (doc_id, term) tf
+    aggregation over tokens matching the query (the IN filter runs
+    BEFORE the aggregation, so non-query tokens never shuffle); df and
+    corpus stats are 4-row / 1-row broadcasts; the final top-k is a
+    TakeOrderedAndProject, not a global sort.
+
+    Determinism: every per-term score is a chain of single IEEE ops on
+    identical inputs, rounded to 6 dp, then summed EXACTLY as
+    DECIMAL(18,6) so the cross-engine association order of the sum
+    can never matter (catalog.py decimal-sum rule).  The one libm call
+    (``ln``) is NOT bit-identical across the JVM and C libm (they
+    differ in the last ulp — measured), so the idf is quantized to
+    6 dp right after it on both engines; tests/test_coverage5.py
+    asserts the quantized values agree and sit far from any rounding
+    boundary for every occurring df.
+    """
+    d = _t(spark, sf_dir, "documents")
+    docs = d.select("doc_id", F.size(F.split("text", " ")).alias("dl"))
+    stats = docs.agg(
+        F.count("*").alias("n"),
+        (F.sum("dl").cast("double") / F.count("*").cast("double")).alias("avgdl"),
+    )
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("w")).filter(
+        F.col("w").isin(*BM25_QUERY)
+    )
+    tf = toks.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
+    # JVM Math.log and C libm log differ in the last ulp (measured —
+    # tests/test_coverage5.py), so the idf is quantized to 6 dp on BOTH
+    # engines immediately after the one libm call; downstream arithmetic
+    # is then single-IEEE-op deterministic.
+    idf = F.round(F.log(((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)) + 1.0), 6)
+    tf_part = (F.col("tf") * F.lit(BM25_K1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(BM25_K1)
+        * (F.lit(1.0 - BM25_B) + (F.lit(BM25_B) * F.col("dl")) / F.col("avgdl"))
+    )
+    term = (
+        tf.join(F.broadcast(dfreq), "w")
+        .join(docs, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", F.round(idf * tf_part, 6).alias("st"))
+    )
+    agg = term.groupBy("doc_id").agg(
+        F.sum(F.col("st").cast("decimal(18,6)")).cast("double").alias("score"),
+        F.count("*").cast("int").alias("n_hits"),
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (
+        agg.orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(BM25_TOP_K)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+    )
+
+
+l4_bm25_topk.__doc__ = l4_bm25_topk.__doc__.format(k=BM25_TOP_K, k1=BM25_K1, b=BM25_B)
+
+
+# ---------------------------------------------------------------------------
+# L3: product-quantization ANN (ADC serving path)
+# ---------------------------------------------------------------------------
+
+
+def _pq_oracle() -> str:
+    from chronicle_sniffer_spark.operators.pq import oracle_pq_sql
+
+    # same query vector / k as the LSH and IVF ANN entries, so the three
+    # scale paths are directly comparable
+    from chronicle_sniffer_spark.plans.dedup_sim import ANN_K, ANN_QUERY_VEC
+
+    return oracle_pq_sql(ANN_QUERY_VEC, ANN_K)
+
+
+@query("l3_ann_pq_topk", section="L3", oracle=_pq_oracle())
+def l3_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/pq.py): 8 subspaces × 16
+    codewords (4-bit codes, 128× smaller than the raw float64
+    vectors), asymmetric-distance scoring against a per-query lookup
+    table that rides in the plan as broadcast literals — the serving
+    scan reads codes only, never the vectors.  The DuckDB oracle
+    re-derives the ENTIRE pipeline (per-subspace Lloyd training,
+    encoding, LUT, exact-decimal ADC sum) in unrolled SQL, the
+    `oracle_ivf_sql` pattern with the subspace id as an extra group
+    key."""
+    from chronicle_sniffer_spark.operators.pq import pq_adc_topk
+    from chronicle_sniffer_spark.plans.dedup_sim import ANN_K, ANN_QUERY_VEC
+
+    return pq_adc_topk(_t(spark, sf_dir, "embeddings"), ANN_QUERY_VEC, ANN_K)

@@ -1,0 +1,190 @@
+"""Round-5 additions: BM25 determinism, PQ invariants, semantic dedup,
+XML round-trip.
+
+The catalog-level oracle parity for these entries is covered by
+tests/test_catalog.py (auto-parametrized over the registry); this file
+holds the invariants an oracle hash can't express.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+
+
+# ---------------------------------------------------------------------------
+# BM25
+# ---------------------------------------------------------------------------
+
+
+def test_bm25_idf_quantization_is_engine_safe(spark, oracle):
+    """JVM Math.log and C libm log differ in the last ulp (measured:
+    e.g. ln(1.26996...) = ...583 vs ...586), which is why the BM25 idf
+    is quantized to 6 dp right after the `ln` on both engines.  This
+    test closes the residual channel: for every idf input that
+    actually occurs, (a) the 6-dp-rounded JVM and DuckDB values agree,
+    and (b) the unrounded value sits ≥ 1e-9 from the nearest 6-dp
+    half-boundary, so a last-ulp (~1e-16) divergence can never flip
+    the rounding."""
+    from chronicle_sniffer_spark.plans.coverage5 import BM25_QUERY
+
+    rows = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w").isin(*BM25_QUERY))
+        .groupBy("w")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .collect()
+    )
+    n = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").count()
+    assert rows, "query terms must occur in the corpus"
+    for r in rows:
+        ratio = ((n - r.df + 0.5) / (r.df + 0.5)) + 1.0
+        jvm6 = (
+            spark.range(1)
+            .select(F.round(F.log(F.lit(ratio)), 6).alias("l"))
+            .collect()[0]
+            .l
+        )
+        duck6 = oracle.execute("SELECT round(ln(?::DOUBLE), 6)", [ratio]).fetchone()[0]
+        assert jvm6 == duck6, (r.w, ratio, jvm6, duck6)
+        frac = abs(math.log(ratio)) * 1e6 % 1.0
+        assert abs(frac - 0.5) > 1e-3, f"idf for {r.w} hugs a 6-dp boundary"
+
+
+def test_bm25_scores_monotone_in_tf(spark):
+    """Within the result, a doc's score is a sum of positive per-term
+    contributions, so every score is > 0 and ranks are dense 1..k."""
+    from chronicle_sniffer_spark.plans.coverage5 import l4_bm25_topk
+
+    rows = l4_bm25_topk(spark, SF_SMOKE).collect()
+    assert rows
+    assert all(r.score > 0 for r in rows)
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    assert all(1 <= r.n_hits <= 4 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# PQ
+# ---------------------------------------------------------------------------
+
+
+def _lattice_df(spark, books, n_rows=24):
+    """Vectors whose subvectors ARE codewords — PQ reconstruction is
+    exact on these, so ADC distance == true distance in closed form."""
+    d_sub = len(books[0][0])
+    m_sub = len(books)
+    rows = []
+    for i in range(n_rows):
+        vec = []
+        for m in range(m_sub):
+            vec.extend(books[m][(i + m) % len(books[m])])
+        rows.append((i, [float(x) for x in vec], "x"))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>, label string")
+
+
+def _int_books(m_sub=4, k_code=3, d_sub=2):
+    """Small-integer codebooks: every distance is an exact integer, so
+    the 6-dp LUT rounding is lossless and assertions are exact."""
+    return [
+        [[float(m * 10 + k), float(k - m)] * (d_sub // 2) for k in range(k_code)]
+        for m in range(m_sub)
+    ]
+
+
+def test_pq_encode_recovers_lattice_codes(spark):
+    from chronicle_sniffer_spark.operators.pq import pq_encode
+
+    books = _int_books()
+    df = _lattice_df(spark, books, n_rows=9)
+    got = {r.vec_id: list(r.codes) for r in pq_encode(df, books).collect()}
+    for i in range(9):
+        expect = [(i + m) % 3 for m in range(4)]
+        assert got[i] == expect, (i, got[i], expect)
+
+
+def test_pq_adc_exact_on_lattice(spark):
+    """ADC(q, x) equals the true squared L2 whenever x's subvectors
+    are exact codewords (the defining PQ identity, integer case)."""
+    from chronicle_sniffer_spark.operators.pq import pq_adc_topk
+
+    books = _int_books()
+    df = _lattice_df(spark, books, n_rows=9)
+    res = pq_adc_topk(df, query_vec_id=0, k=8, books=books).collect()
+    truth = {r.vec_id: r.embedding for r in df.collect()}
+    q = truth[0]
+    for r in res:
+        exact = sum((a - b) * (a - b) for a, b in zip(q, truth[r.vec_id]))
+        assert r.approx_d2 == pytest.approx(exact, abs=1e-9), r
+
+
+def test_pq_train_deterministic(spark):
+    from chronicle_sniffer_spark.operators.pq import train_codebooks
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    b1 = train_codebooks(emb)
+    b2 = train_codebooks(emb)
+    assert b1 == b2
+    assert len(b1) == 8 and all(len(bm) == 16 for bm in b1)
+    assert all(len(cw) == 8 for bm in b1 for cw in bm)
+
+
+def test_pq_ranking_quality_vs_exact(spark):
+    """PQ is approximate, and the smoke corpus is ISOTROPIC random
+    data — exact distances concentrate (measured: mean 1.99, σ 0.25,
+    nearest neighbor only ~2.6σ below the mean), so 4-bit × 8-subspace
+    quantization error genuinely scrambles the extreme head; strict
+    recall@10 would test the corpus, not the operator (the ADC
+    identity itself is proven exactly by the lattice test above).
+    What PQ must still deliver on such data is a top-10 drawn from far
+    up the exact ranking: ≥3 of its picks inside the exact top-50
+    (chance: 10·50/500 = 1), and a median exact-rank under half of
+    chance's 250 (measured: 5 in top-50, median rank ~25)."""
+    from chronicle_sniffer_spark.operators.pq import pq_adc_topk
+    from chronicle_sniffer_spark.plans.dedup_sim import ANN_QUERY_VEC
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    approx = [r.vec_id for r in pq_adc_topk(emb, ANN_QUERY_VEC, 10).collect()]
+
+    vecs = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    q = vecs.filter(F.col("vec_id") == ANN_QUERY_VEC).collect()[0].v
+    qcol = F.array(*[F.lit(x) for x in q])
+    d2 = F.aggregate(
+        F.zip_with(F.col("v"), qcol, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    exact_order = [
+        r.vec_id
+        for r in vecs.filter(F.col("vec_id") != ANN_QUERY_VEC)
+        .select("vec_id", d2.alias("d2"))
+        .orderBy("d2", "vec_id")
+        .collect()
+    ]
+    exact_rank = {v: i for i, v in enumerate(exact_order)}
+    in_top50 = sum(1 for v in approx if exact_rank[v] < 50)
+    ranks = sorted(exact_rank[v] for v in approx)
+    median_rank = ranks[len(ranks) // 2]
+    assert in_top50 >= 3, f"only {in_top50}/10 picks in exact top-50"
+    assert median_rank < 125, f"median exact-rank {median_rank} ≈ chance"
+
+
+def test_pq_codes_are_4bit(spark):
+    from chronicle_sniffer_spark.operators.pq import pq_encode, train_codebooks
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    books = train_codebooks(emb)
+    stats = (
+        pq_encode(emb, books)
+        .select(F.explode("codes").alias("c"))
+        .agg(F.min("c").alias("lo"), F.max("c").alias("hi"), F.count("*").alias("n"))
+        .collect()[0]
+    )
+    assert 0 <= stats.lo and stats.hi < 16
+    assert stats.n == emb.count() * 8
