@@ -227,6 +227,41 @@ def oracle_ivf_sql(
     ~1e-15 near-tie; the embeddings are continuous random vectors,
     making that acceptably improbable.
     """
+    cte = _train_cte(n_centroids, n_iter, max_train)
+    cte.append(
+        f"""
+    qv AS (SELECT v FROM vecs WHERE vec_id = {query_vec_id}),
+    probe AS (
+      SELECT cid FROM c{n_iter}, qv
+      ORDER BY list_distance(cvec, qv.v), cid LIMIT {n_probe}
+    ),
+    assigned AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT x.vec_id, x.v, c.cid,
+               row_number() OVER (PARTITION BY x.vec_id
+                                  ORDER BY list_distance(x.v, c.cvec), c.cid) AS rn
+        FROM vecs x, c{n_iter} c) WHERE rn = 1
+    ),
+    scored AS (
+      SELECT a.vec_id, round(list_cosine_similarity(a.v, qv.v), 6) AS sim
+      FROM assigned a JOIN probe p USING (cid), qv
+      WHERE a.vec_id <> {query_vec_id}
+    )"""
+    )
+    return (
+        "WITH "
+        + ",".join(cte)
+        + f"""
+    SELECT vec_id, sim, CAST(rank AS INTEGER) AS rank FROM (
+      SELECT vec_id, sim, row_number() OVER (ORDER BY sim DESC, vec_id) AS rank
+      FROM scored) WHERE rank <= {k}
+    """
+    )
+
+
+def _train_cte(n_centroids: int, n_iter: int, max_train: int) -> list[str]:
+    """The shared unrolled-Lloyd CTE chain (vecs/nn/train/c0 … c{n_iter})
+    used by both the IVF and the semantic-dedup oracles."""
     cte = [
         f"""
     vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -264,13 +299,74 @@ def oracle_ivf_sql(
       FROM c{i} c LEFT JOIN m{i} m USING (cid)
     )"""
         )
+    return cte
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    c_sigma: float = 3.0,
+    n_centroids: int = N_CENTROIDS,
+    n_iter: int = N_ITER,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al., 2023):
+    cluster with the deterministic k-means, then compare pairs only
+    WITHIN a cell — all-pairs O(N²) cosine drops to Σ_cells O(n_c²),
+    the shape that makes embedding-level dedup feasible at corpus
+    scale (with N/K cells of ~equal size this is a 1/K cost cut per
+    doubling of K, and the per-cell work is an equi-join on cid, never
+    a cross join).
+
+    The duplicate cutoff is corpus-derived — mean + c·σ of the
+    within-cell pair-sim distribution, the same SF-stable form as
+    ``l2_embedding_near_dup`` — and a vector is dropped when some
+    LOWER-id cell-mate exceeds the cutoff (keep-first, deterministic).
+
+    Returns one row per vector: (vec_id, cell, is_kept)."""
+    spark = embeddings.sparkSession
+    cent = _centroid_df(spark, train_centroids(embeddings, n_centroids, n_iter))
+    vecs = embeddings.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    assigned = _assign(vecs, cent)
+    a = assigned.select(
+        F.col("cid"), F.col("vec_id").alias("va"), F.col("v").alias("xa")
+    )
+    b = assigned.select(
+        F.col("cid"), F.col("vec_id").alias("vb"), F.col("v").alias("xb")
+    )
+    pairs = (
+        a.join(b, "cid")
+        .filter(F.col("va") < F.col("vb"))
+        .select("va", "vb", F.round(cosine(F.col("xa"), F.col("xb")), 6).alias("sim"))
+        .cache()  # consumed twice: threshold agg + dup filter
+    )
+    thr = pairs.agg(
+        F.round(F.avg("sim") + F.lit(c_sigma) * F.stddev_pop("sim"), 6).alias("t")
+    )
+    dropped = (
+        pairs.crossJoin(F.broadcast(thr))
+        .filter(F.col("sim") >= F.col("t"))
+        .select(F.col("vb").alias("vec_id"))
+        .distinct()
+        .withColumn("drp", F.lit(True))
+    )
+    return assigned.join(dropped, "vec_id", "left").select(
+        "vec_id",
+        F.col("cid").cast("int").alias("cell"),
+        F.col("drp").isNull().alias("is_kept"),
+    )
+
+
+def oracle_semantic_dedup_sql(
+    c_sigma: float = 3.0,
+    n_centroids: int = N_CENTROIDS,
+    n_iter: int = N_ITER,
+    max_train: int = MAX_TRAIN,
+) -> str:
+    """DuckDB re-derivation of :func:`semantic_dedup` — shared
+    unrolled-Lloyd training chain, full-corpus assignment, within-cell
+    pair sims, the derived mean + c·σ cutoff, keep-first drops."""
+    cte = _train_cte(n_centroids, n_iter, max_train)
     cte.append(
         f"""
-    qv AS (SELECT v FROM vecs WHERE vec_id = {query_vec_id}),
-    probe AS (
-      SELECT cid FROM c{n_iter}, qv
-      ORDER BY list_distance(cvec, qv.v), cid LIMIT {n_probe}
-    ),
     assigned AS (
       SELECT vec_id, v, cid FROM (
         SELECT x.vec_id, x.v, c.cid,
@@ -278,24 +374,33 @@ def oracle_ivf_sql(
                                   ORDER BY list_distance(x.v, c.cvec), c.cid) AS rn
         FROM vecs x, c{n_iter} c) WHERE rn = 1
     ),
-    scored AS (
-      SELECT a.vec_id, round(list_cosine_similarity(a.v, qv.v), 6) AS sim
-      FROM assigned a JOIN probe p USING (cid), qv
-      WHERE a.vec_id <> {query_vec_id}
+    pairs AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb,
+             round(list_cosine_similarity(a.v, b.v), 6) AS sim
+      FROM assigned a JOIN assigned b
+        ON a.cid = b.cid AND a.vec_id < b.vec_id
+    ),
+    thr AS (
+      SELECT round(avg(sim) + {c_sigma} * stddev_pop(sim), 6) AS t FROM pairs
+    ),
+    dropped AS (
+      SELECT DISTINCT p.vb AS vec_id FROM pairs p, thr WHERE p.sim >= thr.t
     )"""
     )
     return (
         "WITH "
         + ",".join(cte)
-        + f"""
-    SELECT vec_id, sim, CAST(rank AS INTEGER) AS rank FROM (
-      SELECT vec_id, sim, row_number() OVER (ORDER BY sim DESC, vec_id) AS rank
-      FROM scored) WHERE rank <= {k}
+        + """
+    SELECT a.vec_id, CAST(a.cid AS INTEGER) AS cell,
+           (d.vec_id IS NULL) AS is_kept
+    FROM assigned a LEFT JOIN dropped d ON d.vec_id = a.vec_id
     """
     )
 
 
 __all__ = [
+    "semantic_dedup",
+    "oracle_semantic_dedup_sql",
     "train_centroids",
     "ivf_topk",
     "ivf_index_write",

@@ -179,3 +179,27 @@ def l3_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from chronicle_sniffer_spark.plans.dedup_sim import ANN_K, ANN_QUERY_VEC
 
     return pq_adc_topk(_t(spark, sf_dir, "embeddings"), ANN_QUERY_VEC, ANN_K)
+
+
+# ---------------------------------------------------------------------------
+# L2: semantic (cluster-then-compare) dedup
+# ---------------------------------------------------------------------------
+
+
+def _semantic_dedup_oracle() -> str:
+    from chronicle_sniffer_spark.operators.ivf import oracle_semantic_dedup_sql
+
+    return oracle_semantic_dedup_sql()
+
+
+@query("l2_semantic_dedup", section="L2", oracle=_semantic_dedup_oracle())
+def l2_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (operators/ivf.py): k-means
+    cells from the shared deterministic trainer, cosine pairs only
+    WITHIN a cell (Σ per-cell quadratics, never all-pairs), a
+    corpus-derived mean+3σ cutoff, keep-first drops.  One row per
+    vector: (vec_id, cell, is_kept).  The oracle re-derives the whole
+    pipeline through the shared unrolled-Lloyd CTE chain."""
+    from chronicle_sniffer_spark.operators.ivf import semantic_dedup
+
+    return semantic_dedup(_t(spark, sf_dir, "embeddings"))

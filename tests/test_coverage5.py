@@ -175,6 +175,28 @@ def test_pq_ranking_quality_vs_exact(spark):
     assert median_rank < 125, f"median exact-rank {median_rank} ≈ chance"
 
 
+# ---------------------------------------------------------------------------
+# Semantic dedup
+# ---------------------------------------------------------------------------
+
+
+def test_semantic_dedup_covers_corpus_once(spark):
+    """One row per vector, cells within [0, 16), keep-first semantics:
+    the smallest vec_id in every cell is always kept (it can have no
+    lower-id cell-mate)."""
+    from chronicle_sniffer_spark.operators.ivf import semantic_dedup
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    out = semantic_dedup(emb).collect()
+    assert len(out) == emb.count()
+    assert len({r.vec_id for r in out}) == len(out)
+    assert all(0 <= r.cell < 16 for r in out)
+    first_in_cell = {}
+    for r in sorted(out, key=lambda r: r.vec_id):
+        first_in_cell.setdefault(r.cell, r)
+    assert all(r.is_kept for r in first_in_cell.values())
+
+
 def test_pq_codes_are_4bit(spark):
     from chronicle_sniffer_spark.operators.pq import pq_encode, train_codebooks
 
