@@ -27,6 +27,9 @@ stack still needed after round 4:
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -203,3 +206,35 @@ def l2_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from chronicle_sniffer_spark.operators.ivf import semantic_dedup
 
     return semantic_dedup(_t(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# S3: XML source round-trip (Spark 4 built-in XML, SPARK-44265)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "s11_xml_roundtrip",
+    section="S3",
+    oracle="SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
+)
+def s11_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML sink → XML scan (declared schema, no inference) round-trips
+    the supplier dim — exercises double round-tripping via
+    shortest-repr decimal strings (a double printed by toString and
+    re-parsed is bit-identical).  XML became a first-class built-in
+    Spark source in 4.0 (SPARK-44265), with the same
+    permissive-mode/schema-on-read semantics as JSON."""
+    s = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+    out = os.path.join(tempfile.gettempdir(), "css_s11_xml_roundtrip")
+    s.write.mode("overwrite").format("xml").option("rowTag", "supplier").save(out)
+    return (
+        spark.read.schema(
+            "s_suppkey bigint, s_name string, s_nationkey int, s_acctbal double"
+        )
+        .format("xml")
+        .option("rowTag", "supplier")
+        .load(out)
+    )
