@@ -91,6 +91,12 @@ HEADLINE = (
     "l5_video_color_decode",
     "l5_ulaw_decode",
     "l5_gif_anim_decode",
+    # round-5 session additions: retrieval + PQ/semantic embedding ops
+    # and the XML source round-trip
+    "l4_bm25_topk",
+    "l3_ann_pq_topk",
+    "l2_semantic_dedup",
+    "s11_xml_roundtrip",
 )
 
 # Entries with documented ±18% round-over-round drift on identical code
