@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 from chronicle_sniffer_spark.operators.similarity import as_double, cosine
 
 N_CENTROIDS = 16
+SEMANTIC_CELL_CAP = 65_536  # per-cell matmul budget for semantic_dedup
 N_ITER = 4
 N_PROBE = 4
 
@@ -321,21 +322,51 @@ def semantic_dedup(
     ``l2_embedding_near_dup`` — and a vector is dropped when some
     LOWER-id cell-mate exceeds the cutoff (keep-first, deterministic).
 
+    Within-cell sims are a per-cell numpy block matmul in
+    ``applyInPandas`` (the proven `l2_embedding_near_dup` Arrow shape;
+    a join+HOF formulation measured 67× slower at sf1 because every
+    pair paid an interpreted fold).  Pair count is quadratic in CELL
+    size, so at scale ``n_centroids`` must grow ∝ corpus to keep cells
+    bounded — SemDeDup production runs use K ≈ 0.1–1 % of N; the
+    oracle-checked catalog entry pins K=16 for the shipped SFs and
+    :data:`SEMANTIC_CELL_CAP` fails loudly if a cell outgrows the
+    matmul budget instead of silently thrashing.
+
     Returns one row per vector: (vec_id, cell, is_kept)."""
+    import numpy as np
+    import pandas as pd
+
     spark = embeddings.sparkSession
     cent = _centroid_df(spark, train_centroids(embeddings, n_centroids, n_iter))
     vecs = embeddings.select("vec_id", as_double(F.col("embedding")).alias("v"))
     assigned = _assign(vecs, cent)
-    a = assigned.select(
-        F.col("cid"), F.col("vec_id").alias("va"), F.col("v").alias("xa")
-    )
-    b = assigned.select(
-        F.col("cid"), F.col("vec_id").alias("vb"), F.col("v").alias("xb")
-    )
+
+    def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) > SEMANTIC_CELL_CAP:
+            raise ValueError(
+                f"semantic-dedup cell has {len(pdf)} vectors "
+                f"(cap {SEMANTIC_CELL_CAP}); raise n_centroids so cells "
+                "stay bounded (K should grow with the corpus)"
+            )
+        if len(pdf) < 2:
+            return pd.DataFrame({"va": [], "vb": [], "sim": []}).astype(
+                {"va": "int64", "vb": "int64", "sim": "float64"}
+            )
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        x = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(x, axis=1)
+        norms[norms == 0.0] = 1.0
+        xn = x / norms[:, None]
+        raw = xn @ xn.T
+        # half-away-from-zero 6-dp rounding, matching DuckDB round()
+        sims = np.sign(raw) * np.floor(np.abs(raw) * 1e6 + 0.5) / 1e6
+        iu, ju = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"va": ids[iu], "vb": ids[ju], "sim": sims[iu, ju]})
+
     pairs = (
-        a.join(b, "cid")
-        .filter(F.col("va") < F.col("vb"))
-        .select("va", "vb", F.round(cosine(F.col("xa"), F.col("xb")), 6).alias("sim"))
+        assigned.groupBy("cid")
+        .applyInPandas(cell_pairs, "va long, vb long, sim double")
         .cache()  # consumed twice: threshold agg + dup filter
     )
     thr = pairs.agg(

@@ -197,6 +197,31 @@ def test_semantic_dedup_covers_corpus_once(spark):
     assert all(r.is_kept for r in first_in_cell.values())
 
 
+def test_semantic_dedup_scaled_cells(spark):
+    """The 100 TB configuration: n_centroids grows with the corpus so
+    per-cell pair counts stay bounded.  With K=64 on the smoke corpus
+    the output still covers every vector exactly once and cells stay
+    within [0, 64)."""
+    from chronicle_sniffer_spark.operators.ivf import semantic_dedup
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    out = semantic_dedup(emb, n_centroids=64).collect()
+    assert len(out) == emb.count()
+    assert len({r.vec_id for r in out}) == len(out)
+    assert all(0 <= r.cell < 64 for r in out)
+
+
+def test_semantic_dedup_cell_cap_fails_loudly(spark, monkeypatch):
+    """An oversized cell must raise a clear re-partitioning hint, not
+    silently thrash the executor on an unbounded matmul."""
+    from chronicle_sniffer_spark.operators import ivf
+
+    monkeypatch.setattr(ivf, "SEMANTIC_CELL_CAP", 3)
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    with pytest.raises(Exception, match="raise n_centroids"):
+        ivf.semantic_dedup(emb).collect()
+
+
 def test_pq_codes_are_4bit(spark):
     from chronicle_sniffer_spark.operators.pq import pq_encode, train_codebooks
 

@@ -72,6 +72,10 @@ QUERIES = (
     "l5_video_decode",
     "l5_gif_decode",
     "l3_ann_ivf_index_topk",
+    # round-5 session additions
+    "l4_bm25_topk",
+    "l3_ann_pq_topk",
+    "l2_semantic_dedup",
 )
 
 
