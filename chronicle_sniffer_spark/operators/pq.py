@@ -202,6 +202,86 @@ def _d2_sql(a: str, b: str, d_sub: int) -> str:
     )
 
 
+_BASE_CTE_TMPL = """
+    vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    nn AS (SELECT count(*) AS n FROM vecs),
+    train AS (
+      SELECT vec_id, v FROM vecs, nn
+      WHERE vec_id % (CASE WHEN nn.n > {max_train}
+                           THEN (nn.n + {max_train_m1}) // {max_train}
+                           ELSE 1 END) = 0
+    )"""
+
+
+def _pq_cte(
+    query_vec_id: int,
+    m_sub: int,
+    k_code: int,
+    n_iter: int,
+    d_sub: int,
+) -> list[str]:
+    """The PQ-side CTE chain (train → encode → LUT), all names prefixed
+    ``p`` so it can share one WITH clause with the IVF cell chain
+    (which owns the unprefixed c0/a{i}/m{i} names).  Assumes
+    ``vecs``/``train`` CTEs already exist."""
+    d2 = _d2_sql("s.sv", "c.cw", d_sub)
+    cte = [
+        f"""
+    pms AS (SELECT unnest(generate_series(0, {m_sub - 1})) AS m),
+    psubs AS (
+      SELECT vec_id, m, v[m*{d_sub}+1 : m*{d_sub}+{d_sub}] AS sv FROM train, pms
+    ),
+    pc0 AS (
+      SELECT m, row_number() OVER (PARTITION BY m ORDER BY vec_id) - 1 AS k,
+             sv AS cw
+      FROM psubs
+      QUALIFY row_number() OVER (PARTITION BY m ORDER BY vec_id) <= {k_code}
+    )"""
+    ]
+    for i in range(n_iter):
+        cte.append(
+            f"""
+    pa{i} AS (
+      SELECT vec_id, m, sv, k FROM (
+        SELECT s.vec_id, s.m, s.sv, c.k,
+               row_number() OVER (PARTITION BY s.vec_id, s.m
+                                  ORDER BY {d2}, c.k) AS rn
+        FROM psubs s JOIN pc{i} c ON c.m = s.m) WHERE rn = 1
+    ),
+    pu{i} AS (
+      SELECT m, k, list(mu ORDER BY idx) AS cw FROM (
+        SELECT m, k, idx, avg(val) AS mu FROM (
+          SELECT m, k, unnest(sv) AS val,
+                 unnest(generate_series(1, len(sv))) AS idx FROM pa{i})
+        GROUP BY m, k, idx) GROUP BY m, k
+    ),
+    pc{i + 1} AS (
+      SELECT c.m, c.k, coalesce(u.cw, c.cw) AS cw
+      FROM pc{i} c LEFT JOIN pu{i} u ON u.m = c.m AND u.k = c.k
+    )"""
+        )
+    cf = f"pc{n_iter}"
+    cte.append(
+        f"""
+    pallsubs AS (
+      SELECT vec_id, m, v[m*{d_sub}+1 : m*{d_sub}+{d_sub}] AS sv FROM vecs, pms
+    ),
+    pcodes AS (
+      SELECT vec_id, m, k FROM (
+        SELECT s.vec_id, s.m, c.k,
+               row_number() OVER (PARTITION BY s.vec_id, s.m
+                                  ORDER BY {d2}, c.k) AS rn
+        FROM pallsubs s JOIN {cf} c ON c.m = s.m) WHERE rn = 1
+    ),
+    plut AS (
+      SELECT c.m, c.k, round({_d2_sql("s.sv", "c.cw", d_sub)}, 6) AS d2
+      FROM {cf} c JOIN (SELECT m, sv FROM pallsubs
+                        WHERE vec_id = {query_vec_id}) s ON s.m = c.m
+    )"""
+    )
+    return cte
+
+
 def oracle_pq_sql(
     query_vec_id: int,
     k: int,
@@ -216,75 +296,142 @@ def oracle_pq_sql(
     :func:`ivf.oracle_ivf_sql` unrolled-Lloyd pattern, with the
     subspace id as an extra group key so one loop trains all M
     codebooks at once)."""
-    d_sub = dim // m_sub
-    d2 = _d2_sql("s.sv", "c.cw", d_sub)
-    cte = [
-        f"""
-    vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    nn AS (SELECT count(*) AS n FROM vecs),
-    train AS (
-      SELECT vec_id, v FROM vecs, nn
-      WHERE vec_id % (CASE WHEN nn.n > {max_train}
-                           THEN (nn.n + {max_train - 1}) // {max_train}
-                           ELSE 1 END) = 0
-    ),
-    ms AS (SELECT unnest(generate_series(0, {m_sub - 1})) AS m),
-    subs AS (
-      SELECT vec_id, m, v[m*{d_sub}+1 : m*{d_sub}+{d_sub}] AS sv FROM train, ms
-    ),
-    c0 AS (
-      SELECT m, row_number() OVER (PARTITION BY m ORDER BY vec_id) - 1 AS k,
-             sv AS cw
-      FROM subs
-      QUALIFY row_number() OVER (PARTITION BY m ORDER BY vec_id) <= {k_code}
-    )"""
-    ]
-    for i in range(n_iter):
-        cte.append(
-            f"""
-    a{i} AS (
-      SELECT vec_id, m, sv, k FROM (
-        SELECT s.vec_id, s.m, s.sv, c.k,
-               row_number() OVER (PARTITION BY s.vec_id, s.m
-                                  ORDER BY {d2}, c.k) AS rn
-        FROM subs s JOIN c{i} c ON c.m = s.m) WHERE rn = 1
-    ),
-    u{i} AS (
-      SELECT m, k, list(mu ORDER BY idx) AS cw FROM (
-        SELECT m, k, idx, avg(val) AS mu FROM (
-          SELECT m, k, unnest(sv) AS val,
-                 unnest(generate_series(1, len(sv))) AS idx FROM a{i})
-        GROUP BY m, k, idx) GROUP BY m, k
-    ),
-    c{i + 1} AS (
-      SELECT c.m, c.k, coalesce(u.cw, c.cw) AS cw
-      FROM c{i} c LEFT JOIN u{i} u ON u.m = c.m AND u.k = c.k
-    )"""
-        )
-    cf = f"c{n_iter}"
+    cte = [_BASE_CTE_TMPL.format(max_train=max_train, max_train_m1=max_train - 1)]
+    cte += _pq_cte(query_vec_id, m_sub, k_code, n_iter, dim // m_sub)
     cte.append(
         f"""
-    allsubs AS (
-      SELECT vec_id, m, v[m*{d_sub}+1 : m*{d_sub}+{d_sub}] AS sv FROM vecs, ms
+    scored AS (
+      SELECT pcodes.vec_id,
+             CAST(sum(CAST(l.d2 AS DECIMAL(18,6))) AS DOUBLE) AS approx_d2
+      FROM pcodes JOIN plut l ON l.m = pcodes.m AND l.k = pcodes.k
+      WHERE pcodes.vec_id <> {query_vec_id}
+      GROUP BY pcodes.vec_id
+    )"""
+    )
+    return (
+        "WITH "
+        + ",".join(cte)
+        + f"""
+    SELECT vec_id, approx_d2, CAST(rnk AS INTEGER) AS rank FROM (
+      SELECT *, row_number() OVER (ORDER BY approx_d2, vec_id) AS rnk
+      FROM scored) WHERE rnk <= {k}
+    """
+    )
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    n_probe: int | None = None,
+) -> DataFrame:
+    """IVF-PQ: probe the query's nearest cells (IVF) and ADC-score
+    ONLY the candidates inside them (PQ) — the canonical billion-scale
+    serving composition (FAISS's IVFPQ index): the cell filter prunes
+    the scan to ``n_probe/n_centroids`` of the corpus, and scoring
+    touches 4-bit codes instead of raw vectors, so query cost is
+    (pruned scan) × (M lookups/row) with no distance math against
+    full vectors anywhere.
+
+    Candidates are encoded after the cell filter here (the entry runs
+    index-build + query in one plan); in the materialized layout the
+    codes are a column of the cid-partitioned index
+    (:func:`ivf.ivf_index_write`) and the probe reads codes only."""
+    from chronicle_sniffer_spark.operators.ivf import (
+        N_PROBE,
+        _assign,
+        _centroid_df,
+        train_centroids,
+    )
+
+    if n_probe is None:
+        n_probe = N_PROBE
+    spark = embeddings.sparkSession
+    centroids = train_centroids(embeddings)
+    books = train_codebooks(embeddings)
+    vecs = embeddings.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    assigned = _assign(vecs, _centroid_df(spark, centroids))
+
+    qrow = vecs.filter(F.col("vec_id") == query_vec_id).collect()
+    if not qrow:
+        raise KeyError(f"query_vec_id {query_vec_id} not in corpus")
+    qv = list(qrow[0].v)
+
+    def d2(a: list[float], b: list[float]) -> float:
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    probe = [cid for cid, c in sorted(centroids, key=lambda c: (d2(c[1], qv), c[0]))[:n_probe]]
+    cand = assigned.filter(
+        F.col("cid").isin(probe) & (F.col("vec_id") != query_vec_id)
+    ).select("vec_id", F.col("v").alias("embedding"))
+
+    lut = adc_lut(qv, books)
+    coded = pq_encode(cand, books)
+    terms = [
+        F.element_at(
+            F.array(*[F.lit(x) for x in lut[m]]),
+            F.element_at(F.col("codes"), m + 1) + 1,
+        ).cast("decimal(18,6)")
+        for m in range(len(books))
+    ]
+    total = terms[0]
+    for t in terms[1:]:
+        total = total + t
+    scored = coded.select("vec_id", total.cast("double").alias("approx_d2"))
+    topk = scored.orderBy(F.col("approx_d2").asc(), F.col("vec_id")).limit(k)
+    w = Window.orderBy(F.col("approx_d2").asc(), F.col("vec_id"))
+    return topk.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+def oracle_ivfpq_sql(
+    query_vec_id: int,
+    k: int,
+    n_probe: int | None = None,
+    m_sub: int = SUB_M,
+    k_code: int = K_CODE,
+    pq_iter: int = PQ_ITER,
+    max_train: int = MAX_TRAIN,
+    dim: int = 64,
+) -> str:
+    """DuckDB re-derivation of :func:`ivfpq_topk`: the IVF cell chain
+    (unprefixed names, from `ivf._train_cte`) and the PQ chain
+    (``p``-prefixed) share one WITH clause over the same
+    ``vecs``/``train`` base; scoring joins codes to the LUT only for
+    vectors whose cell is probed."""
+    from chronicle_sniffer_spark.operators.ivf import (
+        N_CENTROIDS,
+        N_ITER,
+        N_PROBE,
+        _train_cte,
+    )
+
+    if n_probe is None:
+        n_probe = N_PROBE
+    cte = _train_cte(N_CENTROIDS, N_ITER, max_train)
+    cte += _pq_cte(query_vec_id, m_sub, k_code, pq_iter, dim // m_sub)
+    cte.append(
+        f"""
+    qv AS (SELECT v FROM vecs WHERE vec_id = {query_vec_id}),
+    probe AS (
+      SELECT cid FROM c{N_ITER}, qv
+      ORDER BY list_distance(cvec, qv.v), cid LIMIT {n_probe}
     ),
-    codes AS (
-      SELECT vec_id, m, k FROM (
-        SELECT s.vec_id, s.m, c.k,
-               row_number() OVER (PARTITION BY s.vec_id, s.m
-                                  ORDER BY {d2}, c.k) AS rn
-        FROM allsubs s JOIN {cf} c ON c.m = s.m) WHERE rn = 1
-    ),
-    lut AS (
-      SELECT c.m, c.k, round({_d2_sql("s.sv", "c.cw", d_sub)}, 6) AS d2
-      FROM {cf} c JOIN (SELECT m, sv FROM allsubs
-                        WHERE vec_id = {query_vec_id}) s ON s.m = c.m
+    assigned AS (
+      SELECT vec_id, cid FROM (
+        SELECT x.vec_id, c.cid,
+               row_number() OVER (PARTITION BY x.vec_id
+                                  ORDER BY list_distance(x.v, c.cvec), c.cid) AS rn
+        FROM vecs x, c{N_ITER} c) WHERE rn = 1
     ),
     scored AS (
-      SELECT codes.vec_id,
+      SELECT pcodes.vec_id,
              CAST(sum(CAST(l.d2 AS DECIMAL(18,6))) AS DOUBLE) AS approx_d2
-      FROM codes JOIN lut l ON l.m = codes.m AND l.k = codes.k
-      WHERE codes.vec_id <> {query_vec_id}
-      GROUP BY codes.vec_id
+      FROM pcodes
+      JOIN assigned a ON a.vec_id = pcodes.vec_id
+      JOIN probe p ON p.cid = a.cid
+      JOIN plut l ON l.m = pcodes.m AND l.k = pcodes.k
+      WHERE pcodes.vec_id <> {query_vec_id}
+      GROUP BY pcodes.vec_id
     )"""
     )
     return (
@@ -299,6 +446,8 @@ def oracle_pq_sql(
 
 
 __all__ = [
+    "ivfpq_topk",
+    "oracle_ivfpq_sql",
     "train_codebooks",
     "pq_encode",
     "pq_adc_topk",

@@ -184,6 +184,27 @@ def l3_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(_t(spark, sf_dir, "embeddings"), ANN_QUERY_VEC, ANN_K)
 
 
+def _ivfpq_oracle() -> str:
+    from chronicle_sniffer_spark.operators.pq import oracle_ivfpq_sql
+    from chronicle_sniffer_spark.plans.dedup_sim import ANN_K, ANN_QUERY_VEC
+
+    return oracle_ivfpq_sql(ANN_QUERY_VEC, ANN_K)
+
+
+@query("l3_ann_ivfpq_topk", section="L3", oracle=_ivfpq_oracle())
+def l3_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composition (operators/pq.py): probe the query's nearest
+    k-means cells, then ADC-score only the candidates inside them —
+    pruned scan × 4-bit-code lookups, the canonical billion-vector
+    serving index (FAISS IVFPQ).  The oracle composes the two unrolled
+    training chains (IVF cells unprefixed, PQ codebooks p-prefixed) in
+    one WITH clause over the shared train sample."""
+    from chronicle_sniffer_spark.operators.pq import ivfpq_topk
+    from chronicle_sniffer_spark.plans.dedup_sim import ANN_K, ANN_QUERY_VEC
+
+    return ivfpq_topk(_t(spark, sf_dir, "embeddings"), ANN_QUERY_VEC, ANN_K)
+
+
 # ---------------------------------------------------------------------------
 # L2: semantic (cluster-then-compare) dedup
 # ---------------------------------------------------------------------------

@@ -175,6 +175,47 @@ def test_pq_ranking_quality_vs_exact(spark):
     assert median_rank < 125, f"median exact-rank {median_rank} ≈ chance"
 
 
+def test_ivfpq_full_probe_equals_pq(spark):
+    """Probing ALL cells degenerates IVF-PQ to plain PQ (the
+    candidate filter keeps everything), mirroring the IVF
+    full-probe≡brute invariant one level up the composition."""
+    from chronicle_sniffer_spark.operators.ivf import N_CENTROIDS
+    from chronicle_sniffer_spark.operators.pq import ivfpq_topk, pq_adc_topk
+    from chronicle_sniffer_spark.plans.dedup_sim import ANN_QUERY_VEC
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    full = [tuple(r) for r in ivfpq_topk(emb, ANN_QUERY_VEC, 10, n_probe=N_CENTROIDS).collect()]
+    plain = [tuple(r) for r in pq_adc_topk(emb, ANN_QUERY_VEC, 10).collect()]
+    assert full == plain
+
+
+def test_ivfpq_results_subset_of_probed_cells(spark):
+    """Every IVF-PQ result must come from a probed cell — the pruning
+    contract that makes the scan partial at scale."""
+    from chronicle_sniffer_spark.operators.ivf import (
+        N_PROBE,
+        _assign,
+        _centroid_df,
+        train_centroids,
+    )
+    from chronicle_sniffer_spark.operators.pq import ivfpq_topk
+    from chronicle_sniffer_spark.operators.similarity import as_double
+    from chronicle_sniffer_spark.plans.dedup_sim import ANN_QUERY_VEC
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    res = {r.vec_id for r in ivfpq_topk(emb, ANN_QUERY_VEC, 10).collect()}
+    cents = train_centroids(emb)
+    vecs = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    assigned = {r.vec_id: r.cid for r in _assign(vecs, _centroid_df(spark, cents)).collect()}
+    qv = [r.v for r in vecs.filter(F.col("vec_id") == ANN_QUERY_VEC).collect()][0]
+
+    def d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    probe = {cid for cid, c in sorted(cents, key=lambda c: (d2(c[1], qv), c[0]))[:N_PROBE]}
+    assert res and all(assigned[v] in probe for v in res)
+
+
 # ---------------------------------------------------------------------------
 # Semantic dedup
 # ---------------------------------------------------------------------------
