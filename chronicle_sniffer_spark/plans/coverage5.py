@@ -230,6 +230,147 @@ def l2_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# G1: fixed-iteration PageRank (iterative graph algorithm)
+# ---------------------------------------------------------------------------
+
+PR_DAMP = 0.85
+PR_ITER = 3
+PR_TOP_K = 50
+
+
+def _pagerank_iter_sql() -> str:
+    """Unrolled PageRank iterations as CTEs (r0 → c{i}/s{i}/r{i})."""
+    parts = []
+    for i in range(1, PR_ITER + 1):
+        parts.append(
+            f"""
+    c{i} AS (
+      SELECT e.dst, round(r.r / d.outdeg, 12) AS c
+      FROM und e JOIN r{i - 1} r ON r.node = e.src JOIN deg d ON d.node = e.src
+    ),
+    s{i} AS (
+      SELECT dst AS node, CAST(sum(CAST(c AS DECIMAL(28,12))) AS DOUBLE) AS s
+      FROM c{i} GROUP BY dst
+    ),
+    r{i} AS (
+      SELECT n.node,
+             round((0.15 / nn.n) + {PR_DAMP} * coalesce(s.s, 0.0), 12) AS r
+      FROM nodes n CROSS JOIN nn LEFT JOIN s{i} s ON s.node = n.node
+    )"""
+        )
+    return ",".join(parts)
+
+
+_PAGERANK_ORACLE = f"""
+    WITH edges AS (
+      SELECT DISTINCT 2 * o.o_custkey AS src, 2 * l.l_suppkey + 1 AS dst
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    und AS (
+      SELECT src, dst FROM edges
+      UNION ALL
+      SELECT dst AS src, src AS dst FROM edges
+    ),
+    deg AS (
+      SELECT src AS node, count(*) AS outdeg FROM und GROUP BY src
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM und),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    r0 AS (SELECT node, (1.0 / nn.n) AS r FROM nodes, nn),
+    {_pagerank_iter_sql()}
+    SELECT node, entity, entity_key, pr, CAST(rnk AS INTEGER) AS rnk FROM (
+      SELECT node,
+             CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS entity,
+             CAST(node // 2 AS BIGINT) AS entity_key,
+             r AS pr,
+             row_number() OVER (ORDER BY r DESC, node) AS rnk
+      FROM r{PR_ITER})
+    WHERE rnk <= {PR_TOP_K}
+"""
+
+
+@query("g1_pagerank_topk", section="G1", oracle=_PAGERANK_ORACLE)
+def g1_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank over the (undirected, bipartite)
+    customer–supplier trade graph derived from orders⋈lineitem — the
+    iterative-graph-algorithm class (link-centrality is a standard
+    corpus-curation quality signal, e.g. Common Crawl's harmonic
+    centrality ranking; here it runs on the testdata's natural graph).
+
+    Spark shapes: the edge list shuffles once on (src, dst) for
+    DISTINCT; each of the {it} unrolled iterations is one equi-join
+    (ranks are node-keyed, degrees broadcastable at dim size) + a
+    node-keyed partial-agg sum.  At 100 TB the rank/degree tables stay
+    node-sized (≪ edge-sized) and every shuffle key is a node id.
+
+    Determinism: each per-edge contribution ``r/outdeg`` is one IEEE
+    division rounded to 12 dp half-away, then summed EXACTLY as
+    DECIMAL(28,12); the damping update re-rounds to 12 dp — no
+    float-association channel anywhere (catalog.py decimal-sum rule).
+    """
+    ranks = pagerank_ranks(spark, sf_dir)
+    w = Window.orderBy(F.col("r").desc(), F.col("node"))
+    return (
+        ranks.orderBy(F.col("r").desc(), F.col("node"))
+        .limit(PR_TOP_K)
+        .select(
+            "node",
+            F.when(F.col("node") % 2 == 0, "customer").otherwise("supplier").alias("entity"),
+            F.floor(F.col("node") / 2).cast("bigint").alias("entity_key"),
+            F.col("r").alias("pr"),
+            F.row_number().over(w).cast("int").alias("rnk"),
+        )
+    )
+
+
+def pagerank_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full (node, r) rank table after PR_ITER damped iterations —
+    exposed separately so tests can assert rank-mass conservation."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            (F.lit(2) * F.col("o_custkey")).alias("src"),
+            (F.lit(2) * F.col("l_suppkey") + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    und = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    deg = und.groupBy("src").agg(F.count("*").alias("outdeg")).withColumnRenamed("src", "node")
+    nodes = und.select(F.col("src").alias("node")).distinct()
+    nn = nodes.agg(F.count("*").cast("double").alias("n"))
+    ranks = nodes.crossJoin(F.broadcast(nn)).select(
+        "node", (F.lit(1.0) / F.col("n")).alias("r")
+    )
+    for _ in range(PR_ITER):
+        contrib = (
+            und.join(ranks, und.src == ranks.node)
+            .join(deg.withColumnRenamed("node", "dnode"), F.col("src") == F.col("dnode"))
+            .select(F.col("dst"), F.round(F.col("r") / F.col("outdeg"), 12).alias("c"))
+        )
+        sums = contrib.groupBy("dst").agg(
+            F.sum(F.col("c").cast("decimal(28,12)")).cast("double").alias("s")
+        )
+        ranks = (
+            nodes.crossJoin(F.broadcast(nn))
+            .join(sums, nodes.node == sums.dst, "left")
+            .select(
+                "node",
+                F.round(
+                    (F.lit(0.15) / F.col("n"))
+                    + F.lit(PR_DAMP) * F.coalesce(F.col("s"), F.lit(0.0)),
+                    12,
+                ).alias("r"),
+            )
+        )
+    return ranks
+
+
+g1_pagerank_topk.__doc__ = g1_pagerank_topk.__doc__.format(it=PR_ITER)
+
+
+# ---------------------------------------------------------------------------
 # S3: XML source round-trip (Spark 4 built-in XML, SPARK-44265)
 # ---------------------------------------------------------------------------
 

@@ -175,6 +175,39 @@ def test_pq_ranking_quality_vs_exact(spark):
     assert median_rank < 125, f"median exact-rank {median_rank} ≈ chance"
 
 
+# ---------------------------------------------------------------------------
+# PageRank
+# ---------------------------------------------------------------------------
+
+
+def test_pagerank_mass_conserved(spark):
+    """With no dangling nodes (every node in the derived trade graph
+    has ≥1 edge), the damped update conserves total rank mass:
+    Σr = 1 after every iteration, up to the 12-dp per-node rounding
+    (N nodes × 5e-13 each)."""
+    from chronicle_sniffer_spark.plans.coverage5 import pagerank_ranks
+
+    rows = pagerank_ranks(spark, SF_SMOKE).collect()
+    n = len(rows)
+    assert n > 0
+    total = sum(r.r for r in rows)
+    assert abs(total - 1.0) < n * 1e-12 + 1e-9, total
+    assert all(r.r > 0 for r in rows)
+
+
+def test_pagerank_supplier_head(spark):
+    """On a bipartite graph where 100 suppliers serve 1500 customers,
+    supplier nodes concentrate rank — the head of the ranking should
+    be supplier-dominated (sanity that the graph orientation and the
+    degree normalization aren't swapped)."""
+    from chronicle_sniffer_spark.plans.coverage5 import g1_pagerank_topk
+
+    rows = g1_pagerank_topk(spark, SF_SMOKE).collect()
+    assert rows[0].entity == "supplier"
+    top10 = [r.entity for r in rows[:10]]
+    assert top10.count("supplier") >= 8, top10
+
+
 def test_ivfpq_full_probe_equals_pq(spark):
     """Probing ALL cells degenerates IVF-PQ to plain PQ (the
     candidate filter keeps everything), mirroring the IVF
