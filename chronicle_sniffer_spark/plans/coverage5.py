@@ -230,6 +230,73 @@ def l2_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# L4: unigram surprisal (perplexity-style quality signal)
+# ---------------------------------------------------------------------------
+
+_SURPRISAL_ORACLE = """
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, w, count(*) AS tf FROM words GROUP BY doc_id, w
+    ),
+    cnt AS (SELECT w, count(*) AS cw FROM words GROUP BY w),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM words),
+    srp AS (
+      SELECT w,
+             -round(ln(CAST(cw AS DOUBLE) / CAST(total AS DOUBLE)), 6) AS s
+      FROM cnt CROSS JOIN tot
+    )
+    SELECT tf.doc_id,
+           CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+           round(CAST(sum(CAST(s.s AS DECIMAL(18,6)) * tf.tf) AS DOUBLE)
+                 / CAST(sum(tf.tf) AS DOUBLE), 6) AS avg_surprisal
+    FROM tf JOIN srp s USING (w)
+    GROUP BY tf.doc_id
+"""
+
+
+@query("l4_unigram_surprisal", section="L4", oracle=_SURPRISAL_ORACLE)
+def l4_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document average unigram surprisal (-ln p, nats) under the
+    corpus's own unigram model — the perplexity-style quality signal
+    LLM pipelines filter on (CCNet / LLaMA-style data prep ranks docs
+    by LM perplexity; a unigram model is its shuffle-free degenerate
+    case, and the plan shape is identical for any broadcastable
+    n-gram model).
+
+    Shapes: token-keyed tf agg, a vocabulary-sized broadcast of
+    per-token surprisals, one doc-keyed partial-agg — shuffle keys are
+    tokens and doc ids only.  Determinism: ln is quantized to 6 dp on
+    both engines (the BM25 lesson — JVM and C libm differ in the last
+    ulp), per-token surprisal × tf stays in exact DECIMAL, and only
+    the final per-doc mean divides as double."""
+    d = _t(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    tf = words.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    cnt = words.groupBy("w").agg(F.count("*").alias("cw"))
+    tot = words.agg(F.count("*").alias("total"))
+    srp = cnt.crossJoin(F.broadcast(tot)).select(
+        "w",
+        (-F.round(F.log(F.col("cw").cast("double") / F.col("total").cast("double")), 6)).alias(
+            "s"
+        ),
+    )
+    return (
+        tf.join(F.broadcast(srp), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("s").cast("decimal(18,6)") * F.col("tf")).cast("double")
+                / F.sum("tf").cast("double"),
+                6,
+            ).alias("avg_surprisal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # G1: fixed-iteration PageRank (iterative graph algorithm)
 # ---------------------------------------------------------------------------
 

@@ -175,6 +175,28 @@ def test_pq_ranking_quality_vs_exact(spark):
     assert median_rank < 125, f"median exact-rank {median_rank} ≈ chance"
 
 
+def test_surprisal_ln_quantization_is_engine_safe(spark, oracle):
+    """Same closure as the BM25 idf check, for the unigram-surprisal
+    entry: every corpus token probability's quantized ln agrees across
+    engines and sits off the 6-dp half-boundaries."""
+    rows = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .count()
+        .collect()
+    )
+    total = sum(r["count"] for r in rows)
+    ratios = sorted({r["count"] / total for r in rows})
+    for ratio in ratios:
+        duck6 = oracle.execute("SELECT round(ln(?::DOUBLE), 6)", [ratio]).fetchone()[0]
+        py = math.log(ratio)
+        py6 = math.copysign(math.floor(abs(py) * 1e6 + 0.5) / 1e6, py)
+        assert duck6 == pytest.approx(py6, abs=0), ratio
+        frac = abs(py) * 1e6 % 1.0
+        assert abs(frac - 0.5) > 1e-3, f"ln({ratio}) hugs a 6-dp boundary"
+
+
 # ---------------------------------------------------------------------------
 # PageRank
 # ---------------------------------------------------------------------------
