@@ -272,6 +272,58 @@ def test_ivfpq_results_subset_of_probed_cells(spark):
 
 
 # ---------------------------------------------------------------------------
+# Runtime Bloom-filter join pruning (100 TB shuffle-join technique)
+# ---------------------------------------------------------------------------
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join(spark):
+    """Spark's runtime row-filtering: when a selective filter sits on
+    one side of a shuffle join, the optimizer builds a Bloom filter of
+    the surviving join keys and applies might_contain() on the fact
+    side BEFORE the shuffle — at 100 TB this is the difference between
+    shuffling the whole fact table and shuffling the matching sliver.
+    Asserts the filter is injected into the plan AND that results are
+    identical with it disabled (it's a pure pruning optimization)."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+
+    def q():
+        li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+        o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").filter(
+            F.col("o_totalprice") > 300000
+        )
+        return (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("l_returnflag")
+            .agg(F.count("*").alias("n"))
+        )
+
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        j = q()
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan, "bloom filter not injected"
+        assert "might_contain" in plan, "application-side probe missing"
+        with_bloom = sorted(tuple(r) for r in j.collect())
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    without = sorted(tuple(r) for r in q().collect())
+    assert with_bloom == without
+
+
+# ---------------------------------------------------------------------------
 # Semantic dedup
 # ---------------------------------------------------------------------------
 
