@@ -39,6 +39,8 @@ ACCEPTED = {
     "udm_projection",  # UDM ttl-error islet (narrow, by design)
     "l2_simhash_clusters",  # label-propagation loop reuses accepted parts
     "s10_python_datasource",  # Python data source by design
+    "l2_semantic_dedup",  # ivf._assign centroid fold (16 broadcast cells)
+    "l3_ann_ivfpq_topk",  # same ivf._assign fold feeding the cell probe
 }
 
 
