@@ -230,6 +230,70 @@ def l2_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# L4: reciprocal-rank fusion of two retrieval rankings
+# ---------------------------------------------------------------------------
+
+RRF_C = 60  # the standard Cormack/Clarke/Buettcher constant
+
+
+def _rrf_oracle() -> str:
+    from chronicle_sniffer_spark.plans.catalog import REGISTRY
+
+    bm25 = REGISTRY["l4_bm25_topk"].oracle
+    cos = REGISTRY["l3_cosine_topk"].oracle
+    return f"""
+    WITH bm AS ({bm25}),
+    ann AS ({cos}),
+    u AS (
+      SELECT coalesce(bm.doc_id, ann.vec_id) AS id, bm.rank AS ra, ann.rank AS rb
+      FROM bm FULL OUTER JOIN ann ON ann.vec_id = bm.doc_id
+    )
+    SELECT id,
+           CAST(CAST(coalesce(round(1.0 / ({RRF_C} + ra), 6), 0) AS DECIMAL(18,6))
+              + CAST(coalesce(round(1.0 / ({RRF_C} + rb), 6), 0) AS DECIMAL(18,6))
+              AS DOUBLE) AS rrf,
+           (ra IS NOT NULL) AS in_lexical,
+           (rb IS NOT NULL) AS in_semantic
+    FROM u
+    """
+
+
+@query("l4_rrf_fusion", section="L4", oracle=_rrf_oracle())
+def l4_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al., SIGIR 2009) of two
+    ranked lists — the standard way hybrid retrieval merges a lexical
+    (BM25) and a semantic (embedding top-k) ranking without score
+    calibration: rrf(d) = Σ 1/(c + rank_i(d)), c=60.
+
+    The two input rankings are the catalog's own `l4_bm25_topk` and
+    `l3_cosine_topk` entries composed as subplans (doc_id and vec_id
+    share the id space in the testdata), so the fusion oracle nests
+    their oracle SQL verbatim — operator composition checked
+    end-to-end.  Each reciprocal is one IEEE division rounded to 6 dp,
+    then the two-term sum is exact decimal; the join of two top-k
+    lists is trivially broadcast at any corpus size (fusion cost is
+    O(k), independent of the corpus)."""
+    from chronicle_sniffer_spark.plans.catalog import REGISTRY
+
+    bm = REGISTRY["l4_bm25_topk"].spark_fn(spark, sf_dir).select("doc_id", F.col("rank").alias("ra"))
+    ann = (
+        REGISTRY["l3_cosine_topk"].spark_fn(spark, sf_dir)
+        .select("vec_id", F.col("rank").alias("rb"))
+    )
+    u = bm.join(ann, bm.doc_id == ann.vec_id, "full_outer").select(
+        F.coalesce(F.col("doc_id"), F.col("vec_id")).alias("id"), "ra", "rb"
+    )
+    rec_a = F.coalesce(F.round(F.lit(1.0) / (F.lit(RRF_C) + F.col("ra")), 6), F.lit(0.0))
+    rec_b = F.coalesce(F.round(F.lit(1.0) / (F.lit(RRF_C) + F.col("rb")), 6), F.lit(0.0))
+    return u.select(
+        "id",
+        (rec_a.cast("decimal(18,6)") + rec_b.cast("decimal(18,6)")).cast("double").alias("rrf"),
+        F.col("ra").isNotNull().alias("in_lexical"),
+        F.col("rb").isNotNull().alias("in_semantic"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # L4: unigram surprisal (perplexity-style quality signal)
 # ---------------------------------------------------------------------------
 
