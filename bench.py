@@ -97,6 +97,10 @@ HEADLINE = (
     "l3_ann_pq_topk",
     "l2_semantic_dedup",
     "s11_xml_roundtrip",
+    "l3_ann_ivfpq_topk",
+    "l4_unigram_surprisal",
+    "l4_rrf_fusion",
+    "g1_pagerank_topk",
 )
 
 # Entries with documented ±18% round-over-round drift on identical code

@@ -294,6 +294,143 @@ def l4_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# L4: MMR (maximal-marginal-relevance) diversified rerank
+# ---------------------------------------------------------------------------
+
+MMR_QUERY_VEC = 0
+MMR_CAND = 12
+MMR_K = 5
+MMR_LAMBDA = 0.7
+
+
+def _mmr_oracle() -> str:
+    """Unrolled greedy MMR in SQL: candidate CTE (top-{MMR_CAND} by
+    cosine), symmetric pair-sim CTE, then one pick/sel CTE pair per
+    greedy step (argmax of λ·rel − (1−λ)·max-sim-to-selected, ties to
+    lowest id)."""
+    steps = []
+    for i in range(2, MMR_K + 1):
+        steps.append(
+            f"""
+    sc{i} AS (
+      SELECT r.vec_id, r.rel,
+             round({MMR_LAMBDA} * r.rel - {round(1 - MMR_LAMBDA, 10)} *
+                   (SELECT max(p.sim) FROM p, sel{i - 1} s
+                    WHERE p.a = r.vec_id AND p.b = s.vec_id), 6) AS mmr
+      FROM cands r WHERE r.vec_id NOT IN (SELECT vec_id FROM sel{i - 1})
+    ),
+    pick{i} AS (
+      SELECT vec_id, rel, mmr, {i} AS pick_order FROM sc{i}
+      ORDER BY mmr DESC, vec_id LIMIT 1
+    ),
+    sel{i} AS (
+      SELECT vec_id FROM sel{i - 1} UNION ALL SELECT vec_id FROM pick{i}
+    )"""
+        )
+    picks = " UNION ALL ".join(
+        f"SELECT vec_id, rel, mmr, pick_order FROM pick{i}" for i in range(1, MMR_K + 1)
+    )
+    return f"""
+    WITH q AS (
+      SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {MMR_QUERY_VEC}
+    ),
+    cands AS (
+      SELECT vec_id, rel FROM (
+        SELECT e.vec_id,
+               round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS rel,
+               row_number() OVER (
+                 ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) DESC,
+                          e.vec_id) AS rnk
+        FROM embeddings e, q WHERE e.vec_id <> {MMR_QUERY_VEC})
+      WHERE rnk <= {MMR_CAND}
+    ),
+    p AS (
+      SELECT a.vec_id AS a, b.vec_id AS b,
+             round(list_cosine_similarity(ea.embedding::DOUBLE[],
+                                          eb.embedding::DOUBLE[]), 6) AS sim
+      FROM cands a JOIN cands b ON a.vec_id <> b.vec_id
+      JOIN embeddings ea ON ea.vec_id = a.vec_id
+      JOIN embeddings eb ON eb.vec_id = b.vec_id
+    ),
+    pick1 AS (
+      SELECT vec_id, rel, round({MMR_LAMBDA} * rel, 6) AS mmr, 1 AS pick_order
+      FROM cands ORDER BY mmr DESC, vec_id LIMIT 1
+    ),
+    sel1 AS (SELECT vec_id FROM pick1),
+    {",".join(steps)}
+    SELECT vec_id, rel, mmr, CAST(pick_order AS INTEGER) AS pick_order FROM ({picks})
+    """
+
+
+@query("l4_mmr_rerank", section="L4", oracle=_mmr_oracle())
+def l4_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance rerank (Carbonell & Goldstein, SIGIR
+    1998): greedily pick k results maximizing λ·relevance −
+    (1−λ)·max-similarity-to-already-picked — the standard diversity
+    pass over a retrieval candidate list.
+
+    Scale split: candidate GENERATION is the distributed part (here
+    the cosine top-MMR_CAND scan, interchangeable with any ANN entry);
+    the greedy rerank operates on the k-sized candidate list, which is
+    driver-sized BY DEFINITION (k ≪ corpus, cost O(k²) independent of
+    corpus size) — the same bounded-collect class as the IVF probe
+    choice.  Candidate sims are numpy with the half-away 6-dp rounding
+    that matches both engines' round(); the oracle unrolls the greedy
+    loop step by step."""
+    import numpy as np
+
+    emb = _t(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    q = vecs.filter(F.col("vec_id") == MMR_QUERY_VEC).collect()[0].v
+    qcol = F.array(*[F.lit(x) for x in q])
+    from chronicle_sniffer_spark.operators.similarity import cosine
+
+    cand_rows = (
+        vecs.filter(F.col("vec_id") != MMR_QUERY_VEC)
+        .select("vec_id", F.round(cosine(F.col("v"), qcol), 6).alias("rel"), "v")
+        .orderBy(F.col("rel").desc(), F.col("vec_id"))
+        .limit(MMR_CAND)
+        .collect()  # bounded: MMR_CAND rows by construction
+    )
+    ids = [r.vec_id for r in cand_rows]
+    rel = {r.vec_id: r.rel for r in cand_rows}
+    x = np.array([r.v for r in cand_rows], dtype=np.float64)
+    norms = np.linalg.norm(x, axis=1)
+    norms[norms == 0.0] = 1.0
+    xn = x / norms[:, None]
+    raw = xn @ xn.T
+    simm = np.sign(raw) * np.floor(np.abs(raw) * 1e6 + 0.5) / 1e6
+    idx = {v: i for i, v in enumerate(ids)}
+
+    def round6(val: float) -> float:
+        import math
+
+        return math.copysign(math.floor(abs(val) * 1e6 + 0.5) / 1e6, val)
+
+    picks: list[tuple[int, float, float, int]] = []
+    selected: list[int] = []
+    for step in range(1, MMR_K + 1):
+        best = None
+        for v in ids:
+            if v in selected:
+                continue
+            if selected:
+                maxsim = max(float(simm[idx[v], idx[s]]) for s in selected)
+                score = round6(MMR_LAMBDA * rel[v] - round(1 - MMR_LAMBDA, 10) * maxsim)
+            else:
+                score = round6(MMR_LAMBDA * rel[v])
+            key = (-score, v)
+            if best is None or key < best[0]:
+                best = (key, v, score)
+        _, v, score = best
+        picks.append((v, rel[v], score, step))
+        selected.append(v)
+    return spark.createDataFrame(
+        picks, "vec_id long, rel double, mmr double, pick_order int"
+    )
+
+
+# ---------------------------------------------------------------------------
 # L4: unigram surprisal (perplexity-style quality signal)
 # ---------------------------------------------------------------------------
 
