@@ -498,6 +498,92 @@ def l4_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# TS4: rolling z-score anomaly detection
+# ---------------------------------------------------------------------------
+
+ZS_FRAME = 20  # trailing events per type
+ZS_MIN_N = 10
+ZS_THRESHOLD = 2.0
+
+_ZSCORE_ORACLE = f"""
+    WITH base AS (
+      SELECT event_id, event_type, value,
+             sum(CAST(value AS DECIMAL(18,4))) OVER w AS s1,
+             sum(CAST(value AS DECIMAL(14,4)) * CAST(value AS DECIMAL(14,4))) OVER w AS s2,
+             count(value) OVER w AS n
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS BETWEEN {ZS_FRAME} PRECEDING AND 1 PRECEDING)
+    ),
+    scored AS (
+      SELECT event_id, event_type, value,
+             CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS m,
+             sqrt(greatest(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+                           - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                             * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)), 0.0)) AS sd,
+             n
+      FROM base WHERE n >= {ZS_MIN_N}
+    )
+    SELECT event_id, event_type, value,
+           round((value - m) / sd, 6) AS z
+    FROM scored
+    WHERE sd > 0 AND abs((value - m) / sd) >= {ZS_THRESHOLD}
+"""
+
+
+@query("ts4_zscore_anomaly", section="TS", oracle=_ZSCORE_ORACLE)
+def ts4_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score outlier detection: each event scored against
+    the mean/σ of the previous {f} events of its type (self-excluded
+    trailing frame), flagged when |z| ≥ {t} — the batch form of the
+    streaming anomaly monitors the reference's dashboard implies
+    (R28's latency-spike panels).
+
+    Determinism: frame sums go through exact DECIMAL (values are 2-dp;
+    squares are exact in DECIMAL(28,8)), so the window's association
+    order can't matter; mean/variance then use one fixed double
+    expression shape on both engines, `sqrt` is IEEE-correctly-rounded,
+    and cancellation is clamped with greatest(·, 0)."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-ZS_FRAME, -1)
+    )
+    base = e.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.sum(F.col("value").cast("decimal(18,4)")).over(w).alias("s1"),
+        F.sum(
+            F.col("value").cast("decimal(14,4)") * F.col("value").cast("decimal(14,4)")
+        )
+        .over(w)
+        .alias("s2"),
+        F.count("value").over(w).alias("n"),
+    ).filter(F.col("n") >= ZS_MIN_N)
+    m = F.col("s1").cast("double") / F.col("n").cast("double")
+    sd = F.sqrt(
+        F.greatest(
+            F.col("s2").cast("double") / F.col("n").cast("double") - m * m, F.lit(0.0)
+        )
+    )
+    scored = base.select("event_id", "event_type", "value", m.alias("m"), sd.alias("sd"))
+    return scored.filter(
+        (F.col("sd") > 0)
+        & (F.abs((F.col("value") - F.col("m")) / F.col("sd")) >= ZS_THRESHOLD)
+    ).select(
+        "event_id",
+        "event_type",
+        "value",
+        F.round((F.col("value") - F.col("m")) / F.col("sd"), 6).alias("z"),
+    )
+
+
+ts4_zscore_anomaly.__doc__ = ts4_zscore_anomaly.__doc__.format(f=ZS_FRAME, t=ZS_THRESHOLD)
+
+
+# ---------------------------------------------------------------------------
 # G1: fixed-iteration PageRank (iterative graph algorithm)
 # ---------------------------------------------------------------------------
 
