@@ -584,6 +584,87 @@ ts4_zscore_anomaly.__doc__ = ts4_zscore_anomaly.__doc__.format(f=ZS_FRAME, t=ZS_
 
 
 # ---------------------------------------------------------------------------
+# TS5: batch sessionization (gap-based session assignment)
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_MIN = 30
+
+_SESSIONIZE_ORACLE = f"""
+    WITH marked AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                          > {SESSION_GAP_MIN} * 60 * 1000000
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts, value,
+             sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM marked
+    )
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST((epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS BIGINT)
+             AS duration_s,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM sess
+    GROUP BY user_id, session_seq
+"""
+
+
+@query("ts5_sessionize", section="TS", oracle=_SESSIONIZE_ORACLE)
+def ts5_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based batch sessionization: a new session starts when a
+    user's inter-event gap exceeds {gap} minutes (lag + running sum of
+    start markers — the standard two-window formulation); emits
+    per-session event counts, durations, and exact-decimal value
+    totals.  The streaming counterpart is the native session window
+    (T3, `streaming_queries.t3_session_window`); this is its batch
+    twin over ungridded history, shuffle-keyed on user_id only."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = SESSION_GAP_MIN * 60 * 1000000
+    # ts is TIMESTAMP_NTZ in the parquet; the session is pinned to UTC,
+    # so the cast to TIMESTAMP is epoch-stable
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev = F.lag(us).over(w)
+    marked = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.when(prev.isNull() | ((us - prev) > gap_us), 1)
+        .otherwise(0)
+        .alias("is_start"),
+    )
+    wrun = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sess = marked.select(
+        "user_id", "ts", "value", F.sum("is_start").over(wrun).alias("session_seq")
+    )
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.floor(
+            (
+                F.unix_micros(F.max("ts").cast("timestamp"))
+                - F.unix_micros(F.min("ts").cast("timestamp"))
+            )
+            / 1000000
+        )
+        .cast("bigint")
+        .alias("duration_s"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+    )
+
+
+ts5_sessionize.__doc__ = ts5_sessionize.__doc__.format(gap=SESSION_GAP_MIN)
+
+
+# ---------------------------------------------------------------------------
 # G1: fixed-iteration PageRank (iterative graph algorithm)
 # ---------------------------------------------------------------------------
 
