@@ -101,6 +101,9 @@ HEADLINE = (
     "l4_unigram_surprisal",
     "l4_rrf_fusion",
     "g1_pagerank_topk",
+    "l4_mmr_rerank",
+    "ts4_zscore_anomaly",
+    "ts5_sessionize",
 )
 
 # Entries with documented ±18% round-over-round drift on identical code
