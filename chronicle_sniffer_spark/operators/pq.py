@@ -383,6 +383,91 @@ def ivfpq_topk(
     return topk.withColumn("rank", F.row_number().over(w).cast("int"))
 
 
+def ivfpq_index_write(embeddings: DataFrame, index_dir: str) -> None:
+    """Materialize the IVF-PQ index: ``cells/`` is cid-PARTITIONED
+    parquet holding (vec_id, codes) ONLY — the raw vectors are NOT in
+    the index (that's the PQ point: the serving layout is ~64× smaller
+    than the corpus and lives beside it), plus KB-sized ``centroids``
+    and ``codebooks`` tables.  At 100 TB the index is written once;
+    every query then reads just the probed cells' files and just the
+    codes column."""
+    from chronicle_sniffer_spark.operators.ivf import (
+        _assign,
+        _centroid_df,
+        train_centroids,
+    )
+
+    spark = embeddings.sparkSession
+    centroids = train_centroids(embeddings)
+    books = train_codebooks(embeddings)
+    vecs = embeddings.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    assigned = _assign(vecs, _centroid_df(spark, centroids)).select("vec_id", "cid")
+    coded = pq_encode(embeddings, books)
+    cells = assigned.join(coded, "vec_id").select("vec_id", "cid", "codes")
+    cells.write.partitionBy("cid").mode("overwrite").parquet(f"{index_dir}/cells")
+    _centroid_df(spark, centroids).write.mode("overwrite").parquet(f"{index_dir}/centroids")
+    rows = [(m, k, cw) for m, book in enumerate(books) for k, cw in enumerate(book)]
+    spark.createDataFrame(rows, "m int, k int, cw array<double>").write.mode(
+        "overwrite"
+    ).parquet(f"{index_dir}/codebooks")
+
+
+def ivfpq_topk_from_index(
+    spark,
+    index_dir: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int | None = None,
+    exclude_vec_id: int | None = None,
+) -> DataFrame:
+    """Serve a query from the materialized IVF-PQ index: probe choice
+    and the ADC lookup table come from the KB-sized centroid/codebook
+    tables driver-side; the data scan is an IN filter on ``cid`` that
+    the partitioned layout turns into partition pruning, and the only
+    data column read is ``codes`` — no vector bytes move at query
+    time (asserted by tests/test_coverage5.py)."""
+    from chronicle_sniffer_spark.operators.ivf import N_PROBE
+
+    if n_probe is None:
+        n_probe = N_PROBE
+    centroids = [
+        (r.cid, list(r.cvec)) for r in spark.read.parquet(f"{index_dir}/centroids").collect()
+    ]
+    brows = spark.read.parquet(f"{index_dir}/codebooks").collect()
+    m_sub = 1 + max(r.m for r in brows)
+    k_code = 1 + max(r.k for r in brows)
+    books: Codebooks = [[None] * k_code for _ in range(m_sub)]
+    for r in brows:
+        books[r.m][r.k] = list(r.cw)
+
+    def d2(a: list[float], b: list[float]) -> float:
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    probe = [cid for cid, c in sorted(centroids, key=lambda c: (d2(c[1], query_vec), c[0]))[:n_probe]]
+    lut = adc_lut(query_vec, books)
+    cells = (
+        spark.read.parquet(f"{index_dir}/cells")
+        .filter(F.col("cid").isin(probe))
+        .select("vec_id", "codes")
+    )
+    if exclude_vec_id is not None:
+        cells = cells.filter(F.col("vec_id") != exclude_vec_id)
+    terms = [
+        F.element_at(
+            F.array(*[F.lit(x) for x in lut[m]]),
+            F.element_at(F.col("codes"), m + 1) + 1,
+        ).cast("decimal(18,6)")
+        for m in range(m_sub)
+    ]
+    total = terms[0]
+    for t in terms[1:]:
+        total = total + t
+    scored = cells.select("vec_id", total.cast("double").alias("approx_d2"))
+    topk = scored.orderBy(F.col("approx_d2").asc(), F.col("vec_id")).limit(k)
+    w = Window.orderBy(F.col("approx_d2").asc(), F.col("vec_id"))
+    return topk.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
 def oracle_ivfpq_sql(
     query_vec_id: int,
     k: int,
@@ -447,6 +532,8 @@ def oracle_ivfpq_sql(
 
 __all__ = [
     "ivfpq_topk",
+    "ivfpq_index_write",
+    "ivfpq_topk_from_index",
     "oracle_ivfpq_sql",
     "train_codebooks",
     "pq_encode",

@@ -205,6 +205,46 @@ def l3_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_topk(_t(spark, sf_dir, "embeddings"), ANN_QUERY_VEC, ANN_K)
 
 
+# (applicationId, sf_dir) -> index dir: the IVF-PQ index is written
+# once per session and served many times — the 100 TB shape, mirroring
+# dedup_sim._ivf_index_dir for the plain-IVF index.
+_IVFPQ_INDEX_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _ivfpq_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    import tempfile
+
+    from chronicle_sniffer_spark.operators.pq import ivfpq_index_write
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _IVFPQ_INDEX_CACHE:
+        out = tempfile.mkdtemp(prefix="css_ivfpq_index_")
+        ivfpq_index_write(_t(spark, sf_dir, "embeddings"), out)
+        _IVFPQ_INDEX_CACHE[key] = out
+    return _IVFPQ_INDEX_CACHE[key]
+
+
+@query("l3_ann_ivfpq_index_topk", section="L3", oracle=_ivfpq_oracle())
+def l3_ann_ivfpq_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ served from the MATERIALIZED index: a cid-partitioned
+    parquet layout holding (vec_id, codes) only — no vector bytes in
+    the index at all — plus KB-sized centroid/codebook tables.  The
+    query reads just the probed cells' files (partition pruning) and
+    just the codes column; same train-then-serve oracle as
+    `l3_ann_ivfpq_topk`."""
+    from chronicle_sniffer_spark.operators.pq import ivfpq_topk_from_index
+    from chronicle_sniffer_spark.plans.dedup_sim import ANN_K, ANN_QUERY_VEC
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == ANN_QUERY_VEC).collect()[0].embedding
+    ]
+    return ivfpq_topk_from_index(
+        spark, _ivfpq_index_dir(spark, sf_dir), qv, ANN_K, exclude_vec_id=ANN_QUERY_VEC
+    )
+
+
 # ---------------------------------------------------------------------------
 # L2: semantic (cluster-then-compare) dedup
 # ---------------------------------------------------------------------------
@@ -237,6 +277,10 @@ RRF_C = 60  # the standard Cormack/Clarke/Buettcher constant
 
 
 def _rrf_oracle() -> str:
+    # import for its registration side effect: when this module is
+    # imported directly (not through registry()'s ordered submodule
+    # walk), llm.py's entries may not be in REGISTRY yet
+    import chronicle_sniffer_spark.plans.llm  # noqa: F401
     from chronicle_sniffer_spark.plans.catalog import REGISTRY
 
     bm25 = REGISTRY["l4_bm25_topk"].oracle

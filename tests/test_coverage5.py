@@ -244,6 +244,43 @@ def test_ivfpq_full_probe_equals_pq(spark):
     assert full == plain
 
 
+def test_ivfpq_index_serves_codes_only(spark, tmp_path):
+    """The materialized IVF-PQ index stores (vec_id, codes) only — no
+    vector bytes anywhere in the index — and a served query (a) equals
+    the direct train-and-serve entry, (b) carries the probe as a
+    PartitionFilters entry on the scan, and (c) reads only the codes
+    column (ReadSchema excludes any vector column by construction)."""
+    from chronicle_sniffer_spark.operators.pq import (
+        ivfpq_index_write,
+        ivfpq_topk,
+        ivfpq_topk_from_index,
+    )
+    from chronicle_sniffer_spark.plans.dedup_sim import ANN_QUERY_VEC
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    out = str(tmp_path / "ivfpq_index")
+    ivfpq_index_write(emb, out)
+
+    stored = spark.read.parquet(f"{out}/cells")
+    assert sorted(stored.columns) == ["cid", "codes", "vec_id"]
+
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == ANN_QUERY_VEC).collect()[0].embedding
+    ]
+    served = ivfpq_topk_from_index(spark, out, qv, 10, exclude_vec_id=ANN_QUERY_VEC)
+    direct = ivfpq_topk(emb, ANN_QUERY_VEC, 10)
+    assert [tuple(r) for r in served.collect()] == [tuple(r) for r in direct.collect()]
+
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        served._jdf.queryExecution(), "formatted"
+    )
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "cid" in pf[0], f"no partition filter:\n{plan}"
+    rs = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert rs and "codes" in rs[0] and "cvec" not in rs[0], rs
+
+
 def test_ivfpq_results_subset_of_probed_cells(spark):
     """Every IVF-PQ result must come from a probed cell — the pruning
     contract that makes the scan partial at scale."""
