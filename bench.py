@@ -104,6 +104,7 @@ HEADLINE = (
     "l4_mmr_rerank",
     "ts4_zscore_anomaly",
     "ts5_sessionize",
+    "l3_ann_ivfpq_index_topk",
 )
 
 # Entries with documented ±18% round-over-round drift on identical code
