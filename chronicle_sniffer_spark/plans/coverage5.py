@@ -815,22 +815,37 @@ def pagerank_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    und = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    # cached: the symmetrized edge list feeds deg/nodes/nn and all
+    # PR_ITER contribution joins — uncached, the orders⋈lineitem
+    # DISTINCT re-ran once per consumer (6+ scans of the fact table)
+    und = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).cache()
     deg = und.groupBy("src").agg(F.count("*").alias("outdeg")).withColumnRenamed("src", "node")
     nodes = und.select(F.col("src").alias("node")).distinct()
     nn = nodes.agg(F.count("*").cast("double").alias("n"))
     ranks = nodes.crossJoin(F.broadcast(nn)).select(
         "node", (F.lit(1.0) / F.col("n")).alias("r")
     )
+    # ranks and deg are node-sized (≪ edge-sized) — broadcast them into
+    # the edge join so each iteration shuffles only the (dst, c) partial
+    # aggregation, never the edge list; at node counts beyond broadcast
+    # range this becomes a shuffle join on the node id
     for _ in range(PR_ITER):
         contrib = (
-            und.join(ranks, und.src == ranks.node)
-            .join(deg.withColumnRenamed("node", "dnode"), F.col("src") == F.col("dnode"))
+            und.join(F.broadcast(ranks), und.src == ranks.node)
+            .join(
+                F.broadcast(deg.withColumnRenamed("node", "dnode")),
+                F.col("src") == F.col("dnode"),
+            )
             .select(F.col("dst"), F.round(F.col("r") / F.col("outdeg"), 12).alias("c"))
         )
         sums = contrib.groupBy("dst").agg(
             F.sum(F.col("c").cast("decimal(28,12)")).cast("double").alias("s")
         )
+        # cache each iterate: it is node-sized, and the next iteration
+        # broadcasts it — uncached, iteration i would re-execute the
+        # full lineage of iterations 1..i-1 on every materialization
         ranks = (
             nodes.crossJoin(F.broadcast(nn))
             .join(sums, nodes.node == sums.dst, "left")
@@ -842,6 +857,7 @@ def pagerank_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
                     12,
                 ).alias("r"),
             )
+            .cache()
         )
     return ranks
 
