@@ -41,7 +41,13 @@ ACCEPTED = {
     "s10_python_datasource",  # Python data source by design
     "l2_semantic_dedup",  # ivf._assign centroid fold (16 broadcast cells)
     "l3_ann_ivfpq_topk",  # same ivf._assign fold feeding the cell probe
+    "l4_rrf_fusion",  # composes l3_cosine_topk, inheriting its accepted fold
 }
+
+# Entries allowed to contain a CartesianProduct node.  (Broadcast 1-row
+# stats crossJoins plan as BroadcastNestedLoopJoin, not
+# CartesianProduct, so this set should stay empty.)
+CARTESIAN_ACCEPTED: set = set()
 
 
 def main() -> int:
@@ -69,6 +75,13 @@ def main() -> int:
             print(msg)
             if tag == "REGRESSION":
                 findings.append(msg)
+        # unguarded cartesian audit: every crossJoin in the catalog must
+        # be a 1-row/broadcast-small stats join; a plain CartesianProduct
+        # over two real relations is the 100 TB query-killer
+        if "CartesianProduct" in plan and name not in CARTESIAN_ACCEPTED:
+            msg = f"REGRESSION {name}: CartesianProduct in physical plan"
+            print(msg)
+            findings.append(msg)
     spark.stop()
     print(f"\n{len(findings)} unaccepted interpreted plans")
     return 1 if findings else 0
