@@ -270,6 +270,79 @@ def l2_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# L2: blocked fuzzy (edit-distance) join
+# ---------------------------------------------------------------------------
+
+FUZZY_LEV_MAX = 4
+
+_FUZZY_ORACLE = f"""
+    WITH t AS (
+      SELECT doc_id,
+             array_to_string((string_split(text, ' '))[1:3], ' ') AS title,
+             (string_split(text, ' '))[1] AS blk,
+             len(array_to_string((string_split(text, ' '))[1:3], ' ')) AS tl
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(a.title, b.title) AS INTEGER) AS dist
+    FROM t a JOIN t b
+      ON a.blk = b.blk AND a.doc_id < b.doc_id
+         AND abs(a.tl - b.tl) <= {FUZZY_LEV_MAX}
+    WHERE levenshtein(a.title, b.title) <= {FUZZY_LEV_MAX}
+"""
+
+
+@query("l2_fuzzy_title_join", section="L2", oracle=_FUZZY_ORACLE)
+def l2_fuzzy_title_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy self-join — the entity-resolution primitive:
+    find document pairs whose 3-word 'titles' are within edit distance
+    {d}.  All-pairs Levenshtein is O(N²·L²) and impossible at scale;
+    the standard mitigation is BLOCKING — here an equi-join on the
+    first token plus a length-band filter (|Δlen| ≤ {d} is a lower
+    bound on edit distance, so the band is lossless) — which turns the
+    cartesian into a shuffle-keyed equi-join whose candidate count is
+    Σ per-block quadratics, the same cost shape as the n-gram
+    prefix-filter and SemDeDup cells.  Levenshtein verification runs
+    JVM-side (`F.levenshtein`, whole-stage codegen) only on surviving
+    candidates."""
+    d = _t(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    t = d.select(
+        "doc_id",
+        F.array_join(F.slice(words, 1, 3), " ").alias("title"),
+        F.element_at(words, 1).alias("blk"),
+    ).withColumn("tl", F.length("title"))
+    a = t.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("title").alias("ta"),
+        F.col("blk"),
+        F.col("tl").alias("la"),
+    )
+    b = t.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("title").alias("tb"),
+        F.col("blk"),
+        F.col("tl").alias("lb"),
+    )
+    return (
+        a.join(b, "blk")
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.abs(F.col("la") - F.col("lb")) <= FUZZY_LEV_MAX)
+        )
+        .filter(F.levenshtein("ta", "tb") <= FUZZY_LEV_MAX)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("ta", "tb").cast("int").alias("dist"),
+        )
+    )
+
+
+l2_fuzzy_title_join.__doc__ = l2_fuzzy_title_join.__doc__.format(d=FUZZY_LEV_MAX)
+
+
+# ---------------------------------------------------------------------------
 # L4: reciprocal-rank fusion of two retrieval rankings
 # ---------------------------------------------------------------------------
 
