@@ -270,6 +270,111 @@ def l2_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# L6: per-source quality-decile calibration
+# ---------------------------------------------------------------------------
+
+_DECILE_ORACLE = """
+    WITH sig AS (
+      SELECT doc_id, source,
+             round(length(regexp_replace(text, ' ', '', 'g')) * 1.0
+                   / len(string_split(text, ' ')), 6) AS mean_word_len
+      FROM documents
+    ),
+    dec AS (
+      SELECT doc_id, source, mean_word_len,
+             CAST(ntile(10) OVER (PARTITION BY source
+                                  ORDER BY mean_word_len, doc_id) AS INTEGER)
+               AS decile
+      FROM sig
+    )
+    SELECT source, decile,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(min(mean_word_len), 6) AS lo,
+           round(max(mean_word_len), 6) AS hi
+    FROM dec GROUP BY source, decile
+"""
+
+
+@query("l6_quality_deciles", section="L6", oracle=_DECILE_ORACLE)
+def l6_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality calibration: rank every document's quality
+    signal (mean word length, one of the C4-gate features) into
+    deciles WITHIN its source — the normalization step that makes
+    quality thresholds comparable across heterogeneous sources before
+    mixing (absolute score cutoffs systematically bias against whole
+    sources; per-source quantiles don't).  ntile is made deterministic
+    with a full (signal, doc_id) tie-break; the shuffle key is the
+    source — at 100 TB a skewed source is handled by the same
+    two-stage/salting treatment as any hot-key agg (A10)."""
+    d = _t(spark, sf_dir, "documents")
+    n_words = F.size(F.split("text", " "))
+    mwl = F.round(
+        F.length(F.regexp_replace("text", " ", "")) * 1.0 / n_words, 6
+    ).alias("mean_word_len")
+    sig = d.select("doc_id", "source", mwl)
+    w = Window.partitionBy("source").orderBy("mean_word_len", "doc_id")
+    dec = sig.withColumn("decile", F.ntile(10).over(w).cast("int"))
+    return dec.groupBy("source", "decile").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.round(F.min("mean_word_len"), 6).alias("lo"),
+        F.round(F.max("mean_word_len"), 6).alias("hi"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# L3: per-label embedding centroids (vector aggregation)
+# ---------------------------------------------------------------------------
+
+_CENTROID_ORACLE = """
+    WITH ex AS (
+      SELECT label, unnest(embedding::DOUBLE[]) AS val,
+             unnest(generate_series(1, len(embedding))) AS idx
+      FROM embeddings
+    ),
+    dims AS (
+      SELECT label, idx,
+             round(CAST(sum(CAST(round(val, 9) AS DECIMAL(20,9))) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE), 6) AS mu
+      FROM ex GROUP BY label, idx
+    )
+    SELECT label, CAST(count(*) AS BIGINT) AS dim,
+           round(sum(CAST(mu AS DECIMAL(18,6))) , 6)::DOUBLE AS centroid_sum,
+           round(min(mu), 6) AS centroid_min,
+           round(max(mu), 6) AS centroid_max
+    FROM dims GROUP BY label
+"""
+
+
+@query("l3_label_centroids", section="L3", oracle=_CENTROID_ORACLE)
+def l3_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids — the vector-aggregation
+    primitive behind class prototypes, cluster summaries, and
+    semantic-dedup seeding: posexplode each vector, aggregate each
+    dimension with EXACT decimal sums (inputs quantized to 9 dp first,
+    so cross-engine/partition association order can never matter),
+    and report per-label centroid summaries.  Shuffle key is
+    (label, dim) — dimension-parallel, never vector-at-a-time; at
+    100 TB this partial-aggregates map-side like any numeric agg."""
+    e = _t(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("idx0", "val")
+    )
+    dims = ex.groupBy("label", F.col("idx0").alias("idx")).agg(
+        F.round(
+            F.sum(F.round(F.col("val"), 9).cast("decimal(20,9)")).cast("double")
+            / F.count("*").cast("double"),
+            6,
+        ).alias("mu")
+    )
+    return dims.groupBy("label").agg(
+        F.count("*").cast("bigint").alias("dim"),
+        F.round(F.sum(F.col("mu").cast("decimal(18,6)")), 6).cast("double").alias("centroid_sum"),
+        F.round(F.min("mu"), 6).alias("centroid_min"),
+        F.round(F.max("mu"), 6).alias("centroid_max"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # L2: blocked fuzzy (edit-distance) join
 # ---------------------------------------------------------------------------
 
