@@ -270,6 +270,82 @@ def l2_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# T10: streaming document-quality gate (curation over a doc stream)
+# ---------------------------------------------------------------------------
+
+
+def doc_quality_counts(docs: DataFrame) -> DataFrame:
+    """Per-source curation counters over a document relation — works
+    unchanged on a BATCH table or a STREAMING file source (the
+    stream≡batch test in tests/test_coverage5.py runs this exact plan
+    both ways): C4-gate keeps, drops, and token totals per source.
+    One narrow map stage + a source-keyed partial agg — the shape of a
+    live ingest-quality dashboard over a crawled corpus."""
+    from chronicle_sniffer_spark.plans.quality import (
+        MAX_SYMBOL_RATIO,
+        MEAN_WL_LO,
+        MEAN_WL_HI,
+        MIN_WORDS,
+    )
+
+    n_words = F.size(F.split("text", " "))
+    mean_wl = F.round(F.length(F.regexp_replace("text", " ", "")) * 1.0 / n_words, 6)
+    sym = F.round(
+        F.length(F.regexp_replace("text", "[A-Za-z0-9 ]", "")) * 1.0 / F.length("text"),
+        6,
+    )
+    keep = (
+        (n_words >= MIN_WORDS)
+        & mean_wl.between(MEAN_WL_LO, MEAN_WL_HI)
+        & (sym < MAX_SYMBOL_RATIO)
+    )
+    return docs.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(keep.cast("int")).cast("bigint").alias("n_keep"),
+        F.sum(n_words).cast("bigint").alias("total_tokens"),
+    )
+
+
+def _t10_oracle() -> str:
+    from chronicle_sniffer_spark.plans.quality import (
+        MAX_SYMBOL_RATIO,
+        MEAN_WL_LO,
+        MEAN_WL_HI,
+        MIN_WORDS,
+    )
+
+    return f"""
+    WITH sig AS (
+      SELECT source,
+             len(string_split(text, ' ')) AS n_words,
+             round(length(regexp_replace(text, ' ', '', 'g')) * 1.0
+                   / len(string_split(text, ' ')), 6) AS mean_word_len,
+             round(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) * 1.0
+                   / length(text), 6) AS symbol_ratio
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN n_words >= {MIN_WORDS}
+                          AND mean_word_len BETWEEN {MEAN_WL_LO} AND {MEAN_WL_HI}
+                          AND symbol_ratio < {MAX_SYMBOL_RATIO}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+           CAST(sum(n_words) AS BIGINT) AS total_tokens
+    FROM sig GROUP BY source
+    """
+
+
+@query("t10_doc_quality_gate", section="T10", oracle=_t10_oracle())
+def t10_doc_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming curation counters (batch form for the oracle): the
+    same `doc_quality_counts` plan runs over a streaming document file
+    source with stream≡batch parity asserted in
+    tests/test_coverage5.py — live ingest QA for an LLM corpus, the
+    L4 gate lifted onto the T-series runtime."""
+    return doc_quality_counts(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
 # L6: per-source quality-decile calibration
 # ---------------------------------------------------------------------------
 

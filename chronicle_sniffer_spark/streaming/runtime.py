@@ -30,6 +30,33 @@ def stage_events_as_files(
     return out
 
 
+DOCS_STREAM_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def stage_documents_as_files(
+    spark: SparkSession, sf_dir: str, n_files: int = 4, out_dir: str | None = None
+) -> str:
+    """Split the documents table into n parquet files — the arrival
+    shape of a crawled/ingested document corpus (one file per fetch
+    batch), feeding the streaming curation entries."""
+    out = out_dir or os.path.join(tempfile.mkdtemp(prefix="css_docstream_"), "documents")
+    load_table(spark, sf_dir, "documents").repartition(n_files).write.mode(
+        "overwrite"
+    ).parquet(out)
+    return out
+
+
+def read_documents_stream(
+    spark: SparkSession, staged_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """Streaming file source over a staged document corpus."""
+    return (
+        spark.readStream.schema(DOCS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(staged_dir)
+    )
+
+
 def read_events_stream(
     spark: SparkSession, staged_dir: str, max_files_per_trigger: int = 1
 ) -> DataFrame:

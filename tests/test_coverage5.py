@@ -309,6 +309,32 @@ def test_ivfpq_results_subset_of_probed_cells(spark):
 
 
 # ---------------------------------------------------------------------------
+# Streaming document-quality gate
+# ---------------------------------------------------------------------------
+
+
+def test_t10_doc_quality_stream_equals_batch(spark):
+    """The curation-counter plan produces identical per-source results
+    whether run over the batch table or replayed as a streaming file
+    source — the L4 gate lifted onto the T-series runtime."""
+    from chronicle_sniffer_spark.plans.coverage5 import doc_quality_counts
+    from chronicle_sniffer_spark.streaming.runtime import (
+        read_documents_stream,
+        run_to_completion,
+        stage_documents_as_files,
+    )
+
+    staged = stage_documents_as_files(spark, SF_SMOKE, n_files=4)
+    stream = read_documents_stream(spark, staged)
+    result = run_to_completion(doc_quality_counts(stream), "t10_stream", "complete")
+    batch = doc_quality_counts(spark.read.parquet(f"{SF_SMOKE}/documents.parquet"))
+    cols = ("source", "n_docs", "n_keep", "total_tokens")
+    got = sorted(tuple(r) for r in result.select(*cols).collect())
+    want = sorted(tuple(r) for r in batch.select(*cols).collect())
+    assert got == want and got
+
+
+# ---------------------------------------------------------------------------
 # Runtime Bloom-filter join pruning (100 TB shuffle-join technique)
 # ---------------------------------------------------------------------------
 
