@@ -451,6 +451,106 @@ def l3_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# L2: incremental dedup of a delta batch against a historical index
+# ---------------------------------------------------------------------------
+
+INC_MOD = 5  # doc_id % 5 == 0 -> today's "delta" batch; rest -> history
+
+
+def _inc_minhash_cte(name: str, src: str) -> str:
+    from chronicle_sniffer_spark.plans.llm import MINHASH_K, SHINGLE_LEN
+
+    hashes = ",\n             ".join(
+        f"min(substring(md5(substring(text, t.i, {SHINGLE_LEN})), {1 + 8 * i}, 8)) AS h{i + 1}"
+        for i in range(MINHASH_K)
+    )
+    return f"""
+    {name} AS (
+      SELECT doc_id,
+             {hashes}
+      FROM {src},
+           unnest(generate_series(1, greatest(length(text) - {SHINGLE_LEN - 1}, 1))) AS t(i)
+      GROUP BY doc_id
+    )"""
+
+
+def _inc_oracle() -> str:
+    return f"""
+    WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % {INC_MOD} <> 0),
+    delta AS (SELECT doc_id, text FROM documents WHERE doc_id % {INC_MOD} = 0),
+    bmd5 AS (SELECT DISTINCT md5(text) AS h FROM base),
+    {_inc_minhash_cte("sigb", "base")},
+    {_inc_minhash_cte("sigd", "delta")},
+    bandsb AS (
+      SELECT md5(h1 || h2) AS b FROM sigb
+      UNION SELECT md5(h3 || h4) FROM sigb
+    ),
+    near AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT doc_id, md5(h1 || h2) AS b FROM sigd
+        UNION ALL SELECT doc_id, md5(h3 || h4) FROM sigd) d
+      JOIN bandsb USING (b)
+    )
+    SELECT d.doc_id,
+           CASE WHEN md5(d.text) IN (SELECT h FROM bmd5) THEN 'exact'
+                WHEN d.doc_id IN (SELECT doc_id FROM near) THEN 'near'
+                ELSE 'new' END AS verdict
+    FROM delta d
+    """
+
+
+@query("l2_incremental_dedup", section="L2", oracle=_inc_oracle())
+def l2_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (delta-vs-history) dedup — the production corpus
+    shape: today's batch is checked against the EXISTING corpus index,
+    never against itself all-pairs and never re-deduping history.
+    Levels: exact (content md5 hit in the historical digest set) and
+    near (shares a MinHash LSH band bucket with any historical doc —
+    the candidate test the full Jaccard verify would follow).  Shuffle
+    keys are digests and band buckets; at 100 TB the historical
+    digest/band tables are a maintained index (bucketed or
+    bloom-backed), and the delta side is small — the join prunes to
+    delta-sized work."""
+    from chronicle_sniffer_spark.plans.llm import minhash_signatures
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = d.filter(F.col("doc_id") % INC_MOD != 0)
+    delta = d.filter(F.col("doc_id") % INC_MOD == 0)
+    bmd5 = base.select(F.md5(F.col("text").cast("binary")).alias("h")).distinct()
+
+    def bands(sig: DataFrame, keep_id: bool) -> DataFrame:
+        b1 = sig.select(
+            *(["doc_id"] if keep_id else []),
+            F.md5(F.concat("h1", "h2").cast("binary")).alias("b"),
+        )
+        b2 = sig.select(
+            *(["doc_id"] if keep_id else []),
+            F.md5(F.concat("h3", "h4").cast("binary")).alias("b"),
+        )
+        return b1.unionByName(b2)
+
+    bandsb = bands(minhash_signatures(base), keep_id=False).distinct()
+    bandsd = bands(minhash_signatures(delta), keep_id=True)
+    near = bandsd.join(bandsb, "b").select("doc_id").distinct().withColumn(
+        "is_near", F.lit(True)
+    )
+    exact = (
+        delta.join(bmd5, F.md5(F.col("text").cast("binary")) == F.col("h"), "left")
+        .select("doc_id", F.col("h").isNotNull().alias("is_exact"))
+    )
+    return (
+        exact.join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("is_exact"), "exact")
+            .when(F.col("is_near"), "near")
+            .otherwise("new")
+            .alias("verdict"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # L2: blocked fuzzy (edit-distance) join
 # ---------------------------------------------------------------------------
 
