@@ -105,6 +105,11 @@ HEADLINE = (
     "ts4_zscore_anomaly",
     "ts5_sessionize",
     "l3_ann_ivfpq_index_topk",
+    "l2_incremental_dedup",
+    "l2_fuzzy_title_join",
+    "l3_label_centroids",
+    "l6_quality_deciles",
+    "t10_doc_quality_gate",
 )
 
 # Entries with documented ±18% round-over-round drift on identical code
