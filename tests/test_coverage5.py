@@ -309,6 +309,113 @@ def test_ivfpq_results_subset_of_probed_cells(spark):
 
 
 # ---------------------------------------------------------------------------
+# Sessionization / fuzzy-join invariants
+# ---------------------------------------------------------------------------
+
+
+def test_sessionize_gap_semantics(spark):
+    """Recompute sessions row-by-row in Python from the raw events and
+    assert the operator's per-session (count, duration) aggregation
+    matches exactly — intra-session gaps ≤ 30 min, session breaks
+    > 30 min."""
+    from chronicle_sniffer_spark.plans.coverage5 import SESSION_GAP_MIN, ts5_sessionize
+
+    rows = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .select("user_id", "event_id", "ts", "value")
+        .collect()
+    )
+    gap = SESSION_GAP_MIN * 60
+    per_user: dict = {}
+    for r in sorted(rows, key=lambda r: (r.user_id, r.ts, r.event_id)):
+        per_user.setdefault(r.user_id, []).append(r)
+    want = {}
+    for uid, evs in per_user.items():
+        seq = 0
+        prev = None
+        for r in evs:
+            if prev is None or (r.ts - prev).total_seconds() > gap:
+                seq += 1
+                want[(uid, seq)] = [0, r.ts, r.ts]
+            want[(uid, seq)][0] += 1
+            want[(uid, seq)][2] = r.ts
+            prev = r.ts
+    got = {
+        (r.user_id, r.session_seq): (r.n_events, r.duration_s)
+        for r in ts5_sessionize(spark, SF_SMOKE).collect()
+    }
+    assert len(got) == len(want)
+    for key, (n, start, end) in want.items():
+        dur = int((end - start).total_seconds())
+        assert got[key] == (n, dur), (key, got[key], (n, dur))
+
+
+def test_fuzzy_join_distances_are_true_levenshtein(spark):
+    """Every returned pair's reported distance equals a from-scratch
+    Python Levenshtein on the actual titles, is within the threshold,
+    and shares the blocking token (no cross-block leakage)."""
+    from chronicle_sniffer_spark.plans.coverage5 import (
+        FUZZY_LEV_MAX,
+        l2_fuzzy_title_join,
+    )
+
+    docs = {
+        r.doc_id: " ".join(r.text.split(" ")[:3])
+        for r in spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect()
+    }
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    out = l2_fuzzy_title_join(spark, SF_SMOKE).collect()
+    assert out
+    for r in out:
+        ta, tb = docs[r.doc_a], docs[r.doc_b]
+        assert r.dist == lev(ta, tb) <= FUZZY_LEV_MAX, (r, ta, tb)
+        assert ta.split(" ")[0] == tb.split(" ")[0]
+
+
+def test_pq_adc_identity_property():
+    """Hypothesis: for any codebooks and any vector built from
+    codewords, ADC(q, codes(x)) == d2(q, x) exactly (integer lattice,
+    so 6-dp LUT rounding is lossless)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from chronicle_sniffer_spark.operators.pq import adc_lut
+
+    ints = st.integers(min_value=-8, max_value=8)
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        books=st.lists(  # M subspaces
+            st.lists(st.lists(ints, min_size=2, max_size=2), min_size=2, max_size=4),
+            min_size=1,
+            max_size=4,
+        ),
+        data=st.data(),
+    )
+    def check(books, data):
+        m = len(books)
+        d_sub = 2
+        codes = [data.draw(st.integers(0, len(b) - 1)) for b in books]
+        x = [c for mi, k in enumerate(codes) for c in books[mi][k]]
+        q = [data.draw(ints) for _ in range(m * d_sub)]
+        lut = adc_lut([float(v) for v in q], [[list(map(float, cw)) for cw in b] for b in books])
+        adc = sum(lut[mi][codes[mi]] for mi in range(m))
+        exact = sum((a - b) ** 2 for a, b in zip(q, x))
+        assert adc == exact
+
+    check()
+
+
+# ---------------------------------------------------------------------------
 # Streaming document-quality gate
 # ---------------------------------------------------------------------------
 
