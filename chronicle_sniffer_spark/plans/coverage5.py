@@ -1225,6 +1225,36 @@ g1_pagerank_topk.__doc__ = g1_pagerank_topk.__doc__.format(it=PR_ITER)
 
 
 @query(
+    "s12_text_roundtrip",
+    section="S3",
+    oracle="""
+    SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+    FROM documents
+    """,
+)
+def s12_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-oriented text sink → `spark.read.text` scan: documents are
+    written as `<doc_id>\\t<text>` lines and re-parsed from the raw
+    value column — the lowest-common-denominator interchange format
+    (and the shape of most raw crawl/log drops before schema-ing).
+    Completes the built-in source matrix next to
+    parquet/JSON/CSV/ORC/XML/binary."""
+    d = _t(spark, sf_dir, "documents")
+    out = os.path.join(tempfile.gettempdir(), "css_s12_text_roundtrip")
+    d.select(
+        F.concat_ws("\t", F.col("doc_id").cast("string"), F.col("text")).alias("value")
+    ).write.mode("overwrite").text(out)
+    lines = spark.read.text(out)
+    parsed = lines.select(
+        F.split_part("value", F.lit("\t"), F.lit(1)).cast("bigint").alias("doc_id"),
+        F.split_part("value", F.lit("\t"), F.lit(2)).alias("text"),
+    )
+    return parsed.select(
+        "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("n_tokens")
+    )
+
+
+@query(
     "s11_xml_roundtrip",
     section="S3",
     oracle="SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
