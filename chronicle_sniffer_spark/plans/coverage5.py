@@ -270,6 +270,152 @@ def l2_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# L6: leakage-safe (near-dup-cluster-aware) train/val/test split
+# ---------------------------------------------------------------------------
+
+
+def _leakage_safe_oracle() -> str:
+    from chronicle_sniffer_spark.plans.dedup_sim import (
+        _ORACLE_GRAMS_CTE,
+        JACCARD_THRESHOLD,
+    )
+    from chronicle_sniffer_spark.plans.quality import _SPLIT_A, _SPLIT_M, TRAIN_PCT, VAL_PCT
+
+    return f"""
+    WITH RECURSIVE {_ORACLE_GRAMS_CTE},
+    pairs AS (
+      SELECT i.doc_a, i.doc_b
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.doc_a
+      JOIN sizes sb ON sb.doc_id = i.doc_b
+      WHERE round(i.n_inter * 1.0 / (sa.n_grams + sb.n_grams - i.n_inter), 6)
+            >= {JACCARD_THRESHOLD}
+    ),
+    edges AS (
+      SELECT doc_a AS s, doc_b AS t FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(s, t) AS (
+      SELECT s, s FROM (SELECT DISTINCT s FROM edges)
+      UNION
+      SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s
+    ),
+    labels AS (SELECT s AS doc_id, min(t) AS cluster_id FROM reach GROUP BY s),
+    assigned AS (
+      SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id
+    )
+    SELECT doc_id, cluster_id,
+           CASE WHEN (cluster_id * {_SPLIT_A}) % {_SPLIT_M} % 100 < {TRAIN_PCT}
+                THEN 'train'
+                WHEN (cluster_id * {_SPLIT_A}) % {_SPLIT_M} % 100
+                     < {TRAIN_PCT + VAL_PCT}
+                THEN 'val' ELSE 'test' END AS split
+    FROM assigned
+    """
+
+
+@query("l6_leakage_safe_split", section="L6", oracle=_leakage_safe_oracle())
+def l6_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-aware train/val/test split: the split hash is computed on
+    the near-dup CLUSTER id (connected components over the n-gram
+    Jaccard graph; singletons are their own cluster), so near-
+    duplicate documents can never straddle train and test — the
+    leakage mode a per-document hash split (l6_hash_split) cannot
+    prevent.  Composition of the L2 clustering and the L6 Lehmer
+    split, sharing their exact constants; the oracle nests the
+    recursive-CTE reachability closure."""
+    from chronicle_sniffer_spark.operators.dedup import (
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+    from chronicle_sniffer_spark.plans.dedup_sim import (
+        JACCARD_THRESHOLD,
+        NGRAM_MAX_DF,
+        NGRAM_N,
+    )
+    from chronicle_sniffer_spark.plans.quality import _SPLIT_A, _SPLIT_M, TRAIN_PCT, VAL_PCT
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        d, n=NGRAM_N, threshold=JACCARD_THRESHOLD, max_df=NGRAM_MAX_DF
+    )
+    labels = connected_components(pairs).select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+    assigned = d.select("doc_id").join(labels, "doc_id", "left").select(
+        "doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id")
+    )
+    bucket = (F.col("cluster_id") * _SPLIT_A) % _SPLIT_M % 100
+    return assigned.select(
+        "doc_id",
+        "cluster_id",
+        F.when(bucket < TRAIN_PCT, "train")
+        .when(bucket < TRAIN_PCT + VAL_PCT, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# L6: token-budget corpus selection
+# ---------------------------------------------------------------------------
+
+BUDGET_FRAC_PCT = 50  # keep the best docs until 50% of corpus tokens
+
+_BUDGET_ORACLE = f"""
+    WITH sig AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             round(length(regexp_replace(text, ' ', '', 'g')) * 1.0
+                   / len(string_split(text, ' ')), 6) AS quality
+      FROM documents
+    ),
+    budget AS (SELECT sum(n_tokens) * {BUDGET_FRAC_PCT} // 100 AS b FROM sig),
+    ranked AS (
+      SELECT doc_id, n_tokens, quality,
+             sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM sig
+    )
+    SELECT doc_id, n_tokens, quality, CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM ranked, budget WHERE cum_tokens <= budget.b
+"""
+
+
+@query("l6_token_budget_select", section="L6", oracle=_BUDGET_ORACLE)
+def l6_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data selection under a token budget: rank documents by a
+    quality signal (best first, deterministic tie-break) and keep the
+    prefix whose cumulative token count fits {pct}% of the corpus —
+    the greedy knapsack every 'train on the best N tokens' recipe
+    uses.  Integer cumulative sums are exact; the budget is a 1-row
+    broadcast.  The global ORDER BY window is the honest cost at
+    scale: a range-partitioned sort (the l6_global_shuffle path), not
+    a single-partition window, would carry it at 100 TB."""
+    d = _t(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split("text", " ")).cast("bigint")
+    quality = F.round(
+        F.length(F.regexp_replace("text", " ", "")) * 1.0 / F.size(F.split("text", " ")),
+        6,
+    )
+    sig = d.select("doc_id", n_tokens.alias("n_tokens"), quality.alias("quality"))
+    budget = sig.agg(
+        (F.sum("n_tokens") * BUDGET_FRAC_PCT / 100).cast("bigint").alias("b")
+    )
+    w = Window.orderBy(F.col("quality").desc(), F.col("doc_id")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = sig.withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("bigint"))
+    return ranked.crossJoin(F.broadcast(budget)).filter(
+        F.col("cum_tokens") <= F.col("b")
+    ).select("doc_id", "n_tokens", "quality", "cum_tokens")
+
+
+l6_token_budget_select.__doc__ = l6_token_budget_select.__doc__.format(pct=BUDGET_FRAC_PCT)
+
+
+# ---------------------------------------------------------------------------
 # T10: streaming document-quality gate (curation over a doc stream)
 # ---------------------------------------------------------------------------
 
