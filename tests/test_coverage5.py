@@ -415,6 +415,59 @@ def test_pq_adc_identity_property():
     check()
 
 
+def test_leakage_safe_split_never_straddles_clusters(spark):
+    """The defining property: every near-dup pair (and transitively
+    every cluster) lands in ONE split; and the split fractions stay
+    near 80/10/10 on singleton-dominated corpora."""
+    from chronicle_sniffer_spark.plans.coverage5 import l6_leakage_safe_split
+
+    out = l6_leakage_safe_split(spark, SF_SMOKE).collect()
+    by_cluster: dict = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster_id, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_cluster.values())
+    n = len(out)
+    train = sum(1 for r in out if r.split == "train")
+    assert 0.7 < train / n < 0.9
+
+
+def test_token_budget_select_is_greedy_prefix(spark):
+    """Kept docs form exactly the best-quality prefix: every kept doc
+    has (quality, -doc_id) ≥ any dropped doc, and the cumulative total
+    respects the budget while the next doc would exceed it."""
+    from chronicle_sniffer_spark.plans.coverage5 import (
+        BUDGET_FRAC_PCT,
+        l6_token_budget_select,
+    )
+    from pyspark.sql import functions as F
+
+    kept = l6_token_budget_select(spark, SF_SMOKE).collect()
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    total = docs.select(F.sum(F.size(F.split("text", " ")))).collect()[0][0]
+    budget = total * BUDGET_FRAC_PCT // 100
+    assert kept
+    assert max(r.cum_tokens for r in kept) <= budget
+    kept_ids = {r.doc_id for r in kept}
+    order_key = {
+        r.doc_id: (-r.quality, r.doc_id)
+        for r in spark.createDataFrame(
+            [(k.doc_id, k.quality) for k in kept], "doc_id long, quality double"
+        ).collect()
+    }
+    # prefix property: no dropped doc sorts strictly before a kept doc
+    sig = docs.select(
+        "doc_id",
+        F.round(
+            F.length(F.regexp_replace("text", " ", "")) * 1.0
+            / F.size(F.split("text", " ")),
+            6,
+        ).alias("q"),
+    ).collect()
+    dropped = [(-r.q, r.doc_id) for r in sig if r.doc_id not in kept_ids]
+    if dropped and order_key:
+        assert min(dropped) > max(order_key.values())
+
+
 # ---------------------------------------------------------------------------
 # Streaming document-quality gate
 # ---------------------------------------------------------------------------
