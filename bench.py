@@ -110,6 +110,9 @@ HEADLINE = (
     "l3_label_centroids",
     "l6_quality_deciles",
     "t10_doc_quality_gate",
+    "l6_leakage_safe_split",
+    "l6_token_budget_select",
+    "s12_text_roundtrip",
 )
 
 # Entries with documented ±18% round-over-round drift on identical code
