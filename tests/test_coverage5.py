@@ -495,6 +495,53 @@ def test_t10_doc_quality_stream_equals_batch(spark):
 
 
 # ---------------------------------------------------------------------------
+# Stream-maintained rollup table (incremental materialized view)
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_rollup_equals_batch(spark, tmp_path):
+    """The foreachBatch-MERGE-maintained per-user rollup, fed one file
+    per micro-batch, converges to exactly the batch groupBy — and
+    re-applying an already-applied epoch is a no-op (idempotent under
+    at-least-once redelivery)."""
+    from pyspark.sql import functions as F
+
+    from chronicle_sniffer_spark.streaming.incremental import (
+        maintain_rollup,
+        merge_batch,
+    )
+    from chronicle_sniffer_spark.streaming.runtime import (
+        read_events_stream,
+        stage_events_as_files,
+    )
+
+    staged = stage_events_as_files(spark, SF_SMOKE, n_files=4)
+    table = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "ckpt")
+    final = maintain_rollup(read_events_stream(spark, staged), table, ckpt)
+
+    batch = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("decimal(18,4)").alias(
+                "total_value"
+            ),
+        )
+    )
+    got = sorted(tuple(r) for r in final.collect())
+    want = sorted(tuple(r) for r in batch.collect())
+    assert got == want and got
+
+    # redelivery: re-applying epoch 0 must change nothing
+    some = spark.read.parquet(staged).limit(50)
+    merge_batch(spark, table, some, 0)
+    again = sorted(tuple(r) for r in spark.read.parquet(table).collect())
+    assert again == want
+
+
+# ---------------------------------------------------------------------------
 # Runtime Bloom-filter join pruning (100 TB shuffle-join technique)
 # ---------------------------------------------------------------------------
 
