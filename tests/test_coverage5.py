@@ -495,6 +495,45 @@ def test_t10_doc_quality_stream_equals_batch(spark):
 
 
 # ---------------------------------------------------------------------------
+# Streaming-state introspection (Spark 4 state data source)
+# ---------------------------------------------------------------------------
+
+
+def test_statestore_reader_exposes_aggregation_state(spark, tmp_path):
+    """Operational capability: a checkpoint's state store is readable
+    as a DataFrame (`format("statestore")`) — the debugging/repair
+    path for stuck stateful queries.  The exposed per-key state must
+    equal the query's own output exactly."""
+    from pyspark.sql import functions as F
+
+    from chronicle_sniffer_spark.streaming.runtime import (
+        read_events_stream,
+        stage_events_as_files,
+    )
+
+    staged = stage_events_as_files(spark, SF_SMOKE, n_files=2)
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        read_events_stream(spark, staged)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("state_probe")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    result = {r.user_id: r.n for r in spark.sql("SELECT * FROM state_probe").collect()}
+    state = spark.read.format("statestore").load(ckpt)
+    # the state value carries the aggregate BUFFER's field name (count),
+    # not the output alias
+    got = {r["key"]["user_id"]: r["value"]["count"] for r in state.collect()}
+    assert got == result and got
+
+
+# ---------------------------------------------------------------------------
 # Stream-maintained rollup table (incremental materialized view)
 # ---------------------------------------------------------------------------
 
