@@ -76,6 +76,19 @@ QUERIES = (
     "l4_bm25_topk",
     "l3_ann_pq_topk",
     "l2_semantic_dedup",
+    "l3_ann_ivfpq_topk",
+    "l3_ann_ivfpq_index_topk",
+    "l4_unigram_surprisal",
+    "g1_pagerank_topk",
+    "ts4_zscore_anomaly",
+    "ts5_sessionize",
+    "l2_incremental_dedup",
+    "l2_fuzzy_title_join",
+    "l3_label_centroids",
+    "l6_quality_deciles",
+    "l6_leakage_safe_split",
+    "l6_token_budget_select",
+    "t10_doc_quality_gate",
 )
 
 
