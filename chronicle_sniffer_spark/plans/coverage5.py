@@ -1,28 +1,34 @@
-"""Round-5 catalog additions: retrieval scoring, product-quantization
-ANN, semantic (cluster-then-compare) dedup, and an XML source
-round-trip.
+"""Round-5 catalog additions — the retrieval / vector-serving /
+curation operators a 100 TB training-data stack still needed after
+round 4 (SURVEY.md §2B extension rows, lower block):
 
-These extend the LLM-data-pipeline surface (SURVEY.md §2B L2/L3/L4 and
-the S-series sources) with the operators a 100 TB curation + retrieval
-stack still needed after round 4:
+- **Retrieval**: BM25 (Robertson/Spärck Jones) lexical scoring,
+  reciprocal-rank fusion of lexical+semantic rankings (Cormack et al.,
+  SIGIR 2009), MMR diversified reranking (Carbonell & Goldstein, SIGIR
+  1998) with an unrolled greedy oracle.
+- **Vector serving**: product quantization (Jégou et al., IEEE TPAMI
+  2011) with asymmetric-distance scoring over broadcast-literal lookup
+  tables, composed IVF-PQ (the FAISS serving shape) both
+  train-and-serve and from a materialized codes-only index, and
+  per-label centroid aggregation.
+- **Dedup / splits**: SemDeDup-style semantic dedup over k-means
+  cells (Abbas et al., 2023), incremental delta-vs-history dedup,
+  blocked fuzzy (edit-distance) joins, leakage-safe cluster-aware
+  train/val/test splits.
+- **Quality / curation**: unigram surprisal (perplexity-class
+  filtering), per-source quality-decile calibration, token-budget
+  corpus selection, a streaming document-quality gate (stream≡batch).
+- **Time series / graph**: rolling z-score anomaly detection,
+  gap-based batch sessionization, fixed-iteration PageRank link
+  centrality (iterate-cached — see the 10× lesson in its docstring).
+- **Sources**: XML (Spark 4 built-in, SPARK-44265) and line-oriented
+  text round-trips.
 
-- **BM25** — the standard lexical retrieval scorer (Robertson/Spärck
-  Jones); the reference has no retrieval surface, but a training-data
-  pipeline needs lexical search for decontamination triage and corpus
-  QA.  Shapes: token-keyed tf aggregation, a 4-row broadcast df table,
-  a 1-row broadcast corpus-stats table, then a per-doc decimal sum —
-  no shuffle wider than (doc_id, term).
-- **PQ ANN** — product quantization (Jégou et al., IEEE TPAMI 2011):
-  64× vector compression (8 uint4 codes vs 64 float64) is what makes
-  billion-vector serving feasible; ADC scoring is a literal-table
-  lookup that never touches the raw vectors.
-- **Semantic dedup** — SemDeDup-style (Abbas et al., 2023): cluster
-  with k-means, compare pairs only WITHIN a cell — the quadratic
-  all-pairs cost drops to sum of per-cell quadratics, the scalable
-  shape for embedding-level dedup at corpus scale.
-- **XML scan** — Spark 4 ships a built-in XML source (SPARK-44265);
-  the round-trip entry proves schema fidelity the same way the
-  CSV/ORC entries do (plans/pipeline.py).
+House determinism rules apply throughout (plans/catalog.py): exact
+decimal sums wherever association order could differ, 6-dp half-away
+rounding, identical aliases on both engines, and `ln()` quantized to
+6 dp immediately after the call (JVM Math.log ≠ C libm log in the last
+ulp — measured in tests/test_coverage5.py).
 """
 
 from __future__ import annotations
