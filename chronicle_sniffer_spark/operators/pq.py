@@ -386,11 +386,13 @@ def ivfpq_topk(
 def ivfpq_index_write(embeddings: DataFrame, index_dir: str) -> None:
     """Materialize the IVF-PQ index: ``cells/`` is cid-PARTITIONED
     parquet holding (vec_id, codes) ONLY — the raw vectors are NOT in
-    the index (that's the PQ point: the serving layout is ~64× smaller
-    than the corpus and lives beside it), plus KB-sized ``centroids``
-    and ``codebooks`` tables.  At 100 TB the index is written once;
-    every query then reads just the probed cells' files and just the
-    codes column."""
+    the index (that's the PQ point: the per-vector payload is M 4-bit
+    codes, logically 4 bytes vs 512 bytes of float64s — 128×; stored
+    here as a parquet int-array column, which dictionary+RLE encoding
+    keeps within the same order), plus KB-sized ``centroids`` and
+    ``codebooks`` tables.  At 100 TB the index is written once; every
+    query then reads just the probed cells' files and just the codes
+    column."""
     from chronicle_sniffer_spark.operators.ivf import (
         _assign,
         _centroid_df,
