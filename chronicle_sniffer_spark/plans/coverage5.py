@@ -737,7 +737,15 @@ def l2_fuzzy_title_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Σ per-block quadratics, the same cost shape as the n-gram
     prefix-filter and SemDeDup cells.  Levenshtein verification runs
     JVM-side (`F.levenshtein`, whole-stage codegen) only on surviving
-    candidates."""
+    candidates.
+
+    Scale note (measured, SCALE_r05.json): on the synthetic corpus the
+    TRUE match set itself grows quadratically (40-word vocabulary ⇒
+    title collisions; 12.8k pairs at sf0.1 → 1.27M at sf1, 99×), so
+    wall grows super-linearly because the OUTPUT does — any correct
+    algorithm is Ω(output); candidates stay ~30× matches under the
+    block+band.  On a high-entropy corpus the cost tracks true
+    duplicate density instead."""
     d = _t(spark, sf_dir, "documents")
     words = F.split("text", " ")
     t = d.select(
