@@ -134,6 +134,15 @@ def main() -> None:
         "max_ratio": max(ratios),
         "queries": results,
         "sf1_rows": {"lineitem": 6_000_000, "documents": 50_000, "embeddings": 20_000},
+        # super-linear WALL ratios that are OUTPUT-driven on this
+        # synthetic corpus (fixed 40-word vocabulary), not plan flaws —
+        # measured analysis in BASELINE.md §3
+        "outlier_notes": {
+            "l2_fuzzy_title_join": "true match set grows 99x (12.8k->1.27M pairs); any correct algorithm is Omega(output); candidates ~30x matches under block+band",
+            "l2_ngram_jaccard": "candidate-pair volume scales linearly with corpus by design (prefix filter keeps it off the quadratic path)",
+            "l6_leakage_safe_split": "consumes the n-gram Jaccard pair volume above plus the component closure over it",
+            "l2_semantic_dedup": "fixed K=16 cells for the oracle entry; the scale configuration grows n_centroids with the corpus (BASELINE.md: 3.0s at sf1 with K=160)",
+        },
     }
     with open(out_path, "w") as fh:
         json.dump(summary, fh, indent=1)
