@@ -747,6 +747,12 @@ def l2_fuzzy_title_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     block+band.  On a high-entropy corpus the cost tracks true
     duplicate density instead."""
     d = _t(spark, sf_dir, "documents")
+    # repartition BEFORE the pair fan-out: the block join multiplies
+    # each probe row into ~|block| candidates, and the pre-join stage
+    # inherits the scan's partitioning — a single-file corpus would run
+    # the entire candidate explosion in ONE task (measured: 96 s → 9 s
+    # at sf1).  Same lesson as llm.minhash_signatures' shingle explode.
+    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     words = F.split("text", " ")
     t = d.select(
         "doc_id",
@@ -771,12 +777,12 @@ def l2_fuzzy_title_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_a") < F.col("doc_b"))
             & (F.abs(F.col("la") - F.col("lb")) <= FUZZY_LEV_MAX)
         )
-        .filter(F.levenshtein("ta", "tb") <= FUZZY_LEV_MAX)
-        .select(
-            "doc_a",
-            "doc_b",
-            F.levenshtein("ta", "tb").cast("int").alias("dist"),
-        )
+        # project the distance BEFORE filtering on it: filter and
+        # project are separate operators, so an expression repeated in
+        # both is computed twice per candidate (measured 2x on 38M
+        # candidates at sf1)
+        .select("doc_a", "doc_b", F.levenshtein("ta", "tb").cast("int").alias("dist"))
+        .filter(F.col("dist") <= FUZZY_LEV_MAX)
     )
 
 
