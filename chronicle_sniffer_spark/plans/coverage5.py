@@ -858,6 +858,87 @@ def l4_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# L4: bigram conditional surprisal (first-order LM quality signal)
+# ---------------------------------------------------------------------------
+
+_BIGRAM_SURPRISAL_ORACLE = """
+    WITH ws AS (
+      SELECT doc_id, string_split(text, ' ') AS a FROM documents
+    ),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(a) - 1), i -> a[i])) AS w1,
+             unnest(list_transform(generate_series(1, len(a) - 1), i -> a[i + 1])) AS w2
+      FROM ws
+    ),
+    tf AS (
+      SELECT doc_id, w1, w2, count(*) AS tf FROM bg GROUP BY doc_id, w1, w2
+    ),
+    c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
+    c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+    srp AS (
+      SELECT c2.w1, c2.w2,
+             -round(ln(CAST(c2.c2 AS DOUBLE) / CAST(c1.c1 AS DOUBLE)), 6) AS s
+      FROM c2 JOIN c1 USING (w1)
+    )
+    SELECT tf.doc_id,
+           CAST(sum(tf.tf) AS BIGINT) AS n_bigrams,
+           round(CAST(sum(CAST(s.s AS DECIMAL(18,6)) * tf.tf) AS DOUBLE)
+                 / CAST(sum(tf.tf) AS DOUBLE), 6) AS avg_surprisal
+    FROM tf JOIN srp s ON s.w1 = tf.w1 AND s.w2 = tf.w2
+    GROUP BY tf.doc_id
+"""
+
+
+@query("l4_bigram_surprisal", section="L4", oracle=_BIGRAM_SURPRISAL_ORACLE)
+def l4_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document average CONDITIONAL surprisal −ln p(wᵢ|wᵢ₋₁)
+    under the corpus's own bigram model — one order up from
+    `l4_unigram_surprisal`, and the plan template for any n: the
+    conditional denominator is the (n−1)-gram PREFIX count derived
+    from the same bigram instances, so the distribution normalizes
+    exactly.  Bigrams use the lambda-free arrays_zip fan-out
+    (l4_top_bigram's codegen form); model counts key on (w1, w2) —
+    broadcastable at this vocabulary, a token-keyed shuffle join at
+    web scale.  Same quantized-ln + exact-decimal discipline as the
+    unigram entry."""
+    d = _t(spark, sf_dir, "documents")
+    ws = d.select("doc_id", F.split("text", " ").alias("a"))
+    bigrams = F.when(
+        F.size("a") >= 2,
+        F.expr(
+            "CAST(slice(arrays_zip(a, slice(a, 2, greatest(size(a) - 1, 0))),"
+            " 1, greatest(size(a) - 1, 1)) AS array<struct<`0` string, `1` string>>)"
+        ),
+    ).otherwise(F.array().cast("array<struct<`0` string, `1` string>>"))
+    bg = ws.select("doc_id", F.explode(bigrams).alias("z")).select(
+        "doc_id", F.col("z.`0`").alias("w1"), F.col("z.`1`").alias("w2")
+    )
+    tf = bg.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("tf"))
+    c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    c1 = bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    srp = c2.join(c1, "w1").select(
+        "w1",
+        "w2",
+        (-F.round(F.log(F.col("c2").cast("double") / F.col("c1").cast("double")), 6)).alias(
+            "s"
+        ),
+    )
+    return (
+        tf.join(F.broadcast(srp), ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_bigrams"),
+            F.round(
+                F.sum(F.col("s").cast("decimal(18,6)") * F.col("tf")).cast("double")
+                / F.sum("tf").cast("double"),
+                6,
+            ).alias("avg_surprisal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # L4: MMR (maximal-marginal-relevance) diversified rerank
 # ---------------------------------------------------------------------------
 
