@@ -939,6 +939,125 @@ def l4_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# L6: Moore-Lewis cross-entropy-difference data selection
+# ---------------------------------------------------------------------------
+
+ML_IN_DOMAIN_LANG = "en"
+
+_MOORE_LEWIS_ORACLE = f"""
+    WITH words AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    vocab AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM words),
+    cin AS (
+      SELECT w, count(*) AS c FROM words
+      WHERE lang = '{ML_IN_DOMAIN_LANG}' GROUP BY w
+    ),
+    nin AS (SELECT CAST(count(*) AS BIGINT) AS n FROM words
+            WHERE lang = '{ML_IN_DOMAIN_LANG}'),
+    cgen AS (SELECT w, count(*) AS c FROM words GROUP BY w),
+    ngen AS (SELECT CAST(count(*) AS BIGINT) AS n FROM words),
+    delta AS (
+      SELECT g.w,
+             round(ln((CAST(coalesce(i.c, 0) + 1 AS DOUBLE))
+                      / (CAST(nin.n + vocab.v AS DOUBLE))), 6)
+           - round(ln((CAST(g.c + 1 AS DOUBLE))
+                      / (CAST(ngen.n + vocab.v AS DOUBLE))), 6) AS d
+      FROM cgen g LEFT JOIN cin i ON i.w = g.w
+      CROSS JOIN nin CROSS JOIN ngen CROSS JOIN vocab
+    ),
+    tf AS (
+      SELECT doc_id, w, count(*) AS tf FROM words GROUP BY doc_id, w
+    )
+    SELECT tf.doc_id,
+           CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+           round(CAST(sum(CAST(d.d AS DECIMAL(18,6)) * tf.tf) AS DOUBLE)
+                 / CAST(sum(tf.tf) AS DOUBLE), 6) + 0.0 AS ce_diff
+    FROM tf JOIN delta d USING (w)
+    GROUP BY tf.doc_id
+"""
+
+
+@query("l6_moore_lewis_select", section="L6", oracle=_MOORE_LEWIS_ORACLE)
+def l6_moore_lewis_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moore–Lewis cross-entropy-difference selection (Moore & Lewis,
+    ACL 2010) — the classic 'pick general-corpus documents that look
+    like the in-domain corpus' scorer: per token,
+    ln p_in(w) − ln p_gen(w) under Laplace-smoothed unigram models
+    (in-domain = the '{lang}' slice; shared vocabulary size V in both
+    smoothers), tf-weighted per doc.  Higher ce_diff ⇒ more in-domain.
+
+    Shapes: two vocabulary-sized model aggregations and a token-keyed
+    per-doc join — the same broadcastable-model / partial-agg skeleton
+    as the surprisal entries.  Both ln calls are quantized to 6 dp
+    BEFORE the difference (the per-engine libm channel again), and the
+    tf-weighted sum is exact decimal."""
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("w")
+    )
+    vocab = words.agg(F.countDistinct("w").alias("v"))
+    cin = (
+        words.filter(F.col("lang") == ML_IN_DOMAIN_LANG).groupBy("w").agg(
+            F.count("*").alias("ci")
+        )
+    )
+    nin = words.filter(F.col("lang") == ML_IN_DOMAIN_LANG).agg(
+        F.count("*").alias("ni")
+    )
+    cgen = words.groupBy("w").agg(F.count("*").alias("cg"))
+    ngen = words.agg(F.count("*").alias("ng"))
+    delta = (
+        cgen.join(cin, "w", "left")
+        .crossJoin(F.broadcast(nin))
+        .crossJoin(F.broadcast(ngen))
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "w",
+            (
+                F.round(
+                    F.log(
+                        (F.coalesce("ci", F.lit(0)) + 1).cast("double")
+                        / (F.col("ni") + F.col("v")).cast("double")
+                    ),
+                    6,
+                )
+                - F.round(
+                    F.log(
+                        (F.col("cg") + 1).cast("double")
+                        / (F.col("ng") + F.col("v")).cast("double")
+                    ),
+                    6,
+                )
+            ).alias("d"),
+        )
+    )
+    tf = words.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    return (
+        tf.join(F.broadcast(delta), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_tokens"),
+            # + 0.0 normalizes IEEE signed zero: a ce_diff of exactly 0
+            # rounded from below is -0.0 in one engine and +0.0 in the
+            # other, and the canonicalizer prints them differently
+            # (observed on doc 1275 at sf0.1)
+            (
+                F.round(
+                    F.sum(F.col("d").cast("decimal(18,6)") * F.col("tf")).cast("double")
+                    / F.sum("tf").cast("double"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("ce_diff"),
+        )
+    )
+
+
+l6_moore_lewis_select.__doc__ = l6_moore_lewis_select.__doc__.format(lang=ML_IN_DOMAIN_LANG)
+
+
+# ---------------------------------------------------------------------------
 # L4: MMR (maximal-marginal-relevance) diversified rerank
 # ---------------------------------------------------------------------------
 
