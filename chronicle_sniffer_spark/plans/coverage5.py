@@ -939,6 +939,174 @@ def l4_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# L3: int8 scalar quantization of embeddings (SQ storage path)
+# ---------------------------------------------------------------------------
+
+_SQ8_ORACLE = """
+    WITH ex AS (
+      SELECT vec_id, unnest(embedding::DOUBLE[]) AS val,
+             unnest(generate_series(1, len(embedding))) AS idx
+      FROM embeddings
+    ),
+    rng AS (
+      SELECT idx, min(val) AS lo, max(val) AS hi FROM ex GROUP BY idx
+    ),
+    q AS (
+      SELECT e.vec_id, e.idx,
+             CAST(round(((e.val - r.lo) / (r.hi - r.lo)) * 255.0, 0) AS INTEGER) AS code,
+             e.val, r.lo, r.hi
+      FROM ex e JOIN rng r USING (idx)
+    ),
+    err AS (
+      SELECT vec_id,
+             round(abs(val - (lo + (CAST(code AS DOUBLE) / 255.0) * (hi - lo))), 9) AS ae,
+             code
+      FROM q
+    )
+    SELECT vec_id,
+           CAST(min(code) AS INTEGER) AS code_min,
+           CAST(max(code) AS INTEGER) AS code_max,
+           CAST(sum(CAST(ae AS DECIMAL(20,9))) AS DOUBLE) AS abs_err_sum
+    FROM err GROUP BY vec_id
+"""
+
+
+@query("l3_sq8_quantize", section="L3", oracle=_SQ8_ORACLE)
+def l3_sq8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding column — the SIMPLE
+    vector-compression path next to PQ (8× smaller, one code per
+    dimension against per-dimension corpus min/max): quantize, then
+    report per-vector code range and total absolute reconstruction
+    error.  The dimension-range table is KB-sized and broadcast; the
+    quantize/dequantize round-trip is pure column arithmetic.  Error
+    terms are rounded to 9 dp and summed as exact decimal.
+
+    Determinism note: `(val−lo)/(hi−lo)·255` rounded half-away — the
+    only cross-engine channel is a value landing within an ulp of a
+    .5 code boundary, the same accepted-improbable class as the ANN
+    entries' distance ties."""
+    e = _t(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "vec_id", F.posexplode(F.col("embedding").cast("array<double>")).alias("idx", "val")
+    )
+    rng = ex.groupBy("idx").agg(F.min("val").alias("lo"), F.max("val").alias("hi"))
+    q = ex.join(F.broadcast(rng), "idx").select(
+        "vec_id",
+        "val",
+        "lo",
+        "hi",
+        F.round(((F.col("val") - F.col("lo")) / (F.col("hi") - F.col("lo"))) * 255.0, 0)
+        .cast("int")
+        .alias("code"),
+    )
+    err = q.select(
+        "vec_id",
+        "code",
+        F.round(
+            F.abs(
+                F.col("val")
+                - (F.col("lo") + (F.col("code").cast("double") / 255.0) * (F.col("hi") - F.col("lo")))
+            ),
+            9,
+        ).alias("ae"),
+    )
+    return err.groupBy("vec_id").agg(
+        F.min("code").cast("int").alias("code_min"),
+        F.max("code").cast("int").alias("code_max"),
+        F.sum(F.col("ae").cast("decimal(20,9)")).cast("double").alias("abs_err_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# L4: PMI collocations (top co-occurring word pairs)
+# ---------------------------------------------------------------------------
+
+PMI_TOP_K = 20
+PMI_MIN_COUNT = 5
+
+_PMI_ORACLE = f"""
+    WITH ws AS (
+      SELECT doc_id, string_split(text, ' ') AS a FROM documents
+    ),
+    bg AS (
+      SELECT unnest(list_transform(generate_series(1, len(a) - 1), i -> a[i])) AS w1,
+             unnest(list_transform(generate_series(1, len(a) - 1), i -> a[i + 1])) AS w2
+      FROM ws
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS nb FROM bg),
+    c2 AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY w1, w2),
+    u1 AS (SELECT w1 AS w, count(*) AS c FROM bg GROUP BY w1),
+    u2 AS (SELECT w2 AS w, count(*) AS c FROM bg GROUP BY w2),
+    pmi AS (
+      SELECT c2.w1, c2.w2, CAST(c2.c AS BIGINT) AS pair_count,
+             round(ln((CAST(c2.c AS DOUBLE) * CAST(n.nb AS DOUBLE))
+                      / (CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE))), 6) AS pmi
+      FROM c2 JOIN u1 ON u1.w = c2.w1 JOIN u2 ON u2.w = c2.w2 CROSS JOIN n
+      WHERE c2.c >= {PMI_MIN_COUNT}
+    )
+    SELECT w1, w2, pair_count, pmi, CAST(rnk AS INTEGER) AS rnk FROM (
+      SELECT *, row_number() OVER (ORDER BY pmi DESC, w1, w2) AS rnk FROM pmi)
+    WHERE rnk <= {PMI_TOP_K}
+"""
+
+
+@query("l4_pmi_collocations", section="L4", oracle=_PMI_ORACLE)
+def l4_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} collocations by pointwise mutual information —
+    ``ln(p(w1,w2) / (p(w1)·p(w2)))`` over adjacent word pairs with a
+    min-count floor (Church & Hanks, 1990): the standard statistical
+    phrase/tokenizer-merge signal.  Corpus-level aggregations on
+    token-pair keys, two vocabulary-sized marginal joins, one
+    TakeOrderedAndProject; the ln is a single quantized call on an
+    exact integer ratio (both engines compute the identical double
+    quotient first)."""
+    d = _t(spark, sf_dir, "documents")
+    ws = d.select("doc_id", F.split("text", " ").alias("a"))
+    bigrams = F.when(
+        F.size("a") >= 2,
+        F.expr(
+            "CAST(slice(arrays_zip(a, slice(a, 2, greatest(size(a) - 1, 0))),"
+            " 1, greatest(size(a) - 1, 1)) AS array<struct<`0` string, `1` string>>)"
+        ),
+    ).otherwise(F.array().cast("array<struct<`0` string, `1` string>>"))
+    bg = ws.select(F.explode(bigrams).alias("z")).select(
+        F.col("z.`0`").alias("w1"), F.col("z.`1`").alias("w2")
+    )
+    n = bg.agg(F.count("*").alias("nb"))
+    c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c")).filter(
+        F.col("c") >= PMI_MIN_COUNT
+    )
+    u1 = bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    u2 = bg.groupBy("w2").agg(F.count("*").alias("c2"))
+    pmi = (
+        c2.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "w1",
+            "w2",
+            F.col("c").cast("bigint").alias("pair_count"),
+            F.round(
+                F.log(
+                    (F.col("c").cast("double") * F.col("nb").cast("double"))
+                    / (F.col("c1").cast("double") * F.col("c2").cast("double"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    w = Window.orderBy(F.col("pmi").desc(), F.col("w1"), F.col("w2"))
+    return (
+        pmi.orderBy(F.col("pmi").desc(), F.col("w1"), F.col("w2"))
+        .limit(PMI_TOP_K)
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+    )
+
+
+l4_pmi_collocations.__doc__ = l4_pmi_collocations.__doc__.format(k=PMI_TOP_K)
+
+
+# ---------------------------------------------------------------------------
 # L6: Moore-Lewis cross-entropy-difference data selection
 # ---------------------------------------------------------------------------
 
