@@ -113,6 +113,10 @@ HEADLINE = (
     "l6_leakage_safe_split",
     "l6_token_budget_select",
     "s12_text_roundtrip",
+    "l4_bigram_surprisal",
+    "l4_pmi_collocations",
+    "l6_moore_lewis_select",
+    "l3_sq8_quantize",
 )
 
 # Entries with documented ±18% round-over-round drift on identical code
