@@ -89,6 +89,10 @@ QUERIES = (
     "l6_leakage_safe_split",
     "l6_token_budget_select",
     "t10_doc_quality_gate",
+    "l4_bigram_surprisal",
+    "l6_moore_lewis_select",
+    "l4_pmi_collocations",
+    "l3_sq8_quantize",
 )
 
 
