@@ -1430,6 +1430,98 @@ def l4_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# DQ1: declarative data-quality checks (dbt/GE-style constraint report)
+# ---------------------------------------------------------------------------
+
+_DQ_ORACLE = """
+    WITH checks AS (
+      SELECT 'lineitem.l_quantity.positive' AS check_name,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN l_quantity > 0 THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_violations
+      FROM lineitem
+      UNION ALL
+      SELECT 'lineitem.l_discount.range_0_1',
+             CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN l_discount BETWEEN 0 AND 1 THEN 0 ELSE 1 END)
+                  AS BIGINT)
+      FROM lineitem
+      UNION ALL
+      SELECT 'lineitem.l_shipdate.not_null',
+             CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      FROM lineitem
+      UNION ALL
+      SELECT 'lineitem.l_orderkey.ref_orders',
+             CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+      UNION ALL
+      SELECT 'orders.o_orderkey.unique',
+             CAST(count(*) AS BIGINT),
+             CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+      FROM orders
+    )
+    SELECT check_name, n_rows, n_violations,
+           (n_violations = 0) AS passed
+    FROM checks
+"""
+
+
+@query("dq1_constraint_report", section="DQ1", oracle=_DQ_ORACLE)
+def dq1_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality report (the dbt-test /
+    Great-Expectations surface): positivity, range, not-null,
+    referential-integrity, and uniqueness constraints evaluated as
+    aggregated violation counts in ONE pass per table — each check is
+    a conditional sum riding an existing scan, the referential check
+    is the broadcast left join every FK audit compiles to, and
+    uniqueness is count−count(distinct).  At 100 TB this is how
+    constraints are actually enforced: as audit queries over the lake,
+    not row-by-row triggers."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+
+    def check(name: str, df: DataFrame, violation_col) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("check_name"),
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(violation_col.cast("int")).cast("bigint").alias("n_violations"),
+        )
+
+    ref = li.join(
+        F.broadcast(o.select(F.col("o_orderkey").alias("ok"))),
+        li.l_orderkey == F.col("ok"),
+        "left",
+    )
+    uniq = o.agg(
+        F.lit("orders.o_orderkey.unique").alias("check_name"),
+        F.count("*").cast("bigint").alias("n_rows"),
+        (F.count("*") - F.countDistinct("o_orderkey")).cast("bigint").alias("n_violations"),
+    )
+    rep = (
+        check("lineitem.l_quantity.positive", li, ~(F.col("l_quantity") > 0))
+        .unionByName(
+            check(
+                "lineitem.l_discount.range_0_1",
+                li,
+                ~F.col("l_discount").between(0, 1),
+            )
+        )
+        .unionByName(
+            check("lineitem.l_shipdate.not_null", li, F.col("l_shipdate").isNull())
+        )
+        .unionByName(
+            check("lineitem.l_orderkey.ref_orders", ref, F.col("ok").isNull())
+        )
+        .unionByName(uniq)
+    )
+    return rep.select(
+        "check_name", "n_rows", "n_violations", (F.col("n_violations") == 0).alias("passed")
+    )
+
+
+# ---------------------------------------------------------------------------
 # TS4: rolling z-score anomaly detection
 # ---------------------------------------------------------------------------
 
