@@ -117,6 +117,7 @@ HEADLINE = (
     "l4_pmi_collocations",
     "l6_moore_lewis_select",
     "l3_sq8_quantize",
+    "dq1_constraint_report",
 )
 
 # Entries with documented ±18% round-over-round drift on identical code
