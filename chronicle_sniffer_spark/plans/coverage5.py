@@ -1430,6 +1430,105 @@ def l4_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# L6: Efraimidis–Spirakis weighted sampling without replacement
+# ---------------------------------------------------------------------------
+
+ES_SAMPLE_K = 50
+_ES_A, _ES_M = 48271, 2147483647  # Lehmer (same generator family as l6 sampling)
+
+_ES_ORACLE = f"""
+    WITH w AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS DOUBLE) AS weight,
+             (CAST((doc_id * {_ES_A}) % {_ES_M} AS DOUBLE) + 1.0)
+               / {_ES_M + 1}.0 AS u
+      FROM documents
+    ),
+    keyed AS (
+      SELECT doc_id, weight,
+             round(-round(ln(u), 9) / weight, 9) AS priority
+      FROM w
+    )
+    SELECT doc_id, weight, priority, CAST(rnk AS INTEGER) AS rnk FROM (
+      SELECT *, row_number() OVER (ORDER BY priority, doc_id) AS rnk FROM keyed)
+    WHERE rnk <= {ES_SAMPLE_K}
+"""
+
+
+@query("l6_weighted_sample_es", section="L6", oracle=_ES_ORACLE)
+def l6_weighted_sample_es(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via Efraimidis–Spirakis
+    priorities (Inf. Proc. Letters 2006): each item draws
+    u ∈ (0, 1] and keeps key −ln(u)/w; the k smallest keys are an
+    exact weighted sample.  One pass, no coordination — THE way to
+    draw a weighted sample from 100 TB in a single distributed top-k
+    (TakeOrderedAndProject), with token count as the weight (sampling
+    ∝ document length).
+
+    Deterministic/seed-free like every sampler here: u comes from a
+    Lehmer hash of doc_id, not an RNG; the ln is quantized (9 dp — the
+    priority feeds an order-by, so the quantization only needs to be
+    identical, not precise) and the division is single-IEEE."""
+    d = _t(spark, sf_dir, "documents")
+    u = (((F.col("doc_id") * _ES_A) % _ES_M).cast("double") + 1.0) / float(_ES_M + 1)
+    weight = F.size(F.split("text", " ")).cast("double")
+    keyed = d.select(
+        "doc_id",
+        weight.alias("weight"),
+        F.round(-F.round(F.log(u), 9) / weight, 9).alias("priority"),
+    )
+    w = Window.orderBy(F.col("priority").asc(), F.col("doc_id"))
+    return (
+        keyed.orderBy(F.col("priority").asc(), F.col("doc_id"))
+        .limit(ES_SAMPLE_K)
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TS6: per-user behavioral entropy (diversity metric)
+# ---------------------------------------------------------------------------
+
+_ENTROPY_ORACLE = """
+    WITH c AS (
+      SELECT user_id, event_type, count(*) AS c FROM events
+      GROUP BY user_id, event_type
+    ),
+    tot AS (SELECT user_id, sum(c) AS n FROM c GROUP BY user_id),
+    terms AS (
+      SELECT c.user_id,
+             round(-(CAST(c.c AS DOUBLE) / CAST(t.n AS DOUBLE))
+                   * round(ln(CAST(c.c AS DOUBLE) / CAST(t.n AS DOUBLE)), 9), 9) AS h
+      FROM c JOIN tot t USING (user_id)
+    )
+    SELECT user_id,
+           CAST(count(*) AS INTEGER) AS n_types,
+           CAST(sum(CAST(h AS DECIMAL(20,9))) AS DOUBLE) AS entropy
+    FROM terms GROUP BY user_id
+"""
+
+
+@query("ts6_user_entropy", section="TS", oracle=_ENTROPY_ORACLE)
+def ts6_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each user's event-type distribution (nats) —
+    the behavioral-diversity metric segmentation and anomaly triage
+    rank on (a user suddenly emitting one event type collapses to
+    H≈0).  Two key-sized aggregations; per-term −p·ln p is quantized
+    then summed as exact decimal (the surprisal discipline)."""
+    e = _t(spark, sf_dir, "events")
+    c = e.groupBy("user_id", "event_type").agg(F.count("*").alias("c"))
+    tot = c.groupBy("user_id").agg(F.sum("c").alias("n"))
+    p = F.col("c").cast("double") / F.col("n").cast("double")
+    terms = c.join(tot, "user_id").select(
+        "user_id", F.round(-p * F.round(F.log(p), 9), 9).alias("h")
+    )
+    return terms.groupBy("user_id").agg(
+        F.count("*").cast("int").alias("n_types"),
+        F.sum(F.col("h").cast("decimal(20,9)")).cast("double").alias("entropy"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # DQ1: declarative data-quality checks (dbt/GE-style constraint report)
 # ---------------------------------------------------------------------------
 
