@@ -118,6 +118,8 @@ HEADLINE = (
     "l6_moore_lewis_select",
     "l3_sq8_quantize",
     "dq1_constraint_report",
+    "l6_weighted_sample_es",
+    "ts6_user_entropy",
 )
 
 # Entries with documented ±18% round-over-round drift on identical code
