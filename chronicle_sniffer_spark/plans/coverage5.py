@@ -1486,6 +1486,74 @@ def l6_weighted_sample_es(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# TS7: median/MAD robust outlier detection
+# ---------------------------------------------------------------------------
+
+MAD_K = 3.0
+
+_MAD_ORACLE = f"""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med FROM events
+      GROUP BY event_type
+    ),
+    dev AS (
+      SELECT e.event_id, e.event_type, e.value, m.med,
+             round(abs(e.value - m.med), 6) AS ad
+      FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, round(quantile_cont(ad, 0.5), 6) AS mad FROM dev
+      GROUP BY event_type
+    )
+    SELECT d.event_id, d.event_type, d.value,
+           round(d.med, 6) AS med, m.mad
+    FROM dev d JOIN mad m USING (event_type)
+    WHERE d.ad > {MAD_K} * m.mad
+"""
+
+
+@query("ts7_mad_outliers", section="TS", oracle=_MAD_ORACLE)
+def ts7_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outlier detection per event type — the
+    breakdown-resistant complement to the z-score entry (a single
+    extreme value can't move a median the way it moves a mean/σ):
+    flag events with |x − median| > {k}·MAD.
+
+    Exact medians via `percentile(…, 0.5)` — verified bit-identical to
+    DuckDB's `quantile_cont` (both linearly interpolate the same
+    multiset).  Two group-sized aggregations broadcast back onto the
+    event scan; at 100 TB exact per-group medians come from the same
+    shuffle as any sort-based agg (or approx_percentile when the
+    ±ε tradeoff is acceptable)."""
+    e = _t(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(F.percentile("value", F.lit(0.5)).alias("med"))
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        "med",
+        F.round(F.abs(F.col("value") - F.col("med")), 6).alias("ad"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.round(F.percentile("ad", F.lit(0.5)), 6).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.col("ad") > MAD_K * F.col("mad"))
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round("med", 6).alias("med"),
+            "mad",
+        )
+    )
+
+
+ts7_mad_outliers.__doc__ = ts7_mad_outliers.__doc__.format(k=MAD_K)
+
+
+# ---------------------------------------------------------------------------
 # TS6: per-user behavioral entropy (diversity metric)
 # ---------------------------------------------------------------------------
 
