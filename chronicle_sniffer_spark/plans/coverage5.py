@@ -1107,6 +1107,96 @@ l4_pmi_collocations.__doc__ = l4_pmi_collocations.__doc__.format(k=PMI_TOP_K)
 
 
 # ---------------------------------------------------------------------------
+# L3: ANN serving over int8-quantized vectors (SQ search path)
+# ---------------------------------------------------------------------------
+
+
+def _sq8_ann_oracle() -> str:
+    from chronicle_sniffer_spark.plans.dedup_sim import ANN_K, ANN_QUERY_VEC
+
+    return f"""
+    WITH ex AS (
+      SELECT vec_id, unnest(embedding::DOUBLE[]) AS val,
+             unnest(generate_series(1, len(embedding))) AS idx
+      FROM embeddings
+    ),
+    rng AS (
+      SELECT idx, min(val) AS lo, max(val) AS hi FROM ex GROUP BY idx
+    ),
+    deq AS (
+      SELECT e.vec_id, e.idx,
+             r.lo + (CAST(CAST(round(((e.val - r.lo) / (r.hi - r.lo)) * 255.0, 0)
+                          AS INTEGER) AS DOUBLE) / 255.0) * (r.hi - r.lo) AS dv
+      FROM ex e JOIN rng r USING (idx)
+    ),
+    rec AS (
+      SELECT vec_id, list(dv ORDER BY idx) AS v FROM deq GROUP BY vec_id
+    ),
+    qv AS (SELECT v FROM rec WHERE vec_id = {ANN_QUERY_VEC}),
+    scored AS (
+      SELECT r.vec_id, round(list_cosine_similarity(r.v, qv.v), 6) AS sim
+      FROM rec r, qv WHERE r.vec_id <> {ANN_QUERY_VEC}
+    )
+    SELECT vec_id, sim, CAST(rank AS INTEGER) AS rank FROM (
+      SELECT vec_id, sim, row_number() OVER (ORDER BY sim DESC, vec_id) AS rank
+      FROM scored) WHERE rank <= {ANN_K}
+    """
+
+
+@query("l3_ann_sq8_topk", section="L3", oracle=_sq8_ann_oracle())
+def l3_ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k cosine over int8-RECONSTRUCTED vectors — the serving half
+    of scalar quantization (l3_sq8_quantize is the storage half): the
+    scan reads 8×-smaller codes, dequantizes per dimension against the
+    KB-sized range table inside the plan, and ranks by cosine on the
+    reconstruction.  Both query and corpus go through the same
+    quantizer (symmetric SQ), so distances degrade gracefully with
+    quantization error rather than biasing one side.  Same query
+    vector / k as the other ANN entries for direct comparison."""
+    from chronicle_sniffer_spark.operators.similarity import cosine
+    from chronicle_sniffer_spark.plans.dedup_sim import ANN_K, ANN_QUERY_VEC
+
+    e = _t(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "vec_id", F.posexplode(F.col("embedding").cast("array<double>")).alias("idx", "val")
+    )
+    rng = ex.groupBy("idx").agg(F.min("val").alias("lo"), F.max("val").alias("hi"))
+    deq = ex.join(F.broadcast(rng), "idx").select(
+        "vec_id",
+        "idx",
+        (
+            F.col("lo")
+            + (
+                F.round(
+                    ((F.col("val") - F.col("lo")) / (F.col("hi") - F.col("lo"))) * 255.0,
+                    0,
+                )
+                .cast("int")
+                .cast("double")
+                / 255.0
+            )
+            * (F.col("hi") - F.col("lo"))
+        ).alias("dv"),
+    )
+    rec = deq.groupBy("vec_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("idx"), F.col("dv")))
+        ).getField("dv").alias("v")
+    )
+    qv = rec.filter(F.col("vec_id") == ANN_QUERY_VEC).collect()[0].v
+    qcol = F.array(*[F.lit(float(x)) for x in qv])
+    scored = rec.filter(F.col("vec_id") != ANN_QUERY_VEC).select(
+        "vec_id", F.round(cosine(F.col("v"), qcol), 6).alias("sim")
+    )
+    w = Window.orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (
+        scored.orderBy(F.col("sim").desc(), F.col("vec_id"))
+        .limit(ANN_K)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # L6: Moore-Lewis cross-entropy-difference data selection
 # ---------------------------------------------------------------------------
 
