@@ -120,6 +120,8 @@ HEADLINE = (
     "dq1_constraint_report",
     "l6_weighted_sample_es",
     "ts6_user_entropy",
+    "ts7_mad_outliers",
+    "l3_ann_sq8_topk",
 )
 
 # Entries with documented ±18% round-over-round drift on identical code
