@@ -42,6 +42,7 @@ ACCEPTED = {
     "l2_semantic_dedup",  # ivf._assign centroid fold (16 broadcast cells)
     "l3_ann_ivfpq_topk",  # same ivf._assign fold feeding the cell probe
     "l4_rrf_fusion",  # composes l3_cosine_topk, inheriting its accepted fold
+    "l3_ann_sq8_topk",  # l3_cosine_topk's 1-row-query fold, over reconstructions
 }
 
 # Entries allowed to contain a CartesianProduct node.  (Broadcast 1-row
