@@ -93,6 +93,11 @@ QUERIES = (
     "l6_moore_lewis_select",
     "l4_pmi_collocations",
     "l3_sq8_quantize",
+    "l3_ann_sq8_topk",
+    "ts7_mad_outliers",
+    "dq1_constraint_report",
+    "l6_weighted_sample_es",
+    "ts6_user_entropy",
 )
 
 
