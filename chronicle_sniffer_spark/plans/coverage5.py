@@ -1197,6 +1197,74 @@ def l3_ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# L4: pairwise source vocabulary overlap (corpus diagnostics)
+# ---------------------------------------------------------------------------
+
+_SRC_OVERLAP_ORACLE = """
+    WITH v AS (
+      SELECT DISTINCT source, w FROM (
+        SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+    ),
+    sizes AS (SELECT source, count(*) AS n FROM v GROUP BY source),
+    inter AS (
+      SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_inter
+      FROM v a JOIN v b ON a.w = b.w AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT i.src_a, i.src_b,
+           CAST(i.n_inter AS BIGINT) AS n_inter,
+           round(i.n_inter * 1.0 / (sa.n + sb.n - i.n_inter), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.source = i.src_a
+    JOIN sizes sb ON sb.source = i.src_b
+"""
+
+
+@query("l4_source_vocab_overlap", section="L4", oracle=_SRC_OVERLAP_ORACLE)
+def l4_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary Jaccard between SOURCES — the corpus-level
+    diagnostic behind mixing decisions (two sources with ~identical
+    vocabularies are redundant; a near-zero overlap flags a domain or
+    language split).  The pair join is an inverted-index join on the
+    TOKEN (the n-gram-Jaccard trick one level up: sources sharing a
+    token meet in that token's posting list), never a source×source
+    cross join; posting lists are df-bounded by construction since a
+    (source, token) pair appears once."""
+    d = _t(spark, sf_dir, "documents")
+    v = d.select(
+        "source", F.explode(F.split("text", " ")).alias("w")
+    ).distinct()
+    sizes = v.groupBy("source").agg(F.count("*").alias("n"))
+    a = v.select(F.col("source").alias("src_a"), "w")
+    b = v.select(F.col("source").alias("src_b"), "w")
+    inter = (
+        a.join(b, "w")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(F.broadcast(sizes.withColumnRenamed("source", "src_a")), "src_a")
+        .withColumnRenamed("n", "na")
+        .join(
+            F.broadcast(
+                sizes.withColumnRenamed("source", "src_b").withColumnRenamed("n", "nb")
+            ),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            F.col("n_inter").cast("bigint").alias("n_inter"),
+            F.round(
+                F.col("n_inter") * 1.0 / (F.col("na") + F.col("nb") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # L6: Moore-Lewis cross-entropy-difference data selection
 # ---------------------------------------------------------------------------
 
