@@ -122,6 +122,7 @@ HEADLINE = (
     "ts6_user_entropy",
     "ts7_mad_outliers",
     "l3_ann_sq8_topk",
+    "l4_source_vocab_overlap",
 )
 
 # Entries with documented ±18% round-over-round drift on identical code
