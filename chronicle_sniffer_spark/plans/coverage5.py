@@ -1755,6 +1755,102 @@ def ts6_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# A11: correlation matrix via exact decimal moments
+# ---------------------------------------------------------------------------
+
+_CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount")
+
+
+def _corr_pairs_sql() -> str:
+    pieces = []
+    for i, x in enumerate(_CORR_COLS):
+        for y in _CORR_COLS[i + 1 :]:
+            pieces.append(
+                f"""
+      SELECT '{x}' AS col_x, '{y}' AS col_y,
+             round((CAST(n AS DOUBLE) * CAST(sxy_{x}_{y} AS DOUBLE)
+                    - CAST(sx_{x} AS DOUBLE) * CAST(sx_{y} AS DOUBLE))
+                   / sqrt((CAST(n AS DOUBLE) * CAST(sq_{x} AS DOUBLE)
+                           - CAST(sx_{x} AS DOUBLE) * CAST(sx_{x} AS DOUBLE))
+                          * (CAST(n AS DOUBLE) * CAST(sq_{y} AS DOUBLE)
+                             - CAST(sx_{y} AS DOUBLE) * CAST(sx_{y} AS DOUBLE))), 6)
+               AS r
+      FROM m"""
+            )
+    return " UNION ALL ".join(pieces)
+
+
+def _corr_moments_sql() -> str:
+    terms = ["CAST(count(*) AS BIGINT) AS n"]
+    for x in _CORR_COLS:
+        terms.append(f"sum(CAST({x} AS DECIMAL(18,4))) AS sx_{x}")
+        terms.append(
+            f"sum(CAST({x} AS DECIMAL(19,4)) * CAST({x} AS DECIMAL(19,4))) AS sq_{x}"
+        )
+    for i, x in enumerate(_CORR_COLS):
+        for y in _CORR_COLS[i + 1 :]:
+            terms.append(
+                f"sum(CAST({x} AS DECIMAL(19,4)) * CAST({y} AS DECIMAL(19,4)))"
+                f" AS sxy_{x}_{y}"
+            )
+    return f"SELECT {', '.join(terms)} FROM lineitem"
+
+
+_CORR_ORACLE = f"""
+    WITH m AS ({_corr_moments_sql()})
+    {_corr_pairs_sql()}
+"""
+
+
+@query("a11_corr_matrix", section="A11", oracle=_CORR_ORACLE)
+def a11_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation between lineitem's numeric measures from
+    EXACT decimal moments: Σx, Σx², Σxy accumulate as DECIMAL (the
+    2-dp inputs make every product exact in DECIMAL(28,8)), so the
+    association order of the one wide aggregation can never matter;
+    the final r = (nΣxy−ΣxΣy)/√(…) is a fixed chain of IEEE ops.
+    A single full-scan aggregate produces ALL moments at once
+    (one pass for the whole matrix — the textbook map-side-combinable
+    formulation; built-in `corr()` gives no cross-engine determinism
+    because it accumulates doubles in partition order)."""
+    li = _t(spark, sf_dir, "lineitem")
+    aggs = [F.count("*").alias("n")]
+    for x in _CORR_COLS:
+        aggs.append(F.sum(F.col(x).cast("decimal(18,4)")).alias(f"sx_{x}"))
+        aggs.append(
+            F.sum(F.col(x).cast("decimal(19,4)") * F.col(x).cast("decimal(19,4)")).alias(
+                f"sq_{x}"
+            )
+        )
+    pairs = [
+        (x, y) for i, x in enumerate(_CORR_COLS) for y in _CORR_COLS[i + 1 :]
+    ]
+    for x, y in pairs:
+        aggs.append(
+            F.sum(F.col(x).cast("decimal(19,4)") * F.col(y).cast("decimal(19,4)")).alias(
+                f"sxy_{x}_{y}"
+            )
+        )
+    m = li.agg(*aggs)
+    rows = []
+    for x, y in pairs:
+        n = F.col("n").cast("double")
+        sx, sy = F.col(f"sx_{x}").cast("double"), F.col(f"sx_{y}").cast("double")
+        sqx, sqy = F.col(f"sq_{x}").cast("double"), F.col(f"sq_{y}").cast("double")
+        sxy = F.col(f"sxy_{x}_{y}").cast("double")
+        r = F.round(
+            (n * sxy - sx * sy) / F.sqrt((n * sqx - sx * sx) * (n * sqy - sy * sy)), 6
+        )
+        rows.append(
+            m.select(F.lit(x).alias("col_x"), F.lit(y).alias("col_y"), r.alias("r"))
+        )
+    out = rows[0]
+    for other in rows[1:]:
+        out = out.unionByName(other)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # DQ1: declarative data-quality checks (dbt/GE-style constraint report)
 # ---------------------------------------------------------------------------
 
