@@ -1851,6 +1851,68 @@ def a11_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# A12: grouped OLS trend (least-squares slope per group)
+# ---------------------------------------------------------------------------
+
+_OLS_ORACLE = """
+    WITH m AS (
+      SELECT l_returnflag,
+             CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(l_quantity AS DECIMAL(18,4))) AS sx,
+             sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS sy,
+             sum(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(19,4)))
+               AS sxx,
+             sum(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4)))
+               AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope,
+           round((CAST(sy AS DOUBLE)
+                  - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                    * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS intercept
+    FROM m
+"""
+
+
+@query("a12_ols_trend", section="A12", oracle=_OLS_ORACLE)
+def a12_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group least-squares fit (price vs quantity per return
+    flag) from the same exact-decimal moment machinery as the
+    correlation matrix: one grouped aggregate yields n/Σx/Σy/Σx²/Σxy
+    per group, then slope = (nΣxy−ΣxΣy)/(nΣx²−(Σx)²) and the
+    intercept as fixed IEEE chains — grouped regression without ML
+    libraries, map-side combinable, deterministic (the built-in
+    `regr_slope` accumulates doubles in partition order)."""
+    li = _t(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity")
+    y = F.col("l_extendedprice")
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(x.cast("decimal(18,4)")).alias("sx"),
+        F.sum(y.cast("decimal(18,4)")).alias("sy"),
+        F.sum(x.cast("decimal(19,4)") * x.cast("decimal(19,4)")).alias("sxx"),
+        F.sum(x.cast("decimal(19,4)") * y.cast("decimal(19,4)")).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, sxy = F.col("sxx").cast("double"), F.col("sxy").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # DQ1: declarative data-quality checks (dbt/GE-style constraint report)
 # ---------------------------------------------------------------------------
 
