@@ -123,6 +123,8 @@ HEADLINE = (
     "ts7_mad_outliers",
     "l3_ann_sq8_topk",
     "l4_source_vocab_overlap",
+    "a11_corr_matrix",
+    "a12_ols_trend",
 )
 
 # Entries with documented ±18% round-over-round drift on identical code
