@@ -1755,6 +1755,133 @@ def ts6_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# A13: time-hierarchy rollup (year → month → day subtotals)
+# ---------------------------------------------------------------------------
+
+_TIME_ROLLUP_ORACLE = """
+    SELECT CAST(year(ts) AS INTEGER) AS y,
+           CAST(month(ts) AS INTEGER) AS m,
+           CAST(day(ts) AS INTEGER) AS d,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+           CAST(grouping(year(ts)) * 4 + grouping(month(ts)) * 2
+                + grouping(day(ts)) AS INTEGER) AS lvl
+    FROM events
+    GROUP BY ROLLUP (year(ts), month(ts), day(ts))
+"""
+
+
+@query("a13_time_rollup", section="A13", oracle=_TIME_ROLLUP_ORACLE)
+def a13_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OLAP time hierarchy: one ROLLUP produces day totals, month
+    subtotals, year subtotals, and the grand total in a single
+    aggregation pass (partial-agg combines each level map-side) —
+    the dashboard backfill shape, with exact decimal value sums and
+    the grouping-bit level id distinguishing subtotal rows from NULL
+    data."""
+    e = _t(spark, sf_dir, "events")
+    y = F.year("ts").alias("y")
+    m = F.month("ts").alias("m")
+    d = F.dayofmonth("ts").alias("d")
+    return (
+        e.select(y, m, d, "value")
+        .rollup("y", "m", "d")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+            (
+                F.grouping("y") * 4 + F.grouping("m") * 2 + F.grouping("d")
+            ).cast("int").alias("lvl"),
+        )
+        .select(
+            F.col("y").cast("int").alias("y"),
+            F.col("m").cast("int").alias("m"),
+            F.col("d").cast("int").alias("d"),
+            "n",
+            "total_value",
+            "lvl",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# DQ2: Benford first-digit distribution (fraud/quality diagnostic)
+# ---------------------------------------------------------------------------
+
+# expected Benford frequencies log10(1 + 1/d), emitted as identical
+# literals into BOTH plans (no cross-engine log channel at all)
+_BENFORD = {d: round(__import__("math").log10(1 + 1 / d), 6) for d in range(1, 10)}
+
+_BENFORD_ORACLE = f"""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), 1, 1)
+                  AS INTEGER) AS d
+      FROM orders WHERE o_totalprice > 0
+    ),
+    c AS (SELECT d, count(*) AS n FROM digits GROUP BY d),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM c),
+    exp AS (
+      SELECT * FROM (VALUES
+        {", ".join(f"({d}, {_BENFORD[d]})" for d in range(1, 10))})
+        AS e(d, expected)
+    )
+    SELECT e.d, CAST(coalesce(c.n, 0) AS BIGINT) AS n,
+           round(CAST(coalesce(c.n, 0) AS DOUBLE) / CAST(tot.t AS DOUBLE), 6)
+             AS observed,
+           e.expected,
+           round(abs(round(CAST(coalesce(c.n, 0) AS DOUBLE)
+                           / CAST(tot.t AS DOUBLE), 6) - e.expected), 6)
+             AS abs_dev
+    FROM exp e LEFT JOIN c ON c.d = e.d CROSS JOIN tot
+"""
+
+
+@query("dq2_benford_digits", section="DQ2", oracle=_BENFORD_ORACLE)
+def dq2_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over order totals — the classic
+    fabricated-data / unit-mix diagnostic: observed first-digit
+    frequencies against the log10(1+1/d) expectation.  The expected
+    frequencies are one set of PRECOMPUTED literals emitted into both
+    plans, so no runtime log call exists on either engine; digit
+    extraction goes through the DECIMAL(18,2) string form (identical
+    canonical text both engines)."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    digits = o.select(
+        F.substring(F.col("o_totalprice").cast("decimal(18,2)").cast("string"), 1, 1)
+        .cast("int")
+        .alias("d")
+    )
+    c = digits.groupBy("d").agg(F.count("*").alias("n"))
+    tot = c.agg(F.sum("n").cast("bigint").alias("t"))
+    exp = spark.createDataFrame(
+        [(d, _BENFORD[d]) for d in range(1, 10)], "d int, expected double"
+    )
+    return (
+        exp.join(c, "d", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "d",
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
+            F.round(
+                F.coalesce("n", F.lit(0)).cast("double") / F.col("t").cast("double"), 6
+            ).alias("observed"),
+            "expected",
+            F.round(
+                F.abs(
+                    F.round(
+                        F.coalesce("n", F.lit(0)).cast("double")
+                        / F.col("t").cast("double"),
+                        6,
+                    )
+                    - F.col("expected")
+                ),
+                6,
+            ).alias("abs_dev"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # A11: correlation matrix via exact decimal moments
 # ---------------------------------------------------------------------------
 
