@@ -125,6 +125,8 @@ HEADLINE = (
     "l4_source_vocab_overlap",
     "a11_corr_matrix",
     "a12_ols_trend",
+    "a13_time_rollup",
+    "dq2_benford_digits",
 )
 
 # Entries with documented ±18% round-over-round drift on identical code
