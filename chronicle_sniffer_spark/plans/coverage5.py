@@ -1821,7 +1821,11 @@ _BENFORD_ORACLE = f"""
     c AS (SELECT d, count(*) AS n FROM digits GROUP BY d),
     tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM c),
     exp AS (
-      SELECT * FROM (VALUES
+      -- explicit casts: bare VALUES literals parse as DECIMAL in
+      -- DuckDB, which fetchall() surfaces as Decimal objects and the
+      -- pytest canon stringifies differently from Spark's doubles
+      SELECT CAST(d AS INTEGER) AS d, CAST(expected AS DOUBLE) AS expected
+      FROM (VALUES
         {", ".join(f"({d}, {_BENFORD[d]})" for d in range(1, 10))})
         AS e(d, expected)
     )
