@@ -70,6 +70,7 @@ _SUBMODULES = (
     "chronicle_sniffer_spark.plans.quality",
     "chronicle_sniffer_spark.plans.partsupp",
     "chronicle_sniffer_spark.plans.coverage5",
+    "chronicle_sniffer_spark.plans.ml",
 )
 
 

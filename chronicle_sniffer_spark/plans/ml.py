@@ -1,0 +1,394 @@
+"""Catalog entries: distributed model TRAINING and EVALUATION as
+declarative Spark plans (ML1-ML3).
+
+A 100 TB curation pipeline does not stop at filtering — it trains the
+filters: quality classifiers (fastText-style linear models over the
+corpus), language/source priors, and threshold sweeps to pick the
+operating point.  These entries show that the training loop itself is
+expressible as ordinary Catalyst plans, with NO ML library and NO
+driver-side parameter server:
+
+- **ML1 `ml1_logreg_gd`** — full-batch gradient-descent logistic
+  regression.  Each iteration is ONE map-side-combinable aggregate
+  (the classic allreduce step: partial gradient sums per partition,
+  one merge); the updated weight vector flows to the next iteration
+  as a broadcast 1-row DataFrame, so the whole T-step training run is
+  a single lazy plan with no ``collect()`` round-trips.
+- **ML2 `ml2_naive_bayes`** — multinomial Naive Bayes trained in one
+  pass: a (class, word) grouped count with partial aggregation, class
+  totals and the vocabulary size joined back by broadcast.
+- **ML3 `ml3_eval_confusion`** — threshold-sweep evaluation of the
+  ML1 model: confusion counts + precision/recall/F1 at 9 operating
+  points, one pass over the scored corpus with a broadcast threshold
+  grid.
+
+Determinism (the reason this file looks the way it does):
+
+- Gradient contributions are irrational doubles, so a plain
+  ``sum(double)`` is association-order-dependent and a 12-dp
+  ``round()`` before a decimal cast is ENGINE-DEPENDENT (Spark rounds
+  the double's shortest string repr, DuckDB the binary value — see
+  catalog.py's money-math caveat).  Instead each per-row contribution
+  is quantized with ``floor(x * 1e12)`` — floor acts on the actual
+  binary double in BOTH engines, so the resulting integers are
+  bit-identical — and accumulated exactly as DECIMAL(38,0).  This is
+  the fixed-point trick HPC uses for reproducible parallel reductions
+  (deterministic allreduce), applied to gradient accumulation.
+- The logistic link is the algebraic fast sigmoid
+  ``s = 0.5*(1 + z/(1+|z|))`` — only +,*,/,abs, all IEEE
+  correctly-rounded, so per-row scores are bit-identical across
+  engines (``exp()`` carries no such guarantee).
+- Weight updates are fixed chains of IEEE ops on identical inputs;
+  ``round(…, 6)`` is applied only to the handful of OUTPUT rows, as
+  everywhere else in the catalog.
+
+Ref tie-in: the reference's UDM pipeline ends at enriched events
+(`json2udm_cloud.py`); training the downstream quality/routing models
+on those events is exactly the "beyond the reference" LLM-pipeline
+surface SURVEY §2B-L calls for.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from chronicle_sniffer_spark.plans.catalog import query
+from chronicle_sniffer_spark.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# ML1: logistic regression via in-plan full-batch gradient descent
+# ---------------------------------------------------------------------------
+
+LOGREG_ITERS = 3
+LOGREG_LR = 8.0
+_Q = 1e12  # gradient quantization scale (fixed-point 1e-12 resolution)
+
+# Feature/label projection — identical textual arithmetic both sides:
+# x1 = discount (0..0.1), x2 = quantity/50 (0..1), y = returned flag.
+_FEAT_SQL = """
+    SELECT CAST(l_discount AS DOUBLE) AS x1,
+           CAST(l_quantity AS DOUBLE) / CAST(50.0 AS DOUBLE) AS x2,
+           CASE WHEN l_returnflag = 'R' THEN CAST(1.0 AS DOUBLE)
+                ELSE CAST(0.0 AS DOUBLE) END AS y
+    FROM lineitem
+"""
+
+_Z_SQL = "w0 + w1 * x1 + w2 * x2"
+_S_SQL = (
+    f"CAST(0.5 AS DOUBLE) * (CAST(1.0 AS DOUBLE) + ({_Z_SQL})"
+    f" / (CAST(1.0 AS DOUBLE) + abs({_Z_SQL})))"
+)
+_D_SQL = f"(({_S_SQL}) - y)"
+
+
+def _qsum_sql(expr: str, alias: str) -> str:
+    return (
+        f"sum(CAST(floor(({expr}) * CAST({_Q:.1f} AS DOUBLE)) AS DECIMAL(38,0)))"
+        f" AS {alias}"
+    )
+
+
+def _logreg_oracle_ctes() -> str:
+    """The shared CTE chain: features f, weights it0..itT."""
+    ctes = [
+        f"f AS ({_FEAT_SQL})",
+        (
+            "it0 AS (SELECT CAST(0.0 AS DOUBLE) AS w0,"
+            " CAST(0.0 AS DOUBLE) AS w1, CAST(0.0 AS DOUBLE) AS w2)"
+        ),
+    ]
+    for t in range(1, LOGREG_ITERS + 1):
+        ctes.append(
+            f"g{t} AS (SELECT count(*) AS n, "
+            + _qsum_sql(_D_SQL, "s0")
+            + ", "
+            + _qsum_sql(f"{_D_SQL} * x1", "s1")
+            + ", "
+            + _qsum_sql(f"{_D_SQL} * x2", "s2")
+            + f" FROM f, it{t - 1})"
+        )
+        upd = ", ".join(
+            f"w{j} - CAST({LOGREG_LR:.1f} AS DOUBLE)"
+            f" * (CAST(s{j} AS DOUBLE) / CAST({_Q:.1f} AS DOUBLE)"
+            f" / CAST(n AS DOUBLE)) AS w{j}"
+            for j in range(3)
+        )
+        ctes.append(f"it{t} AS (SELECT {upd} FROM g{t}, it{t - 1})")
+    return "WITH " + ",\n    ".join(ctes)
+
+
+_LOGREG_ORACLE = f"""
+    {_logreg_oracle_ctes()},
+    ev AS (
+      SELECT count(*) AS n,
+             CAST(sum(CASE WHEN (({_Z_SQL}) >= CAST(0.0 AS DOUBLE))
+                                = (y = CAST(1.0 AS DOUBLE))
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+      FROM f, it{LOGREG_ITERS}
+    )
+    SELECT CAST(ev.n AS BIGINT) AS n,
+           round(w0, 6) AS w0, round(w1, 6) AS w1, round(w2, 6) AS w2,
+           round(CAST(n_correct AS DOUBLE) / CAST(ev.n AS DOUBLE), 6) AS acc
+    FROM ev, it{LOGREG_ITERS}
+"""
+
+
+def _logreg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        F.col("l_discount").cast("double").alias("x1"),
+        (F.col("l_quantity").cast("double") / F.lit(50.0)).alias("x2"),
+        F.when(F.col("l_returnflag") == "R", F.lit(1.0))
+        .otherwise(F.lit(0.0))
+        .alias("y"),
+    )
+
+
+def _z() -> Column:
+    return F.col("w0") + F.col("w1") * F.col("x1") + F.col("w2") * F.col("x2")
+
+
+def _fast_sigmoid(z: Column) -> Column:
+    return F.lit(0.5) * (F.lit(1.0) + z / (F.lit(1.0) + F.abs(z)))
+
+
+def _qsum(expr: Column, alias: str) -> Column:
+    return F.sum(F.floor(expr * F.lit(_Q)).cast("decimal(38,0)")).alias(alias)
+
+
+def _logreg_weights(feats: DataFrame) -> DataFrame:
+    """T gradient-descent steps as one lazy plan: per step, ONE wide
+    aggregate (partial gradient sums combine map-side — the allreduce
+    shape) and a broadcast join carrying the 1-row weight vector."""
+    spark = feats.sparkSession
+    w = spark.range(1).select(
+        F.lit(0.0).alias("w0"), F.lit(0.0).alias("w1"), F.lit(0.0).alias("w2")
+    )
+    for _ in range(LOGREG_ITERS):
+        j = feats.crossJoin(F.broadcast(w))
+        d = _fast_sigmoid(_z()) - F.col("y")
+        g = j.agg(
+            F.count("*").alias("n"),
+            _qsum(d, "s0"),
+            _qsum(d * F.col("x1"), "s1"),
+            _qsum(d * F.col("x2"), "s2"),
+        ).crossJoin(F.broadcast(w))
+        nd = F.col("n").cast("double")
+        w = g.select(
+            *[
+                (
+                    F.col(f"w{j_}")
+                    - F.lit(LOGREG_LR)
+                    * (F.col(f"s{j_}").cast("double") / F.lit(_Q) / nd)
+                ).alias(f"w{j_}")
+                for j_ in range(3)
+            ]
+        )
+    return w
+
+
+@query("ml1_logreg_gd", section="ML1", oracle=_LOGREG_ORACLE)
+def ml1_logreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic regression (returned-flag vs discount+quantity)
+    trained by 3 full-batch GD steps entirely inside the plan.
+
+    Scale shape: each step is one map-side-combinable aggregate over
+    the fact table — the textbook data-parallel allreduce — and the
+    weight vector rides between steps as a broadcast 1-row relation,
+    so a 1000-executor run has T shuffle-free reduction barriers and
+    zero driver round-trips.  At 100 TB you'd ``persist()`` the
+    2-column feature projection once; the gate-scale entry re-scans
+    the pushed-down (3-column) parquet projection per step instead,
+    which keeps the plan stateless.  Gradient sums use fixed-point
+    ``floor(x*1e12)`` quantization + exact DECIMAL accumulation — the
+    deterministic-allreduce trick — so training is bit-reproducible
+    regardless of partitioning (module docstring has the full
+    argument)."""
+    feats = _logreg_features(spark, sf_dir)
+    w = _logreg_weights(feats)
+    ev = feats.crossJoin(F.broadcast(w))
+    correct = (_z() >= F.lit(0.0)) == (F.col("y") == F.lit(1.0))
+    g = ev.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(correct, 1).otherwise(0)).cast("bigint").alias("n_correct"),
+    ).crossJoin(F.broadcast(w))
+    return g.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.round("w0", 6).alias("w0"),
+        F.round("w1", 6).alias("w1"),
+        F.round("w2", 6).alias("w2"),
+        F.round(F.col("n_correct").cast("double") / F.col("n").cast("double"), 6).alias(
+            "acc"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ML2: multinomial Naive Bayes trained in one pass
+# ---------------------------------------------------------------------------
+
+NB_TOP_K = 10
+
+_NB_ORACLE = f"""
+    WITH toks AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    cw AS (SELECT lang, word, count(*) AS c FROM toks GROUP BY lang, word),
+    ct AS (SELECT lang, count(*) AS tw FROM toks GROUP BY lang),
+    v AS (SELECT count(DISTINCT word) AS vsz FROM toks),
+    pri AS (
+      SELECT lang, count(*) AS nd FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT count(*) AS ndocs FROM documents),
+    ranked AS (
+      SELECT cw.lang, cw.word, cw.c, ct.tw, v.vsz,
+             row_number() OVER (PARTITION BY cw.lang
+                                ORDER BY cw.c DESC, cw.word) AS rank
+      FROM cw JOIN ct ON cw.lang = ct.lang, v
+    )
+    SELECT r.lang, r.word, CAST(r.rank AS INTEGER) AS rank,
+           round(CAST(r.c + 1 AS DOUBLE) / CAST(r.tw + r.vsz AS DOUBLE), 6)
+             AS prob,
+           round(CAST(pri.nd AS DOUBLE) / CAST(tot.ndocs AS DOUBLE), 6) AS prior
+    FROM ranked r JOIN pri ON r.lang = pri.lang, tot
+    WHERE r.rank <= {NB_TOP_K}
+"""
+
+
+@query("ml2_naive_bayes", section="ML2", oracle=_NB_ORACLE)
+def ml2_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes trainer: per-class priors + the top-10
+    Laplace-smoothed word likelihoods per language.
+
+    Scale shape: ONE shuffle on (lang, word) with map-side partial
+    counts (the explode fans out inside the map stage); class token
+    totals, the vocabulary size, and doc priors are tiny aggregates
+    joined back by broadcast — so the trainer's cost is a single
+    word-count pass no matter the corpus size.  Probabilities are
+    plain IEEE divisions of exact counts (correctly rounded, so
+    engine-identical); ranking ties break on the word itself."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("lang", F.explode(F.split(F.col("text"), " ")).alias("word"))
+    cw = toks.groupBy("lang", "word").agg(F.count("*").alias("c"))
+    ct = toks.groupBy("lang").agg(F.count("*").alias("tw"))
+    v = toks.agg(F.countDistinct("word").alias("vsz"))
+    pri = d.groupBy("lang").agg(F.count("*").alias("nd"))
+    tot = d.agg(F.count("*").alias("ndocs"))
+    w = Window.partitionBy("lang").orderBy(F.col("c").desc(), F.col("word"))
+    ranked = (
+        cw.join(F.broadcast(ct), "lang")
+        .crossJoin(F.broadcast(v))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= NB_TOP_K)
+    )
+    return (
+        ranked.join(F.broadcast(pri), "lang")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "word",
+            F.col("rank").cast("int").alias("rank"),
+            F.round(
+                (F.col("c") + 1).cast("double") / (F.col("tw") + F.col("vsz")).cast("double"),
+                6,
+            ).alias("prob"),
+            F.round(F.col("nd").cast("double") / F.col("ndocs").cast("double"), 6).alias(
+                "prior"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ML3: threshold-sweep evaluation of the ML1 model
+# ---------------------------------------------------------------------------
+
+_EVAL_ORACLE = f"""
+    {_logreg_oracle_ctes()},
+    thr AS (
+      SELECT CAST(g AS DOUBLE) / CAST(100.0 AS DOUBLE) AS thr
+      FROM generate_series(30, 70, 5) t(g)
+    ),
+    scored AS (
+      SELECT ({_S_SQL}) AS s, y FROM f, it{LOGREG_ITERS}
+    ),
+    conf AS (
+      SELECT thr.thr,
+             CAST(sum(CASE WHEN s >= thr.thr AND y = CAST(1.0 AS DOUBLE)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             CAST(sum(CASE WHEN s >= thr.thr AND y = CAST(0.0 AS DOUBLE)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+             CAST(sum(CASE WHEN s < thr.thr AND y = CAST(1.0 AS DOUBLE)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+             CAST(sum(CASE WHEN s < thr.thr AND y = CAST(0.0 AS DOUBLE)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS tn
+      FROM scored, thr GROUP BY thr.thr
+    )
+    SELECT thr, tp, fp, fn, tn,
+           round(CASE WHEN tp + fp = 0 THEN CAST(0.0 AS DOUBLE)
+                      ELSE CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END, 6)
+             AS precision,
+           round(CASE WHEN tp + fn = 0 THEN CAST(0.0 AS DOUBLE)
+                      ELSE CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END, 6)
+             AS recall,
+           round(CASE WHEN 2 * tp + fp + fn = 0 THEN CAST(0.0 AS DOUBLE)
+                      ELSE CAST(2 * tp AS DOUBLE)
+                           / CAST(2 * tp + fp + fn AS DOUBLE) END, 6) AS f1
+    FROM conf
+"""
+
+
+@query("ml3_eval_confusion", section="ML3", oracle=_EVAL_ORACLE)
+def ml3_eval_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operating-point selection for the ML1 model: confusion counts
+    and precision/recall/F1 at 9 thresholds (0.30..0.70).
+
+    Scale shape: the trained weights broadcast onto the corpus, the
+    9-row threshold grid broadcasts onto the scored rows (a bounded
+    9× map-side fan-out), and the sweep reduces to one grouped
+    aggregate — evaluating all operating points costs a single pass,
+    not one scan per threshold.  F1 is computed in the integer domain
+    (2·tp/(2·tp+fp+fn)) so only the final division touches floats."""
+    feats = _logreg_features(spark, sf_dir)
+    w = _logreg_weights(feats)
+    scored = feats.crossJoin(F.broadcast(w)).select(
+        _fast_sigmoid(_z()).alias("s"), "y"
+    )
+    thr = spark.range(30, 71, 5).select(
+        (F.col("id").cast("double") / F.lit(100.0)).alias("thr")
+    )
+    pos = F.col("y") == F.lit(1.0)
+    hit = F.col("s") >= F.col("thr")
+    conf = (
+        scored.crossJoin(F.broadcast(thr))
+        .groupBy("thr")
+        .agg(
+            F.sum(F.when(hit & pos, 1).otherwise(0)).cast("bigint").alias("tp"),
+            F.sum(F.when(hit & ~pos, 1).otherwise(0)).cast("bigint").alias("fp"),
+            F.sum(F.when(~hit & pos, 1).otherwise(0)).cast("bigint").alias("fn"),
+            F.sum(F.when(~hit & ~pos, 1).otherwise(0)).cast("bigint").alias("tn"),
+        )
+    )
+    tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
+    safe = lambda num, den: F.round(  # noqa: E731
+        F.when(den == 0, F.lit(0.0)).otherwise(
+            num.cast("double") / den.cast("double")
+        ),
+        6,
+    )
+    return conf.select(
+        "thr",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        safe(tp, tp + fp).alias("precision"),
+        safe(tp, tp + fn).alias("recall"),
+        safe(F.lit(2) * tp, F.lit(2) * tp + fp + fn).alias("f1"),
+    )

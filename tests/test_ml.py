@@ -1,0 +1,95 @@
+"""Invariants for the ML1-ML3 in-plan training/evaluation entries.
+
+Oracle parity runs in tests/test_catalog.py (auto-parametrized); this
+file proves the claims a hash can't: bit-reproducibility of the
+quantized-gradient training under arbitrary repartitioning, and the
+structural soundness of the confusion sweep.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from chronicle_sniffer_spark.plans.ml import (
+    LOGREG_ITERS,
+    _logreg_features,
+    _logreg_weights,
+    ml1_logreg_gd,
+    ml2_naive_bayes,
+    ml3_eval_confusion,
+)
+from tests.conftest import SF_SMOKE
+
+
+def test_logreg_weights_bit_identical_under_repartition(spark):
+    """The deterministic-allreduce claim: fixed-point gradient
+    accumulation makes the trained weights EXACTLY equal (not just
+    close) no matter how the feature rows are partitioned — the
+    property a plain sum(double) loses."""
+    feats = _logreg_features(spark, SF_SMOKE)
+    runs = [
+        _logreg_weights(feats.repartition(p)).collect()[0]
+        for p in (1, 7, 31)
+    ]
+    assert runs[0] == runs[1] == runs[2]
+    w = runs[0]
+    assert all(abs(w[f"w{j}"]) < 10.0 for j in range(3))
+
+
+def test_logreg_training_actually_descends(spark):
+    """T steps of GD must reduce the quantized mean |residual| vs the
+    zero-weight start (training does something, not just terminates)."""
+    feats = _logreg_features(spark, SF_SMOKE).cache()
+    try:
+        def mean_abs_residual(wdf):
+            from chronicle_sniffer_spark.plans.ml import _fast_sigmoid, _z
+
+            j = feats.crossJoin(F.broadcast(wdf))
+            d = _fast_sigmoid(_z()) - F.col("y")
+            row = j.agg(
+                (F.sum(F.abs(d)) / F.count("*")).alias("mar")
+            ).collect()[0]
+            return row["mar"]
+
+        w0 = feats.sparkSession.range(1).select(
+            F.lit(0.0).alias("w0"), F.lit(0.0).alias("w1"), F.lit(0.0).alias("w2")
+        )
+        before = mean_abs_residual(w0)
+        after = mean_abs_residual(_logreg_weights(feats))
+        assert after < before
+    finally:
+        feats.unpersist()
+
+
+def test_ml1_output_shape(spark):
+    row = ml1_logreg_gd(spark, SF_SMOKE).collect()[0]
+    assert row["n"] > 0
+    assert 0.0 <= row["acc"] <= 1.0
+    assert LOGREG_ITERS == 3  # oracle CTE chain length is part of the contract
+
+
+def test_naive_bayes_model_is_a_distribution(spark):
+    pdf = ml2_naive_bayes(spark, SF_SMOKE).toPandas()
+    assert (pdf["rank"] >= 1).all() and (pdf["rank"] <= 10).all()
+    assert ((pdf["prob"] > 0.0) & (pdf["prob"] < 1.0)).all()
+    # per-class priors are a distribution over classes
+    priors = pdf.drop_duplicates("lang")["prior"]
+    assert abs(priors.sum() - 1.0) < 1e-4
+    # ranks are dense per class
+    for _, grp in pdf.groupby("lang"):
+        assert sorted(grp["rank"]) == list(range(1, len(grp) + 1))
+
+
+def test_confusion_sweep_is_consistent(spark):
+    pdf = (
+        ml3_eval_confusion(spark, SF_SMOKE).toPandas().sort_values("thr")
+    )
+    assert len(pdf) == 9
+    totals = pdf["tp"] + pdf["fp"] + pdf["fn"] + pdf["tn"]
+    assert totals.nunique() == 1  # every threshold classifies every row
+    # raising the threshold can only shrink the positive set
+    pos = (pdf["tp"] + pdf["fp"]).to_numpy()
+    assert all(pos[i] >= pos[i + 1] for i in range(len(pos) - 1))
+    # recall is non-increasing in the threshold
+    rec = pdf["recall"].to_numpy()
+    assert all(rec[i] >= rec[i + 1] - 1e-12 for i in range(len(rec) - 1))
