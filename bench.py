@@ -127,6 +127,12 @@ HEADLINE = (
     "a12_ols_trend",
     "a13_time_rollup",
     "dq2_benford_digits",
+    # round-6 additions: in-plan model training/evaluation
+    "ml1_logreg_gd",
+    "ml2_naive_bayes",
+    "ml3_eval_confusion",
+    "ml4_kmeans",
+    "dq3_dp_release",
 )
 
 # Entries with documented ±18% round-over-round drift on identical code

@@ -143,6 +143,43 @@ def per_file_metrics(udm: DataFrame) -> DataFrame:
     )
 
 
+def compact_small_files(
+    spark: SparkSession, in_dir: str, out_dir: str, target_bytes: int = 128 << 20
+) -> int:
+    """Table maintenance: rewrite a directory of small parquet files
+    into ~``target_bytes`` files (the classic streaming-sink cleanup —
+    micro-batches leave thousands of KB-sized files whose per-file
+    open/footer cost dominates scans at 100 TB).
+
+    The output file count is sized from the INPUT bytes (listing only,
+    no data read), then the rewrite is a single narrow coalesce — no
+    shuffle: coalesce merges partitions in place, unlike repartition
+    which would add a round-robin exchange.  Returns the number of
+    files written.  At cluster scale the same routine runs per
+    partition directory, keyed off the partition values, so compaction
+    parallelizes across partitions and never rewrites hot ones being
+    appended to."""
+    import glob as _glob
+    import os as _os
+
+    paths = [
+        p
+        for p in _glob.glob(_os.path.join(in_dir, "**", "*.parquet"), recursive=True)
+        if _os.path.isfile(p)
+    ]
+    total = sum(_os.path.getsize(p) for p in paths)
+    n_files = max(1, -(-total // target_bytes))  # ceil
+    df = spark.read.parquet(in_dir)
+    df.coalesce(int(n_files)).write.mode("overwrite").parquet(out_dir)
+    return len(
+        [
+            p
+            for p in _glob.glob(_os.path.join(out_dir, "*.parquet"))
+            if _os.path.isfile(p)
+        ]
+    )
+
+
 def main(argv: list[str] | None = None) -> int:
     """CLI mirroring the reference's converter entry point
     (json2udm_cloud.py:364-408): input path (file/glob/dir of tshark

@@ -51,6 +51,23 @@ DECODED_IMAGE_DDL = "media_id bigint, width int, height int, mode string, pixel_
 FEATURES_DDL = "media_id bigint, feature array<float>"
 
 
+def _spread_ids(documents: DataFrame, mod: int | None = None) -> DataFrame:
+    """doc_id projection repartitioned to the default parallelism.
+
+    ``documents`` is typically a single parquet file, so without this
+    every per-row encode/decode mapInPandas below would run in ONE
+    task (found in the round-6 sf1 soak: the jpeg decode ran 12x for
+    10x data on a single core).  The shuffled relation is just the
+    8-byte ids — the payloads are synthesized AFTER the spread — so
+    the exchange is a few KB and both the encode and the downstream
+    decode stages parallelize across all cores."""
+    ids = documents
+    if mod is not None:
+        ids = ids.filter(F.col("doc_id") % 3 == mod)
+    par = documents.sparkSession.sparkContext.defaultParallelism
+    return ids.select("doc_id").repartition(par)
+
+
 def synthesize_media(documents: DataFrame) -> DataFrame:
     """Deterministic media corpus derived from ``documents`` (binary
     payload = text bytes; metadata derived from doc_id) — the offline
@@ -260,7 +277,7 @@ def synthesize_media_encoded(documents: DataFrame) -> DataFrame:
                 rows["meta"].append(meta)
             yield pd.DataFrame(rows)
 
-    return documents.select("doc_id").mapInPandas(op, MEDIA_DDL)
+    return _spread_ids(documents).mapInPandas(op, MEDIA_DDL)
 
 
 def image_stats(media: DataFrame) -> DataFrame:
@@ -353,7 +370,7 @@ def synthesize_png_corpus(documents: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return (
-        documents.filter(F.col("doc_id") % 3 == 2).select("doc_id").mapInPandas(op, MEDIA_DDL)
+        _spread_ids(documents, 2).mapInPandas(op, MEDIA_DDL)
     )
 
 
@@ -420,7 +437,7 @@ def synthesize_jpeg_corpus(documents: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return (
-        documents.filter(F.col("doc_id") % 3 == 0).select("doc_id").mapInPandas(op, MEDIA_DDL)
+        _spread_ids(documents, 0).mapInPandas(op, MEDIA_DDL)
     )
 
 
@@ -518,7 +535,7 @@ def synthesize_jpeg_color_corpus(documents: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return (
-        documents.filter(F.col("doc_id") % 3 == 1).select("doc_id").mapInPandas(op, MEDIA_DDL)
+        _spread_ids(documents, 1).mapInPandas(op, MEDIA_DDL)
     )
 
 
@@ -581,7 +598,7 @@ def synthesize_jpeg420_corpus(documents: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return (
-        documents.filter(F.col("doc_id") % 3 == 2).select("doc_id").mapInPandas(op, MEDIA_DDL)
+        _spread_ids(documents, 2).mapInPandas(op, MEDIA_DDL)
     )
 
 
@@ -633,7 +650,7 @@ def synthesize_mjpeg_video_corpus(documents: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return (
-        documents.filter(F.col("doc_id") % 3 == 2).select("doc_id").mapInPandas(op, MEDIA_DDL)
+        _spread_ids(documents, 2).mapInPandas(op, MEDIA_DDL)
     )
 
 
@@ -737,7 +754,7 @@ def synthesize_gif_corpus(documents: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return (
-        documents.filter(F.col("doc_id") % 3 == 1).select("doc_id").mapInPandas(op, MEDIA_DDL)
+        _spread_ids(documents, 1).mapInPandas(op, MEDIA_DDL)
     )
 
 
@@ -811,7 +828,7 @@ def synthesize_mjpeg420_video_corpus(documents: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return (
-        documents.filter(F.col("doc_id") % 3 == 0).select("doc_id").mapInPandas(op, MEDIA_DDL)
+        _spread_ids(documents, 0).mapInPandas(op, MEDIA_DDL)
     )
 
 
@@ -890,7 +907,7 @@ def synthesize_ulaw_corpus(documents: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return (
-        documents.filter(F.col("doc_id") % 3 == 2).select("doc_id").mapInPandas(op, MEDIA_DDL)
+        _spread_ids(documents, 2).mapInPandas(op, MEDIA_DDL)
     )
 
 
@@ -957,7 +974,7 @@ def synthesize_gif_anim_corpus(documents: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return (
-        documents.filter(F.col("doc_id") % 3 == 0).select("doc_id").mapInPandas(op, MEDIA_DDL)
+        _spread_ids(documents, 0).mapInPandas(op, MEDIA_DDL)
     )
 
 

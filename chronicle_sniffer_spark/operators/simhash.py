@@ -57,6 +57,13 @@ def simhash_fingerprints(docs: DataFrame) -> DataFrame:
     recomputed md5 once per nibble, which measured ~700 s CPU on one
     partition at sf0.1; this shape runs the same corpus in seconds and
     parallelizes by document."""
+    from chronicle_sniffer_spark.tables import spread
+
+    # spread BEFORE the explode: the per-token md5 fold below is
+    # map-side (partial agg), so with a single-row-group source it
+    # would otherwise run on one core (round-6 sf1 soak: 9.4 s
+    # single-task; no-op on a properly-split 100 TB source)
+    docs = spread(docs)
     # row-level filter after the explode, not an array filter lambda:
     # higher-order functions are CodegenFallback and would knock the
     # fan-out operator out of whole-stage codegen

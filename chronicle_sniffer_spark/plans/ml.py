@@ -392,3 +392,290 @@ def ml3_eval_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         safe(tp, tp + fn).alias("recall"),
         safe(F.lit(2) * tp, F.lit(2) * tp + fp + fn).alias("f1"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ML4: in-plan distributed k-means (Lloyd iterations, no shuffle-by-key)
+# ---------------------------------------------------------------------------
+
+KMEANS_K = 3
+KMEANS_ITERS = 2
+_KM_INIT = ((0.2, 0.2), (0.5, 0.5), (0.8, 0.8))
+
+# 2-d feature space, both coordinates scaled to [0, 1]:
+_KM_FEAT_SQL = """
+    SELECT CAST(l_discount AS DOUBLE) * CAST(10.0 AS DOUBLE) AS x1,
+           CAST(l_quantity AS DOUBLE) / CAST(50.0 AS DOUBLE) AS x2
+    FROM lineitem
+"""
+
+
+def _km_dist_sql(k: int) -> str:
+    return (
+        f"((x1 - c{k}x) * (x1 - c{k}x) + (x2 - c{k}y) * (x2 - c{k}y))"
+    )
+
+
+def _km_cluster_sql() -> str:
+    d1, d2, d3 = (_km_dist_sql(k) for k in (1, 2, 3))
+    return (
+        f"CASE WHEN {d1} <= {d2} AND {d1} <= {d3} THEN 1"
+        f" WHEN {d2} <= {d3} THEN 2 ELSE 3 END"
+    )
+
+
+def _km_dmin_sql() -> str:
+    d1, d2, d3 = (_km_dist_sql(k) for k in (1, 2, 3))
+    return f"least({d1}, {d2}, {d3})"
+
+
+def _km_oracle() -> str:
+    init_cols = ", ".join(
+        f"CAST({cx} AS DOUBLE) AS c{k + 1}x, CAST({cy} AS DOUBLE) AS c{k + 1}y"
+        for k, (cx, cy) in enumerate(_KM_INIT)
+    )
+    ctes = [f"f AS ({_KM_FEAT_SQL})", f"it0 AS (SELECT {init_cols})"]
+    for t in range(1, KMEANS_ITERS + 1):
+        cl = _km_cluster_sql()
+        sums = []
+        for k in (1, 2, 3):
+            sums.append(
+                f"CAST(sum(CASE WHEN ({cl}) = {k} THEN 1 ELSE 0 END) AS BIGINT)"
+                f" AS n{k}"
+            )
+            for j, x in ((1, "x1"), (2, "x2")):
+                sums.append(
+                    f"sum(CASE WHEN ({cl}) = {k} THEN"
+                    f" CAST(floor({x} * CAST({_Q:.1f} AS DOUBLE)) AS DECIMAL(38,0))"
+                    f" ELSE CAST(0 AS DECIMAL(38,0)) END) AS s{k}_{j}"
+                )
+        ctes.append(f"g{t} AS (SELECT {', '.join(sums)} FROM f, it{t - 1})")
+        upd = []
+        for k in (1, 2, 3):
+            for j, axis in ((1, "x"), (2, "y")):
+                new = (
+                    f"CAST(s{k}_{j} AS DOUBLE) / CAST({_Q:.1f} AS DOUBLE)"
+                    f" / CAST(n{k} AS DOUBLE)"
+                )
+                upd.append(
+                    f"CASE WHEN n{k} = 0 THEN c{k}{axis} ELSE {new} END"
+                    f" AS c{k}{axis}"
+                )
+        ctes.append(f"it{t} AS (SELECT {', '.join(upd)} FROM g{t}, it{t - 1})")
+    cl = _km_cluster_sql()
+    dmin = _km_dmin_sql()
+    stats = []
+    for k in (1, 2, 3):
+        stats.append(
+            f"CAST(sum(CASE WHEN ({cl}) = {k} THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS n{k}"
+        )
+        stats.append(
+            f"sum(CASE WHEN ({cl}) = {k} THEN"
+            f" CAST(floor({dmin} * CAST({_Q:.1f} AS DOUBLE)) AS DECIMAL(38,0))"
+            f" ELSE CAST(0 AS DECIMAL(38,0)) END) AS w{k}"
+        )
+    ev = (
+        f"ev AS (SELECT {', '.join(stats)}"
+        f" FROM f, it{KMEANS_ITERS})"
+    )
+    outs = "\n    UNION ALL ".join(
+        f"SELECT {k} AS cluster, n{k} AS n, round(c{k}x, 6) AS cx,"
+        f" round(c{k}y, 6) AS cy,"
+        f" round(CAST(w{k} AS DOUBLE) / CAST({_Q:.1f} AS DOUBLE), 6) AS wcss"
+        f" FROM ev, it{KMEANS_ITERS}"
+        for k in (1, 2, 3)
+    )
+    return "WITH " + ",\n    ".join(ctes + [ev]) + "\n    " + outs
+
+
+def _km_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        (F.col("l_discount").cast("double") * F.lit(10.0)).alias("x1"),
+        (F.col("l_quantity").cast("double") / F.lit(50.0)).alias("x2"),
+    )
+
+
+def _km_dist(k: int) -> Column:
+    dx = F.col("x1") - F.col(f"c{k}x")
+    dy = F.col("x2") - F.col(f"c{k}y")
+    return dx * dx + dy * dy
+
+
+def _km_cluster() -> Column:
+    d1, d2, d3 = (_km_dist(k) for k in (1, 2, 3))
+    return (
+        F.when((d1 <= d2) & (d1 <= d3), 1).when(d2 <= d3, 2).otherwise(3)
+    )
+
+
+def _km_qsum(cond: Column, expr: Column, alias: str) -> Column:
+    q = F.floor(expr * F.lit(_Q)).cast("decimal(38,0)")
+    return F.sum(F.when(cond, q).otherwise(F.lit(0).cast("decimal(38,0)"))).alias(
+        alias
+    )
+
+
+def _km_centroids(feats: DataFrame) -> DataFrame:
+    spark = feats.sparkSession
+    cent = spark.range(1).select(
+        *[
+            c
+            for k, (cx, cy) in enumerate(_KM_INIT)
+            for c in (
+                F.lit(float(cx)).alias(f"c{k + 1}x"),
+                F.lit(float(cy)).alias(f"c{k + 1}y"),
+            )
+        ]
+    )
+    for _ in range(KMEANS_ITERS):
+        j = feats.crossJoin(F.broadcast(cent))
+        cl = _km_cluster()
+        aggs = []
+        for k in (1, 2, 3):
+            aggs.append(
+                F.sum(F.when(cl == k, 1).otherwise(0)).cast("bigint").alias(f"n{k}")
+            )
+            aggs.append(_km_qsum(cl == k, F.col("x1"), f"s{k}_1"))
+            aggs.append(_km_qsum(cl == k, F.col("x2"), f"s{k}_2"))
+        g = j.agg(*aggs).crossJoin(F.broadcast(cent))
+        upd = []
+        for k in (1, 2, 3):
+            for jj, axis in ((1, "x"), (2, "y")):
+                new = (
+                    F.col(f"s{k}_{jj}").cast("double")
+                    / F.lit(_Q)
+                    / F.col(f"n{k}").cast("double")
+                )
+                upd.append(
+                    F.when(F.col(f"n{k}") == 0, F.col(f"c{k}{axis}"))
+                    .otherwise(new)
+                    .alias(f"c{k}{axis}")
+                )
+        cent = g.select(*upd)
+    return cent
+
+
+@query("ml4_kmeans", section="ML4", oracle=_km_oracle())
+def ml4_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means (K=3, 2 Lloyd iterations) over the scaled
+    (discount, quantity) plane, entirely in-plan.
+
+    Scale shape: each Lloyd step is ONE wide aggregate — cluster
+    assignment happens inside the map stage (a CASE over K broadcast
+    centroids) and the per-cluster sums are CONDITIONAL columns of the
+    same aggregate, so there is no shuffle-by-key at all: K×(d+1)
+    partial sums combine map-side exactly like the logreg gradient.
+    Centroid means use the same floor(x·1e12)+DECIMAL fixed-point
+    accumulation, so the trained centroids are bit-identical under any
+    partitioning and the DuckDB oracle replays the full iteration
+    chain from the literal init (ties in the argmin break toward the
+    lower cluster id in both engines; empty clusters keep their
+    previous centroid).  Output: per-cluster size, centroid, and
+    quantized within-cluster sum of squares."""
+    feats = _km_features(spark, sf_dir)
+    cent = _km_centroids(feats)
+    j = feats.crossJoin(F.broadcast(cent))
+    cl = _km_cluster()
+    dmin = F.least(*[_km_dist(k) for k in (1, 2, 3)])
+    aggs = []
+    for k in (1, 2, 3):
+        aggs.append(
+            F.sum(F.when(cl == k, 1).otherwise(0)).cast("bigint").alias(f"n{k}")
+        )
+        aggs.append(_km_qsum(cl == k, dmin, f"w{k}"))
+    ev = j.agg(*aggs).crossJoin(F.broadcast(cent))
+    outs = [
+        ev.select(
+            F.lit(k).alias("cluster"),
+            F.col(f"n{k}").alias("n"),
+            F.round(f"c{k}x", 6).alias("cx"),
+            F.round(f"c{k}y", 6).alias("cy"),
+            F.round(F.col(f"w{k}").cast("double") / F.lit(_Q), 6).alias("wcss"),
+        )
+        for k in (1, 2, 3)
+    ]
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# DQ3: differentially-private noisy-count release (Laplace mechanism)
+# ---------------------------------------------------------------------------
+
+DP_EPSILON = 1.0
+_U_SCALE = float(1 << 52)  # 13 md5 hex chars = 52 uniform bits
+
+_DP_ORACLE = f"""
+    WITH g AS (
+      SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_true
+      FROM orders GROUP BY o_orderpriority
+    ),
+    u AS (
+      SELECT o_orderpriority, n_true,
+             CAST(('0x' || substr(md5(o_orderpriority), 1, 13))::BIGINT AS DOUBLE)
+               / CAST({_U_SCALE:.1f} AS DOUBLE) AS u
+      FROM g
+    ),
+    noisy AS (
+      SELECT o_orderpriority, n_true,
+             -(CAST(1.0 AS DOUBLE) / CAST({DP_EPSILON:.1f} AS DOUBLE))
+               * sign(u - CAST(0.5 AS DOUBLE))
+               * round(ln(greatest(CAST(1.0 AS DOUBLE)
+                                   - CAST(2.0 AS DOUBLE) * abs(u - CAST(0.5 AS DOUBLE)),
+                                   CAST(1e-15 AS DOUBLE))), 9) AS noise
+      FROM u
+    )
+    SELECT o_orderpriority, n_true, round(noise, 6) AS noise,
+           round(CAST(n_true AS DOUBLE) + noise, 6) AS n_released
+    FROM noisy
+"""
+
+
+@query("dq3_dp_release", section="DQ3", oracle=_DP_ORACLE)
+def dq3_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laplace-mechanism noisy-count release over order priorities —
+    the privacy-preserving aggregate a training-data pipeline
+    publishes instead of exact per-segment counts (count sensitivity
+    1, ε=1).
+
+    Mechanism: per-group uniform u from 52 md5 bits of the group key,
+    inverse-CDF Laplace noise −(1/ε)·sgn(u−½)·ln(1−2|u−½|) added to
+    the exact count.  The `ln` is quantized at 9 dp per the surprisal
+    discipline (libm vs JVM last-ulp), and the hash seed is PUBLIC so
+    the DuckDB oracle can replay the release bit-for-bit — production
+    would swap in a keyed hash (same plan shape) since a public seed
+    carries no privacy.  Scale shape: noise is a scalar expression on
+    the already-aggregated (tiny) group relation — the release adds
+    zero distributed work to the underlying count."""
+    g = _t(spark, sf_dir, "orders").groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n_true")
+    )
+    u = (
+        F.conv(F.substring(F.md5("o_orderpriority"), 1, 13), 16, 10)
+        .cast("bigint")
+        .cast("double")
+        / F.lit(_U_SCALE)
+    )
+    noise = (
+        -(F.lit(1.0) / F.lit(DP_EPSILON))
+        * F.signum(u - F.lit(0.5))
+        * F.round(
+            F.log(
+                F.greatest(
+                    F.lit(1.0) - F.lit(2.0) * F.abs(u - F.lit(0.5)),
+                    F.lit(1e-15),
+                )
+            ),
+            9,
+        )
+    )
+    return g.select(
+        "o_orderpriority",
+        "n_true",
+        F.round(noise, 6).alias("noise"),
+        F.round(F.col("n_true").cast("double") + noise, 6).alias("n_released"),
+    )

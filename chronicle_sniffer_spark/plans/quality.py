@@ -488,8 +488,14 @@ def l4_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary).  Shapes: two token-keyed aggregations (tf per doc, df
     corpus-wide), a broadcast of the scalar doc count, and a per-doc
     ranking window — all shuffle keys are tokens or doc ids."""
+    from chronicle_sniffer_spark.tables import spread
+
     d = _t(spark, sf_dir, "documents")
-    words = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    # spread before the token fan-out (single-row-group scan -> one
+    # map task otherwise; no-op on a many-split source)
+    words = spread(d.select("doc_id", "text")).select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    )
     tf = words.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
     df = words.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
     n = d.agg(F.count("*").alias("n_docs"))
@@ -557,8 +563,11 @@ def l4_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts (md5 collisions are negligible and would fail the hash
     match if one ever occurred)."""
     from chronicle_sniffer_spark.operators.dedup import ngram_gram_col, ngram_zip_expr
+    from chronicle_sniffer_spark.tables import spread
 
-    d = _t(spark, sf_dir, "documents")
+    # spread before the span fan-out + md5: map-side work that would
+    # otherwise run in the single-row-group scan's one task
+    d = spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     spans = (
         d.select("doc_id", F.explode(F.expr(ngram_zip_expr(SPAN_N))).alias("z"))
         .select("doc_id", F.md5(ngram_gram_col(SPAN_N)).alias("h"))

@@ -48,6 +48,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Conditionally repartition a narrow scan to the session's core
+    count, for operators whose per-row map-side CPU (per-token md5,
+    shingle hashing, codec work) dominates the stage.
+
+    The testbed tables are single parquet files with ONE row group, so
+    Spark's byte-range splitting yields ONE scan task no matter what
+    ``maxPartitionBytes`` says — the round-6 sf1 soak showed the
+    simhash/shingle family running all its hashing on one core.  At
+    100 TB the same table arrives as thousands of splits, and this
+    helper sees ``>= cores`` input partitions and becomes a no-op —
+    it never adds a shuffle to a properly-split source; locally it
+    moves only the slim (id, text) projection."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= par:
+        return df
+    return df.repartition(par)
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
 

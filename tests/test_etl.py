@@ -7,6 +7,8 @@ import json
 import os
 import tempfile
 
+from pyspark.sql import functions as F
+
 from chronicle_sniffer_spark import etl
 
 FIXDIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures")
@@ -70,3 +72,41 @@ def test_convert_and_sinks(spark):
     # idempotent redelivery: rewriting produces identical content
     outs2 = etl.write_udm_json_per_file(udm, json_dir)
     assert outs == outs2
+
+
+def test_compact_small_files(spark, tmp_path):
+    """Many tiny files in, few target-sized files out, content
+    identical, and the rewrite plan is shuffle-free (coalesce)."""
+    import glob
+
+    from chronicle_sniffer_spark import etl
+
+    src = str(tmp_path / "small")
+    out = str(tmp_path / "compacted")
+    df = spark.range(0, 10_000).withColumn("v", F.col("id") * 2)
+    df.repartition(64).write.parquet(src)
+    n_in = len(glob.glob(f"{src}/*.parquet"))
+    assert n_in >= 32  # genuinely fragmented input
+
+    n_out = etl.compact_small_files(spark, src, out, target_bytes=1 << 20)
+    assert n_out < n_in / 4
+    back = spark.read.parquet(out)
+    assert back.count() == 10_000
+    assert back.agg(F.sum("v")).collect()[0][0] == df.agg(F.sum("v")).collect()[0][0]
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Appended files may gain columns; mergeSchema reads the union
+    schema with NULLs for the missing values (the additive-evolution
+    contract a long-lived 100 TB table relies on)."""
+    base = str(tmp_path / "tbl")
+    spark.range(0, 5).select(F.col("id"), F.lit("a").alias("b")).write.parquet(
+        base + "/v1"
+    )
+    spark.range(5, 10).select(
+        F.col("id"), F.lit("b").alias("b"), F.lit(1.5).alias("c")
+    ).write.parquet(base + "/v2")
+    merged = spark.read.option("mergeSchema", "true").parquet(base + "/v1", base + "/v2")
+    assert set(merged.columns) == {"id", "b", "c"}
+    assert merged.count() == 10
+    assert merged.filter(F.col("c").isNull()).count() == 5

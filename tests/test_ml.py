@@ -12,11 +12,14 @@ from pyspark.sql import functions as F
 
 from chronicle_sniffer_spark.plans.ml import (
     LOGREG_ITERS,
+    _km_centroids,
+    _km_features,
     _logreg_features,
     _logreg_weights,
     ml1_logreg_gd,
     ml2_naive_bayes,
     ml3_eval_confusion,
+    ml4_kmeans,
 )
 from tests.conftest import SF_SMOKE
 
@@ -93,3 +96,37 @@ def test_confusion_sweep_is_consistent(spark):
     # recall is non-increasing in the threshold
     rec = pdf["recall"].to_numpy()
     assert all(rec[i] >= rec[i + 1] - 1e-12 for i in range(len(rec) - 1))
+
+
+def test_dp_release_noise_is_laplace_shaped(spark):
+    """The released counts differ from the exact ones by bounded,
+    deterministic Laplace noise; re-running yields the identical
+    release (deterministic mechanism = auditable pipeline tests)."""
+    from chronicle_sniffer_spark.plans.ml import dq3_dp_release
+
+    a = dq3_dp_release(spark, SF_SMOKE).toPandas().sort_values("o_orderpriority")
+    b = dq3_dp_release(spark, SF_SMOKE).toPandas().sort_values("o_orderpriority")
+    assert a.equals(b)
+    # noise is centred-ish and bounded by the inverse CDF at 52 bits:
+    # |noise| <= ln(2^52)/eps ~= 36
+    assert (a["noise"].abs() <= 37.0).all()
+    assert (a["n_released"] - a["n_true"] - a["noise"]).abs().max() < 1e-6
+
+
+def test_kmeans_centroids_bit_identical_under_repartition(spark):
+    feats = _km_features(spark, SF_SMOKE)
+    runs = [
+        _km_centroids(feats.repartition(p)).collect()[0] for p in (1, 5, 23)
+    ]
+    assert runs[0] == runs[1] == runs[2]
+
+
+def test_kmeans_output_partitions_the_data(spark):
+    pdf = ml4_kmeans(spark, SF_SMOKE).toPandas().sort_values("cluster")
+    feats_n = _km_features(spark, SF_SMOKE).count()
+    assert list(pdf["cluster"]) == [1, 2, 3]
+    assert pdf["n"].sum() == feats_n  # every point assigned exactly once
+    assert (pdf["wcss"] >= 0).all()
+    # centroids stay inside the unit square the features live in
+    assert ((pdf["cx"] >= 0) & (pdf["cx"] <= 1)).all()
+    assert ((pdf["cy"] >= 0) & (pdf["cy"] <= 1)).all()

@@ -98,6 +98,18 @@ QUERIES = (
     "dq1_constraint_report",
     "l6_weighted_sample_es",
     "ts6_user_entropy",
+    # late round-5 additions (landed after the last full soak)
+    "l4_source_vocab_overlap",
+    "a11_corr_matrix",
+    "a12_ols_trend",
+    "a13_time_rollup",
+    "dq2_benford_digits",
+    # round-6 additions: in-plan iterative training (T scans) and the
+    # one-pass NB/eval passes
+    "ml1_logreg_gd",
+    "ml2_naive_bayes",
+    "ml3_eval_confusion",
+    "ml4_kmeans",
 )
 
 
