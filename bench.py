@@ -132,6 +132,7 @@ HEADLINE = (
     "ml2_naive_bayes",
     "ml3_eval_confusion",
     "ml4_kmeans",
+    "ml5_gbt_stumps",
     "dq3_dp_release",
 )
 

@@ -603,6 +603,184 @@ def ml4_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# ML5: gradient-boosted stumps via the histogram method
+# ---------------------------------------------------------------------------
+
+GBT_ROUNDS = 2
+GBT_LR = 0.5
+_GBT_BIN_W = 5.0  # l_quantity in 1..50 -> 10 bins, 9 candidate splits
+_QR = 1e6  # residual quantization scale (price-scale values)
+
+# Target with PLANTED structure (y = 1000x + price/100): the synthetic
+# lineitem draws price independently of quantity, so a natural target
+# would leave a stump nothing to learn and the fitted model would not
+# demonstrate the split search.  With the planted slope, round 1 must
+# split mid-range with well-separated leaves and round 2 must refine —
+# making the oracle-verified model WRONG if the gain ranking, prefix
+# sums, or residual chain are off by anything.
+_GBT_FEAT_SQL = """
+    SELECT CAST(l_quantity AS DOUBLE) AS x,
+           CAST(l_quantity AS DOUBLE) * CAST(1000.0 AS DOUBLE)
+             + CAST(l_extendedprice AS DOUBLE) / CAST(100.0 AS DOUBLE) AS y
+    FROM lineitem
+"""
+
+
+def _gbt_pred_sql(upto: int) -> str:
+    """Ensemble prediction from rounds 1..upto (0 -> constant 0)."""
+    terms = [
+        f"CAST({GBT_LR} AS DOUBLE) * (CASE WHEN x <= thr{t} THEN mul{t}"
+        f" ELSE mur{t} END)"
+        for t in range(1, upto + 1)
+    ]
+    return " + ".join(terms) if terms else "CAST(0.0 AS DOUBLE)"
+
+
+def _gbt_oracle() -> str:
+    ctes = [f"f AS ({_GBT_FEAT_SQL})"]
+    prev = None  # name of the model CTE so far
+    for t in range(1, GBT_ROUNDS + 1):
+        r = f"(y - ({_gbt_pred_sql(t - 1)}))"
+        src = "f" if prev is None else f"f, {prev}"
+        ctes.append(
+            f"b{t} AS (SELECT CAST(ceil(x / CAST({_GBT_BIN_W} AS DOUBLE)) AS INT)"
+            f" AS bin, count(*) AS n,"
+            f" sum(CAST(floor({r} * CAST({_QR:.1f} AS DOUBLE)) AS DECIMAL(38,0)))"
+            f" AS s FROM {src} GROUP BY 1)"
+        )
+        ctes.append(
+            f"tot{t} AS (SELECT sum(n) AS nt, sum(s) AS st FROM b{t})"
+        )
+        ctes.append(
+            f"c{t} AS (SELECT bin,"
+            f" sum(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS nl,"
+            f" sum(s) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS sl,"
+            f" nt, st FROM b{t}, tot{t})"
+        )
+        ctes.append(
+            f"g{t} AS (SELECT bin, nl, nt - nl AS nr,"
+            f" CAST(sl AS DOUBLE) / CAST({_QR:.1f} AS DOUBLE) AS sld,"
+            f" CAST(st - sl AS DOUBLE) / CAST({_QR:.1f} AS DOUBLE) AS srd"
+            f" FROM c{t} WHERE nt - nl > 0)"
+        )
+        best_cols = (
+            f"CAST({_GBT_BIN_W} AS DOUBLE) * bin AS thr{t},"
+            f" sld / CAST(nl AS DOUBLE) AS mul{t},"
+            f" srd / CAST(nr AS DOUBLE) AS mur{t}"
+        )
+        order = (
+            "ORDER BY sld * sld / CAST(nl AS DOUBLE)"
+            " + srd * srd / CAST(nr AS DOUBLE) DESC, bin LIMIT 1"
+        )
+        if prev is None:
+            ctes.append(f"m{t} AS (SELECT {best_cols} FROM g{t} {order})")
+        else:
+            ctes.append(
+                f"m{t} AS (SELECT {prev}.*, {best_cols} FROM g{t}, {prev} {order})"
+            )
+        prev = f"m{t}"
+    outs = "\n    UNION ALL ".join(
+        f"SELECT {t} AS round, thr{t} AS threshold,"
+        f" round(mul{t}, 6) AS leaf_left, round(mur{t}, 6) AS leaf_right"
+        f" FROM {prev}"
+        for t in range(1, GBT_ROUNDS + 1)
+    )
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + outs
+
+
+def _gbt_pred(upto: int) -> Column:
+    out = F.lit(0.0)
+    for t in range(1, upto + 1):
+        leaf = F.when(F.col("x") <= F.col(f"thr{t}"), F.col(f"mul{t}")).otherwise(
+            F.col(f"mur{t}")
+        )
+        term = F.lit(GBT_LR) * leaf
+        out = term if t == 1 else out + term
+    return out
+
+
+@query("ml5_gbt_stumps", section="ML5", oracle=_gbt_oracle())
+def ml5_gbt_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gradient-boosted depth-1 trees (squared loss, 2 rounds) trained
+    by the HISTOGRAM method — the XGBoost/LightGBM trick, expressed as
+    plain relational algebra.
+
+    Per round: residuals bin into 10 fixed-width feature bins with ONE
+    grouped aggregate (map-side partial sums — the only thing that
+    touches the fact table), prefix sums over the 10-row bin relation
+    turn every bin boundary into a candidate split, and the best split
+    is an ORDER BY gain LIMIT 1 over ≤9 rows.  The fitted stump joins
+    back as a broadcast 1-row relation for the next round's residuals
+    — so a T-round boosted model costs T scans and T 10-row shuffles,
+    independent of data size.  Residual sums are fixed-point quantized
+    (floor·1e6 + DECIMAL) like the GD gradients, so the trained model
+    is bit-reproducible and the DuckDB oracle replays both rounds'
+    split search exactly (gain ties break toward the lower bin)."""
+    li = _t(spark, sf_dir, "lineitem")
+    feats = li.select(
+        F.col("l_quantity").cast("double").alias("x"),
+        (
+            F.col("l_quantity").cast("double") * F.lit(1000.0)
+            + F.col("l_extendedprice").cast("double") / F.lit(100.0)
+        ).alias("y"),
+    )
+    model = None  # 1-row DataFrame accumulating thr{t}/mul{t}/mur{t}
+    for t in range(1, GBT_ROUNDS + 1):
+        j = feats if model is None else feats.crossJoin(F.broadcast(model))
+        r = F.col("y") - _gbt_pred(t - 1)
+        b = j.groupBy(
+            F.ceil(F.col("x") / F.lit(_GBT_BIN_W)).cast("int").alias("bin")
+        ).agg(
+            F.count("*").alias("n"),
+            F.sum(F.floor(r * F.lit(_QR)).cast("decimal(38,0)")).alias("s"),
+        )
+        tot = b.agg(F.sum("n").alias("nt"), F.sum("s").alias("st"))
+        w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+        c = b.crossJoin(F.broadcast(tot)).select(
+            "bin",
+            F.sum("n").over(w).alias("nl"),
+            F.sum("s").over(w).alias("sl"),
+            "nt",
+            "st",
+        )
+        g = c.filter(F.col("nt") - F.col("nl") > 0).select(
+            "bin",
+            "nl",
+            (F.col("nt") - F.col("nl")).alias("nr"),
+            (F.col("sl").cast("double") / F.lit(_QR)).alias("sld"),
+            ((F.col("st") - F.col("sl")).cast("double") / F.lit(_QR)).alias("srd"),
+        )
+        gain = F.col("sld") * F.col("sld") / F.col("nl").cast("double") + F.col(
+            "srd"
+        ) * F.col("srd") / F.col("nr").cast("double")
+        best = g.orderBy(gain.desc(), F.col("bin")).limit(1)
+        new_cols = [
+            (F.lit(_GBT_BIN_W) * F.col("bin")).alias(f"thr{t}"),
+            (F.col("sld") / F.col("nl").cast("double")).alias(f"mul{t}"),
+            (F.col("srd") / F.col("nr").cast("double")).alias(f"mur{t}"),
+        ]
+        if model is None:
+            model = best.select(*new_cols)
+        else:
+            model = best.crossJoin(F.broadcast(model)).select(
+                *[F.col(c_) for c_ in model.columns], *new_cols
+            )
+    outs = [
+        model.select(
+            F.lit(t).alias("round"),
+            F.col(f"thr{t}").alias("threshold"),
+            F.round(f"mul{t}", 6).alias("leaf_left"),
+            F.round(f"mur{t}", 6).alias("leaf_right"),
+        )
+        for t in range(1, GBT_ROUNDS + 1)
+    ]
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # DQ3: differentially-private noisy-count release (Laplace mechanism)
 # ---------------------------------------------------------------------------
 

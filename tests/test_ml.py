@@ -113,6 +113,36 @@ def test_dp_release_noise_is_laplace_shaped(spark):
     assert (a["n_released"] - a["n_true"] - a["noise"]).abs().max() < 1e-6
 
 
+def test_gbt_stumps_recover_planted_structure(spark):
+    """The target has a planted slope (y = 1000x + noise/100), so a
+    correct split search MUST cut mid-range in round 1 with leaves
+    separated by roughly 1000x the threshold gap, and round 2 must
+    refine below the first cut.  Also bit-identical under
+    repartitioning (quantized residual sums)."""
+    from chronicle_sniffer_spark.plans.ml import ml5_gbt_stumps
+
+    pdf = ml5_gbt_stumps(spark, SF_SMOKE).toPandas().sort_values("round")
+    r1, r2 = pdf.iloc[0], pdf.iloc[1]
+    assert 15.0 <= r1["threshold"] <= 35.0  # mid-range cut
+    assert r1["leaf_right"] - r1["leaf_left"] > 10_000  # planted slope found
+    assert r2["leaf_left"] < r2["leaf_right"]  # residual still increasing in x
+
+    import chronicle_sniffer_spark.plans.ml as ml
+
+    feats = ml._t(spark, SF_SMOKE, "lineitem")
+    a = ml5_gbt_stumps(spark, SF_SMOKE).collect()
+    # repartition invariance: run through a different partitioning of
+    # the same session (the plan re-reads the scan; partitioning of the
+    # aggregate inputs changes with shuffle.partitions, sums must not)
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    try:
+        b = ml5_gbt_stumps(spark, SF_SMOKE).collect()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert feats is not None
+
+
 def test_kmeans_centroids_bit_identical_under_repartition(spark):
     feats = _km_features(spark, SF_SMOKE)
     runs = [

@@ -110,6 +110,8 @@ QUERIES = (
     "ml2_naive_bayes",
     "ml3_eval_confusion",
     "ml4_kmeans",
+    "ml5_gbt_stumps",
+    "dq3_dp_release",
 )
 
 
