@@ -133,6 +133,7 @@ HEADLINE = (
     "ml3_eval_confusion",
     "ml4_kmeans",
     "ml5_gbt_stumps",
+    "ml2b_nb_classify",
     "dq3_dp_release",
 )
 

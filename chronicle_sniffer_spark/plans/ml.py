@@ -306,6 +306,146 @@ def ml2_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# ML2b: Naive Bayes APPLY — classify every document with the trained model
+# ---------------------------------------------------------------------------
+
+NB_MODEL_K = 50  # selected features (top words) per class
+
+_NB_CLASSIFY_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, lang AS true_lang, unnest(string_split(text, ' ')) AS word
+      FROM documents
+    ),
+    cw AS (
+      SELECT lang, word, count(*) AS c
+      FROM (SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents)
+      GROUP BY lang, word
+    ),
+    ct AS (
+      SELECT lang, CAST(sum(c) AS BIGINT) AS tw FROM cw GROUP BY lang
+    ),
+    v AS (SELECT count(DISTINCT word) AS vsz FROM cw),
+    model AS (
+      SELECT lang, word,
+             round(ln(CAST(c + 1 AS DOUBLE) / CAST(tw + vsz AS DOUBLE)), 9)
+               AS logp
+      FROM (
+        SELECT cw.lang, cw.word, cw.c, ct.tw, v.vsz,
+               row_number() OVER (PARTITION BY cw.lang
+                                  ORDER BY cw.c DESC, cw.word) AS rnk
+        FROM cw JOIN ct ON cw.lang = ct.lang, v
+      ) WHERE rnk <= {NB_MODEL_K}
+    ),
+    pri AS (
+      SELECT lang,
+             round(ln(CAST(nd AS DOUBLE) / CAST(ndocs AS DOUBLE)), 9) AS logprior
+      FROM (SELECT lang, count(*) AS nd FROM documents GROUP BY lang),
+           (SELECT count(*) AS ndocs FROM documents)
+    ),
+    scores AS (
+      SELECT t.doc_id, any_value(t.true_lang) AS true_lang, m.lang,
+             CAST(sum(CAST(m.logp AS DECIMAL(20,9))) AS DOUBLE)
+               + any_value(p.logprior) AS score
+      FROM toks t JOIN model m ON t.word = m.word
+                  JOIN pri p ON m.lang = p.lang
+      GROUP BY t.doc_id, m.lang
+    ),
+    ranked AS (
+      SELECT doc_id, true_lang, lang AS pred_lang, round(score, 6) AS score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, lang) AS rnk
+      FROM scores
+    )
+    SELECT doc_id, true_lang, pred_lang, score,
+           CAST(pred_lang = true_lang AS BIGINT) AS correct
+    FROM ranked WHERE rnk = 1
+"""
+
+
+@query("ml2b_nb_classify", section="ML2", oracle=_NB_CLASSIFY_ORACLE)
+def ml2b_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Naive Bayes APPLY: classify every document with the trained
+    per-class model (top-50 selected word features + class priors) —
+    the serving half of ml2's trainer.
+
+    Scale shape: the model is (classes × 50) rows and BROADCASTS onto
+    the exploded token stream; scoring is one grouped aggregate on
+    (doc_id, class) and the argmax is a per-doc window — so
+    classifying a 100 TB corpus costs one token pass, one doc-keyed
+    shuffle, no per-row Python.  Per-feature log-likelihoods are
+    quantized to 9 dp right after the `ln` (JVM vs libm last-ulp — the
+    surprisal discipline) and summed as exact DECIMAL, so scores and
+    the argmax are engine-identical; ranking ties break on the class
+    name."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.col("lang").alias("true_lang"),
+        F.explode(F.split(F.col("text"), " ")).alias("word"),
+    )
+    cw = (
+        d.select("lang", F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .groupBy("lang", "word")
+        .agg(F.count("*").alias("c"))
+    )
+    ct = cw.groupBy("lang").agg(F.sum("c").cast("bigint").alias("tw"))
+    v = cw.agg(F.countDistinct("word").alias("vsz"))
+    rnk_w = Window.partitionBy("lang").orderBy(F.col("c").desc(), F.col("word"))
+    model = (
+        cw.join(F.broadcast(ct), "lang")
+        .crossJoin(F.broadcast(v))
+        .withColumn("rnk", F.row_number().over(rnk_w))
+        .filter(F.col("rnk") <= NB_MODEL_K)
+        .select(
+            "lang",
+            "word",
+            F.round(
+                F.log(
+                    (F.col("c") + 1).cast("double")
+                    / (F.col("tw") + F.col("vsz")).cast("double")
+                ),
+                9,
+            ).alias("logp"),
+        )
+    )
+    pri = (
+        d.groupBy("lang")
+        .agg(F.count("*").alias("nd"))
+        .crossJoin(F.broadcast(d.agg(F.count("*").alias("ndocs"))))
+        .select(
+            "lang",
+            F.round(
+                F.log(F.col("nd").cast("double") / F.col("ndocs").cast("double")), 9
+            ).alias("logprior"),
+        )
+    )
+    scores = (
+        toks.join(F.broadcast(model), "word")
+        .join(F.broadcast(pri), "lang")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.any_value("true_lang").alias("true_lang"),
+            (
+                F.sum(F.col("logp").cast("decimal(20,9)")).cast("double")
+                + F.any_value("logprior")
+            ).alias("score"),
+        )
+    )
+    doc_w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("lang"))
+    return (
+        scores.withColumn("rnk", F.row_number().over(doc_w))
+        .filter(F.col("rnk") == 1)
+        .select(
+            "doc_id",
+            "true_lang",
+            F.col("lang").alias("pred_lang"),
+            F.round("score", 6).alias("score"),
+            (F.col("lang") == F.col("true_lang")).cast("bigint").alias("correct"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # ML3: threshold-sweep evaluation of the ML1 model
 # ---------------------------------------------------------------------------
 

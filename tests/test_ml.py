@@ -113,6 +113,46 @@ def test_dp_release_noise_is_laplace_shaped(spark):
     assert (a["n_released"] - a["n_true"] - a["noise"]).abs().max() < 1e-6
 
 
+def test_nb_classify_covers_every_doc_and_ln_is_boundary_safe(spark, oracle):
+    """(a) every document with at least one model-vocab token gets
+    exactly one prediction; (b) the BM25-style boundary check for the
+    quantized ln: every log-likelihood/prior input sits >= 1e-9 from
+    the nearest 9-dp half-boundary, so a JVM-vs-libm last-ulp
+    difference can never flip the quantization."""
+    import math
+
+    from chronicle_sniffer_spark.plans.ml import NB_MODEL_K, ml2b_nb_classify
+
+    pdf = ml2b_nb_classify(spark, SF_SMOKE).toPandas()
+    assert pdf["doc_id"].is_unique
+    assert len(pdf) > 0
+    assert set(pdf["correct"].unique()) <= {0, 1}
+    # the model's 50-feature-per-class design is part of the contract
+    assert NB_MODEL_K == 50
+
+    # boundary-distance audit over the actual ln inputs
+    rows = oracle.sql(
+        """
+        WITH cw AS (
+          SELECT lang, word, count(*) AS c
+          FROM (SELECT lang, unnest(string_split(text,' ')) AS word FROM documents)
+          GROUP BY lang, word
+        ),
+        ct AS (SELECT lang, CAST(sum(c) AS BIGINT) AS tw FROM cw GROUP BY lang),
+        v AS (SELECT count(DISTINCT word) AS vsz FROM cw),
+        pri AS (SELECT lang, count(*) AS nd FROM documents GROUP BY lang),
+        tot AS (SELECT count(*) AS ndocs FROM documents)
+        SELECT CAST(c + 1 AS DOUBLE) / CAST(tw + vsz AS DOUBLE) AS x
+        FROM cw JOIN ct USING (lang), v
+        UNION ALL
+        SELECT CAST(nd AS DOUBLE) / CAST(ndocs AS DOUBLE) FROM pri, tot
+        """
+    ).fetchall()
+    for (x,) in rows:
+        frac = abs(math.log(x)) * 1e9 % 1.0
+        assert abs(frac - 0.5) > 1e-6, f"ln({x}) too close to a 9dp half-boundary"
+
+
 def test_gbt_stumps_recover_planted_structure(spark):
     """The target has a planted slope (y = 1000x + noise/100), so a
     correct split search MUST cut mid-range in round 1 with leaves

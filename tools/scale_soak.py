@@ -111,6 +111,7 @@ QUERIES = (
     "ml3_eval_confusion",
     "ml4_kmeans",
     "ml5_gbt_stumps",
+    "ml2b_nb_classify",
     "dq3_dp_release",
 )
 
