@@ -139,8 +139,8 @@ _LOGREG_ORACLE = f"""
 """
 
 
-def _logreg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
+def _featurize(li: DataFrame) -> DataFrame:
+    """The feature/label projection, batch- and stream-applicable."""
     return li.select(
         F.col("l_discount").cast("double").alias("x1"),
         (F.col("l_quantity").cast("double") / F.lit(50.0)).alias("x2"),
@@ -148,6 +148,10 @@ def _logreg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("y"),
     )
+
+
+def _logreg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _featurize(_t(spark, sf_dir, "lineitem"))
 
 
 def _z() -> Column:

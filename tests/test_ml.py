@@ -113,6 +113,50 @@ def test_dp_release_noise_is_laplace_shaped(spark):
     assert (a["n_released"] - a["n_true"] - a["noise"]).abs().max() < 1e-6
 
 
+def test_offline_trained_model_scores_stream_equals_batch(spark):
+    """Serving integration: weights trained offline (in-plan GD) score
+    a STREAM of the same rows — the quantized score aggregate from the
+    AvailableNow replay must equal the batch plan exactly (fast
+    sigmoid + fixed-point quantization are partition- and
+    micro-batch-order-invariant)."""
+    import chronicle_sniffer_spark.plans.ml as ml
+
+    feats = ml._logreg_features(spark, SF_SMOKE)
+    w = ml._logreg_weights(feats).collect()[0]
+
+    def scored_agg(df):
+        z = F.lit(w.w0) + F.lit(w.w1) * F.col("x1") + F.lit(w.w2) * F.col("x2")
+        s = F.lit(0.5) * (F.lit(1.0) + z / (F.lit(1.0) + F.abs(z)))
+        return df.agg(
+            F.count("*").alias("n"),
+            F.sum(F.floor(s * F.lit(1e9)).cast("decimal(38,0)")).alias("qscore"),
+        )
+
+    batch = scored_agg(feats).collect()[0]
+
+    import os
+    import tempfile
+
+    schema = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").schema
+    # the file stream source wants a DIRECTORY; stage the table file in
+    stage = tempfile.mkdtemp(prefix="ml_stream_src_")
+    os.symlink(f"{SF_SMOKE}/lineitem.parquet", os.path.join(stage, "lineitem.parquet"))
+    stream = spark.readStream.schema(schema).parquet(stage)
+    q = (
+        scored_agg(ml._featurize(stream))
+        .writeStream.format("memory")
+        .queryName("ml_stream_scores")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM ml_stream_scores").collect()
+    assert len(rows) == 1
+    assert rows[0]["n"] == batch["n"]
+    assert rows[0]["qscore"] == batch["qscore"]
+
+
 def test_nb_classify_covers_every_doc_and_ln_is_boundary_safe(spark, oracle):
     """(a) every document with at least one model-vocab token gets
     exactly one prediction; (b) the BM25-style boundary check for the
