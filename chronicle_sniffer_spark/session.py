@@ -44,6 +44,14 @@ def get_spark(app_name: str = "chronicle_sniffer_spark") -> SparkSession:
         # query times.  A large app serving many plans wants this high
         # on a cluster too.
         .config("spark.sql.codegen.cache.maxEntries", "1000")
+        # Scan-split sizing: the default 128 MB under-splits this
+        # testbed's few-but-large files (a 600 MB sf1 lineitem scanned
+        # as ~5 tasks on 32 cores); 16 MB yields ~core-count scan tasks
+        # at sf1+ while leaving the tiny gate files at one task.  On a
+        # real cluster this is the same knob you tune so scan tasks
+        # saturate executors — row-group-aligned files split; single-
+        # row-group files never do (see tools/make_scale_data.py).
+        .config("spark.sql.files.maxPartitionBytes", "16m")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         # events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized

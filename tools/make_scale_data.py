@@ -89,7 +89,8 @@ def _replicate_sql(con, src: str, out: str, table: str, replicas: int) -> None:
           FROM read_parquet('{path}'),
                (SELECT unnest(generate_series(0, {replicas - 1})) AS i) r
           ORDER BY r.i
-        ) TO '{os.path.join(out, f"{table}.parquet")}' (FORMAT parquet)
+        ) TO '{os.path.join(out, f"{table}.parquet")}'
+          (FORMAT parquet, ROW_GROUP_SIZE 65536)
         """
     )
 
@@ -128,6 +129,10 @@ def _replicate_documents(src: str, out: str, replicas: int) -> None:
             }
         ),
         os.path.join(out, "documents.parquet"),
+        # many row groups so the scan SPLITS: a single-row-group file
+        # is unsplittable no matter what maxPartitionBytes says (found
+        # by the round-6 soak — document scans ran one task at sf10)
+        row_group_size=4096,
     )
 
 
@@ -158,6 +163,7 @@ def _replicate_embeddings(src: str, out: str, replicas: int) -> None:
             }
         ),
         os.path.join(out, "embeddings.parquet"),
+        row_group_size=4096,
     )
 
 
