@@ -429,14 +429,25 @@ def ml2b_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("logprior"),
         )
     )
+    # collapse duplicate (doc, word) tokens BEFORE probing the model:
+    # quantized-decimal logp × integer count sums to the EXACT same
+    # value as per-occurrence addition, and the broadcast-join probe
+    # count drops from |tokens| to |distinct (doc, word)| (the 40-word
+    # synthetic vocabulary repeats heavily; real corpora too, Zipf)
+    doc_words = toks.groupBy("doc_id", "word").agg(
+        F.any_value("true_lang").alias("true_lang"),
+        F.count("*").alias("cnt"),
+    )
     scores = (
-        toks.join(F.broadcast(model), "word")
+        doc_words.join(F.broadcast(model), "word")
         .join(F.broadcast(pri), "lang")
         .groupBy("doc_id", "lang")
         .agg(
             F.any_value("true_lang").alias("true_lang"),
             (
-                F.sum(F.col("logp").cast("decimal(20,9)")).cast("double")
+                F.sum(F.col("logp").cast("decimal(20,9)") * F.col("cnt")).cast(
+                    "double"
+                )
                 + F.any_value("logprior")
             ).alias("score"),
         )

@@ -140,9 +140,16 @@ def main() -> None:
         row: dict = {}
         for sf_dir, key in ((SF01_DIR, "sf0.1"), (sf1_dir, "sf1")):
             run(name, sf_dir)  # warm: codegen compile + JIT
-            t0 = time.time()
-            run(name, sf_dir)
-            row[key] = round(time.time() - t0, 3)
+            # MIN of two timed runs: a 69-query session accumulates
+            # GC/python-worker churn that can inflate ONE run 5-10x
+            # (round-6: a 13.5 s video-decode spike vs 1.8 s in a
+            # fresh session); the min is the reproducible wall
+            walls = []
+            for _ in range(2):
+                t0 = time.time()
+                run(name, sf_dir)
+                walls.append(time.time() - t0)
+            row[key] = round(min(walls), 3)
         row["ratio"] = round(row["sf1"] / row["sf0.1"], 2) if row["sf0.1"] > 0 else None
         results[name] = row
         print(f"{name}: sf0.1={row['sf0.1']}s sf1={row['sf1']}s ratio={row['ratio']}x",
