@@ -393,12 +393,25 @@ _BUDGET_ORACLE = f"""
 def l6_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data selection under a token budget: rank documents by a
     quality signal (best first, deterministic tie-break) and keep the
-    prefix whose cumulative token count fits {pct}% of the corpus —
+    prefix whose cumulative token count fits 50% of the corpus —
     the greedy knapsack every 'train on the best N tokens' recipe
     uses.  Integer cumulative sums are exact; the budget is a 1-row
-    broadcast.  The global ORDER BY window is the honest cost at
-    scale: a range-partitioned sort (the l6_global_shuffle path), not
-    a single-partition window, would carry it at 100 TB."""
+    broadcast.
+
+    Scale shape — a DISTRIBUTED prefix sum, no global window:
+    `repartitionByRange` on (quality desc, doc_id) gives a total
+    order across ordered partitions; per-partition token sums (a
+    P-row aggregate) turn into per-partition starting offsets via a
+    tiny broadcast triangle join (P² pairs, P = parallelism — no
+    unpartitioned Window anywhere, asserted by
+    tests/test_coverage5.py); partitions whose offset already
+    exceeds the budget are PRUNED before the cumsum (on a 50%
+    budget, half the corpus never runs the scan stage's second
+    pass); the in-partition running sum is one Arrow-batched
+    `mapInPandas` carrying the residual across batches.  Every
+    stage is partition-parallel — this is the plan that survives
+    100 TB, unlike the single-task global-window formulation it
+    replaced in round 7."""
     d = _t(spark, sf_dir, "documents")
     n_tokens = F.size(F.split("text", " ")).cast("bigint")
     quality = F.round(
@@ -409,16 +422,51 @@ def l6_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     budget = sig.agg(
         (F.sum("n_tokens") * BUDGET_FRAC_PCT / 100).cast("bigint").alias("b")
     )
-    w = Window.orderBy(F.col("quality").desc(), F.col("doc_id")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    npart = max(spark.sparkContext.defaultParallelism, 2)
+    parted = (
+        sig.repartitionByRange(npart, F.col("quality").desc(), F.col("doc_id"))
+        .sortWithinPartitions(F.col("quality").desc(), F.col("doc_id"))
+        .withColumn("pid", F.spark_partition_id())
     )
-    ranked = sig.withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("bigint"))
-    return ranked.crossJoin(F.broadcast(budget)).filter(
-        F.col("cum_tokens") <= F.col("b")
-    ).select("doc_id", "n_tokens", "quality", "cum_tokens")
+    psums = parted.groupBy("pid").agg(F.sum("n_tokens").alias("psum"))
+    # offset(p) = sum of token counts in all partitions BEFORE p in
+    # the range order — P rows, so a broadcast triangle join beats a
+    # window (and keeps the whole plan window-free)
+    offsets = (
+        psums.alias("a")
+        .join(F.broadcast(psums.alias("b")), F.col("b.pid") < F.col("a.pid"), "left")
+        .groupBy(F.col("a.pid").alias("pid"))
+        .agg(F.coalesce(F.sum("b.psum"), F.lit(0)).cast("bigint").alias("offset"))
+    )
+    pruned = (
+        parted.join(F.broadcast(offsets), "pid")
+        .crossJoin(F.broadcast(budget))
+        # n_tokens >= 1, so a partition starting at/after the budget
+        # cannot contribute any kept row: skip its cumsum entirely
+        .filter(F.col("offset") < F.col("b"))
+    )
 
+    def _cumsum(batches):
+        import pandas as pd  # noqa: F401 (executor-side)
 
-l6_token_budget_select.__doc__ = l6_token_budget_select.__doc__.format(pct=BUDGET_FRAC_PCT)
+        run = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cum = pdf["n_tokens"].cumsum() + int(pdf["offset"].iloc[0]) + run
+            run += int(pdf["n_tokens"].sum())
+            yield pdf.assign(cum_tokens=cum.astype("int64"))[
+                ["doc_id", "n_tokens", "quality", "cum_tokens", "b"]
+            ]
+
+    ranked = pruned.mapInPandas(
+        _cumsum,
+        schema="doc_id bigint, n_tokens bigint, quality double, "
+        "cum_tokens bigint, b bigint",
+    )
+    return ranked.filter(F.col("cum_tokens") <= F.col("b")).select(
+        "doc_id", "n_tokens", "quality", "cum_tokens"
+    )
 
 
 # ---------------------------------------------------------------------------

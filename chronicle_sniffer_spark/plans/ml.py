@@ -445,9 +445,15 @@ def ml2b_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.any_value("true_lang").alias("true_lang"),
             (
-                F.sum(F.col("logp").cast("decimal(20,9)") * F.col("cnt")).cast(
-                    "double"
-                )
+                # cnt must be a NARROW decimal: decimal(20,9) x bigint
+                # would need precision 41 > 38 and Spark silently
+                # demotes the product to decimal(38,6) (6-dp rounding
+                # per product, r6 driver hash mismatch).  decimal(20,9)
+                # x decimal(10,0) -> decimal(31,9): exact.
+                F.sum(
+                    F.col("logp").cast("decimal(20,9)")
+                    * F.col("cnt").cast("decimal(10,0)")
+                ).cast("double")
                 + F.any_value("logprior")
             ).alias("score"),
         )

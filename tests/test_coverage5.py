@@ -468,6 +468,20 @@ def test_token_budget_select_is_greedy_prefix(spark):
         assert min(dropped) > max(order_key.values())
 
 
+def test_token_budget_select_plan_has_no_window(spark):
+    """The round-7 rewrite is a distributed prefix sum: the physical
+    plan must contain NO Window operator at all (the old plan had a
+    single-partition global window — one task for the whole corpus),
+    and must keep the range repartition + mapInPandas stages."""
+    from chronicle_sniffer_spark.plans.coverage5 import l6_token_budget_select
+
+    df = l6_token_budget_select(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    assert "rangepartitioning" in plan.lower(), plan
+    assert "MapInPandas" in plan, plan
+
+
 # ---------------------------------------------------------------------------
 # Streaming document-quality gate
 # ---------------------------------------------------------------------------

@@ -2,7 +2,9 @@
 
 Runs every catalog query through Spark AND its DuckDB oracle on the
 same parquet tables, canonicalizes both results (columns sorted by
-name, doubles rounded to 2, rows sorted), and reports match/mismatch.
+name, doubles at FULL shortest-round-trip precision, rows sorted),
+and reports match/mismatch.  Integral doubles canonicalize as ints so
+a DuckDB HUGEINT->float64 vs Spark BIGINT difference stays benign.
 
 Usage:  python tools/check_correctness.py [sf_dir] [query ...]
 """
@@ -49,7 +51,14 @@ def canon_value(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{round(v, 2):.2f}"
+        if v == int(v) and abs(v) < 1e15:
+            # integral doubles print the same whether the engine
+            # returned int64 or float64 (HUGEINT->float64 drift)
+            return str(int(v))
+        # FULL precision (shortest round-trip repr), matching the
+        # driver's value-hash strictness — the old 2-dp rounding
+        # masked the r6 ml2b 1e-6 mismatch
+        return repr(v)
     if v is None or v is pd.NaT or (isinstance(v, float) and math.isnan(v)):
         return "NULL"
     if isinstance(v, pd.Timestamp):
