@@ -135,6 +135,8 @@ HEADLINE = (
     "ml5_gbt_stumps",
     "ml2b_nb_classify",
     "dq3_dp_release",
+    # round-7 additions: corpus-relative df-cap audit
+    "l2_ngram_df_cap_audit",
 )
 
 # Entries with documented ±18% round-over-round drift on identical code
@@ -344,16 +346,44 @@ def main() -> None:
     timings["udm_stream_e2e_60k"] = round(statistics.median(stream_samples), 3)
 
     total = round(sum(timings.values()), 3)
+    full = {
+        "metric": "headline_queries_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "udm_b1_pkts_per_sec_per_core": b1_throughput,
+        "udm_b1_marginal_pkts_per_sec_per_core": b1_marginal,
+        "sf": sf,
+    }
+    # The driver snapshots only the LAST 2000 bytes of stdout
+    # (BENCH_r06.json "tail"), and the full per-query dict is ~4.5 KB —
+    # so the full line alone can never parse from the tail.  Emit the
+    # full record first (and persist it to BENCH_FULL_LATEST.json for
+    # the judge), then a SHORT headline line LAST so the tail window
+    # always contains one complete parseable JSON line.
+    print(json.dumps(full))
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL_LATEST.json"),
+            "w",
+        ) as f:
+            json.dump(full, f, indent=1)
+            f.write("\n")
+    except OSError:
+        pass
+    slowest = max(timings, key=timings.get)
     print(
         json.dumps(
             {
                 "metric": "headline_queries_wall",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "n_queries": len(timings),
+                "slowest": {slowest: timings[slowest]},
                 "udm_b1_pkts_per_sec_per_core": b1_throughput,
                 "udm_b1_marginal_pkts_per_sec_per_core": b1_marginal,
                 "sf": sf,
+                "queries_detail": "BENCH_FULL_LATEST.json",
             }
         )
     )

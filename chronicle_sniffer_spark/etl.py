@@ -158,26 +158,31 @@ def compact_small_files(
     files written.  At cluster scale the same routine runs per
     partition directory, keyed off the partition values, so compaction
     parallelizes across partitions and never rewrites hot ones being
-    appended to."""
-    import glob as _glob
-    import os as _os
+    appended to.
 
-    paths = [
-        p
-        for p in _glob.glob(_os.path.join(in_dir, "**", "*.parquet"), recursive=True)
-        if _os.path.isfile(p)
-    ]
-    total = sum(_os.path.getsize(p) for p in paths)
+    Sizing uses the Hadoop FileSystem API (not a local-OS glob), so
+    the same call works against any filesystem Spark can read —
+    local, HDFS, or an object store mounted via its Hadoop
+    connector."""
+
+    def _parquet_bytes_and_count(dir_path: str) -> tuple[int, int]:
+        jvm = spark.sparkContext._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(dir_path)
+        fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+        total = count = 0
+        it = fs.listFiles(hpath, True)
+        while it.hasNext():
+            st = it.next()
+            if st.getPath().getName().endswith(".parquet"):
+                total += st.getLen()
+                count += 1
+        return total, count
+
+    total, _ = _parquet_bytes_and_count(in_dir)
     n_files = max(1, -(-total // target_bytes))  # ceil
     df = spark.read.parquet(in_dir)
     df.coalesce(int(n_files)).write.mode("overwrite").parquet(out_dir)
-    return len(
-        [
-            p
-            for p in _glob.glob(_os.path.join(out_dir, "*.parquet"))
-            if _os.path.isfile(p)
-        ]
-    )
+    return _parquet_bytes_and_count(out_dir)[1]
 
 
 def main(argv: list[str] | None = None) -> int:

@@ -14,9 +14,15 @@ Scale shape (the 100 TB story):
    frequency puts the *rarest* grams in the prefix, so the per-gram
    join fan-out collapses: common grams — the skew hazard AND the
    bulk of the candidate volume — never enter the index.  A
-   ``max_df`` cap on prefix entries remains as a hard skew guard for
-   adversarial corpora (a gram rare enough to be in many prefixes but
-   still shared by millions of docs).
+   document-frequency cap on prefix entries remains as a hard skew
+   guard for adversarial corpora (a gram rare enough to be in many
+   prefixes but still shared by millions of docs).  The cap is
+   CORPUS-RELATIVE by default (``max_df_pct`` percent of the doc
+   count, exact integer ceil, computed in-plan as a 1-row
+   broadcast) — an absolute cap would silently drive candidate
+   recall to zero as the corpus grows; pass ``max_df`` for an
+   absolute override.  The cap is never silent: pair it with
+   :func:`ngram_df_cap_report` to surface how many grams it drops.
 3. **A size filter rides on the join**: Jaccard ≥ t forces
    ``t*|a| <= |b| <= |a|/t``, pruning mismatched-length pairs before
    the pair shuffle.
@@ -81,8 +87,27 @@ def word_ngrams(docs: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
+def _df_cap_col(docs: DataFrame, max_df: int | None, max_df_pct: int):
+    """(cap DataFrame or None, cap Column).  Relative cap =
+    ceil(max_df_pct% of doc count) in EXACT integer math
+    ((n*pct + 99) div 100) — float fractions round differently across
+    engines (0.2 is not binary-exact)."""
+    if max_df is not None:
+        return None, F.lit(int(max_df)).cast("bigint")
+    cap = docs.agg(
+        F.expr(f"CAST((count(*) * {int(max_df_pct)} + 99) DIV 100 AS BIGINT)").alias(
+            "max_df_cap"
+        )
+    )
+    return cap, F.col("max_df_cap")
+
+
 def ngram_jaccard_pairs(
-    docs: DataFrame, n: int = 3, threshold: float = 0.5, max_df: int = 100
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+    max_df_pct: int = 20,
 ) -> DataFrame:
     """(doc_a, doc_b, jaccard) for pairs with Jaccard ≥ threshold.
 
@@ -91,7 +116,12 @@ def ngram_jaccard_pairs(
     the window's partitioning), prefix self-join (by gram), pair
     distinct, and the two scoring joins (by doc).  Every key is a gram,
     a doc id, or a pair — never a document body.
+
+    The prefix df cap defaults to ``max_df_pct`` percent of the corpus
+    doc count (a 1-row broadcast, no driver action); ``max_df`` forces
+    an absolute cap instead (tests, adversarial skew guards).
     """
+    cap_df, cap_col = _df_cap_col(docs, max_df, max_df_pct)
     grams = word_ngrams(docs, n)
 
     # global gram order = (document frequency asc, gram) — rarest first
@@ -119,9 +149,10 @@ def ngram_jaccard_pairs(
     # never admit a pair the candidate side already pruned)
     t = threshold - 1e-6
     prefix_len = F.col("n_grams") - F.ceil(F.lit(t) * F.col("n_grams")) + 1
-    prefix = ranked.filter((F.col("rn") <= prefix_len) & (F.col("df") <= max_df)).select(
-        "doc_id", "gram", "n_grams", "rn"
-    )
+    ranked_capped = ranked if cap_df is None else ranked.crossJoin(F.broadcast(cap_df))
+    prefix = ranked_capped.filter(
+        (F.col("rn") <= prefix_len) & (F.col("df") <= cap_col)
+    ).select("doc_id", "gram", "n_grams", "rn")
 
     a, b = prefix.alias("a"), prefix.alias("b")
     matches = a.join(
@@ -182,8 +213,103 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_df_cap_report(
+    docs: DataFrame,
+    n: int = 3,
+    max_df: int | None = None,
+    max_df_pct: int = 20,
+) -> DataFrame:
+    """One-row audit of the df cap's candidate-recall cost: the
+    effective cap, total distinct grams, and how many grams the cap
+    drops from the prefix index (no silent caps — a 100 TB run reads
+    this row before trusting the near-dup recall).  Same gram pipeline
+    and cap arithmetic as :func:`ngram_jaccard_pairs`."""
+    cap_df, cap_col = _df_cap_col(docs, max_df, max_df_pct)
+    df = word_ngrams(docs, n).groupBy("gram").agg(F.count("*").alias("df"))
+    if cap_df is not None:
+        df = df.crossJoin(F.broadcast(cap_df))
+    return df.agg(
+        F.max(cap_col).cast("bigint").alias("max_df_cap"),
+        F.count("*").cast("bigint").alias("n_grams"),
+        F.sum((F.col("df") > cap_col).cast("int")).cast("bigint").alias("n_dropped"),
+    )
+
+
+def _star_components(edges: DataFrame, max_iter: int = 30) -> DataFrame:
+    """Large-star/small-star connected components (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) —
+    O(log n) rounds regardless of component diameter, the scale path
+    for adversarially long chains a 100 TB near-dup graph can contain.
+
+    ``edges``: canonical undirected edge set, columns (u, v) with
+    u > v, distinct, no self-loops.  Returns (node, label) with
+    label = component minimum for every node incident to an edge.
+
+    Each round is two grouped-min + join steps over the edge set —
+    the same shuffle primitives as one label-propagation round — and
+    the edge set only shrinks toward stars centered at component
+    minima.  Convergence check is exact (new ⊆ old via exceptAll +
+    count equality), not a checksum.
+    """
+
+    def large_star(e: DataFrame) -> DataFrame:
+        bid = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = bid.groupBy("u").agg(F.min("v").alias("mv"))
+        mins = mins.select("u", F.least("u", "mv").alias("m"))
+        return (
+            bid.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        mins = e.groupBy("u").agg(F.min("v").alias("m"))
+        joined = e.join(mins, "u")
+        moved = joined.filter(F.col("v") != F.col("m")).select(
+            F.col("v").alias("u"), F.col("m").alias("v")
+        )
+        centers = mins.select("u", F.col("m").alias("v"))
+        return moved.union(centers).distinct()
+
+    # each round references `cur` four times (bidirectional union +
+    # grouped-min join in BOTH star steps), so an uncheckpointed
+    # logical plan grows ~5x per round and kills the driver at ~10
+    # rounds.  localCheckpoint truncates lineage every round (on a
+    # real cluster with preemptible executors, swap for
+    # reliable checkpoint(dir) — same call shape).
+    cur = edges.localCheckpoint()
+    for _ in range(max_iter):
+        new = small_star(large_star(cur)).localCheckpoint()
+        stable = new.count() == cur.count() and new.exceptAll(cur).isEmpty()
+        cur = new
+        if stable:
+            leaves = cur.select(F.col("u").alias("node"), F.col("v").alias("label"))
+            centers = (
+                cur.select(F.col("v").alias("node"))
+                .distinct()
+                .select("node", F.col("node").alias("label"))
+            )
+            # at the star fixpoint every non-center points straight
+            # at its component min; the groupBy-min collapses any
+            # node that is both a leaf and a center of a sub-star
+            return (
+                leaves.union(centers)
+                .groupBy("node")
+                .agg(F.min("label").alias("label"))
+            )
+    raise RuntimeError(
+        f"star connected components: not converged after {max_iter} rounds"
+    )
+
+
 def connected_components(
-    pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b", max_iter: int = 30
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 30,
+    switch_after: int = 5,
 ) -> DataFrame:
     """Near-dup pairs → clusters: (node, cluster_id = min reachable id).
 
@@ -191,12 +317,16 @@ def connected_components(
     own and its neighbors' labels — one join + one groupBy per round,
     converging in O(component diameter) rounds.  Near-dup graphs are
     piles of small dense cliques (diameter 1-2), so this settles in a
-    couple of rounds; for adversarially long chains at 100 TB, swap in
-    the large-star/small-star alternation (Kiveris et al., same join
-    primitives, logarithmic rounds).  Deterministic: min over ids.
+    couple of rounds.  If the graph turns out to have a LONG diameter
+    (``switch_after`` rounds without convergence), the operator
+    switches to the large-star/small-star alternation
+    (:func:`_star_components`) — logarithmic rounds, the 100 TB path
+    for pathological chains.  Both produce identical labels (min id
+    per component), so the switch is invisible to callers.
 
     Raises after ``max_iter`` non-converged rounds rather than
-    returning a partial clustering.
+    returning a partial clustering (if ``max_iter`` ≤ ``switch_after``
+    the star fallback never engages — the explicit fail-loudly cap).
     """
     fwd = pairs.select(F.col(src).alias("s"), F.col(dst).alias("t"))
     rev = pairs.select(F.col(dst).alias("s"), F.col(src).alias("t"))
@@ -205,7 +335,19 @@ def connected_components(
         "node", F.col("node").alias("label")
     ).cache()
     try:
-        for _ in range(max_iter):
+        for rnd in range(max_iter):
+            if rnd >= switch_after:
+                # diameter exceeded the cheap-path budget: restart on
+                # the logarithmic-round algorithm
+                canon = (
+                    edges.filter(F.col("s") != F.col("t"))
+                    .select(
+                        F.greatest("s", "t").alias("u"), F.least("s", "t").alias("v")
+                    )
+                    .distinct()
+                )
+                labels.unpersist()
+                return _star_components(canon, max_iter=max_iter)
             nbr = (
                 edges.join(labels, edges["t"] == labels["node"])
                 .select(edges["s"].alias("node"), labels["label"])

@@ -60,12 +60,15 @@ def _spread_ids(documents: DataFrame, mod: int | None = None) -> DataFrame:
     10x data on a single core).  The shuffled relation is just the
     8-byte ids — the payloads are synthesized AFTER the spread — so
     the exchange is a few KB and both the encode and the downstream
-    decode stages parallelize across all cores."""
+    decode stages parallelize across all cores.  Delegates to
+    :func:`chronicle_sniffer_spark.tables.spread`, so a source that
+    already arrives well-split gets NO extra shuffle."""
+    from chronicle_sniffer_spark.tables import spread
+
     ids = documents
     if mod is not None:
         ids = ids.filter(F.col("doc_id") % 3 == mod)
-    par = documents.sparkSession.sparkContext.defaultParallelism
-    return ids.select("doc_id").repartition(par)
+    return spread(ids.select("doc_id"))
 
 
 def synthesize_media(documents: DataFrame) -> DataFrame:

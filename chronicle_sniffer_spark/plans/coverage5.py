@@ -337,14 +337,14 @@ def l6_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from chronicle_sniffer_spark.plans.dedup_sim import (
         JACCARD_THRESHOLD,
-        NGRAM_MAX_DF,
+        NGRAM_MAX_DF_PCT,
         NGRAM_N,
     )
     from chronicle_sniffer_spark.plans.quality import _SPLIT_A, _SPLIT_M, TRAIN_PCT, VAL_PCT
 
     d = _t(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(
-        d, n=NGRAM_N, threshold=JACCARD_THRESHOLD, max_df=NGRAM_MAX_DF
+        d, n=NGRAM_N, threshold=JACCARD_THRESHOLD, max_df_pct=NGRAM_MAX_DF_PCT
     )
     labels = connected_components(pairs).select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")

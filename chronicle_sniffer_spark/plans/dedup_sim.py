@@ -23,7 +23,7 @@ from chronicle_sniffer_spark.tables import load_table
 
 NGRAM_N = 3
 JACCARD_THRESHOLD = 0.5
-NGRAM_MAX_DF = 100
+NGRAM_MAX_DF_PCT = 20  # prefix df cap = ceil(20% of corpus doc count), corpus-relative
 ANN_QUERY_VEC = 0
 ANN_K = 10
 
@@ -46,7 +46,9 @@ _ORACLE_GRAMS_CTE = f"""
     sizes AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id),
     rare AS (
       SELECT g.doc_id, g.gram FROM grams g
-      JOIN (SELECT gram FROM grams GROUP BY gram HAVING count(*) <= {NGRAM_MAX_DF}) r
+      JOIN (SELECT gram FROM grams GROUP BY gram
+            HAVING count(*) <= (SELECT (count(*) * {NGRAM_MAX_DF_PCT} + 99) // 100
+                                FROM documents)) r
         ON g.gram = r.gram
     ),
     cand AS (
@@ -84,7 +86,37 @@ def l2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents"),
         n=NGRAM_N,
         threshold=JACCARD_THRESHOLD,
-        max_df=NGRAM_MAX_DF,
+        max_df_pct=NGRAM_MAX_DF_PCT,
+    )
+
+
+@query(
+    "l2_ngram_df_cap_audit",
+    section="L2",
+    oracle=f"""
+    WITH grams AS (
+      SELECT DISTINCT doc_id, array_to_string(words[i:i+{NGRAM_N - 1}], ' ') AS gram
+      FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+           unnest(generate_series(1, greatest(len(words) - {NGRAM_N - 1}, 1))) AS t(i)
+    ),
+    df AS (SELECT gram, count(*) AS df FROM grams GROUP BY gram),
+    cap AS (SELECT (count(*) * {NGRAM_MAX_DF_PCT} + 99) // 100 AS c FROM documents)
+    SELECT CAST(cap.c AS BIGINT) AS max_df_cap,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN df.df > cap.c THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+    FROM df, cap GROUP BY cap.c
+    """,
+)
+def l2_ngram_df_cap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No-silent-caps audit for the n-gram prefix index: the effective
+    corpus-relative df cap, the distinct-gram count, and how many
+    grams the cap excludes from candidate generation.  A production
+    dedup run records this row next to its pair output so recall loss
+    from the skew guard is visible, not silent."""
+    from chronicle_sniffer_spark.operators.dedup import ngram_df_cap_report
+
+    return ngram_df_cap_report(
+        _t(spark, sf_dir, "documents"), n=NGRAM_N, max_df_pct=NGRAM_MAX_DF_PCT
     )
 
 
@@ -124,7 +156,7 @@ def l2_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents"),
         n=NGRAM_N,
         threshold=JACCARD_THRESHOLD,
-        max_df=NGRAM_MAX_DF,
+        max_df_pct=NGRAM_MAX_DF_PCT,
     )
     labels = connected_components(pairs)
     return labels.select(
@@ -532,7 +564,7 @@ def l6_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = ngram_jaccard_pairs(
         kept1.select("doc_id", "text"), n=NGRAM_N, threshold=JACCARD_THRESHOLD,
-        max_df=NGRAM_MAX_DF,
+        max_df_pct=NGRAM_MAX_DF_PCT,
     )
     labels = connected_components(pairs)
     noncanon = labels.filter(F.col("node") != F.col("label")).select(

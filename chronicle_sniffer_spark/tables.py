@@ -60,8 +60,23 @@ def spread(df: DataFrame) -> DataFrame:
     100 TB the same table arrives as thousands of splits, and this
     helper sees ``>= cores`` input partitions and becomes a no-op —
     it never adds a shuffle to a properly-split source; locally it
-    moves only the slim (id, text) projection."""
+    moves only the slim (id, text) projection.
+
+    Probe order (cheapest first): streaming DataFrames pass through
+    untouched (``.rdd`` would raise AnalysisException and a stream's
+    micro-batch partitioning is the source's to decide); then the
+    input-file count (``df.inputFiles()`` — file listing only, no
+    physical planning) proves a well-split source with ≥cores files;
+    only then fall back to the exact ``rdd.getNumPartitions()`` probe,
+    which forces physical planning of the sub-plan."""
+    if df.isStreaming:
+        return df
     par = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        if len(df.inputFiles()) >= par:
+            return df
+    except Exception:
+        pass
     if df.rdd.getNumPartitions() >= par:
         return df
     return df.repartition(par)

@@ -113,6 +113,61 @@ def test_connected_components_raises_when_iter_capped(spark):
         connected_components(chain, max_iter=2)
 
 
+def test_connected_components_long_chain_uses_star_switch(spark):
+    """A 120-node chain has diameter 119: pure min-label propagation
+    would need ~119 rounds, far past max_iter=30 — so a correct
+    result proves the large-star/small-star switch engaged and
+    converged logarithmically."""
+    from chronicle_sniffer_spark.operators.dedup import connected_components
+
+    n = 120
+    chain = spark.createDataFrame(
+        [(i + 1, i) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    got = {(r.node, r.label) for r in connected_components(chain, max_iter=30).collect()}
+    assert got == {(i, 0) for i in range(n)}
+
+
+def test_star_components_match_union_find_on_random_graphs(spark):
+    """Property check: _star_components labels == a driver-side
+    union-find on seeded random graphs (mix of chains, cliques,
+    stars, isolated edges)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from chronicle_sniffer_spark.operators.dedup import _star_components
+
+    rng = random.Random(7)
+    for trial in range(3):
+        nodes = list(range(60))
+        edges = set()
+        for _ in range(70):
+            a, b = rng.sample(nodes, 2)
+            edges.add((max(a, b), min(a, b)))
+        parent = {v: v for v in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            parent[find(a)] = find(b)
+        touched = {v for e in edges for v in e}
+        want = {}
+        for v in touched:
+            root = find(v)
+            want.setdefault(root, []).append(v)
+        expected = {
+            (v, min(members)) for members in want.values() for v in members
+        }
+        e_df = spark.createDataFrame(sorted(edges), "u long, v long")
+        got = {(r.node, r.label) for r in _star_components(e_df).collect()}
+        assert got == expected, f"trial {trial}"
+
+
 # ---------------------------------------------------------------------------
 # embedding near-dup: corpus-derived threshold margin
 # ---------------------------------------------------------------------------

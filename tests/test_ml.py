@@ -157,6 +157,63 @@ def test_offline_trained_model_scores_stream_equals_batch(spark):
     assert rows[0]["qscore"] == batch["qscore"]
 
 
+def test_threshold_sweep_stream_equals_batch(spark):
+    """Serving-time evaluation: the ml3 confusion/threshold sweep run
+    over a STREAM of rows (offline-trained frozen weights, 9-threshold
+    broadcast grid, AvailableNow replay, complete mode) must equal the
+    identical batch aggregate — the shape a training-data pipeline
+    runs to watch a live operating point drift."""
+    import os
+    import tempfile
+
+    import chronicle_sniffer_spark.plans.ml as ml
+
+    feats = ml._logreg_features(spark, SF_SMOKE)
+    w = ml._logreg_weights(feats).collect()[0]
+
+    def sweep(df):
+        z = F.lit(w.w0) + F.lit(w.w1) * F.col("x1") + F.lit(w.w2) * F.col("x2")
+        s = F.lit(0.5) * (F.lit(1.0) + z / (F.lit(1.0) + F.abs(z)))
+        scored = df.select(s.alias("s"), "y")
+        thr = spark.range(30, 71, 5).select(
+            (F.col("id").cast("double") / F.lit(100.0)).alias("thr")
+        )
+        pos = F.col("y") == F.lit(1.0)
+        hit = F.col("s") >= F.col("thr")
+        return (
+            scored.join(F.broadcast(thr))  # stream-static cross fan-out
+            .groupBy("thr")
+            .agg(
+                F.sum(F.when(hit & pos, 1).otherwise(0)).cast("bigint").alias("tp"),
+                F.sum(F.when(hit & ~pos, 1).otherwise(0)).cast("bigint").alias("fp"),
+                F.sum(F.when(~hit & pos, 1).otherwise(0)).cast("bigint").alias("fn"),
+                F.sum(F.when(~hit & ~pos, 1).otherwise(0)).cast("bigint").alias("tn"),
+            )
+        )
+
+    batch = {r["thr"]: (r["tp"], r["fp"], r["fn"], r["tn"]) for r in sweep(feats).collect()}
+
+    schema = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").schema
+    stage = tempfile.mkdtemp(prefix="ml3_stream_src_")
+    os.symlink(f"{SF_SMOKE}/lineitem.parquet", os.path.join(stage, "lineitem.parquet"))
+    stream = spark.readStream.schema(schema).parquet(stage)
+    q = (
+        sweep(ml._featurize(stream))
+        .writeStream.format("memory")
+        .queryName("ml3_stream_sweep")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["thr"]: (r["tp"], r["fp"], r["fn"], r["tn"])
+        for r in spark.sql("SELECT * FROM ml3_stream_sweep").collect()
+    }
+    assert len(got) == 9
+    assert got == batch
+
+
 def test_nb_classify_covers_every_doc_and_ln_is_boundary_safe(spark, oracle):
     """(a) every document with at least one model-vocab token gets
     exactly one prediction; (b) the BM25-style boundary check for the
@@ -218,11 +275,12 @@ def test_gbt_stumps_recover_planted_structure(spark):
     # repartition invariance: run through a different partitioning of
     # the same session (the plan re-reads the scan; partitioning of the
     # aggregate inputs changes with shuffle.partitions, sums must not)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "7")
     try:
         b = ml5_gbt_stumps(spark, SF_SMOKE).collect()
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
     assert feats is not None
 
