@@ -135,8 +135,11 @@ HEADLINE = (
     "ml5_gbt_stumps",
     "ml2b_nb_classify",
     "dq3_dp_release",
-    # round-7 additions: corpus-relative df-cap audit
+    # round-7 additions: df-cap audit, CMS sketch, PIT assembly, BPE step
     "l2_ngram_df_cap_audit",
+    "a14_cms_heavy_hitters",
+    "ml6_pit_training_set",
+    "l4_bpe_merge_step",
 )
 
 # Entries with documented ±18% round-over-round drift on identical code

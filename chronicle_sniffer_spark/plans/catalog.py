@@ -71,6 +71,7 @@ _SUBMODULES = (
     "chronicle_sniffer_spark.plans.partsupp",
     "chronicle_sniffer_spark.plans.coverage5",
     "chronicle_sniffer_spark.plans.ml",
+    "chronicle_sniffer_spark.plans.round7",
 )
 
 

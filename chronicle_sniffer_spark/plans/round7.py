@@ -1,0 +1,335 @@
+"""Round-7 catalog additions — three operators a 100 TB training-data
+stack runs daily that the catalog still lacked:
+
+- **A14 count-min-sketch heavy hitters**: the mergeable frequency
+  sketch (Cormode & Muthukrishnan, J. Algorithms 2005).  The sketch is
+  d×w cells regardless of corpus size, built by one map-side-combined
+  aggregate; estimates are a broadcast probe.  Deterministic: bucket
+  hashes are md5 nibble folds (engine-identical), no RNG.
+- **ML6 point-in-time training-set assembly**: the feature-store
+  discipline — every label row sees only feature values at-or-before
+  its timestamp (no leakage from the future).  One tagged union + one
+  ordered window per key joins ALL feature streams in a single
+  user_id shuffle; the oracle replays it with DuckDB's native ASOF
+  joins.
+- **L4 BPE merge-step**: the inner-loop primitive of a BPE tokenizer
+  trainer — occurrence-weighted adjacent-symbol-pair counts and the
+  top merge candidates.  A full trainer iterates this exact counting
+  pass after applying the chosen merge; each iteration is one
+  explode + one token-keyed aggregate.
+
+House determinism rules (plans/catalog.py) apply: identical aliases
+both engines, integer sums cast to BIGINT, LIMIT made deterministic
+with full tie-break keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from chronicle_sniffer_spark.plans.catalog import query
+from chronicle_sniffer_spark.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# A14: count-min-sketch heavy hitters
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4  # independent hash rows
+CMS_WIDTH = 256  # buckets per row
+CMS_TOPK = 10
+
+# bucket_i(word) = (16-bit nibble fold of md5(i || ':' || word)) % width
+# — the same engine-identical md5 nibble idiom as operators/simhash.py.
+_NIBBLE = "(instr('0123456789abcdef', substr({h}, {j}, 1)) - 1)"
+
+
+def _bucket_sql(h: str) -> str:
+    fold = " + ".join(
+        f"{_NIBBLE.format(h=h, j=j + 1)} * {16 ** (3 - j)}" for j in range(4)
+    )
+    return f"(({fold}) % {CMS_WIDTH})"
+
+
+@query(
+    "a14_cms_heavy_hitters",
+    section="A3",
+    oracle=f"""
+    WITH words AS (
+      SELECT w FROM (
+        SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents
+      ) WHERE w <> ''
+    ),
+    salted AS (
+      SELECT i, {_bucket_sql("md5(CAST(i AS VARCHAR) || ':' || w)")} AS bucket, w
+      FROM words, unnest(generate_series(1, {CMS_DEPTH})) AS t(i)
+    ),
+    cms AS (
+      SELECT i, bucket, count(*) AS cell FROM salted GROUP BY i, bucket
+    ),
+    vocab AS (SELECT w, CAST(count(*) AS BIGINT) AS true_cnt
+              FROM words GROUP BY w),
+    probes AS (
+      SELECT v.w, v.true_cnt, s.i,
+             {_bucket_sql("md5(CAST(s.i AS VARCHAR) || ':' || v.w)")} AS bucket
+      FROM vocab v, unnest(generate_series(1, {CMS_DEPTH})) AS s(i)
+    ),
+    est AS (
+      SELECT p.w AS word, CAST(min(c.cell) AS BIGINT) AS est_cnt,
+             max(p.true_cnt) AS true_cnt
+      FROM probes p JOIN cms c ON c.i = p.i AND c.bucket = p.bucket
+      GROUP BY p.w
+    )
+    SELECT word, est_cnt, true_cnt,
+           CAST(est_cnt - true_cnt AS BIGINT) AS overcount
+    FROM est ORDER BY est_cnt DESC, word LIMIT {CMS_TOPK}
+    """,
+)
+def a14_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters through a count-min sketch, checked against the
+    exact counts.
+
+    Scale shape: the sketch is {d}×{w} = {cells} cells NO MATTER the
+    corpus size — built by one map-side-combinable aggregate over the
+    salted token stream, mergeable across partitions/days by cell-wise
+    sum.  Probing broadcasts the tiny sketch onto the candidate set
+    (here the distinct vocabulary; at 100 TB the candidates come from
+    a cheap pre-pass) and takes the min over the d rows.  CMS
+    overestimates only — the `overcount` column is always ≥ 0, which
+    the oracle verifies value-for-value.  Bucket hashing is the
+    engine-identical md5 nibble fold (operators/simhash.py:35), so
+    both engines build the IDENTICAL sketch — no RNG, no seed.
+    """
+    from chronicle_sniffer_spark.tables import spread
+
+    d = spread(_t(spark, sf_dir, "documents").select("text"))
+    words = d.select(
+        F.explode(F.split(F.lower("text"), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    salt = F.explode(
+        F.array(*[F.lit(i) for i in range(1, CMS_DEPTH + 1)])
+    ).alias("i")
+    # materialize md5 ONCE per salted row; the nibble fold references
+    # the column (simhash lesson: folding over a recomputed md5 expr
+    # multiplies the hash work by the nibble count)
+    salted = (
+        words.select("w", salt)
+        .withColumn(
+            "h", F.md5(F.concat(F.col("i").cast("string"), F.lit(":"), "w").cast("binary"))
+        )
+        .select("i", "w", F.expr(_bucket_sql("h")).alias("bucket"))
+    )
+    cms = salted.groupBy("i", "bucket").agg(F.count("*").alias("cell"))
+    vocab = words.groupBy("w").agg(F.count("*").cast("bigint").alias("true_cnt"))
+    probes = (
+        vocab.select("w", "true_cnt", salt)
+        .withColumn(
+            "h", F.md5(F.concat(F.col("i").cast("string"), F.lit(":"), "w").cast("binary"))
+        )
+        .select("w", "true_cnt", "i", F.expr(_bucket_sql("h")).alias("bucket"))
+    )
+    est = (
+        probes.join(F.broadcast(cms), ["i", "bucket"])
+        .groupBy(F.col("w").alias("word"))
+        .agg(
+            F.min("cell").cast("bigint").alias("est_cnt"),
+            F.max("true_cnt").alias("true_cnt"),
+        )
+    )
+    return (
+        est.select(
+            "word",
+            "est_cnt",
+            "true_cnt",
+            (F.col("est_cnt") - F.col("true_cnt")).cast("bigint").alias("overcount"),
+        )
+        .orderBy(F.col("est_cnt").desc(), "word")
+        .limit(CMS_TOPK)
+    )
+
+
+a14_cms_heavy_hitters.__doc__ = a14_cms_heavy_hitters.__doc__.format(
+    d=CMS_DEPTH, w=CMS_WIDTH, cells=CMS_DEPTH * CMS_WIDTH
+)
+
+
+# ---------------------------------------------------------------------------
+# ML6: point-in-time training-set assembly (feature-store join)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ml6_pit_training_set",
+    section="ML6",
+    oracle="""
+    WITH p AS (
+      SELECT event_id, user_id, ts, value AS label
+      FROM events WHERE event_type = 'purchase'
+    ),
+    pp AS (
+      SELECT *, CAST(rank() OVER (PARTITION BY user_id ORDER BY ts) - 1
+                     AS BIGINT) AS n_prior
+      FROM p
+    ),
+    c AS (
+      SELECT user_id, ts, max(value) AS f_click
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    ),
+    v AS (
+      SELECT user_id, ts, max(value) AS f_view
+      FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+    )
+    SELECT pp.event_id, pp.user_id, pp.ts AS p_ts, pp.label, pp.n_prior,
+           c.f_click, v.f_view
+    FROM pp
+    ASOF LEFT JOIN c ON pp.user_id = c.user_id AND pp.ts >= c.ts
+    ASOF LEFT JOIN v ON pp.user_id = v.user_id AND pp.ts >= v.ts
+    """,
+)
+def ml6_pit_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct training-set assembly: each label row
+    (purchase) is joined with the LATEST value of every feature stream
+    at-or-before its timestamp, plus a strictly-prior label count —
+    the feature-store discipline that prevents future leakage into
+    training data.
+
+    Scale shape: ALL feature streams ride ONE tagged union and ONE
+    ordered window per user — a single user_id shuffle regardless of
+    how many feature columns are assembled (generalizes j8_asof from
+    one feature to N; a per-feature range join would be N shuffles and
+    quadratic probes).  The prior-label rank shares the same partition
+    key, so AQE reuses the exchange.  The oracle replays it with
+    DuckDB's native chained ASOF joins.  Rank (not row_number) makes
+    the prior count deterministic under equal-ts label ties.
+    """
+    e = _t(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.col("value").alias("label")
+    )
+    wp = Window.partitionBy("user_id").orderBy("ts")
+    pp = p.withColumn("n_prior", (F.rank().over(wp) - 1).cast("bigint"))
+    feats = {
+        "f_click": "click",
+        "f_view": "view",
+    }
+    tagged = pp.select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("tag"),
+        "event_id",
+        "label",
+        "n_prior",
+        *[F.lit(None).cast("double").alias(f"{k}_in") for k in feats],
+    )
+    for k, etype in feats.items():
+        f = (
+            e.filter(F.col("event_type") == etype)
+            .groupBy("user_id", "ts")
+            .agg(F.max("value").alias(k))
+        )
+        tagged = tagged.unionByName(
+            f.select(
+                "user_id",
+                "ts",
+                F.lit(0).alias("tag"),
+                F.lit(None).cast("long").alias("event_id"),
+                F.lit(None).cast("double").alias("label"),
+                F.lit(None).cast("bigint").alias("n_prior"),
+                *[
+                    (F.col(k) if k2 == k else F.lit(None).cast("double")).alias(
+                        f"{k2}_in"
+                    )
+                    for k2 in feats
+                ],
+            )
+        )
+    # features (tag 0) sort before labels (tag 1) at equal ts → "<=" semantics
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = tagged
+    for k in feats:
+        out = out.withColumn(k, F.last(f"{k}_in", ignorenulls=True).over(w))
+    return out.filter(F.col("tag") == 1).select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        "label",
+        "n_prior",
+        *feats,
+    )
+
+
+# ---------------------------------------------------------------------------
+# L4: BPE merge-step (tokenizer-trainer inner loop)
+# ---------------------------------------------------------------------------
+
+BPE_TOPK = 10
+
+
+@query(
+    "l4_bpe_merge_step",
+    section="L4",
+    oracle=f"""
+    WITH wc AS (
+      SELECT w, count(*) AS cnt FROM (
+        SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents
+      ) WHERE w <> '' GROUP BY w
+    ),
+    pairs AS (
+      SELECT substring(w, t.i, 2) AS pair, wc.cnt
+      FROM wc, unnest(generate_series(1, length(w) - 1)) AS t(i)
+      WHERE length(w) >= 2
+    )
+    SELECT pair, CAST(sum(cnt) AS BIGINT) AS pair_count
+    FROM pairs GROUP BY pair
+    ORDER BY pair_count DESC, pair LIMIT {BPE_TOPK}
+    """,
+)
+def l4_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One merge-selection step of a BPE tokenizer trainer:
+    occurrence-weighted adjacent-symbol-pair counts over the corpus
+    and the top merge candidates.  A full trainer applies the winning
+    merge to the symbol sequences and repeats this exact pass — so the
+    per-iteration cost IS this plan.
+
+    Scale shape: counting runs over the (word, count) DICTIONARY, not
+    the raw token stream — Zipf collapses the corpus to its vocabulary
+    before the pair fan-out, so each iteration's explode is
+    |vocab|×|word| rows, not |corpus| (the standard trainer trick).
+    The pair fan-out is the codegen-friendly explode(sequence)+
+    substring shape (no higher-order lambdas — see
+    operators/simhash.py's CodegenFallback note), and the count is one
+    token-keyed partially-aggregated groupBy.
+    """
+    from chronicle_sniffer_spark.tables import spread
+
+    d = spread(_t(spark, sf_dir, "documents").select("text"))
+    wc = (
+        d.select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    pairs = (
+        wc.filter(F.length("w") >= 2)
+        .select(
+            "w",
+            "cnt",
+            F.explode(F.sequence(F.lit(1), F.length("w") - 1)).alias("i"),
+        )
+        .select(F.substring(F.col("w"), F.col("i"), 2).alias("pair"), "cnt")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("cnt").cast("bigint").alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), "pair")
+        .limit(BPE_TOPK)
+    )

@@ -1,0 +1,96 @@
+"""Property tests for the round-7 operators (oracle parity itself runs
+via the auto-parametrized tests/test_catalog.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def test_cms_estimates_never_undercount(spark):
+    """CMS is a one-sided estimator: est >= true count for every
+    probed word, and the sketch itself is bounded at depth x width
+    cells no matter the corpus."""
+    from chronicle_sniffer_spark.plans.round7 import (
+        CMS_DEPTH,
+        CMS_WIDTH,
+        a14_cms_heavy_hitters,
+    )
+
+    rows = a14_cms_heavy_hitters(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.est_cnt >= r.true_cnt
+        assert r.overcount == r.est_cnt - r.true_cnt
+    assert CMS_DEPTH * CMS_WIDTH == 1024  # documented sketch budget
+
+
+def test_cms_top1_matches_exact_top_word(spark):
+    """With a 1024-cell sketch over a tiny vocabulary, collisions are
+    rare enough that the top estimated word equals the exact top word."""
+    from chronicle_sniffer_spark.plans.round7 import a14_cms_heavy_hitters
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    exact = (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .count()
+        .orderBy(F.col("count").desc(), "w")
+        .first()
+    )
+    got = a14_cms_heavy_hitters(spark, SF_SMOKE).first()
+    assert got.word == exact["w"]
+    assert got.true_cnt == exact["count"]
+
+
+def test_pit_training_set_never_leaks_future_features(spark):
+    """The feature-store property: every assembled feature value was
+    observable at-or-before the label timestamp — recomputed row by
+    row from the raw events with pandas."""
+    from chronicle_sniffer_spark.plans.round7 import ml6_pit_training_set
+
+    out = ml6_pit_training_set(spark, SF_SMOKE).toPandas()
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").toPandas()
+    purchases = ev[ev.event_type == "purchase"]
+    assert len(out) == len(purchases)
+    assert out.event_id.is_unique
+
+    by_user = {u: g for u, g in ev.groupby("user_id")}
+    sample = out.sample(n=min(80, len(out)), random_state=11)
+    for _, r in sample.iterrows():
+        g = by_user[r.user_id]
+        for col, etype in (("f_click", "click"), ("f_view", "view")):
+            feats = g[(g.event_type == etype) & (g.ts <= r.p_ts)]
+            if feats.empty:
+                assert r[col] != r[col] or r[col] is None  # NaN/None
+            else:
+                latest_ts = feats.ts.max()
+                want = feats[feats.ts == latest_ts].value.max()
+                assert abs(r[col] - want) < 1e-12
+        n_prior = len(
+            g[(g.event_type == "purchase") & (g.ts < r.p_ts)]
+        )
+        assert r.n_prior == n_prior
+
+
+def test_bpe_merge_step_matches_python_count(spark):
+    """Occurrence-weighted pair counts equal a driver-side Python
+    recount on the smoke corpus; winner selection is deterministic."""
+    from collections import Counter
+
+    from chronicle_sniffer_spark.plans.round7 import BPE_TOPK, l4_bpe_merge_step
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").toPandas()
+    counts: Counter = Counter()
+    for text in docs.text:
+        for w in str(text).lower().split(" "):
+            if not w:
+                continue
+            for i in range(len(w) - 1):
+                counts[w[i : i + 2]] += 1
+    want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:BPE_TOPK]
+
+    got = [(r.pair, r.pair_count) for r in l4_bpe_merge_step(spark, SF_SMOKE).collect()]
+    assert got == want
