@@ -1994,10 +1994,17 @@ def a11_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     because it accumulates doubles in partition order)."""
     li = _t(spark, sf_dir, "lineitem")
     aggs = [F.count("*").alias("n")]
+    # operand precision 18, not 19: Spark's (19,4)x(19,4) product needs
+    # precision 39 > 38 and allowPrecisionLoss silently demotes it to
+    # decimal(38,7) — per-product rounding (tools/audit_decimal.py).
+    # (18,4)x(18,4) -> decimal(37,8) is exact.  The DuckDB oracle keeps
+    # (19,4): DuckDB never demotes (its (19,4) product is exact int128;
+    # its (18,4) path overflows int64 instead).  Both engines compute
+    # the identical exact value.
     for x in _CORR_COLS:
         aggs.append(F.sum(F.col(x).cast("decimal(18,4)")).alias(f"sx_{x}"))
         aggs.append(
-            F.sum(F.col(x).cast("decimal(19,4)") * F.col(x).cast("decimal(19,4)")).alias(
+            F.sum(F.col(x).cast("decimal(18,4)") * F.col(x).cast("decimal(18,4)")).alias(
                 f"sq_{x}"
             )
         )
@@ -2006,7 +2013,7 @@ def a11_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     for x, y in pairs:
         aggs.append(
-            F.sum(F.col(x).cast("decimal(19,4)") * F.col(y).cast("decimal(19,4)")).alias(
+            F.sum(F.col(x).cast("decimal(18,4)") * F.col(y).cast("decimal(18,4)")).alias(
                 f"sxy_{x}_{y}"
             )
         )
@@ -2076,8 +2083,8 @@ def a12_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n"),
         F.sum(x.cast("decimal(18,4)")).alias("sx"),
         F.sum(y.cast("decimal(18,4)")).alias("sy"),
-        F.sum(x.cast("decimal(19,4)") * x.cast("decimal(19,4)")).alias("sxx"),
-        F.sum(x.cast("decimal(19,4)") * y.cast("decimal(19,4)")).alias("sxy"),
+        F.sum(x.cast("decimal(18,4)") * x.cast("decimal(18,4)")).alias("sxx"),
+        F.sum(x.cast("decimal(18,4)") * y.cast("decimal(18,4)")).alias("sxy"),
     )
     n = F.col("n").cast("double")
     sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")

@@ -16,8 +16,12 @@ outliers explained).  The brute-force all-pairs oracle baseline
 definition and scope-guarded as an oracle, not a scale path — its
 scale paths (LSH and IVF ANN) are in the list instead.
 
-Usage: python tools/scale_soak.py [out_json]   (default SCALE_r05.json
-next to the repo root; prints one JSON line, bench.py style)
+Usage: python tools/scale_soak.py [out_json] [query ...]
+(default SCALE_r05.json next to the repo root; prints one JSON line,
+bench.py style).  With query names, runs a FOCUSED soak of just those
+and MERGES the rows into an existing out_json, recomputing the
+median/max — so late-round entries get scale evidence without
+re-timing the whole set.
 """
 
 from __future__ import annotations
@@ -113,6 +117,13 @@ QUERIES = (
     "ml5_gbt_stumps",
     "ml2b_nb_classify",
     "dq3_dp_release",
+    # round-7 additions: sketch/PIT/BPE + the star-CC consumer and the
+    # df-cap audit over the relative cap
+    "a14_cms_heavy_hitters",
+    "ml6_pit_training_set",
+    "l4_bpe_merge_step",
+    "l2_ngram_df_cap_audit",
+    "l2_dedup_clusters",
 )
 
 
@@ -120,6 +131,7 @@ def main() -> None:
     out_path = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE_r05.json"
     )
+    only = set(sys.argv[2:])
     sf1_dir = make_scale_data()
     spark = get_spark("scale-soak")
     reg = registry()
@@ -136,7 +148,12 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
 
     results: dict[str, dict] = {}
+    if only and os.path.exists(out_path):
+        with open(out_path) as fh:
+            results = json.load(fh).get("queries", {})
     for name in QUERIES:
+        if only and name not in only:
+            continue
         row: dict = {}
         for sf_dir, key in ((SF01_DIR, "sf0.1"), (sf1_dir, "sf1")):
             run(name, sf_dir)  # warm: codegen compile + JIT
@@ -172,6 +189,7 @@ def main() -> None:
             "l2_fuzzy_title_join": "true match set grows 99x (12.8k->1.27M pairs); any correct algorithm is Omega(output); candidates ~30x matches under block+band",
             "l2_ngram_jaccard": "candidate-pair volume scales linearly with corpus by design (prefix filter keeps it off the quadratic path)",
             "l6_leakage_safe_split": "consumes the n-gram Jaccard pair volume above plus the component closure over it",
+            "l2_dedup_clusters": "same consumer family: ngram pair generation (35s of the 64s sf1 wall) + connected components over the output-scaled pair graph",
             "l2_semantic_dedup": "fixed K=16 cells for the oracle entry; the scale configuration grows n_centroids with the corpus (BASELINE.md: 3.0s at sf1 with K=160)",
         },
     }
