@@ -140,6 +140,7 @@ HEADLINE = (
     "a14_cms_heavy_hitters",
     "ml6_pit_training_set",
     "l4_bpe_merge_step",
+    "l3_ann_recall_eval",
 )
 
 # Entries with documented ±18% round-over-round drift on identical code

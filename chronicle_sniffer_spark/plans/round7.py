@@ -268,6 +268,148 @@ def ml6_pit_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# L3: ANN serving-quality evaluation (recall@k of LSH vs exact)
+# ---------------------------------------------------------------------------
+
+RECALL_QMOD = 64  # query stride
+RECALL_NQ = 8  # FIXED query budget: vec_id in {0, 64, ..., 448}
+RECALL_K = 10
+
+
+def _recall_oracle() -> str:
+    from chronicle_sniffer_spark.operators.similarity import oracle_bucket_keys_sql
+
+    return f"""
+    WITH bk AS (
+      SELECT vec_id, embedding, {oracle_bucket_keys_sql()} AS keys FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id AS qid, embedding::DOUBLE[] AS qv, keys
+      FROM bk WHERE vec_id % {RECALL_QMOD} = 0 AND vec_id < {RECALL_QMOD * RECALL_NQ}
+    ),
+    qk AS (SELECT qid, unnest(keys) AS qkey FROM q),
+    cand AS (
+      SELECT DISTINCT qk.qid, b.vec_id
+      FROM bk b JOIN qk ON list_contains(b.keys, qk.qkey)
+      WHERE b.vec_id <> qk.qid
+    ),
+    ann AS (
+      SELECT qid, vec_id FROM (
+        SELECT c.qid, c.vec_id,
+               row_number() OVER (
+                 PARTITION BY c.qid
+                 ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6)
+                          DESC, c.vec_id) AS rn
+        FROM cand c
+        JOIN embeddings e ON e.vec_id = c.vec_id
+        JOIN q ON q.qid = c.qid
+      ) WHERE rn <= {RECALL_K}
+    ),
+    ex AS (
+      SELECT qid, vec_id FROM (
+        SELECT q.qid, e.vec_id,
+               row_number() OVER (
+                 PARTITION BY q.qid
+                 ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6)
+                          DESC, e.vec_id) AS rn
+        FROM embeddings e, q WHERE e.vec_id <> q.qid
+      ) WHERE rn <= {RECALL_K}
+    )
+    SELECT ex.qid AS query_vec_id,
+           CAST(count(ann.vec_id) AS BIGINT) AS n_hits,
+           round(count(ann.vec_id) * 1.0 / {RECALL_K}, 6) AS recall
+    FROM ex LEFT JOIN ann ON ann.qid = ex.qid AND ann.vec_id = ex.vec_id
+    GROUP BY ex.qid
+    """
+
+
+@query("l3_ann_recall_eval", section="L3", oracle=_recall_oracle())
+def l3_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving-quality measurement: recall@{k} of the LSH ANN path
+    against exact brute-force top-k, over a deterministic modulo
+    sample of query vectors (a FIXED budget of {nq} queries, the
+    standard recall-eval discipline) — the metric an ANN deployment
+    actually monitors before trusting its index.
+
+    Scale shape: the ONLY corpus-sized work is (a) the bucket-key
+    projection (narrow map) and (b) one broadcast-nested-loop score
+    pass of N×Q rows for the EXACT side, where Q = {nq} is FIXED — so the
+    ground-truth pass stays LINEAR in the corpus no matter the scale
+    (a fraction-of-N sample would make it quadratic); the ANN side is the same
+    bucket equi-join the serving path uses.  All ranking ties break on
+    (6-dp sim, vec_id) so both engines pick identical top-k sets."""
+    from chronicle_sniffer_spark.operators.similarity import (
+        as_double,
+        cosine,
+        with_bucket_keys,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    keyed = with_bucket_keys(emb).select(
+        "vec_id", "embedding", F.explode("bkeys").alias("bkey")
+    )
+    qs = keyed.filter(
+        (F.col("vec_id") % RECALL_QMOD == 0)
+        & (F.col("vec_id") < RECALL_QMOD * RECALL_NQ)
+    ).select(
+        F.col("vec_id").alias("qid"),
+        F.col("bkey").alias("qkey"),
+        as_double(F.col("embedding")).alias("qv"),
+    )
+    cand = (
+        keyed.join(
+            F.broadcast(qs),
+            (F.col("bkey") == F.col("qkey")) & (F.col("vec_id") != F.col("qid")),
+        )
+        .dropDuplicates(["qid", "vec_id"])
+        .select("qid", "vec_id", "embedding", "qv")
+    )
+    rnk = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    ann = (
+        cand.select(
+            "qid",
+            "vec_id",
+            F.round(cosine(as_double(F.col("embedding")), F.col("qv")), 6).alias("sim"),
+        )
+        .withColumn("rn", F.row_number().over(rnk))
+        .filter(F.col("rn") <= RECALL_K)
+        .select("qid", "vec_id")
+    )
+    qvs = qs.select("qid", "qv").dropDuplicates(["qid"])
+    exact = (
+        emb.join(F.broadcast(qvs), F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.round(cosine(as_double(F.col("embedding")), F.col("qv")), 6).alias("sim"),
+        )
+        .withColumn("rn", F.row_number().over(rnk))
+        .filter(F.col("rn") <= RECALL_K)
+        .select("qid", "vec_id")
+    )
+    # full rename before the self-join: exact and ann share the
+    # embeddings lineage, and bare column refs would be ambiguous
+    annr = ann.select(F.col("qid").alias("a_qid"), F.col("vec_id").alias("a_vec"))
+    return (
+        exact.join(
+            annr,
+            (F.col("qid") == F.col("a_qid")) & (F.col("vec_id") == F.col("a_vec")),
+            "left",
+        )
+        .groupBy(F.col("qid").alias("query_vec_id"))
+        .agg(
+            F.count("a_vec").cast("bigint").alias("n_hits"),
+            F.round(F.count("a_vec") / F.lit(RECALL_K), 6).alias("recall"),
+        )
+    )
+
+
+l3_ann_recall_eval.__doc__ = l3_ann_recall_eval.__doc__.format(
+    k=RECALL_K, nq=RECALL_NQ
+)
+
+
+# ---------------------------------------------------------------------------
 # L4: BPE merge-step (tokenizer-trainer inner loop)
 # ---------------------------------------------------------------------------
 

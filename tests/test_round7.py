@@ -75,6 +75,29 @@ def test_pit_training_set_never_leaks_future_features(spark):
         assert r.n_prior == n_prior
 
 
+def test_ann_recall_eval_bounds_and_query_set(spark):
+    """recall@k ∈ [0,1], hits consistent, and the query set is exactly
+    the deterministic modulo sample."""
+    from chronicle_sniffer_spark.plans.round7 import (
+        RECALL_K,
+        RECALL_NQ,
+        RECALL_QMOD,
+        l3_ann_recall_eval,
+    )
+
+    rows = l3_ann_recall_eval(spark, SF_SMOKE).collect()
+    n_vec = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").count()
+    assert len(rows) == min((n_vec + RECALL_QMOD - 1) // RECALL_QMOD, RECALL_NQ)
+    for r in rows:
+        assert r.query_vec_id % RECALL_QMOD == 0
+        assert 0 <= r.n_hits <= RECALL_K
+        assert abs(r.recall - r.n_hits / RECALL_K) < 1e-9
+    # LSH with 8 tables x 4 bits on this corpus should find most of
+    # the true neighbors — a floor guards against silent bucket bugs
+    mean_recall = sum(r.recall for r in rows) / len(rows)
+    assert mean_recall >= 0.5
+
+
 def test_bpe_merge_step_matches_python_count(spark):
     """Occurrence-weighted pair counts equal a driver-side Python
     recount on the smoke corpus; winner selection is deterministic."""

@@ -28,6 +28,7 @@ ACCEPTED = {
     "l3_ann_ivf_topk",  # candidate scoring folds on a pruned cell subset
     "l3_ann_ivf_index_topk",  # same scoring fold, over the partition-pruned index scan
     "l3_ann_lsh_topk",  # candidate scoring folds on bucket candidates
+    "l3_ann_recall_eval",  # same zip_with cosine folds, exact + ANN sides
     "l3_cosine_topk",  # 1-row broadcast query; fold over N rows is bounded
     "l4_lang_quality",  # per-row stopword filter on a small table
     "l4_token_stats",  # same stopword filter

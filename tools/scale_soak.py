@@ -124,6 +124,7 @@ QUERIES = (
     "l4_bpe_merge_step",
     "l2_ngram_df_cap_audit",
     "l2_dedup_clusters",
+    "l3_ann_recall_eval",
 )
 
 
