@@ -141,6 +141,7 @@ HEADLINE = (
     "ml6_pit_training_set",
     "l4_bpe_merge_step",
     "l3_ann_recall_eval",
+    "dq4_drift_report",
 )
 
 # Entries with documented ±18% round-over-round drift on identical code

@@ -410,6 +410,122 @@ l3_ann_recall_eval.__doc__ = l3_ann_recall_eval.__doc__.format(
 
 
 # ---------------------------------------------------------------------------
+# DQ4: snapshot-drift report (training-data distribution monitor)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dq4_drift_report",
+    section="DQ4",
+    oracle="""
+    WITH tagged AS (
+      SELECT CASE WHEN doc_id % 2 = 0 THEN 'a' ELSE 'b' END AS snap,
+             lang, n_chars,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    tot AS (
+      SELECT snap, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(n_chars) AS BIGINT) AS sc,
+             CAST(sum(n_tokens) AS BIGINT) AS st
+      FROM tagged GROUP BY snap
+    ),
+    overall AS (
+      SELECT 'n_docs' AS metric,
+             round(CAST(max(CASE WHEN snap='a' THEN n END) AS DOUBLE), 6) AS val_a,
+             round(CAST(max(CASE WHEN snap='b' THEN n END) AS DOUBLE), 6) AS val_b
+      FROM tot
+      UNION ALL
+      SELECT 'mean_chars',
+             round(max(CASE WHEN snap='a' THEN sc END) * 1.0
+                   / max(CASE WHEN snap='a' THEN n END), 6),
+             round(max(CASE WHEN snap='b' THEN sc END) * 1.0
+                   / max(CASE WHEN snap='b' THEN n END), 6)
+      FROM tot
+      UNION ALL
+      SELECT 'mean_tokens',
+             round(max(CASE WHEN snap='a' THEN st END) * 1.0
+                   / max(CASE WHEN snap='a' THEN n END), 6),
+             round(max(CASE WHEN snap='b' THEN st END) * 1.0
+                   / max(CASE WHEN snap='b' THEN n END), 6)
+      FROM tot
+    ),
+    shares AS (
+      SELECT 'share_' || lang AS metric,
+             round(CAST(sum(CASE WHEN snap='a' THEN 1 ELSE 0 END) AS DOUBLE)
+                   / (SELECT max(CASE WHEN snap='a' THEN n END) FROM tot), 6) AS val_a,
+             round(CAST(sum(CASE WHEN snap='b' THEN 1 ELSE 0 END) AS DOUBLE)
+                   / (SELECT max(CASE WHEN snap='b' THEN n END) FROM tot), 6) AS val_b
+      FROM tagged GROUP BY lang
+    )
+    SELECT metric, val_a, val_b, round(abs(val_a - val_b), 6) AS abs_delta
+    FROM (SELECT * FROM overall UNION ALL SELECT * FROM shares)
+    """,
+)
+def dq4_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor between two corpus snapshots (here
+    the deterministic doc_id-parity halves standing in for
+    yesterday/today): per-snapshot doc counts, mean char/token
+    lengths, and per-language share — with the absolute delta a drift
+    alert thresholds on.  The check a continuously-crawled training
+    corpus runs before every new data drop is admitted.
+
+    Scale shape: ONE scan computes every per-snapshot aggregate as
+    conditional columns (no per-metric passes), the language shares
+    are a tiny groupBy over the same tagged relation, and the metric
+    rows are a constant-size union — output is O(#metrics), never
+    O(corpus).  Integer sums are exact; the only doubles are final
+    ratios rounded at 6 dp on both engines."""
+    d = _t(spark, sf_dir, "documents")
+    tagged = d.select(
+        F.when(F.col("doc_id") % 2 == 0, "a").otherwise("b").alias("snap"),
+        "lang",
+        "n_chars",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    )
+    tot = tagged.groupBy("snap").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("n_chars").cast("bigint").alias("sc"),
+        F.sum("n_tokens").cast("bigint").alias("st"),
+    )
+    a = F.max(F.when(F.col("snap") == "a", F.col("n")))
+    b = F.max(F.when(F.col("snap") == "b", F.col("n")))
+    sca = F.max(F.when(F.col("snap") == "a", F.col("sc")))
+    scb = F.max(F.when(F.col("snap") == "b", F.col("sc")))
+    sta = F.max(F.when(F.col("snap") == "a", F.col("st")))
+    stb = F.max(F.when(F.col("snap") == "b", F.col("st")))
+    overall = tot.agg(
+        F.round(a.cast("double"), 6).alias("n_a"),
+        F.round(b.cast("double"), 6).alias("n_b"),
+        F.round(sca * 1.0 / a, 6).alias("mc_a"),
+        F.round(scb * 1.0 / b, 6).alias("mc_b"),
+        F.round(sta * 1.0 / a, 6).alias("mt_a"),
+        F.round(stb * 1.0 / b, 6).alias("mt_b"),
+    ).select(
+        F.expr(
+            "stack(3, 'n_docs', n_a, n_b, 'mean_chars', mc_a, mc_b,"
+            " 'mean_tokens', mt_a, mt_b) AS (metric, val_a, val_b)"
+        )
+    )
+    counts = tagged.groupBy("lang").agg(
+        F.sum(F.when(F.col("snap") == "a", 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("snap") == "b", 1).otherwise(0)).alias("cb"),
+    )
+    totals = tot.agg(a.alias("na"), b.alias("nb"))
+    shares = counts.crossJoin(F.broadcast(totals)).select(
+        F.concat(F.lit("share_"), F.col("lang")).alias("metric"),
+        F.round(F.col("ca").cast("double") / F.col("na"), 6).alias("val_a"),
+        F.round(F.col("cb").cast("double") / F.col("nb"), 6).alias("val_b"),
+    )
+    return overall.unionByName(shares).select(
+        "metric",
+        "val_a",
+        "val_b",
+        F.round(F.abs(F.col("val_a") - F.col("val_b")), 6).alias("abs_delta"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # L4: BPE merge-step (tokenizer-trainer inner loop)
 # ---------------------------------------------------------------------------
 

@@ -98,6 +98,21 @@ def test_ann_recall_eval_bounds_and_query_set(spark):
     assert mean_recall >= 0.5
 
 
+def test_drift_report_shares_sum_to_one(spark):
+    """Per-snapshot language shares each sum to 1, deltas are
+    non-negative, and the doc counts add up to the corpus."""
+    from chronicle_sniffer_spark.plans.round7 import dq4_drift_report
+
+    rows = {r.metric: r for r in dq4_drift_report(spark, SF_SMOKE).collect()}
+    n = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").count()
+    nd = rows["n_docs"]
+    assert nd.val_a + nd.val_b == n
+    sa = sum(r.val_a for m, r in rows.items() if m.startswith("share_"))
+    sb = sum(r.val_b for m, r in rows.items() if m.startswith("share_"))
+    assert abs(sa - 1.0) < 1e-5 and abs(sb - 1.0) < 1e-5
+    assert all(r.abs_delta >= 0 for r in rows.values())
+
+
 def test_bpe_merge_step_matches_python_count(spark):
     """Occurrence-weighted pair counts equal a driver-side Python
     recount on the smoke corpus; winner selection is deterministic."""

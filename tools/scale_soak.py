@@ -125,6 +125,7 @@ QUERIES = (
     "l2_ngram_df_cap_audit",
     "l2_dedup_clusters",
     "l3_ann_recall_eval",
+    "dq4_drift_report",
 )
 
 
