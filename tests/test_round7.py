@@ -45,6 +45,62 @@ def test_cms_top1_matches_exact_top_word(spark):
     assert got.true_cnt == exact["count"]
 
 
+def test_cms_sketch_stream_equals_batch(spark):
+    """The CMS is THE streaming-mergeable frequency sketch: cells
+    built over an AvailableNow micro-batched stream of the corpus
+    (update mode through a grouped agg) must equal the batch cells —
+    cell-wise sums are associative, so micro-batch order can't
+    matter."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from chronicle_sniffer_spark.plans.round7 import CMS_DEPTH, _bucket_sql
+
+    def cells(df):
+        words = df.select(
+            F.explode(F.split(F.lower("text"), " ")).alias("w")
+        ).filter(F.col("w") != "")
+        salt = F.explode(
+            F.array(*[F.lit(i) for i in range(1, CMS_DEPTH + 1)])
+        ).alias("i")
+        salted = (
+            words.select("w", salt)
+            .withColumn(
+                "h",
+                F.md5(
+                    F.concat(F.col("i").cast("string"), F.lit(":"), "w").cast("binary")
+                ),
+            )
+            .select("i", F.expr(_bucket_sql("h")).alias("bucket"))
+        )
+        return salted.groupBy("i", "bucket").agg(F.count("*").alias("cell"))
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    batch = {(r.i, r.bucket): r.cell for r in cells(docs).collect()}
+
+    stage = tempfile.mkdtemp(prefix="cms_stream_src_")
+    os.symlink(
+        f"{SF_SMOKE}/documents.parquet", os.path.join(stage, "documents.parquet")
+    )
+    stream = spark.readStream.schema(docs.schema).parquet(stage)
+    q = (
+        cells(stream)
+        .writeStream.format("memory")
+        .queryName("cms_stream_cells")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.i, r.bucket): r.cell
+        for r in spark.sql("SELECT * FROM cms_stream_cells").collect()
+    }
+    assert got == batch
+
+
 def test_pit_training_set_never_leaks_future_features(spark):
     """The feature-store property: every assembled feature value was
     observable at-or-before the label timestamp — recomputed row by
