@@ -142,6 +142,7 @@ HEADLINE = (
     "l4_bpe_merge_step",
     "l3_ann_recall_eval",
     "dq4_drift_report",
+    "s8b_bucketed_colocated_join",
 )
 
 # Entries with documented ±18% round-over-round drift on identical code

@@ -410,6 +410,92 @@ l3_ann_recall_eval.__doc__ = l3_ann_recall_eval.__doc__.format(
 
 
 # ---------------------------------------------------------------------------
+# S8b: bucketed-table co-located join (shuffle-free fact-fact join)
+# ---------------------------------------------------------------------------
+
+BUCKETS = 8
+
+# (applicationId, sf_dir) -> (lineitem table, orders table): the
+# bucketed layout is written ONCE per session and served many times —
+# the 100 TB shape, where bucketing is a property of the stored table.
+_BUCKETED_CACHE: dict[tuple[str, str], tuple[str, str]] = {}
+
+
+def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    import hashlib
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _BUCKETED_CACHE:
+        # the warehouse DIRECTORY outlives the in-memory catalog, so a
+        # fresh session would hit LOCATION_ALREADY_EXISTS on a
+        # name reused from a previous run — scope names to the session
+        suf = hashlib.md5(f"{key[0]}:{sf_dir}".encode()).hexdigest()[:8]
+        li_name, o_name = f"css_bkt_lineitem_{suf}", f"css_bkt_orders_{suf}"
+        (
+            _t(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_extendedprice", "l_discount")
+            .write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(BUCKETS, "l_orderkey")
+            .sortBy("l_orderkey")
+            .saveAsTable(li_name)
+        )
+        (
+            _t(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_orderpriority")
+            .write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(BUCKETS, "o_orderkey")
+            .sortBy("o_orderkey")
+            .saveAsTable(o_name)
+        )
+        _BUCKETED_CACHE[key] = (li_name, o_name)
+    return _BUCKETED_CACHE[key]
+
+
+@query(
+    "s8b_bucketed_colocated_join",
+    section="S8",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def s8b_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact join through BUCKETED tables: lineitem and orders are
+    stored bucketed+sorted on the join key, so the sort-merge join
+    runs with NO shuffle and NO sort on either side — each task reads
+    bucket i of both tables and merges.  At 100 TB this is the
+    difference between re-shuffling 100 TB per join and a pure
+    co-located scan (the layout cost is paid once at write time,
+    amortized over every subsequent join on that key).  The single
+    Exchange left in the plan is the tiny post-join groupBy — asserted
+    in tests/test_round7.py.  The oracle joins the plain parquet
+    views: the layout must never change the answer."""
+    li_name, o_name = _bucketed_tables(spark, sf_dir)
+    li = spark.table(li_name).hint("merge")
+    o = spark.table(o_name).hint("merge")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("bigint").alias("n_items"),
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # DQ4: snapshot-drift report (training-data distribution monitor)
 # ---------------------------------------------------------------------------
 

@@ -53,6 +53,12 @@ def get_spark(app_name: str = "chronicle_sniffer_spark") -> SparkSession:
         # row-group files never do (see tools/make_scale_data.py).
         .config("spark.sql.files.maxPartitionBytes", "16m")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Managed-table warehouse (bucketed-table demos) lives in /tmp,
+        # never inside the repo working directory.
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/css_warehouse"),
+        )
         .config("spark.ui.enabled", "false")
         # events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
         # reader rejects; read as long nanos and convert in tables.load_table

@@ -154,6 +154,20 @@ def test_ann_recall_eval_bounds_and_query_set(spark):
     assert mean_recall >= 0.5
 
 
+def test_bucketed_join_plan_is_shuffle_free(spark):
+    """The bucketed fact-fact join must contain exactly ONE Exchange —
+    the tiny post-join groupBy — i.e. the sort-merge join itself runs
+    co-located on the bucketed layout with no shuffle of either
+    table."""
+    from chronicle_sniffer_spark.plans.round7 import s8b_bucketed_colocated_join
+
+    df = s8b_bucketed_colocated_join(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan, plan
+    assert plan.count("Exchange") == 1, plan
+    assert plan.count("Bucketed: true") == 2, plan
+
+
 def test_drift_report_shares_sum_to_one(spark):
     """Per-snapshot language shares each sum to 1, deltas are
     non-negative, and the doc counts add up to the corpus."""

@@ -126,6 +126,7 @@ QUERIES = (
     "l2_dedup_clusters",
     "l3_ann_recall_eval",
     "dq4_drift_report",
+    "s8b_bucketed_colocated_join",
 )
 
 
