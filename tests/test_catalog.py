@@ -17,7 +17,15 @@ ROWS_ONLY_QUERIES = sorted(name for name, spec in REG.items() if spec.oracle is 
 
 def _canon_value(v):
     if isinstance(v, float):
-        return "NaN" if math.isnan(v) else f"{round(v, 2):.2f}"
+        if math.isnan(v):
+            return "NaN"
+        if v == int(v) and abs(v) < 1e15:
+            # integral doubles print the same whether the engine
+            # returned int64 or float64
+            return str(int(v))
+        # FULL shortest-round-trip precision, matching the driver's
+        # value-hash strictness (2-dp rounding masked the r6 ml2b red)
+        return repr(v)
     if v is None:
         return "NULL"
     return str(v)
