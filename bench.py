@@ -143,6 +143,7 @@ HEADLINE = (
     "l3_ann_recall_eval",
     "dq4_drift_report",
     "s8b_bucketed_colocated_join",
+    "g2_triangle_count",
 )
 
 # Entries with documented ±18% round-over-round drift on identical code

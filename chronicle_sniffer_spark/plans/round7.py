@@ -410,6 +410,104 @@ l3_ann_recall_eval.__doc__ = l3_ann_recall_eval.__doc__.format(
 
 
 # ---------------------------------------------------------------------------
+# G2: triangle counting (degree-oriented node-iterator)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "g2_triangle_count",
+    section="G2",
+    oracle="""
+    WITH pur AS (
+      SELECT DISTINCT date_trunc('hour', ts) AS h, user_id
+      FROM events WHERE event_type = 'purchase'
+    ),
+    edges AS (
+      SELECT DISTINCT a.user_id AS u, b.user_id AS v
+      FROM pur a JOIN pur b ON a.h = b.h AND a.user_id < b.user_id
+    ),
+    wedges AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM edges e1 JOIN edges e2 ON e1.v = e2.u
+    ),
+    tri AS (
+      SELECT w.a, w.b, w.c FROM wedges w
+      JOIN edges e3 ON e3.u = w.a AND e3.v = w.c
+    )
+    SELECT CAST((SELECT count(*) FROM edges) AS BIGINT) AS n_edges,
+           CAST((SELECT count(*) FROM tri) AS BIGINT) AS n_triangles
+    """,
+)
+def g2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count over the purchase co-occurrence graph (users
+    buying in the same hour) — the clustering/community primitive next
+    to g1's PageRank.
+
+    Scale shape: the DEGREE-ORIENTED node-iterator (Schank & Wagner
+    2005) — every edge is re-oriented from its lower-degree endpoint
+    to the higher (ties on id), so wedge generation fans out from
+    low-degree apexes only and the join volume is O(m^1.5) instead of
+    Σdeg² (a single celebrity node cannot explode the wedge count).
+    Three hash joins total: orientation (edges×degrees, degrees
+    broadcastable), wedge build (oriented⋈oriented on the apex), and
+    the closing-edge semi join.  Orientation never changes the
+    COUNT, so the oracle counts triangles directly on the canonical
+    u<v edge set."""
+    e = _t(spark, sf_dir, "events")
+    pur = (
+        e.filter(F.col("event_type") == "purchase")
+        .select(F.date_trunc("hour", "ts").alias("h"), "user_id")
+        .distinct()
+    )
+    a, b = pur.alias("a"), pur.alias("b")
+    edges = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.user_id") < F.col("b.user_id")))
+        .select(F.col("a.user_id").alias("u"), F.col("b.user_id").alias("v"))
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("u").alias("n")).union(edges.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("d"))
+    )
+    du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
+    # orient low-degree -> high-degree (ties: lower id first)
+    oriented = (
+        edges.join(F.broadcast(du), "u")
+        .join(F.broadcast(dv), "v")
+        .select(
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.struct(F.col("u").alias("s"), F.col("v").alias("t")),
+            )
+            .otherwise(F.struct(F.col("v").alias("s"), F.col("u").alias("t")))
+            .alias("o")
+        )
+        .select("o.s", "o.t")
+    )
+    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
+    wedges = o1.join(
+        o2, (F.col("o1.s") == F.col("o2.s")) & (F.col("o1.t") < F.col("o2.t"))
+    ).select(
+        F.col("o1.t").alias("x"), F.col("o2.t").alias("y")
+    )
+    # close the wedge with the canonical undirected edge set
+    closing = edges.select(
+        F.least("u", "v").alias("cu"), F.greatest("u", "v").alias("cv")
+    )
+    tri = wedges.join(
+        closing,
+        (F.least("x", "y") == F.col("cu")) & (F.greatest("x", "y") == F.col("cv")),
+        "left_semi",
+    )
+    return edges.agg(F.count("*").cast("bigint").alias("n_edges")).crossJoin(
+        F.broadcast(tri.agg(F.count("*").cast("bigint").alias("n_triangles")))
+    )
+
+
+# ---------------------------------------------------------------------------
 # S8b: bucketed-table co-located join (shuffle-free fact-fact join)
 # ---------------------------------------------------------------------------
 

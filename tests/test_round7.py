@@ -154,6 +154,47 @@ def test_ann_recall_eval_bounds_and_query_set(spark):
     assert mean_recall >= 0.5
 
 
+def test_triangle_count_matches_python_enumeration(spark):
+    """Degree-oriented count equals a driver-side brute enumeration of
+    the same co-occurrence graph, and the plan has no CartesianProduct."""
+    from itertools import combinations
+
+    from pyspark.sql import functions as F
+
+    from chronicle_sniffer_spark.plans.round7 import g2_triangle_count
+
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    pur = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(F.date_trunc("hour", "ts").alias("h"), "user_id")
+        .distinct()
+        .collect()
+    )
+    by_h: dict = {}
+    for r in pur:
+        by_h.setdefault(r.h, set()).add(r.user_id)
+    edges = set()
+    for users in by_h.values():
+        for u, v in combinations(sorted(users), 2):
+            edges.add((u, v))
+    adj: dict = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    want = sum(
+        1
+        for (u, v) in edges
+        for w in adj[u] & adj[v]
+        if w > v  # u < v < w counts each triangle once
+    )
+
+    df = g2_triangle_count(spark, SF_SMOKE)
+    row = df.collect()[0]
+    assert row.n_edges == len(edges)
+    assert row.n_triangles == want
+    assert "CartesianProduct" not in df._jdf.queryExecution().executedPlan().toString()
+
+
 def test_bucketed_join_plan_is_shuffle_free(spark):
     """The bucketed fact-fact join must contain exactly ONE Exchange —
     the tiny post-join groupBy — i.e. the sort-merge join itself runs

@@ -127,6 +127,7 @@ QUERIES = (
     "l3_ann_recall_eval",
     "dq4_drift_report",
     "s8b_bucketed_colocated_join",
+    "g2_triangle_count",
 )
 
 
