@@ -775,3 +775,257 @@ def l4_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pair_count").desc(), "pair")
         .limit(BPE_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# A15: bitmap-based exact distinct counting
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a15_bitmap_distinct",
+    section="A15",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def a15_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-user counts per event type via Spark's native
+    mergeable bitmap aggregate (`bitmap_construct_agg`) — the
+    warehouse pattern for exact COUNT(DISTINCT) at scale.
+
+    Scale shape: a plain `count(distinct user_id)` must either expand
+    to a two-phase distinct (shuffling every raw (event_type, user_id)
+    pair) or buffer per-group hash sets.  The bitmap form instead
+    bucket-partitions the id space (`bitmap_bucket_number`, 2^15 ids
+    per bucket) and builds a fixed-width 4 KB bitmap per
+    (group, bucket) with a map-side-combinable aggregate — partial
+    bitmaps OR together, so the shuffle carries compressed set state,
+    not raw ids, and the final count is a cheap popcount + sum.  The
+    same bitmaps are storable, making the distinct count incrementally
+    maintainable (see o10's merge discipline)."""
+    e = _t(spark, sf_dir, "events")
+    partial = e.groupBy(
+        "event_type", F.bitmap_bucket_number(F.col("user_id")).alias("bkt")
+    ).agg(
+        F.bitmap_construct_agg(F.bitmap_bit_position(F.col("user_id"))).alias("bm"),
+        F.count("*").alias("c"),
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum(F.bitmap_count("bm")).cast("bigint").alias("n_users"),
+        F.sum("c").cast("bigint").alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# O9b: SCD type-2 validity intervals from a change stream
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "o9b_scd2_intervals",
+    section="O9",
+    oracle="""
+    WITH src AS (
+      SELECT o_custkey AS custkey, o_orderkey,
+             o_orderpriority AS priority,
+             CAST(o_orderdate AS TIMESTAMP) AS od
+      FROM orders WHERE o_custkey % 10 = 0
+    ),
+    marked AS (
+      SELECT *, CASE WHEN lag(priority) OVER w IS DISTINCT FROM priority
+                     THEN 1 ELSE 0 END AS chg
+      FROM src WINDOW w AS (PARTITION BY custkey ORDER BY od, o_orderkey)
+    ),
+    runs AS (
+      SELECT *, SUM(chg) OVER (PARTITION BY custkey ORDER BY od, o_orderkey
+                               ROWS UNBOUNDED PRECEDING) AS version
+      FROM marked
+    ),
+    iv AS (
+      SELECT custkey, version, priority,
+             min(od) AS valid_from,
+             CAST(count(*) AS BIGINT) AS n_orders
+      FROM runs GROUP BY custkey, version, priority
+    )
+    SELECT custkey, CAST(version AS BIGINT) AS version, priority, valid_from,
+           n_orders,
+           lead(valid_from) OVER w2 AS valid_to,
+           CAST(CASE WHEN lead(valid_from) OVER w2 IS NULL
+                THEN 1 ELSE 0 END AS BIGINT) AS is_current
+    FROM iv WINDOW w2 AS (PARTITION BY custkey ORDER BY version)
+    """,
+)
+def o9b_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 build: collapse a per-customer
+    change stream (order priority over order date) into versioned
+    validity intervals [valid_from, valid_to) with a current-row flag
+    — the other half of the CDC story next to o9_cdc_latest (type-1).
+
+    The run-collapse is the gaps-and-islands pattern: lag() marks
+    change points, a running sum of marks assigns version numbers,
+    one groupBy folds each run to its interval, and lead() closes
+    each interval with the next version's start.  Everything is
+    keyed on custkey — ONE shuffle feeds both windows and the
+    aggregate, and at 100 TB the dimension build stays a single
+    hash-partitioned pass (no self-join against history).  The
+    deterministic `% 10` customer slice keeps gate output bounded;
+    production runs unsliced with identical shape."""
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") % 10 == 0)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            "o_orderkey",
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_orderdate").cast("timestamp").alias("od"),
+        )
+    )
+    w = Window.partitionBy("custkey").orderBy("od", "o_orderkey")
+    prev = F.lag("priority").over(w)
+    marked = o.select(
+        "custkey",
+        "o_orderkey",
+        "priority",
+        "od",
+        F.when(prev.isNull() | (prev != F.col("priority")), 1).otherwise(0).alias("chg"),
+    )
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    runs = marked.select(
+        "custkey", "priority", "od", F.sum("chg").over(wrun).alias("version")
+    )
+    iv = runs.groupBy("custkey", "version", "priority").agg(
+        F.min("od").alias("valid_from"),
+        F.count("*").cast("bigint").alias("n_orders"),
+    )
+    w2 = Window.partitionBy("custkey").orderBy("version")
+    nxt = F.lead("valid_from").over(w2)
+    return iv.select(
+        "custkey",
+        F.col("version").cast("bigint").alias("version"),
+        "priority",
+        "valid_from",
+        "n_orders",
+        nxt.alias("valid_to"),
+        F.when(nxt.isNull(), 1).otherwise(0).cast("bigint").alias("is_current"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# L4: positional inverted-index phrase search
+# ---------------------------------------------------------------------------
+
+PHRASE = ("hash", "join")
+
+
+@query(
+    "l4_phrase_search",
+    section="L4",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, t.i - 1 AS pos, words[t.i] AS w
+      FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+           unnest(generate_series(1, len(words))) AS t(i)
+    )
+    SELECT p1.doc_id,
+           CAST(count(*) AS BIGINT) AS n_hits,
+           CAST(min(p1.pos) AS BIGINT) AS first_pos
+    FROM toks p1 JOIN toks p2 ON p1.doc_id = p2.doc_id AND p2.pos = p1.pos + 1
+    WHERE p1.w = '{PHRASE[0]}' AND p2.w = '{PHRASE[1]}'
+    GROUP BY p1.doc_id
+    """,
+)
+def l4_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search ("{0} {1}") via a positional inverted
+    index: per-term posting lists (doc_id, position) joined on
+    adjacent positions — the scalable alternative to scanning every
+    document with a substring match.
+
+    Scale shape: at 100 TB the postings relation is built ONCE and
+    stored bucketed by term; a phrase query then reads only the two
+    query terms' posting lists (partition/bucket pruning on the term
+    key), and the adjacency join is an equi-join on
+    (doc_id, pos == pos+1) between two relations each a tiny fraction
+    of the corpus.  Here the postings are derived inline from the
+    same plan (posexplode), so Catalyst pushes each term filter to
+    its own branch of the explode — no unfiltered all-postings
+    shuffle ever forms."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "w")
+    )
+    p1 = toks.filter(F.col("w") == PHRASE[0]).select("doc_id", "pos")
+    p2 = toks.filter(F.col("w") == PHRASE[1]).select(
+        F.col("doc_id").alias("doc_id2"), F.col("pos").alias("pos2")
+    )
+    hits = p1.join(
+        p2,
+        (F.col("doc_id") == F.col("doc_id2")) & (F.col("pos2") == F.col("pos") + 1),
+    )
+    return hits.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_hits"),
+        F.min("pos").cast("bigint").alias("first_pos"),
+    )
+
+
+l4_phrase_search.__doc__ = l4_phrase_search.__doc__.format(*PHRASE)
+
+
+# ---------------------------------------------------------------------------
+# O10: incremental aggregate refresh (mergeable partial state)
+# ---------------------------------------------------------------------------
+
+REFRESH_CUTOFF = "2024-01-20"
+
+
+@query(
+    "o10_incremental_agg_refresh",
+    section="O10",
+    oracle=f"""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+           CAST(epoch_us(CAST(min(ts) AS TIMESTAMP)) AS BIGINT) AS min_ts_us,
+           CAST(epoch_us(CAST(max(ts) AS TIMESTAMP)) AS BIGINT) AS max_ts_us
+    FROM events GROUP BY event_type
+    """,
+)
+def o10_incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-aggregate refresh: the standing
+    aggregate over history is NOT recomputed when a new batch lands —
+    the base partial state (count / exact-cents sum / min / max, all
+    mergeable) merges with the delta batch's partial state in one
+    tiny union+re-aggregate.  The oracle recomputes from scratch,
+    proving merge(base, delta) == full recompute.
+
+    Scale shape: at 100 TB this is the difference between scanning
+    the full history every refresh and scanning ONLY the new
+    partition — the base state is O(#groups) rows read back from the
+    serving store.  Every measure here is an algebraic aggregate
+    (merge = sum/min/max of partials); the non-algebraic one a real
+    pipeline needs — exact distinct — merges the same way via a15's
+    stored bitmaps (bitmap_or_agg).  Money stays in integer cents
+    (floor(value*100) on IEEE doubles is engine-identical), never
+    summed as floats."""
+    e = _t(spark, sf_dir, "events")
+    cut = F.lit(REFRESH_CUTOFF).cast("timestamp")
+
+    def partial_state(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100).cast("bigint")).alias("sum_cents"),
+            F.unix_micros(F.min("ts").cast("timestamp")).alias("min_ts_us"),
+            F.unix_micros(F.max("ts").cast("timestamp")).alias("max_ts_us"),
+        )
+
+    base = partial_state(e.filter(F.col("ts").cast("timestamp") < cut))
+    delta = partial_state(e.filter(F.col("ts").cast("timestamp") >= cut))
+    return base.unionByName(delta).groupBy("event_type").agg(
+        F.sum("n_events").cast("bigint").alias("n_events"),
+        F.sum("sum_cents").cast("bigint").alias("sum_cents"),
+        F.min("min_ts_us").cast("bigint").alias("min_ts_us"),
+        F.max("max_ts_us").cast("bigint").alias("max_ts_us"),
+    )

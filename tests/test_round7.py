@@ -243,3 +243,113 @@ def test_bpe_merge_step_matches_python_count(spark):
 
     got = [(r.pair, r.pair_count) for r in l4_bpe_merge_step(spark, SF_SMOKE).collect()]
     assert got == want
+
+
+def test_bitmap_distinct_matches_plain_count_distinct(spark):
+    """The bitmap popcount must equal count(distinct) exactly, and the
+    plan must actually use the mergeable bitmap aggregate."""
+    from pyspark.sql import functions as F
+
+    from chronicle_sniffer_spark.plans.round7 import a15_bitmap_distinct
+
+    got = {
+        r.event_type: (r.n_users, r.n_events)
+        for r in a15_bitmap_distinct(spark, SF_SMOKE).collect()
+    }
+    want = {
+        r.event_type: (r.n_users, r.n_events)
+        for r in spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count("*").alias("n_events"),
+        )
+        .collect()
+    }
+    assert got == want
+    plan = (
+        a15_bitmap_distinct(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "bitmap_construct_agg" in plan
+
+
+def test_scd2_intervals_well_formed(spark):
+    """Versions are contiguous from 1, exactly one open (current)
+    interval per customer, consecutive versions change the tracked
+    attribute, and the run sizes account for every source order."""
+    from pyspark.sql import functions as F
+
+    from chronicle_sniffer_spark.plans.round7 import o9b_scd2_intervals
+
+    pdf = (
+        o9b_scd2_intervals(spark, SF_SMOKE)
+        .toPandas()
+        .sort_values(["custkey", "version"])
+    )
+    n_src = (
+        spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+        .filter(F.col("o_custkey") % 10 == 0)
+        .count()
+    )
+    assert int(pdf["n_orders"].sum()) == n_src
+    for ck, g in pdf.groupby("custkey"):
+        assert list(g["version"]) == list(range(1, len(g) + 1))
+        assert int(g["is_current"].sum()) == 1
+        assert g["valid_to"].isna().sum() == 1 and g.iloc[-1]["is_current"] == 1
+        pr = list(g["priority"])
+        assert all(pr[i] != pr[i + 1] for i in range(len(pr) - 1))
+        closed = g.dropna(subset=["valid_to"])
+        assert (closed["valid_from"] <= closed["valid_to"]).all()
+
+
+def test_phrase_search_matches_python_scan(spark):
+    """Posting-list adjacency join equals a per-document Python scan."""
+    from chronicle_sniffer_spark.plans.round7 import PHRASE, l4_phrase_search
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect()
+    want = {}
+    for r in docs:
+        ws = r.text.split(" ")
+        hits = [
+            i
+            for i in range(len(ws) - 1)
+            if ws[i] == PHRASE[0] and ws[i + 1] == PHRASE[1]
+        ]
+        if hits:
+            want[r.doc_id] = (len(hits), hits[0])
+    got = {
+        r.doc_id: (r.n_hits, r.first_pos)
+        for r in l4_phrase_search(spark, SF_SMOKE).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_incremental_refresh_equals_full_recompute(spark):
+    """merge(base partial state, delta partial state) must equal the
+    single-pass aggregate over all of history — in Spark itself,
+    independent of the DuckDB oracle."""
+    from pyspark.sql import functions as F
+
+    from chronicle_sniffer_spark.plans.round7 import o10_incremental_agg_refresh
+    from chronicle_sniffer_spark.tables import load_table
+
+    merged = {
+        r.event_type: (r.n_events, r.sum_cents, r.min_ts_us, r.max_ts_us)
+        for r in o10_incremental_agg_refresh(spark, SF_SMOKE).collect()
+    }
+    full = {
+        r.event_type: (r.n_events, r.sum_cents, r.min_ts_us, r.max_ts_us)
+        for r in load_table(spark, SF_SMOKE, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100).cast("bigint")).alias("sum_cents"),
+            F.unix_micros(F.min("ts").cast("timestamp")).alias("min_ts_us"),
+            F.unix_micros(F.max("ts").cast("timestamp")).alias("max_ts_us"),
+        )
+        .collect()
+    }
+    assert merged == full

@@ -128,6 +128,10 @@ QUERIES = (
     "dq4_drift_report",
     "s8b_bucketed_colocated_join",
     "g2_triangle_count",
+    "a15_bitmap_distinct",
+    "o9b_scd2_intervals",
+    "l4_phrase_search",
+    "o10_incremental_agg_refresh",
 )
 
 
