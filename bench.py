@@ -148,6 +148,8 @@ HEADLINE = (
     "o9b_scd2_intervals",
     "l4_phrase_search",
     "o10_incremental_agg_refresh",
+    "a4b_mergeable_quantiles",
+    "g3_cc_components",
 )
 
 # Entries with documented ±18% round-over-round drift on identical code

@@ -352,8 +352,16 @@ def connected_components(
                 edges.join(labels, edges["t"] == labels["node"])
                 .select(edges["s"].alias("node"), labels["label"])
             )
+            # localCheckpoint (not just cache) truncates the logical
+            # plan each round — an uncheckpointed label chain nests
+            # one join+union+agg per round and overflows the driver
+            # stack during planning on large graphs (same discipline
+            # as _star_components)
             new_labels = (
-                nbr.union(labels).groupBy("node").agg(F.min("label").alias("label")).cache()
+                nbr.union(labels)
+                .groupBy("node")
+                .agg(F.min("label").alias("label"))
+                .localCheckpoint()
             )
             changed = (
                 new_labels.alias("n")

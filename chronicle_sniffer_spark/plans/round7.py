@@ -413,19 +413,71 @@ l3_ann_recall_eval.__doc__ = l3_ann_recall_eval.__doc__.format(
 # G2: triangle counting (degree-oriented node-iterator)
 # ---------------------------------------------------------------------------
 
+# Per-hour participation cap for the co-purchase graph.  An UNCAPPED
+# same-bucket co-occurrence graph is a scale landmine: each hour's
+# purchasers form a clique, so edge volume grows quadratically — and
+# wedge volume cubically — in event RATE, not data size (measured: the
+# uncapped sf1 graph is ~20M edges / ~5e9 wedges and kills the soak).
+# Bounded-participation sampling (keep the CAP lowest user_ids per
+# hour — deterministic, engine-identical) keeps the graph
+# O(hours × CAP²) = linear in history length regardless of traffic,
+# which is how production co-occurrence graphs stay tractable.  CAP=6
+# leaves the gate-scale graph almost untouched (sf0.01: 15 of 673
+# hours capped) so the oracle exercises BOTH paths.
+G2_HOUR_CAP = 6
 
-@query(
-    "g2_triangle_count",
-    section="G2",
-    oracle="""
-    WITH pur AS (
+_COPURCHASE_CTES = f"""
+    pur0 AS (
       SELECT DISTINCT date_trunc('hour', ts) AS h, user_id
       FROM events WHERE event_type = 'purchase'
+    ),
+    pur AS (
+      SELECT h, user_id FROM (
+        SELECT h, user_id,
+               row_number() OVER (PARTITION BY h ORDER BY user_id) AS rk
+        FROM pur0
+      ) WHERE rk <= {G2_HOUR_CAP}
     ),
     edges AS (
       SELECT DISTINCT a.user_id AS u, b.user_id AS v
       FROM pur a JOIN pur b ON a.h = b.h AND a.user_id < b.user_id
-    ),
+    )
+"""
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical (u < v) distinct edge set of the capped per-hour
+    purchase co-occurrence graph — shared by g2 and g3; the SQL twin
+    is ``_COPURCHASE_CTES``."""
+    e = _t(spark, sf_dir, "events")
+    pur0 = (
+        e.filter(F.col("event_type") == "purchase")
+        .select(F.date_trunc("hour", "ts").alias("h"), "user_id")
+        .distinct()
+    )
+    wh = Window.partitionBy("h").orderBy("user_id")
+    pur = (
+        pur0.withColumn("rk", F.row_number().over(wh))
+        .filter(F.col("rk") <= G2_HOUR_CAP)
+        .drop("rk")
+    )
+    a, b = pur.alias("a"), pur.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .select(F.col("a.user_id").alias("u"), F.col("b.user_id").alias("v"))
+        .distinct()
+    )
+
+
+@query(
+    "g2_triangle_count",
+    section="G2",
+    oracle=f"""
+    WITH {_COPURCHASE_CTES},
     wedges AS (
       SELECT e1.u AS a, e1.v AS b, e2.v AS c
       FROM edges e1 JOIN edges e2 ON e1.v = e2.u
@@ -439,11 +491,15 @@ l3_ann_recall_eval.__doc__ = l3_ann_recall_eval.__doc__.format(
     """,
 )
 def g2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Triangle count over the purchase co-occurrence graph (users
-    buying in the same hour) — the clustering/community primitive next
-    to g1's PageRank.
+    """Triangle count over the capped purchase co-occurrence graph
+    (users buying in the same hour, bounded participation — see
+    ``G2_HOUR_CAP``) — the clustering/community primitive next to
+    g1's PageRank.
 
-    Scale shape: the DEGREE-ORIENTED node-iterator (Schank & Wagner
+    Scale shape: two layers.  (1) The GRAPH stays tractable by
+    construction: bounded per-bucket participation keeps edges linear
+    in history length however high the event rate climbs.  (2) The
+    COUNT uses the degree-oriented node-iterator (Schank & Wagner
     2005) — every edge is re-oriented from its lower-degree endpoint
     to the higher (ties on id), so wedge generation fans out from
     low-degree apexes only and the join volume is O(m^1.5) instead of
@@ -453,18 +509,7 @@ def g2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     the closing-edge semi join.  Orientation never changes the
     COUNT, so the oracle counts triangles directly on the canonical
     u<v edge set."""
-    e = _t(spark, sf_dir, "events")
-    pur = (
-        e.filter(F.col("event_type") == "purchase")
-        .select(F.date_trunc("hour", "ts").alias("h"), "user_id")
-        .distinct()
-    )
-    a, b = pur.alias("a"), pur.alias("b")
-    edges = (
-        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.user_id") < F.col("b.user_id")))
-        .select(F.col("a.user_id").alias("u"), F.col("b.user_id").alias("v"))
-        .distinct()
-    )
+    edges = _copurchase_edges(spark, sf_dir)
     deg = (
         edges.select(F.col("u").alias("n")).union(edges.select(F.col("v").alias("n")))
         .groupBy("n")
@@ -1028,4 +1073,146 @@ def o10_incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("sum_cents").cast("bigint").alias("sum_cents"),
         F.min("min_ts_us").cast("bigint").alias("min_ts_us"),
         F.max("max_ts_us").cast("bigint").alias("max_ts_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A4b: mergeable histogram quantile summary
+# ---------------------------------------------------------------------------
+
+QH_BINS = 64
+QH_WIDTH = 16.0  # value domain [0, 1024); top bin absorbs overflow
+
+
+@query(
+    "a4b_mergeable_quantiles",
+    section="A4",
+    oracle=f"""
+    WITH hist AS (
+      SELECT event_type,
+             least({QH_BINS - 1}, CAST(floor(value / {QH_WIDTH}) AS INT)) AS bin,
+             count(*) AS c
+      FROM events GROUP BY event_type, bin
+    ),
+    cum AS (
+      SELECT event_type, bin,
+             sum(c) OVER (PARTITION BY event_type ORDER BY bin
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(c) OVER (PARTITION BY event_type) AS total
+      FROM hist
+    )
+    SELECT event_type,
+           CAST(max(total) AS BIGINT) AS n_events,
+           min(CASE WHEN cum >= (total * 50 + 99) // 100
+               THEN (bin + 1) * {QH_WIDTH} END) AS p50_edge,
+           min(CASE WHEN cum >= (total * 90 + 99) // 100
+               THEN (bin + 1) * {QH_WIDTH} END) AS p90_edge,
+           min(CASE WHEN cum >= (total * 99 + 99) // 100
+               THEN (bin + 1) * {QH_WIDTH} END) AS p99_edge
+    FROM cum GROUP BY event_type
+    """,
+)
+def a4b_mergeable_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile estimation from a MERGEABLE fixed-width histogram
+    summary — the two-level scale path next to a4's exact
+    percentiles.
+
+    Scale shape: exact percentiles need the values themselves at the
+    reducer; this summary is {bins} integer counters per group, built
+    by one map-side-combinable aggregate, and partial histograms from
+    any partitioning of the data (executors, days, incremental
+    batches — see o10) merge by vector addition without touching raw
+    rows again.  Quantiles then read off the cumulative bin counts:
+    the reported value is the upper edge of the first bin whose
+    cumulative count reaches ceil(q·n) — error bounded by the bin
+    width, deterministic (integer thresholds, power-of-two bin edges,
+    engine-identical floor on IEEE doubles), no sampling."""
+    e = _t(spark, sf_dir, "events")
+    bin_col = F.least(
+        F.lit(QH_BINS - 1), F.floor(F.col("value") / QH_WIDTH).cast("int")
+    ).alias("bin")
+    hist = e.groupBy("event_type", bin_col).agg(F.count("*").alias("c"))
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("event_type")
+    cum = hist.select(
+        "event_type",
+        "bin",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(wall).alias("total"),
+    )
+
+    def edge_at(pct: int):
+        k = F.expr(f"(total * {pct} + 99) DIV 100")
+        return F.min(
+            F.when(F.col("cum") >= k, (F.col("bin") + 1) * F.lit(QH_WIDTH))
+        ).alias(f"p{pct}_edge")
+
+    return cum.groupBy("event_type").agg(
+        F.max("total").cast("bigint").alias("n_events"),
+        edge_at(50),
+        edge_at(90),
+        edge_at(99),
+    )
+
+
+a4b_mergeable_quantiles.__doc__ = a4b_mergeable_quantiles.__doc__.format(bins=QH_BINS)
+
+
+# ---------------------------------------------------------------------------
+# G3: connected components (standalone catalog entry)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "g3_cc_components",
+    section="G3",
+    oracle=f"""
+    WITH RECURSIVE {_COPURCHASE_CTES},
+    bidir AS (
+      SELECT u AS a, v AS b FROM edges
+      UNION SELECT v, u FROM edges
+    ),
+    reach(n, r) AS (
+      SELECT a, a FROM (SELECT DISTINCT a FROM bidir)
+      UNION
+      SELECT b.b, reach.r FROM reach JOIN bidir b ON b.a = reach.n
+    ),
+    labs AS (SELECT n, min(r) AS lbl FROM reach GROUP BY n),
+    comp AS (SELECT lbl, count(*) AS sz FROM labs GROUP BY lbl)
+    SELECT CAST(count(*) AS BIGINT) AS n_components,
+           CAST(sum(sz) AS BIGINT) AS n_nodes,
+           CAST(max(sz) AS BIGINT) AS largest_component
+    FROM comp
+    """,
+)
+def g3_cc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the capped purchase co-occurrence graph
+    (``G2_HOUR_CAP``) as a first-class catalog entry — the same
+    operator that powers the near-dup cluster fold
+    (l2_dedup_clusters), exercised on a graph with a very different
+    shape (one dense social blob vs piles of tiny cliques) and proven
+    against a DuckDB recursive-CTE transitive-closure oracle.
+
+    Scale shape: min-label propagation, one join + one grouped min
+    per round, O(diameter) rounds, with the automatic
+    large-star/small-star switch (O(log n) rounds) for adversarial
+    diameters — `operators/dedup.py:connected_components`; every
+    round localCheckpoints, so the logical plan stays flat however
+    many rounds the diameter demands.  The oracle's transitive
+    closure is Θ(Σ component²) rows and exists ONLY as a gate-scale
+    referee; the Spark side never materializes reachability, just
+    (node, label)."""
+    from chronicle_sniffer_spark.operators.dedup import connected_components
+
+    edges = _copurchase_edges(spark, sf_dir)
+    labels = connected_components(edges, src="u", dst="v")
+    comp = labels.groupBy("label").agg(F.count("*").alias("sz"))
+    return comp.agg(
+        F.count("*").cast("bigint").alias("n_components"),
+        F.sum("sz").cast("bigint").alias("n_nodes"),
+        F.max("sz").cast("bigint").alias("largest_component"),
     )

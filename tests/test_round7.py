@@ -163,6 +163,8 @@ def test_triangle_count_matches_python_enumeration(spark):
 
     from chronicle_sniffer_spark.plans.round7 import g2_triangle_count
 
+    from chronicle_sniffer_spark.plans.round7 import G2_HOUR_CAP
+
     ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
     pur = (
         ev.filter(F.col("event_type") == "purchase")
@@ -175,7 +177,7 @@ def test_triangle_count_matches_python_enumeration(spark):
         by_h.setdefault(r.h, set()).add(r.user_id)
     edges = set()
     for users in by_h.values():
-        for u, v in combinations(sorted(users), 2):
+        for u, v in combinations(sorted(users)[:G2_HOUR_CAP], 2):
             edges.add((u, v))
     adj: dict = {}
     for u, v in edges:
@@ -353,3 +355,78 @@ def test_incremental_refresh_equals_full_recompute(spark):
         .collect()
     }
     assert merged == full
+
+
+def test_mergeable_quantile_edges_bound_exact_order_stats(spark):
+    """Each reported bin edge must bracket the exact ceil(q*n)-th order
+    statistic within one bin width (the summary's error contract)."""
+    import math
+
+    from chronicle_sniffer_spark.plans.round7 import QH_WIDTH, a4b_mergeable_quantiles
+
+    vals = {}
+    for r in spark.read.parquet(f"{SF_SMOKE}/events.parquet").select(
+        "event_type", "value"
+    ).collect():
+        vals.setdefault(r.event_type, []).append(r.value)
+    got = a4b_mergeable_quantiles(spark, SF_SMOKE).collect()
+    assert len(got) == len(vals)
+    for row in got:
+        xs = sorted(vals[row.event_type])
+        assert row.n_events == len(xs)
+        for pct in (50, 90, 99):
+            edge = row[f"p{pct}_edge"]
+            k = (len(xs) * pct + 99) // 100
+            exact = xs[k - 1]
+            assert exact <= edge
+            if exact < 1024 - QH_WIDTH:
+                assert edge - QH_WIDTH <= exact
+
+
+def test_cc_components_match_union_find(spark):
+    """Star-switch CC must agree with a driver-side union-find on the
+    same co-occurrence edge set."""
+    from itertools import combinations
+
+    from pyspark.sql import functions as F
+
+    from chronicle_sniffer_spark.plans.round7 import g3_cc_components
+
+    from chronicle_sniffer_spark.plans.round7 import G2_HOUR_CAP
+
+    pur = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .filter(F.col("event_type") == "purchase")
+        .select(F.date_trunc("hour", "ts").alias("h"), "user_id")
+        .distinct()
+        .collect()
+    )
+    by_h: dict = {}
+    for r in pur:
+        by_h.setdefault(r.h, set()).add(r.user_id)
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    nodes = set()
+    for users in by_h.values():
+        for u, v in combinations(sorted(users)[:G2_HOUR_CAP], 2):
+            for n in (u, v):
+                if n not in parent:
+                    parent[n] = n
+                    nodes.add(n)
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[max(ru, rv)] = min(ru, rv)
+    sizes: dict = {}
+    for n in nodes:
+        sizes[find(n)] = sizes.get(find(n), 0) + 1
+
+    row = g3_cc_components(spark, SF_SMOKE).collect()[0]
+    assert row.n_nodes == len(nodes)
+    assert row.n_components == len(sizes)
+    assert row.largest_component == max(sizes.values())

@@ -132,6 +132,8 @@ QUERIES = (
     "o9b_scd2_intervals",
     "l4_phrase_search",
     "o10_incremental_agg_refresh",
+    "a4b_mergeable_quantiles",
+    "g3_cc_components",
 )
 
 
