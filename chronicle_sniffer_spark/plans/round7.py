@@ -1103,12 +1103,15 @@ QH_WIDTH = 16.0  # value domain [0, 1024); top bin absorbs overflow
     )
     SELECT event_type,
            CAST(max(total) AS BIGINT) AS n_events,
+           -- CAST AS DOUBLE: the {QH_WIDTH} literal is DECIMAL(3,1) in
+           -- DuckDB, and Decimal('48.0') vs double 48.0 diverge under a
+           -- strict fetchall() canonicalizer even though numerically equal
            min(CASE WHEN cum >= (total * 50 + 99) // 100
-               THEN (bin + 1) * {QH_WIDTH} END) AS p50_edge,
+               THEN CAST((bin + 1) * {QH_WIDTH} AS DOUBLE) END) AS p50_edge,
            min(CASE WHEN cum >= (total * 90 + 99) // 100
-               THEN (bin + 1) * {QH_WIDTH} END) AS p90_edge,
+               THEN CAST((bin + 1) * {QH_WIDTH} AS DOUBLE) END) AS p90_edge,
            min(CASE WHEN cum >= (total * 99 + 99) // 100
-               THEN (bin + 1) * {QH_WIDTH} END) AS p99_edge
+               THEN CAST((bin + 1) * {QH_WIDTH} AS DOUBLE) END) AS p99_edge
     FROM cum GROUP BY event_type
     """,
 )

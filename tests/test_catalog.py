@@ -3,37 +3,15 @@ sf0.001 (the driver's gate runs the same comparison at sf0.01)."""
 
 from __future__ import annotations
 
-import math
-
 import pytest
 
+from chronicle_sniffer_spark.canon import canon_rows as _canon
 from chronicle_sniffer_spark.plans import registry
 from tests.conftest import SF_SMOKE
 
 REG = registry()
 ORACLE_QUERIES = sorted(name for name, spec in REG.items() if spec.oracle is not None)
 ROWS_ONLY_QUERIES = sorted(name for name, spec in REG.items() if spec.oracle is None)
-
-
-def _canon_value(v):
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        if v == int(v) and abs(v) < 1e15:
-            # integral doubles print the same whether the engine
-            # returned int64 or float64
-            return str(int(v))
-        # FULL shortest-round-trip precision, matching the driver's
-        # value-hash strictness (2-dp rounding masked the r6 ml2b red)
-        return repr(v)
-    if v is None:
-        return "NULL"
-    return str(v)
-
-
-def _canon(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(_canon_value(r[i]) for i in order) for r in rows)
 
 
 @pytest.mark.parametrize("name", ORACLE_QUERIES)

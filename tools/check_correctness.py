@@ -11,7 +11,6 @@ Usage:  python tools/check_correctness.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
-import math
 import os
 import sys
 import time
@@ -21,56 +20,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import duckdb
 from pyspark.sql.types import DateType
 
+from chronicle_sniffer_spark.canon import canon_rows
 from chronicle_sniffer_spark.plans import registry
 from chronicle_sniffer_spark.session import get_spark
 from chronicle_sniffer_spark.tables import TABLE_NAMES
-
-
-import numpy as np
-import pandas as pd
-
-
-def canon_value(v):
-    """Canonicalize one cell the way a pandas-based hasher would see it.
-
-    Both engines' results are fetched as pandas DataFrames first, so a
-    DuckDB HUGEINT (-> float64) vs Spark BIGINT (-> int64) shows up as
-    "0.00" vs "0" here — the exact class of divergence the driver's
-    hash check catches and the old fetchall() path silently hid.
-    """
-    if isinstance(v, (np.ndarray, list, tuple)):
-        return "[" + ",".join(canon_value(x) for x in v) + "]"
-    if isinstance(v, np.bool_):
-        v = bool(v)
-    if isinstance(v, bool):
-        return str(v)
-    if isinstance(v, np.integer):
-        return str(int(v))
-    if isinstance(v, np.floating):
-        v = float(v)
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        if v == int(v) and abs(v) < 1e15:
-            # integral doubles print the same whether the engine
-            # returned int64 or float64 (HUGEINT->float64 drift)
-            return str(int(v))
-        # FULL precision (shortest round-trip repr), matching the
-        # driver's value-hash strictness — the old 2-dp rounding
-        # masked the r6 ml2b 1e-6 mismatch
-        return repr(v)
-    if v is None or v is pd.NaT or (isinstance(v, float) and math.isnan(v)):
-        return "NULL"
-    if isinstance(v, pd.Timestamp):
-        return v.isoformat()
-    return str(v)
-
-
-def canon_rows(cols: list[str], rows: list[tuple]) -> list[tuple]:
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = [tuple(canon_value(r[i]) for i in order) for r in rows]
-    out.sort()
-    return out
 
 
 def main() -> int:
