@@ -232,7 +232,10 @@ def ngram_df_cap_report(
         F.max(cap_col).cast("bigint").alias("max_df_cap"),
         F.count("*").cast("bigint").alias("n_grams"),
         F.sum((F.col("df") > cap_col).cast("int")).cast("bigint").alias("n_dropped"),
-    )
+        # an ungrouped agg always emits one row, but the DuckDB oracle's
+        # cross-join + GROUP BY shape emits ZERO rows on an empty
+        # corpus — filter the degenerate row so both sides agree
+    ).filter(F.col("n_grams") > 0)
 
 
 def _star_components(edges: DataFrame, max_iter: int = 30) -> DataFrame:
@@ -347,7 +350,19 @@ def connected_components(
                     .distinct()
                 )
                 labels.unpersist()
-                return _star_components(canon, max_iter=max_iter)
+                star = _star_components(canon, max_iter=max_iter)
+                # a node whose ONLY incidence is a self-loop pair has no
+                # surviving canon edge and would vanish from the star
+                # result while the label-prop path keeps it — union it
+                # back as a singleton so the switch stays invisible to
+                # callers (both paths label it with its own id)
+                singletons = (
+                    edges.select(F.col("s").alias("node"))
+                    .distinct()
+                    .join(star, "node", "left_anti")
+                    .select("node", F.col("node").alias("label"))
+                )
+                return star.unionByName(singletons)
             nbr = (
                 edges.join(labels, edges["t"] == labels["node"])
                 .select(edges["s"].alias("node"), labels["label"])

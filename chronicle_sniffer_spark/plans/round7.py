@@ -25,6 +25,8 @@ with full tie-break keys.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -517,10 +519,14 @@ def g2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
     dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
-    # orient low-degree -> high-degree (ties: lower id first)
+    # orient low-degree -> high-degree (ties: lower id first).  No
+    # broadcast HINT on the degree tables: degrees are O(nodes) and an
+    # uncapped caller's node set can exceed driver memory — AQE picks
+    # broadcast on its own whenever the measured size allows (it does
+    # at gate scale), and degrades to shuffle join instead of OOM
     oriented = (
-        edges.join(F.broadcast(du), "u")
-        .join(F.broadcast(dv), "v")
+        edges.join(du, "u")
+        .join(dv, "v")
         .select(
             F.when(
                 (F.col("du") < F.col("dv"))
@@ -566,14 +572,27 @@ _BUCKETED_CACHE: dict[tuple[str, str], tuple[str, str]] = {}
 
 def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     import hashlib
+    import shutil
+    from urllib.parse import urlparse
 
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _BUCKETED_CACHE:
-        # the warehouse DIRECTORY outlives the in-memory catalog, so a
-        # fresh session would hit LOCATION_ALREADY_EXISTS on a
-        # name reused from a previous run — scope names to the session
-        suf = hashlib.md5(f"{key[0]}:{sf_dir}".encode()).hexdigest()[:8]
+        # names derive from sf_dir ALONE (not the session), so repeated
+        # bench/test runs reuse the same two warehouse locations instead
+        # of accumulating a parquet copy of lineitem/orders per session.
+        # The warehouse DIRECTORY outlives the in-memory catalog, so a
+        # fresh session reusing the name would hit
+        # LOCATION_ALREADY_EXISTS on create — drop any catalog entry and
+        # remove the stale local directory first (local-warehouse only;
+        # on a shared metastore DROP TABLE alone clears the location)
+        suf = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
         li_name, o_name = f"css_bkt_lineitem_{suf}", f"css_bkt_orders_{suf}"
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
+        for name in (li_name, o_name):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            stale = os.path.join(wh, name) if wh else None
+            if stale and os.path.isdir(stale):
+                shutil.rmtree(stale, ignore_errors=True)
         (
             _t(spark, sf_dir, "lineitem")
             .select("l_orderkey", "l_extendedprice", "l_discount")

@@ -65,16 +65,38 @@ def spread(df: DataFrame) -> DataFrame:
     Probe order (cheapest first): streaming DataFrames pass through
     untouched (``.rdd`` would raise AnalysisException and a stream's
     micro-batch partitioning is the source's to decide); then the
-    input-file count (``df.inputFiles()`` — file listing only, no
-    physical planning) proves a well-split source with ≥cores files;
-    only then fall back to the exact ``rdd.getNumPartitions()`` probe,
-    which forces physical planning of the sub-plan."""
+    input-file probe (``df.inputFiles()`` — file listing only, no
+    physical planning) proves a well-split source with ≥cores files
+    that are ALSO non-trivially sized (Spark bin-packs small files
+    into partitions by ``maxPartitionBytes``/``openCostInBytes``, so
+    a many-tiny-files source can have ≥cores files yet scan with one
+    task — exactly the case this helper exists to fix); only then
+    fall back to the exact ``rdd.getNumPartitions()`` probe, which
+    forces physical planning of the sub-plan."""
     if df.isStreaming:
         return df
-    par = df.sparkSession.sparkContext.defaultParallelism
+    spark = df.sparkSession
+    sc = spark.sparkContext
+    par = sc.defaultParallelism
     try:
-        if len(df.inputFiles()) >= par:
-            return df
+        files = df.inputFiles()
+        if len(files) >= par:
+            # file COUNT alone is not proof — require enough total
+            # bytes that the split planner would open >= cores tasks
+            jvm = sc._jvm
+            jconf = sc._jsc.hadoopConfiguration()
+            max_pb = jvm.org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+                spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB")
+            )
+            total = 0
+            fs = None
+            for f in files:
+                p = jvm.org.apache.hadoop.fs.Path(f)
+                if fs is None:
+                    fs = p.getFileSystem(jconf)
+                total += fs.getFileStatus(p).getLen()
+                if total >= max_pb * par:
+                    return df
     except Exception:
         pass
     if df.rdd.getNumPartitions() >= par:
