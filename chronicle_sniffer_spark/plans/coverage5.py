@@ -330,23 +330,16 @@ def l6_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     leakage mode a per-document hash split (l6_hash_split) cannot
     prevent.  Composition of the L2 clustering and the L6 Lehmer
     split, sharing their exact constants; the oracle nests the
-    recursive-CTE reachability closure."""
-    from chronicle_sniffer_spark.operators.dedup import (
-        connected_components,
-        ngram_jaccard_pairs,
-    )
-    from chronicle_sniffer_spark.plans.dedup_sim import (
-        JACCARD_THRESHOLD,
-        NGRAM_MAX_DF_PCT,
-        NGRAM_N,
-    )
+    recursive-CTE reachability closure.  The pair/label computation is
+    served from the session-scoped materialization shared with the L2
+    entries (dedup_sim.shared_pairs_and_labels) — computed once per
+    session, consumed by three catalog entries."""
+    from chronicle_sniffer_spark.plans.dedup_sim import shared_pairs_and_labels
     from chronicle_sniffer_spark.plans.quality import _SPLIT_A, _SPLIT_M, TRAIN_PCT, VAL_PCT
 
     d = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(
-        d, n=NGRAM_N, threshold=JACCARD_THRESHOLD, max_df_pct=NGRAM_MAX_DF_PCT
-    )
-    labels = connected_components(pairs).select(
+    _, labels = shared_pairs_and_labels(spark, sf_dir)
+    labels = labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
     assigned = d.select("doc_id").join(labels, "doc_id", "left").select(
@@ -450,9 +443,42 @@ def l6_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         import pandas as pd  # noqa: F401 (executor-side)
 
         run = 0
+        seen_pid = None
+        prev_key = None
         for pdf in batches:
             if len(pdf) == 0:
                 continue
+            # The offset is read once per batch (iloc[0]) and the cumsum
+            # assumes this physical partition holds exactly ONE range
+            # partition in sorted order.  Both hold today (explicit
+            # numPartitions blocks AQE coalescing; broadcast joins
+            # preserve the streamed side's order) but are Spark
+            # implementation details — fail LOUDLY if a planner change
+            # ever reorders or merges partitions under us, instead of
+            # silently corrupting cum_tokens.
+            pids = pdf["pid"].unique()
+            if len(pids) != 1 or (seen_pid is not None and pids[0] != seen_pid):
+                raise AssertionError(
+                    f"token-budget cumsum: batch spans range partitions {pids} "
+                    f"(prev {seen_pid}) — AQE/planner merged partitions"
+                )
+            seen_pid = pids[0]
+            q = pdf["quality"].to_numpy()
+            i = pdf["doc_id"].to_numpy()
+            ok = bool(
+                ((q[:-1] > q[1:]) | ((q[:-1] == q[1:]) & (i[:-1] < i[1:]))).all()
+            )
+            if not ok or (
+                prev_key is not None
+                and not (
+                    prev_key[0] > q[0] or (prev_key[0] == q[0] and prev_key[1] < i[0])
+                )
+            ):
+                raise AssertionError(
+                    "token-budget cumsum: (quality desc, doc_id) sort order "
+                    "violated within partition — planner reordered rows"
+                )
+            prev_key = (q[-1], i[-1])
             cum = pdf["n_tokens"].cumsum() + int(pdf["offset"].iloc[0]) + run
             run += int(pdf["n_tokens"].sum())
             yield pdf.assign(cum_tokens=cum.astype("int64"))[
