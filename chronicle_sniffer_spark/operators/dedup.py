@@ -102,6 +102,33 @@ def _df_cap_col(docs: DataFrame, max_df: int | None, max_df_pct: int):
     return cap, F.col("max_df_cap")
 
 
+def _ranked_grams(docs: DataFrame, n: int) -> tuple[DataFrame, DataFrame]:
+    """Shared index-construction for the set-similarity joins:
+    ``ranked`` = (doc_id, gram, df, rn, n_grams) with per-doc ranks
+    under the ONE global (document-frequency asc, gram) order — rarest
+    grams first — and ``gram_sets`` = one row per doc holding its
+    sorted full gram set, built from the already doc_id-partitioned
+    ``ranked`` (no extra shuffle).  Scoring joins read ``gram_sets``,
+    so candidate-side pruning can never change a score."""
+    grams = word_ngrams(docs, n)
+    df = grams.groupBy("gram").agg(F.count("*").alias("df"))
+    gdf = grams.join(df, "gram")
+
+    w = Window.partitionBy("doc_id").orderBy("df", "gram")
+    ranked = gdf.select(
+        "doc_id",
+        "gram",
+        "df",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("doc_id")).alias("n_grams"),
+    )
+    gram_sets = ranked.groupBy("doc_id").agg(
+        F.sort_array(F.collect_set("gram")).alias("grams"),
+        F.first("n_grams").alias("n_grams"),
+    )
+    return ranked, gram_sets
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     n: int = 3,
@@ -122,28 +149,7 @@ def ngram_jaccard_pairs(
     an absolute cap instead (tests, adversarial skew guards).
     """
     cap_df, cap_col = _df_cap_col(docs, max_df, max_df_pct)
-    grams = word_ngrams(docs, n)
-
-    # global gram order = (document frequency asc, gram) — rarest first
-    df = grams.groupBy("gram").agg(F.count("*").alias("df"))
-    gdf = grams.join(df, "gram")
-
-    w = Window.partitionBy("doc_id").orderBy("df", "gram")
-    ranked = gdf.select(
-        "doc_id",
-        "gram",
-        "df",
-        F.row_number().over(w).alias("rn"),
-        F.count("*").over(Window.partitionBy("doc_id")).alias("n_grams"),
-    )
-
-    # one row per doc: its sorted full gram set, built from the already
-    # doc_id-partitioned `ranked` (no extra shuffle); scoring joins
-    # read this, so prefix pruning can never change a score
-    gram_sets = ranked.groupBy("doc_id").agg(
-        F.sort_array(F.collect_set("gram")).alias("grams"),
-        F.first("n_grams").alias("n_grams"),
-    )
+    ranked, gram_sets = _ranked_grams(docs, n)
 
     # prefix filter (epsilon-relaxed so score-side 6dp rounding can
     # never admit a pair the candidate side already pruned)
@@ -236,6 +242,65 @@ def ngram_df_cap_report(
         # cross-join + GROUP BY shape emits ZERO rows on an empty
         # corpus — filter the degenerate row so both sides agree
     ).filter(F.col("n_grams") > 0)
+
+
+def containment_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = None,
+    max_df_pct: int = 20,
+) -> DataFrame:
+    """(doc_a, doc_b, containment) for pairs whose max containment
+    |A∩B| / min(|A|,|B|) ≥ threshold — the ASYMMETRIC companion to
+    :func:`ngram_jaccard_pairs`: a short doc embedded in a long one
+    scores high here while its Jaccard stays low.
+
+    Candidate generation reuses the same df-capped rare-gram inverted
+    index, with the containment form of the prefix filter: if
+    |A∩B| ≥ t·|m| for the smaller set m, then m's first
+    ``|m| - ceil(t·|m|) + 1`` grams (under the global rarity order)
+    must include a shared gram.  So the INDEX side holds only prefix
+    entries, the PROBE side all capped entries, and the join is
+    provably lossless for pairs at/above threshold — dropped pairs
+    would fail the exact-score filter anyway.  Scores are computed
+    exactly on the full gram sets (``gram_sets``), so pruning affects
+    candidate recall only through the proven bound and the audited df
+    cap (:func:`ngram_df_cap_report`), never a reported score."""
+    cap_df, cap_col = _df_cap_col(docs, max_df, max_df_pct)
+    ranked, gram_sets = _ranked_grams(docs, n)
+
+    t = threshold - 1e-6  # epsilon-relaxed: 6dp score rounding can admit
+    ranked_capped = ranked if cap_df is None else ranked.crossJoin(F.broadcast(cap_df))
+    capped = ranked_capped.filter(F.col("df") <= cap_col)
+    prefix_len = F.col("n_grams") - F.ceil(F.lit(t) * F.col("n_grams")) + 1
+    index = capped.filter(F.col("rn") <= prefix_len).select("doc_id", "gram")
+    probe = capped.select(F.col("doc_id").alias("p_doc"), "gram")
+    cand = (
+        index.join(probe, "gram")
+        .filter(F.col("doc_id") != F.col("p_doc"))
+        .select(
+            F.least("doc_id", "p_doc").alias("doc_a"),
+            F.greatest("doc_id", "p_doc").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+    sa = gram_sets.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("grams_a"))
+    sb = gram_sets.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("grams_b"))
+    n_inter = F.size(F.array_intersect("grams_a", "grams_b"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                n_inter / F.least(F.size("grams_a"), F.size("grams_b")), 6
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
 
 
 def _star_components(edges: DataFrame, max_iter: int = 30) -> DataFrame:

@@ -72,6 +72,7 @@ _SUBMODULES = (
     "chronicle_sniffer_spark.plans.coverage5",
     "chronicle_sniffer_spark.plans.ml",
     "chronicle_sniffer_spark.plans.round7",
+    "chronicle_sniffer_spark.plans.round8",
 )
 
 

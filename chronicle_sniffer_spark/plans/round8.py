@@ -1,0 +1,438 @@
+"""Round-8 catalog additions.
+
+Two Spark-4-native SQL surfaces the catalog had not yet exercised, and
+four operators a training-data / analytics stack runs routinely:
+
+- **G4 recursive-CTE hierarchy rollup**: Spark 4.0's native
+  ``WITH RECURSIVE`` (UNION ALL form).  Both engines run the *same*
+  recursion shape — no unrolled-iteration asymmetry.  The hierarchy is
+  derived (parent = custkey DIV 10), so recursion depth is
+  O(log10 max_key): ~7 levels at any scale, each level one join.
+- **U7 native SQL scalar UDF**: ``CREATE FUNCTION ... RETURN expr``.
+  Unlike a Python UDF, the body is INLINED into the Catalyst plan —
+  whole-stage codegen, predicate pushdown through it, zero
+  serialization.  The 100 TB story for "custom business logic" is
+  exactly this: express it as SQL once, get JVM-speed everywhere.
+- **U8 native SQL table UDF**: ``RETURNS TABLE`` — a parameterized
+  view (here a year spine), the relational-first alternative to
+  driver-side loop-and-union.
+- **TS8 EWMA smoothing**: the order-dependent recursion
+  ``y_t = a*x_t + (1-a)*y_{t-1}`` — NOT expressible as a window
+  aggregate without numerically explosive ``(1-a)^-k`` weights.  Per
+  key it is inherently sequential, so the right distributed shape is
+  one Arrow-batched grouped map (keys parallelize; within a key a
+  tight numpy loop).  The oracle runs the identical recursion as a
+  DuckDB recursive CTE — bit-exact, no rounding slack needed (kept
+  round(6) anyway for cross-libm safety).
+- **O11 Pareto frontier (skyline)**: per-group non-dominated set via
+  two window passes — O(n log n), fully partition-parallel — instead
+  of the quadratic NOT-EXISTS self-join the oracle uses.
+- **L4 bigram-LM scoring**: add-one-smoothed conditional
+  log-likelihood — the classic cheap LM-quality filter (KenLM-style
+  scoring reduced to its relational core): corpus bigram/unigram
+  counts (token-keyed aggs, Zipf-collapsed), then a per-instance
+  shuffle join on the bigram key.
+- **L2 n-gram containment**: asymmetric near-dup — catches a short
+  doc EMBEDDED in a longer one, which symmetric Jaccard structurally
+  misses (|A∩B|/min(|A|,|B|) is high where Jaccard is low).  Same
+  rare-gram inverted-index candidate generation as the Jaccard path
+  (df-capped, never all-pairs), exact scores on full sets.
+
+House determinism rules (plans/catalog.py) apply: identical aliases
+both engines, money math in exact decimal, ties fully keyed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from chronicle_sniffer_spark.plans.catalog import query
+from chronicle_sniffer_spark.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# G4: recursive-CTE hierarchy rollup (Spark 4 native WITH RECURSIVE)
+# ---------------------------------------------------------------------------
+
+# Same recursion on both engines; only the integer-division operator
+# differs (Spark DIV, DuckDB //).  The derived tree: parent(custkey) =
+# custkey div 10; custkeys 1..9 are roots.  Keys are contiguous from 1,
+# so every non-root's parent exists and the walk covers every customer
+# exactly once (a tree: UNION ALL emits no duplicates).
+def _g4_sql(intdiv: str) -> str:
+    return f"""
+    WITH RECURSIVE walk(custkey, root, depth) AS (
+      SELECT c_custkey, c_custkey, 0 FROM customer WHERE c_custkey < 10
+      UNION ALL
+      SELECT c.c_custkey, w.root, w.depth + 1
+      FROM customer c JOIN walk w ON (c.c_custkey {intdiv} 10) = w.custkey
+      WHERE c.c_custkey >= 10
+    )
+    SELECT w.root AS root_custkey,
+           CAST(count(DISTINCT w.custkey) AS BIGINT) AS n_members,
+           CAST(max(w.depth) AS INT) AS max_depth,
+           CAST(count(o.o_orderkey) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS subtree_revenue
+    FROM walk w LEFT JOIN orders o ON o.o_custkey = w.custkey
+    GROUP BY w.root
+    """
+
+
+@query("g4_hierarchy_rollup_rcte", section="G4", oracle=_g4_sql("//"))
+def g4_hierarchy_rollup_rcte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Org-tree / BOM-style subtree rollup via Spark 4's native
+    ``WITH RECURSIVE`` — members, max depth, and order revenue per
+    root of a derived customer hierarchy.
+
+    Scale shape: recursion depth is the digit count of the max key
+    (≤ 12 even at 100 TB), and each level is ONE equi-join of the
+    frontier against the dimension — Catalyst plans every level with
+    the usual join machinery (AQE chooses broadcast while the frontier
+    is small).  This retires the driver-side unrolled-loop pattern for
+    bounded-depth hierarchies; cyclic graphs stay on the dedicated CC
+    operator (operators/dedup.py), since Spark's rCTE is UNION ALL
+    only and cannot dedup a cyclic closure."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_g4_sql("DIV"))
+
+
+# ---------------------------------------------------------------------------
+# U7: native SQL scalar UDF (CREATE FUNCTION ... RETURN expr)
+# ---------------------------------------------------------------------------
+
+_U7_ORACLE = """
+    SELECT l_returnflag,
+           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                         AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@query("u7_sql_scalar_udf", section="U7", oracle=_U7_ORACLE)
+def u7_sql_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Business logic as a NATIVE SQL UDF: the discounted-price rule
+    declared once with ``CREATE FUNCTION ... RETURN <expr>`` and used
+    from a query.  Spark inlines the body into the Catalyst plan —
+    the physical plan is identical to writing the expression by hand
+    (whole-stage codegen, no Python round-trip; asserted in
+    tests/test_round8.py).  This is the scalable home for shared
+    semantic definitions that teams otherwise copy-paste or, worse,
+    implement as Python UDFs."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.sql(
+        """CREATE OR REPLACE TEMPORARY FUNCTION css_disc_price(
+             p DECIMAL(18,2), d DECIMAL(18,2)) RETURNS DECIMAL(18,4)
+           RETURN CAST(p * (1 - d) AS DECIMAL(18,4))"""
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(SUM(css_disc_price(CAST(l_extendedprice AS DECIMAL(18,2)),
+                                       CAST(l_discount AS DECIMAL(18,2))))
+                    AS DOUBLE) AS revenue,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM lineitem GROUP BY l_returnflag
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# U8: native SQL table UDF (CREATE FUNCTION ... RETURNS TABLE)
+# ---------------------------------------------------------------------------
+
+_U8_ORACLE = """
+    WITH spine AS (SELECT CAST(g AS INT) AS yr
+                   FROM generate_series(1992, 1998) AS t(g))
+    SELECT s.yr,
+           CAST(count(o.o_orderkey) AS BIGINT) AS n_orders,
+           CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))), 0)
+                AS DOUBLE) AS revenue
+    FROM spine s LEFT JOIN orders o ON CAST(year(o.o_orderdate) AS INT) = s.yr
+    GROUP BY s.yr
+"""
+
+
+@query("u8_sql_table_udf", section="U8", oracle=_U8_ORACLE)
+def u8_sql_table_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A parameterized year spine as a NATIVE SQL table UDF
+    (``RETURNS TABLE``) driving a gap-preserving yearly rollup — the
+    relational answer to 'loop over years on the driver and union'.
+    The function body is inlined as a subquery plan; the spine is a
+    few rows, so the join side is broadcast and the orders scan stays
+    one pass."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(
+        """CREATE OR REPLACE TEMPORARY FUNCTION css_year_span(y1 INT, y2 INT)
+           RETURNS TABLE(yr INT)
+           RETURN SELECT explode(sequence(y1, y2)) AS yr"""
+    )
+    return spark.sql(
+        """
+        SELECT s.yr,
+               CAST(count(o.o_orderkey) AS BIGINT) AS n_orders,
+               CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))),
+                             CAST(0 AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM css_year_span(1992, 1998) s
+        LEFT JOIN orders o ON CAST(year(o.o_orderdate) AS INT) = s.yr
+        GROUP BY s.yr
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# TS8: per-key EWMA smoothing (grouped-map; oracle = recursive CTE)
+# ---------------------------------------------------------------------------
+
+EWMA_ALPHA = 0.25  # binary-exact; 1-a = 0.75 also exact
+
+_TS8_ORACLE = f"""
+    WITH RECURSIVE ranked AS (
+      SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    w(user_id, rn, y) AS (
+      SELECT user_id, rn, value FROM ranked WHERE rn = 1
+      UNION ALL
+      SELECT r.user_id, r.rn, {EWMA_ALPHA} * r.value + {1 - EWMA_ALPHA} * w.y
+      FROM ranked r JOIN w ON r.user_id = w.user_id AND r.rn = w.rn + 1
+    ),
+    last AS (SELECT user_id, max(rn) AS n FROM ranked GROUP BY user_id)
+    SELECT l.user_id, CAST(l.n AS BIGINT) AS n_events,
+           round(w.y, 6) AS ewma_last
+    FROM last l JOIN w ON w.user_id = l.user_id AND w.rn = l.n
+"""
+
+
+@query("ts8_ewma_smoothing", section="TS8", oracle=_TS8_ORACLE)
+def ts8_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted moving average of event values
+    (final smoothed level + event count).  The recursion
+    ``y_t = a*x_t + (1-a)*y_{t-1}`` is order-dependent, so no window
+    aggregate expresses it without ``(1-a)^{-k}`` weights that
+    overflow on long histories.  Distributed shape: ONE user_id
+    shuffle into an Arrow-batched grouped map; keys parallelize
+    across the cluster, and within a key the recursion is the O(n)
+    loop it mathematically is.  The identical recursion runs as the
+    DuckDB oracle's recursive CTE — same multiply-add order, so the
+    doubles match bit-for-bit (round(6) kept as cross-engine margin).
+    """
+    import pandas as pd
+
+    def _ewma(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        y = 0.0
+        for i, x in enumerate(pdf["value"].to_numpy()):
+            y = EWMA_ALPHA * x + (1 - EWMA_ALPHA) * y if i else x
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_events": [len(pdf)],
+                "ewma_last": [round(y, 6)],
+            }
+        )
+
+    return (
+        _t(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandas(_ewma, "user_id bigint, n_events bigint, ewma_last double")
+    )
+
+
+# ---------------------------------------------------------------------------
+# O11: Pareto frontier / skyline (two windows vs quadratic NOT EXISTS)
+# ---------------------------------------------------------------------------
+
+_O11_ORACLE = """
+    SELECT p_brand, p_partkey, p_size, p_retailprice
+    FROM part p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part q
+      WHERE q.p_brand = p.p_brand
+        AND q.p_size >= p.p_size AND q.p_retailprice <= p.p_retailprice
+        AND (q.p_size > p.p_size OR q.p_retailprice < p.p_retailprice))
+"""
+
+
+@query("o11_pareto_frontier", section="O11", oracle=_O11_ORACLE)
+def o11_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand skyline: parts not dominated on (size ↑, price ↓) —
+    the 'best tradeoff set' query (Börzsönyi et al., ICDE 2001).
+
+    The oracle's NOT-EXISTS self-join is O(n²); the Spark plan is the
+    sort-based O(n log n) formulation, fully partition-parallel per
+    brand: (1) min price over the RANGE frame of strictly-larger
+    sizes — dominated iff that min ≤ my price; (2) min price among
+    same-size rows — dominated iff strictly cheaper twin exists.
+    Two window passes over ONE p_brand shuffle, no self-join, no
+    candidate blowup — the shape that survives a 100 TB parts table
+    (skylines are per-group; a global skyline would add one
+    grid-partition pre-filter pass)."""
+    part = _t(spark, sf_dir, "part")
+    w_gt = (
+        Window.partitionBy("p_brand")
+        .orderBy(F.col("p_size").asc())
+        .rangeBetween(1, Window.unboundedFollowing)
+    )
+    w_eq = Window.partitionBy("p_brand", "p_size")
+    m_gt = F.min("p_retailprice").over(w_gt)
+    m_eq = F.min("p_retailprice").over(w_eq)
+    return (
+        part.select("p_brand", "p_partkey", "p_size", "p_retailprice")
+        .withColumn("_m_gt", m_gt)
+        .withColumn("_m_eq", m_eq)
+        .filter(
+            (F.col("_m_gt").isNull() | (F.col("_m_gt") > F.col("p_retailprice")))
+            & (F.col("p_retailprice") == F.col("_m_eq"))
+        )
+        .drop("_m_gt", "_m_eq")
+    )
+
+
+# ---------------------------------------------------------------------------
+# L4: add-one-smoothed bigram LM scoring
+# ---------------------------------------------------------------------------
+
+_L4LM_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id, ws[i] AS w, i
+      FROM (SELECT doc_id,
+                   list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+            FROM documents),
+           unnest(generate_series(1, len(ws))) AS t(i)
+    ),
+    bg AS (
+      SELECT a.doc_id, a.w AS w1, b.w AS w2
+      FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+    ),
+    c_bg AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY w1, w2),
+    c_uni AS (SELECT w AS w1, count(*) AS cu FROM toks GROUP BY w),
+    v AS (SELECT count(DISTINCT w) AS v FROM toks)
+    SELECT bg.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(ln((c_bg.cb + 1.0) / (c_uni.cu + v.v))), 6) AS avg_logp
+    FROM bg JOIN c_bg ON c_bg.w1 = bg.w1 AND c_bg.w2 = bg.w2
+            JOIN c_uni ON c_uni.w1 = bg.w1
+            CROSS JOIN v
+    GROUP BY bg.doc_id
+"""
+
+
+@query("l4_bigram_lm_score", section="L4", oracle=_L4LM_ORACLE)
+def l4_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cheap LM-quality signal: per-doc average add-one-smoothed
+    bigram conditional log-likelihood, ln((C(w1,w2)+1)/(C(w1)+V)),
+    with the LM trained on the corpus itself — the relational core of
+    KenLM-style perplexity filtering.
+
+    Scale shape: unigram/bigram count tables are token-keyed
+    aggregates (map-side combined, Zipf-collapsed — vocabulary grows
+    sublinearly in corpus size); scoring is a shuffle join of bigram
+    INSTANCES against the count tables on the bigram key, plus a
+    1-row broadcast for V.  No driver round-trips, no UDFs — the
+    whole plan is codegen'd expressions."""
+    docs = _t(spark, sf_dir, "documents")
+    docs = docs.repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )  # explode fan-out must not run in the scan's single-file partitioning
+    # lambda-free tokenization: a higher-order F.filter on the array is
+    # CodegenFallback and would run the explode fan-out interpreted
+    # (audit_codegen catches it) — explode raw positions, drop empty
+    # tokens row-level, and re-rank with a doc_id-partitioned window
+    # (post-filter positions, matching the oracle's list_filter; the
+    # window shuffle is the same doc_id partitioning the bigram
+    # self-join needs anyway)
+    raw = docs.select(
+        "doc_id", F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "w")
+    ).filter(F.col("w") != "")
+    toks = raw.select(
+        "doc_id",
+        "w",
+        F.row_number().over(Window.partitionBy("doc_id").orderBy("pos")).alias("i"),
+    )
+    bg = (
+        toks.alias("a")
+        .join(
+            toks.alias("b"),
+            (F.col("b.doc_id") == F.col("a.doc_id"))
+            & (F.col("b.i") == F.col("a.i") + 1),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id"),
+            F.col("a.w").alias("w1"),
+            F.col("b.w").alias("w2"),
+        )
+    )
+    c_bg = bg.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
+    c_uni = toks.groupBy(F.col("w").alias("w1")).agg(F.count("*").alias("cu"))
+    v = toks.agg(F.countDistinct("w").alias("v"))
+    return (
+        bg.join(c_bg, ["w1", "w2"])
+        .join(c_uni, "w1")
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.round(
+                F.avg(F.log((F.col("cb") + F.lit(1.0)) / (F.col("cu") + F.col("v")))),
+                6,
+            ).alias("avg_logp"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# L2: n-gram containment (asymmetric near-dup)
+# ---------------------------------------------------------------------------
+
+CONTAINMENT_THRESHOLD = 0.8
+
+
+def _l2c_oracle() -> str:
+    from chronicle_sniffer_spark.plans.dedup_sim import _ORACLE_GRAMS_CTE
+
+    return f"""
+    WITH {_ORACLE_GRAMS_CTE}
+    SELECT i.doc_a, i.doc_b,
+           round(i.n_inter * 1.0 / least(sa.n_grams, sb.n_grams), 6)
+             AS containment
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE round(i.n_inter * 1.0 / least(sa.n_grams, sb.n_grams), 6)
+          >= {CONTAINMENT_THRESHOLD}
+    """
+
+
+@query("l2_ngram_containment", section="L2", oracle=_l2c_oracle())
+def l2_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup: max containment |A∩B| / min(|A|,|B|) ≥ 0.8
+    over word 3-gram sets — catches a short document EMBEDDED in a
+    longer one, where symmetric Jaccard (∩/∪) stays low and the L2
+    Jaccard entry structurally cannot fire.  The standard companion
+    metric in dedup pipelines (e.g. quote/boilerplate absorption).
+
+    Candidates come from the same df-capped rare-gram inverted index
+    as the Jaccard path (operators/dedup.py:containment_pairs) — never
+    all-pairs; the cap's recall cost is the audited one
+    (l2_ngram_df_cap_audit).  Scores are EXACT on the full gram sets;
+    only candidate recall depends on the index."""
+    from chronicle_sniffer_spark.operators.dedup import containment_pairs
+    from chronicle_sniffer_spark.plans.dedup_sim import NGRAM_MAX_DF_PCT, NGRAM_N
+
+    return containment_pairs(
+        _t(spark, sf_dir, "documents"),
+        n=NGRAM_N,
+        threshold=CONTAINMENT_THRESHOLD,
+        max_df_pct=NGRAM_MAX_DF_PCT,
+    )

@@ -1,0 +1,183 @@
+"""Property tests for the round-8 operators (oracle parity itself runs
+via the auto-parametrized tests/test_catalog.py)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def test_g4_hierarchy_partitions_all_customers(spark):
+    """The recursive walk is a tree over contiguous keys: every
+    customer lands in exactly one root's subtree, member counts sum to
+    the customer count, and max depth equals digits(max key) - 1."""
+    from chronicle_sniffer_spark.plans.round8 import g4_hierarchy_rollup_rcte
+
+    rows = g4_hierarchy_rollup_rcte(spark, SF_SMOKE).collect()
+    cust = spark.read.parquet(f"{SF_SMOKE}/customer.parquet")
+    n_cust = cust.count()
+    max_key = cust.agg(F.max("c_custkey")).first()[0]
+    assert sorted(r.root_custkey for r in rows) == list(range(0, 10))
+    assert sum(r.n_members for r in rows) == n_cust
+    assert max(r.max_depth for r in rows) == len(str(max_key)) - 1
+
+
+def test_u7_sql_udf_is_inlined_no_python(spark):
+    """The native SQL UDF body must inline into the Catalyst plan —
+    no Python evaluation node anywhere (that is the entire point of
+    CREATE FUNCTION ... RETURN over a @udf)."""
+    from chronicle_sniffer_spark.plans.round8 import u7_sql_scalar_udf
+
+    plan = u7_sql_scalar_udf(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_o11_pareto_matches_bruteforce(spark):
+    """The two-window skyline equals the O(n²) definition, computed
+    in python over the collected parts table."""
+    from chronicle_sniffer_spark.plans.round8 import o11_pareto_frontier
+
+    parts = [
+        (r.p_brand, r.p_partkey, r.p_size, r.p_retailprice)
+        for r in spark.read.parquet(f"{SF_SMOKE}/part.parquet")
+        .select("p_brand", "p_partkey", "p_size", "p_retailprice")
+        .collect()
+    ]
+    expect = set()
+    for b, k, s, p in parts:
+        dominated = any(
+            qb == b and qs >= s and qp <= p and (qs > s or qp < p)
+            for qb, _, qs, qp in parts
+        )
+        if not dominated:
+            expect.add((b, k))
+    got = {
+        (r.p_brand, r.p_partkey) for r in o11_pareto_frontier(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_ts8_ewma_matches_python_recursion(spark):
+    """EWMA recursion recomputed row-by-row in python for every user
+    — identical multiply-add order, so equality is exact."""
+    from chronicle_sniffer_spark.plans.round8 import EWMA_ALPHA, ts8_ewma_smoothing
+
+    events = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .select("user_id", "ts", "event_id", "value")
+        .collect()
+    )
+    series: dict[int, list] = {}
+    for r in events:
+        series.setdefault(r.user_id, []).append((r.ts, r.event_id, r.value))
+    expect = {}
+    for uid, rows in series.items():
+        rows.sort()
+        y = rows[0][2]
+        for _, _, x in rows[1:]:
+            y = EWMA_ALPHA * x + (1 - EWMA_ALPHA) * y
+        expect[uid] = (len(rows), round(y, 6))
+    got = {
+        r.user_id: (r.n_events, r.ewma_last)
+        for r in ts8_ewma_smoothing(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_l4_bigram_lm_matches_python(spark):
+    """Add-one-smoothed bigram log-likelihood recomputed in python
+    for the whole corpus."""
+    from chronicle_sniffer_spark.plans.round8 import l4_bigram_lm_score
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect()
+    tok = {d.doc_id: [w for w in d.text.lower().split(" ") if w] for d in docs}
+    c_uni: dict[str, int] = {}
+    c_bg: dict[tuple, int] = {}
+    for ws in tok.values():
+        for w in ws:
+            c_uni[w] = c_uni.get(w, 0) + 1
+        for a, b in zip(ws, ws[1:]):
+            c_bg[(a, b)] = c_bg.get((a, b), 0) + 1
+    v = len(c_uni)
+    expect = {}
+    for doc_id, ws in tok.items():
+        pairs = list(zip(ws, ws[1:]))
+        if not pairs:
+            continue
+        lp = [math.log((c_bg[(a, b)] + 1.0) / (c_uni[a] + v)) for a, b in pairs]
+        expect[doc_id] = (len(pairs), round(sum(lp) / len(lp), 6))
+    got = {
+        r.doc_id: (r.n_bigrams, r.avg_logp)
+        for r in l4_bigram_lm_score(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_l2_containment_scores_exact_and_candidates_lossless(spark):
+    """Every reported containment equals the python-set value, and
+    every pair that (a) scores >= threshold and (b) shares at least
+    one under-cap gram is reported — the prefix filter must be
+    lossless above threshold."""
+    from chronicle_sniffer_spark.operators.dedup import containment_pairs
+    from chronicle_sniffer_spark.plans.dedup_sim import NGRAM_MAX_DF_PCT, NGRAM_N
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect()
+    gsets = {}
+    for d in docs:
+        ws = d.text.split(" ")
+        grams = {
+            " ".join(ws[i : i + NGRAM_N])
+            for i in range(max(len(ws) - NGRAM_N + 1, 1))
+        }
+        gsets[d.doc_id] = grams
+    df: dict[str, int] = {}
+    for grams in gsets.values():
+        for g in grams:
+            df[g] = df.get(g, 0) + 1
+    cap = (len(docs) * NGRAM_MAX_DF_PCT + 99) // 100
+    ids = sorted(gsets)
+    expect = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = gsets[a] & gsets[b]
+            if not inter:
+                continue
+            c = round(len(inter) / min(len(gsets[a]), len(gsets[b])), 6)
+            if c >= 0.8 and any(df[g] <= cap for g in inter):
+                expect[(a, b)] = c
+    got = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in containment_pairs(
+            spark.read.parquet(f"{SF_SMOKE}/documents.parquet"),
+            n=NGRAM_N,
+            threshold=0.8,
+            max_df_pct=NGRAM_MAX_DF_PCT,
+        ).collect()
+    }
+    assert got == expect
+
+
+def test_l2_containment_catches_embedded_doc_jaccard_misses(spark):
+    """The motivating asymmetry: a short doc embedded verbatim in a
+    10x longer one has containment 1.0 but Jaccard << 0.5 — the
+    containment operator reports it, the Jaccard operator cannot."""
+    from chronicle_sniffer_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    words = [f"tok{i}" for i in range(200)]
+    short = " ".join(words[:20])
+    long = " ".join(words)  # short is a prefix slice of long
+    docs = spark.createDataFrame(
+        [(1, short), (2, long), (3, "completely different text entirely here")],
+        "doc_id long, text string",
+    )
+    cont = containment_pairs(docs, n=3, threshold=0.8, max_df_pct=100).collect()
+    jacc = ngram_jaccard_pairs(docs, n=3, threshold=0.5, max_df_pct=100).collect()
+    assert [(r.doc_a, r.doc_b, r.containment) for r in cont] == [(1, 2, 1.0)]
+    assert jacc == []
