@@ -436,3 +436,219 @@ def l2_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=CONTAINMENT_THRESHOLD,
         max_df_pct=NGRAM_MAX_DF_PCT,
     )
+
+
+# ---------------------------------------------------------------------------
+# DQ5: row-level expectation quarantine (dead-letter for batch)
+# ---------------------------------------------------------------------------
+
+_DQ5_RULES_SQL = """
+      CASE WHEN o.o_totalprice > 400000 THEN 'R1_price_gt_400k' END,
+      CASE WHEN o.o_orderpriority = '1-URGENT' AND o.o_orderstatus = 'F'
+           THEN 'R2_urgent_but_final' END,
+      CASE WHEN (o.o_custkey % 97) = 0 THEN 'R3_custkey_blocklist' END,
+      CASE WHEN c.c_nationkey >= 20 THEN 'R4_nation_not_allowed' END
+"""
+
+_DQ5_ORACLE = f"""
+    SELECT o.o_orderkey,
+           concat_ws(',', {_DQ5_RULES_SQL}) AS reasons,
+           CAST(((o.o_totalprice > 400000)::INT
+                 + (o.o_orderpriority = '1-URGENT' AND o.o_orderstatus = 'F')::INT
+                 + ((o.o_custkey % 97) = 0)::INT
+                 + (c.c_nationkey >= 20)::INT) AS INT) AS n_violations
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    WHERE o.o_totalprice > 400000
+       OR (o.o_orderpriority = '1-URGENT' AND o.o_orderstatus = 'F')
+       OR (o.o_custkey % 97) = 0
+       OR c.c_nationkey >= 20
+"""
+
+
+@query("dq5_quarantine_split", section="DQ5", oracle=_DQ5_ORACLE)
+def dq5_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level expectation checking with a quarantine route — the
+    batch dead-letter pattern: every row is evaluated against a rule
+    set (three row-local predicates + one dimension-join rule), and
+    failing rows are emitted with machine-readable reason codes, so a
+    pipeline can sink them for triage instead of poisoning downstream
+    tables (complements the table-level DQ1 constraint report).
+
+    Scale shape: rules are codegen'd CASE expressions evaluated in
+    the scan stage; the one cross-table rule rides a broadcast join
+    of the dimension (AQE-sized).  ``concat_ws`` skips NULLs on both
+    engines, so the reason string needs no array machinery.  The
+    clean-path complement is the same plan with the filter flipped —
+    one scan feeds both sinks."""
+    o = _t(spark, sf_dir, "orders").alias("o")
+    c = _t(spark, sf_dir, "customer").alias("c")
+    r1 = F.col("o.o_totalprice") > 400000
+    r2 = (F.col("o.o_orderpriority") == "1-URGENT") & (F.col("o.o_orderstatus") == "F")
+    r3 = (F.col("o.o_custkey") % 97) == 0
+    r4 = F.col("c.c_nationkey") >= 20
+    return (
+        o.join(c, F.col("c.c_custkey") == F.col("o.o_custkey"))
+        .select(
+            "o.o_orderkey",
+            F.concat_ws(
+                ",",
+                F.when(r1, "R1_price_gt_400k"),
+                F.when(r2, "R2_urgent_but_final"),
+                F.when(r3, "R3_custkey_blocklist"),
+                F.when(r4, "R4_nation_not_allowed"),
+            ).alias("reasons"),
+            (r1.cast("int") + r2.cast("int") + r3.cast("int") + r4.cast("int"))
+            .cast("int")
+            .alias("n_violations"),
+        )
+        .filter(F.col("n_violations") > 0)
+    )
+
+
+# ---------------------------------------------------------------------------
+# TS9: Holt linear (level + trend) smoothing — two-state recursion
+# ---------------------------------------------------------------------------
+
+HOLT_ALPHA = 0.25  # level gain;  1-a = 0.75   (binary-exact)
+HOLT_BETA = 0.5  # trend gain;  1-b = 0.5    (binary-exact)
+
+_TS9_ORACLE = f"""
+    WITH RECURSIVE ranked AS (
+      SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    w(user_id, rn, l, b) AS (
+      SELECT user_id, rn, value, CAST(0.0 AS DOUBLE) FROM ranked WHERE rn = 1
+      UNION ALL
+      SELECT r.user_id, r.rn,
+             {HOLT_ALPHA} * r.value + {1 - HOLT_ALPHA} * (w.l + w.b),
+             {HOLT_BETA} * (({HOLT_ALPHA} * r.value
+                             + {1 - HOLT_ALPHA} * (w.l + w.b)) - w.l)
+               + {1 - HOLT_BETA} * w.b
+      FROM ranked r JOIN w ON r.user_id = w.user_id AND r.rn = w.rn + 1
+    ),
+    last AS (SELECT user_id, max(rn) AS n FROM ranked GROUP BY user_id)
+    SELECT l2.user_id, CAST(l2.n AS BIGINT) AS n_events,
+           round(w.l, 6) AS level_last,
+           round(w.b, 6) AS trend_last,
+           round(w.l + w.b, 6) AS forecast_1
+    FROM last l2 JOIN w ON w.user_id = l2.user_id AND w.rn = l2.n
+"""
+
+
+@query("ts9_holt_linear", section="TS9", oracle=_TS9_ORACLE)
+def ts9_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear method per key: coupled level/trend recursion
+    (l_t = a·x_t + (1-a)(l_{t-1}+b_{t-1}); b_t = β(l_t-l_{t-1}) +
+    (1-β)b_{t-1}) with a one-step forecast — the two-state
+    generalization of TS8's EWMA, showing the grouped-map +
+    recursive-CTE-oracle pattern extends to vector state.  Same
+    distributed shape: ONE user_id shuffle, keys parallel, the
+    within-key loop is the O(n) recursion it mathematically is; the
+    oracle replays the identical multiply-add order, so values match
+    bit-for-bit before the 6dp rounding."""
+    import pandas as pd
+
+    def _holt(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        xs = pdf["value"].to_numpy()
+        l, b = xs[0], 0.0
+        for x in xs[1:]:
+            l_new = HOLT_ALPHA * x + (1 - HOLT_ALPHA) * (l + b)
+            b = HOLT_BETA * (l_new - l) + (1 - HOLT_BETA) * b
+            l = l_new
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_events": [len(pdf)],
+                "level_last": [round(l, 6)],
+                "trend_last": [round(b, 6)],
+                "forecast_1": [round(l + b, 6)],
+            }
+        )
+
+    return (
+        _t(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandas(
+            _holt,
+            "user_id bigint, n_events bigint, level_last double,"
+            " trend_last double, forecast_1 double",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# L6: per-group nucleus (top-p) selection
+# ---------------------------------------------------------------------------
+
+NUCLEUS_PCT = 60  # keep best docs until 60% of each source's tokens
+
+_L6N_ORACLE = f"""
+    WITH sig AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             round(length(regexp_replace(text, ' ', '', 'g')) * 1.0
+                   / len(string_split(text, ' ')), 6) AS quality
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, source, n_tokens, quality,
+             sum(n_tokens) OVER (PARTITION BY source
+                                 ORDER BY quality DESC, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(n_tokens) OVER (PARTITION BY source) AS total
+      FROM sig
+    )
+    SELECT doc_id, source, n_tokens, quality,
+           CAST(cum AS BIGINT) AS cum_tokens
+    FROM ranked
+    WHERE (cum - n_tokens) * 100 < total * {NUCLEUS_PCT}
+"""
+
+
+@query("l6_nucleus_select", section="L6", oracle=_L6N_ORACLE)
+def l6_nucleus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source nucleus (top-p) selection: within each source, rank
+    documents by quality (deterministic tie-break) and keep the
+    prefix up to and INCLUDING the row that crosses 60% of that
+    source's token mass — the per-group counterpart of the global
+    token-budget entry (l6_token_budget_select).  The budget test is
+    exact integer math ((cum - n)·100 < total·p), engine-identical.
+
+    Scale shape: groups are the parallel unit, so a per-SOURCE window
+    (partitioned cumsum + 1-pass total) is the RIGHT plan here — the
+    global distributed prefix sum is only needed when the ordering
+    spans the whole corpus.  One source-keyed shuffle, no single-task
+    window (partitionBy present), no driver round-trips."""
+    d = _t(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split("text", " ")).cast("bigint")
+    quality = F.round(
+        F.length(F.regexp_replace("text", " ", "")) * 1.0
+        / F.size(F.split("text", " ")),
+        6,
+    )
+    sig = d.select(
+        "doc_id", "source", n_tokens.alias("n_tokens"), quality.alias("quality")
+    )
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy(F.col("quality").desc(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("source")
+    ranked = sig.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "quality",
+        F.sum("n_tokens").over(w_cum).alias("cum"),
+        F.sum("n_tokens").over(w_tot).alias("total"),
+    )
+    return ranked.filter(
+        (F.col("cum") - F.col("n_tokens")) * 100 < F.col("total") * NUCLEUS_PCT
+    ).select(
+        "doc_id", "source", "n_tokens", "quality", F.col("cum").alias("cum_tokens")
+    )

@@ -181,3 +181,80 @@ def test_l2_containment_catches_embedded_doc_jaccard_misses(spark):
     jacc = ngram_jaccard_pairs(docs, n=3, threshold=0.5, max_df_pct=100).collect()
     assert [(r.doc_a, r.doc_b, r.containment) for r in cont] == [(1, 2, 1.0)]
     assert jacc == []
+
+
+def test_ts9_holt_matches_python_recursion(spark):
+    """Two-state Holt recursion recomputed in python for every user."""
+    from chronicle_sniffer_spark.plans.round8 import (
+        HOLT_ALPHA,
+        HOLT_BETA,
+        ts9_holt_linear,
+    )
+
+    events = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .select("user_id", "ts", "event_id", "value")
+        .collect()
+    )
+    series: dict[int, list] = {}
+    for r in events:
+        series.setdefault(r.user_id, []).append((r.ts, r.event_id, r.value))
+    expect = {}
+    for uid, rows in series.items():
+        rows.sort()
+        l, b = rows[0][2], 0.0
+        for _, _, x in rows[1:]:
+            l_new = HOLT_ALPHA * x + (1 - HOLT_ALPHA) * (l + b)
+            b = HOLT_BETA * (l_new - l) + (1 - HOLT_BETA) * b
+            l = l_new
+        expect[uid] = (len(rows), round(l, 6), round(b, 6), round(l + b, 6))
+    got = {
+        r.user_id: (r.n_events, r.level_last, r.trend_last, r.forecast_1)
+        for r in ts9_holt_linear(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_l6_nucleus_is_minimal_crossing_prefix(spark):
+    """Per source: the kept set is a prefix of the (quality desc,
+    doc_id) order; it crosses the 60% token budget; removing its last
+    row falls below the budget (minimality)."""
+    from chronicle_sniffer_spark.plans.round8 import NUCLEUS_PCT, l6_nucleus_select
+
+    rows = l6_nucleus_select(spark, SF_SMOKE).collect()
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect()
+    by_src: dict[str, list] = {}
+    for d in docs:
+        toks = d.text.split(" ")
+        q = round(len(d.text.replace(" ", "")) / len(toks), 6)
+        by_src.setdefault(d.source, []).append((-q, d.doc_id, len(toks)))
+    kept: dict[str, set] = {}
+    for r in rows:
+        kept.setdefault(r.source, set()).add(r.doc_id)
+    assert set(kept) == set(by_src)
+    for src, entries in by_src.items():
+        entries.sort()
+        total = sum(n for _, _, n in entries)
+        k = kept[src]
+        ids_in_order = [doc_id for _, doc_id, _ in entries]
+        prefix_len = len(k)
+        assert set(ids_in_order[:prefix_len]) == k, f"{src}: not a prefix"
+        cum = sum(n for _, _, n in entries[:prefix_len])
+        cum_minus_last = cum - entries[prefix_len - 1][2]
+        assert cum_minus_last * 100 < total * NUCLEUS_PCT
+        if prefix_len < len(entries):
+            assert cum * 100 >= total * NUCLEUS_PCT
+
+
+def test_dq5_quarantine_partitions_and_reasons_consistent(spark):
+    """Quarantine + clean partitions the joined relation; every
+    quarantined row's reason count matches its reason string."""
+    from chronicle_sniffer_spark.plans.round8 import dq5_quarantine_split
+
+    rows = dq5_quarantine_split(spark, SF_SMOKE).collect()
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").count()
+    assert 0 < len(rows) < orders
+    for r in rows:
+        assert r.n_violations >= 1
+        assert len(r.reasons.split(",")) == r.n_violations
+        assert r.reasons  # never empty on the quarantine route
