@@ -258,3 +258,36 @@ def test_dq5_quarantine_partitions_and_reasons_consistent(spark):
         assert r.n_violations >= 1
         assert len(r.reasons.split(",")) == r.n_violations
         assert r.reasons  # never empty on the quarantine route
+
+
+def test_new_entry_plans_have_right_distributed_shape(spark):
+    """Plan-shape guards for the round-8 entries: every Window is
+    PARTITIONED (no single-task global window anywhere), and the
+    skyline/nucleus plans contain no join at all — they are pure
+    window formulations."""
+    from chronicle_sniffer_spark.plans.round8 import (
+        l6_nucleus_select,
+        o11_pareto_frontier,
+    )
+
+    for fn in (o11_pareto_frontier, l6_nucleus_select):
+        df = fn(spark, SF_SMOKE)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Join" not in plan, f"{fn.__name__}: unexpected join\n{plan}"
+        # a global window would show an empty partition spec:
+        # 'windowspecdefinition(<sort-only...' with no partition cols —
+        # cheap proxy: Exchange must be hashpartitioning, never
+        # SinglePartition feeding the Window
+        assert "SinglePartition" not in plan, f"{fn.__name__}: global window\n{plan}"
+
+
+def test_dq5_dimension_rule_joins_broadcast(spark):
+    """The one cross-table rule must ride a broadcast of the
+    dimension at gate scale (AQE or static sizing — either way no
+    full shuffle join for a small dim)."""
+    from chronicle_sniffer_spark.plans.round8 import dq5_quarantine_split
+
+    df = dq5_quarantine_split(spark, SF_SMOKE)
+    df.collect()  # let AQE finalize
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
