@@ -163,6 +163,7 @@ HEADLINE = (
     "l2_ngram_containment",
     "dq5_quarantine_split",
     "l6_nucleus_select",
+    "g5_bfs_hops",
 )
 
 # Entries with documented ±18% round-over-round drift on identical code

@@ -652,3 +652,74 @@ def l6_nucleus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id", "source", "n_tokens", "quality", F.col("cum").alias("cum_tokens")
     )
+
+
+# ---------------------------------------------------------------------------
+# G5: bounded-hop BFS (k-hop neighborhood with exact distances)
+# ---------------------------------------------------------------------------
+
+BFS_HOPS = 3
+
+
+def _g5_oracle() -> str:
+    from chronicle_sniffer_spark.plans.round7 import _COPURCHASE_CTES
+
+    steps = []
+    prev = "d0"
+    for k in range(1, BFS_HOPS + 1):
+        steps.append(
+            f"""d{k} AS (
+      SELECT n, min(dist) AS dist FROM (
+        SELECT n, dist FROM {prev}
+        UNION ALL
+        SELECT e.t, d.dist + 1 FROM {prev} d JOIN sym e ON e.s = d.n
+      ) GROUP BY n
+    )"""
+        )
+        prev = f"d{k}"
+    steps_sql = ",\n    ".join(steps)
+    return f"""
+    WITH {_COPURCHASE_CTES},
+    sym AS (SELECT u AS s, v AS t FROM edges
+            UNION ALL SELECT v, u FROM edges),
+    src AS (SELECT min(u) AS n FROM edges),
+    d0 AS (SELECT n, 0 AS dist FROM src),
+    {steps_sql}
+    SELECT n AS user_id, CAST(dist AS INT) AS dist FROM {prev}
+    """
+
+
+@query("g5_bfs_hops", section="G5", oracle=_g5_oracle())
+def g5_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shortest-path distances within BFS_HOPS hops of a
+    deterministic source (the graph's min node id) on the capped
+    purchase co-occurrence graph — the k-hop-neighborhood primitive
+    (fraud rings, blast-radius, friends-of-friends) completing the
+    graph family next to PageRank / triangles / CC.
+
+    Scale shape: each hop is ONE hash join of the frontier against
+    the symmetrized edge list (node-keyed) plus a min-combine — both
+    map-side combinable; the hop count is a bounded constant, so the
+    plan is a static K-deep unroll (no driver iteration, no lineage
+    growth to truncate — contrast g3's unbounded-diameter CC, which
+    needs localCheckpoint).  The frontier is always a subset of
+    nodes, so AQE broadcasts it while small and degrades gracefully.
+    The oracle unrolls the identical K min-relaxation steps as
+    chained CTEs."""
+    from chronicle_sniffer_spark.plans.round7 import _copurchase_edges
+
+    edges = _copurchase_edges(spark, sf_dir)
+    sym = edges.select(F.col("u").alias("s"), F.col("v").alias("t")).unionByName(
+        edges.select(F.col("v").alias("s"), F.col("u").alias("t"))
+    )
+    d = edges.agg(F.min("u").alias("n")).select("n", F.lit(0).alias("dist"))
+    for _ in range(BFS_HOPS):
+        # name-based refs throughout: `sym` appears once per unrolled
+        # level, and object-bound column refs would trip Spark's
+        # ambiguous-self-join detection on the reused plan subtree
+        frontier = d.select(F.col("n").alias("s"), "dist")
+        prop = frontier.join(sym, "s").select(
+            F.col("t").alias("n"), (F.col("dist") + F.lit(1)).alias("dist")
+        )
+        d = d.unionByName(prop).groupBy("n").agg(F.min("dist").alias("dist"))
+    return d.select(F.col("n").alias("user_id"), F.col("dist").cast("int").alias("dist"))

@@ -291,3 +291,31 @@ def test_dq5_dimension_rule_joins_broadcast(spark):
     df.collect()  # let AQE finalize
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_g5_bfs_matches_python_bfs(spark):
+    """Bounded-hop distances recomputed with a python BFS over the
+    collected edge set."""
+    from collections import deque
+
+    from chronicle_sniffer_spark.plans.round7 import _copurchase_edges
+    from chronicle_sniffer_spark.plans.round8 import BFS_HOPS, g5_bfs_hops
+
+    edges = [(r.u, r.v) for r in _copurchase_edges(spark, SF_SMOKE).collect()]
+    adj: dict[int, set] = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    src = min(u for u, _ in edges)
+    dist = {src: 0}
+    dq = deque([src])
+    while dq:
+        n = dq.popleft()
+        if dist[n] >= BFS_HOPS:
+            continue
+        for m in adj.get(n, ()):
+            if m not in dist:
+                dist[m] = dist[n] + 1
+                dq.append(m)
+    got = {r.user_id: r.dist for r in g5_bfs_hops(spark, SF_SMOKE).collect()}
+    assert got == dist
