@@ -134,6 +134,20 @@ QUERIES = (
     "o10_incremental_agg_refresh",
     "a4b_mergeable_quantiles",
     "g3_cc_components",
+    # round-8 additions: recursive CTE, SQL UDFs, per-key state
+    # recursions, skyline, bigram LM, containment, quarantine,
+    # nucleus, bounded BFS
+    "g4_hierarchy_rollup_rcte",
+    "u7_sql_scalar_udf",
+    "u8_sql_table_udf",
+    "ts8_ewma_smoothing",
+    "ts9_holt_linear",
+    "o11_pareto_frontier",
+    "l4_bigram_lm_score",
+    "l2_ngram_containment",
+    "dq5_quarantine_split",
+    "l6_nucleus_select",
+    "g5_bfs_hops",
 )
 
 
