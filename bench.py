@@ -164,6 +164,7 @@ HEADLINE = (
     "dq5_quarantine_split",
     "l6_nucleus_select",
     "g5_bfs_hops",
+    "u9_iter_pandas_udf",
 )
 
 # Entries with documented ±18% round-over-round drift on identical code

@@ -262,9 +262,11 @@ def test_dq5_quarantine_partitions_and_reasons_consistent(spark):
 
 def test_new_entry_plans_have_right_distributed_shape(spark):
     """Plan-shape guards for the round-8 entries: every Window is
-    PARTITIONED (no single-task global window anywhere), and the
-    skyline/nucleus plans contain no join at all — they are pure
-    window formulations."""
+    PARTITIONED (no single-task global window anywhere); the nucleus
+    plan is a pure window formulation (no join); the skyline's only
+    window is a ROWS frame over the distinct-size relation (the
+    RANGE-frame formulation was O(rows²) per partition — 17× wall for
+    10× data in the sf1 soak — and must not come back)."""
     from chronicle_sniffer_spark.plans.round8 import (
         l6_nucleus_select,
         o11_pareto_frontier,
@@ -273,12 +275,18 @@ def test_new_entry_plans_have_right_distributed_shape(spark):
     for fn in (o11_pareto_frontier, l6_nucleus_select):
         df = fn(spark, SF_SMOKE)
         plan = df._jdf.queryExecution().executedPlan().toString()
-        assert "Join" not in plan, f"{fn.__name__}: unexpected join\n{plan}"
-        # a global window would show an empty partition spec:
-        # 'windowspecdefinition(<sort-only...' with no partition cols —
-        # cheap proxy: Exchange must be hashpartitioning, never
-        # SinglePartition feeding the Window
+        # a global window would show a SinglePartition exchange
         assert "SinglePartition" not in plan, f"{fn.__name__}: global window\n{plan}"
+        assert "CartesianProduct" not in plan, f"{fn.__name__}\n{plan}"
+
+    nucleus_plan = (
+        l6_nucleus_select(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in nucleus_plan, nucleus_plan
+    skyline_plan = (
+        o11_pareto_frontier(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "specifiedwindowframe(RangeFrame" not in skyline_plan, skyline_plan
 
 
 def test_dq5_dimension_rule_joins_broadcast(spark):
@@ -319,3 +327,22 @@ def test_g5_bfs_matches_python_bfs(spark):
                 dq.append(m)
     got = {r.user_id: r.dist for r in g5_bfs_hops(spark, SF_SMOKE).collect()}
     assert got == dist
+
+
+def test_u9_iterator_udf_is_arrow_and_matches_python(spark):
+    """The iterator pandas UDF must run on the Arrow path
+    (ArrowEvalPython node), and its scores match a python recompute."""
+    from chronicle_sniffer_spark.plans.round8 import u9_iter_pandas_udf
+
+    df = u9_iter_pandas_udf(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan, plan
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect()
+    expect = {
+        d.doc_id: round(
+            0.4 * (len(d.text) % 101) + 0.6 * (len(d.text.split(" ")) % 53), 6
+        )
+        for d in docs
+    }
+    got = {r.doc_id: r.score for r in df.collect()}
+    assert got == expect
