@@ -37,6 +37,19 @@ four operators a training-data / analytics stack runs routinely:
   misses (|A∩B|/min(|A|,|B|) is high where Jaccard is low).  Same
   rare-gram inverted-index candidate generation as the Jaccard path
   (df-capped, never all-pairs), exact scores on full sets.
+- **DQ5 row-level quarantine**: the batch dead-letter pattern —
+  expectation rules as codegen'd CASEs plus one broadcast dimension
+  rule, failing rows emitted with machine-readable reason codes.
+- **TS9 Holt linear**: the two-state (level + trend) generalization
+  of TS8 — same grouped-map shape, two-variable recursive-CTE oracle.
+- **L6 nucleus (top-p) selection**: per-source best-quality prefix
+  crossing a token-mass budget — the per-GROUP counterpart of the
+  global token-budget prefix sum; exact-integer budget test.
+- **G5 bounded-hop BFS**: exact ≤K-hop distances as a static K-deep
+  unroll of frontier-join + min-combine; chained-CTE oracle.
+- **U9 iterator-form pandas UDF**: per-worker state hoisted once
+  before the Arrow batch loop — the ML-inference scoring pattern the
+  scalar form cannot express.
 
 House determinism rules (plans/catalog.py) apply: identical aliases
 both engines, money math in exact decimal, ties fully keyed.
