@@ -165,6 +165,8 @@ HEADLINE = (
     "l6_nucleus_select",
     "g5_bfs_hops",
     "u9_iter_pandas_udf",
+    "ts10_sequence_pattern",
+    "l6_curation_funnel",
 )
 
 # Entries with documented ±18% round-over-round drift on identical code

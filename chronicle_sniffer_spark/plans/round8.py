@@ -787,3 +787,166 @@ def u9_iter_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spread(_t(spark, sf_dir, "documents")).select(
         "doc_id", score(F.col("text")).alias("score")
     )
+
+
+# ---------------------------------------------------------------------------
+# TS10: strict-contiguity sequence pattern (CEP / MATCH_RECOGNIZE core)
+# ---------------------------------------------------------------------------
+
+_TS10_CHR = """CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+                  WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+                  ELSE 'e' END"""
+
+_TS10_ORACLE = f"""
+    WITH seq AS (
+      SELECT user_id, count(*) AS n_events,
+             string_agg({_TS10_CHR}, '' ORDER BY ts, event_id) AS s
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+           CAST((length(s) - length(replace(s, 'vcp', ''))) // 3 AS INT)
+             AS n_strict_funnels
+    FROM seq
+"""
+
+
+@query("ts10_sequence_pattern", section="TS10", oracle=_TS10_ORACLE)
+def ts10_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-contiguity sequence detection per key: count of
+    view→click→purchase runs with NO intervening event — the
+    strict-adjacency core of CEP / MATCH_RECOGNIZE (Flink's `next`
+    contiguity), complementing ts2's relaxed-contiguity funnel
+    (`followed-by` semantics).
+
+    Shape: ONE user_id-keyed ordered string aggregate (Spark 4
+    ``listagg WITHIN GROUP``) collapses each key's event history to a
+    character sequence; pattern counting is then pure string
+    arithmetic ((len - len(replace)) / patlen), which both engines
+    evaluate identically — deliberately NOT regex, whose
+    non-overlapping-match semantics differ across engines.  Per-key
+    sequences are the parallel unit; nothing global."""
+    _t(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        f"""
+        WITH seq AS (
+          SELECT user_id, count(*) AS n_events,
+                 listagg({_TS10_CHR})
+                   WITHIN GROUP (ORDER BY ts, event_id) AS s
+          FROM events GROUP BY user_id
+        )
+        SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+               CAST((length(s) - length(replace(s, 'vcp', ''))) DIV 3 AS INT)
+                 AS n_strict_funnels
+        FROM seq
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# L6: end-to-end curation funnel report (composition entry)
+# ---------------------------------------------------------------------------
+
+QUALITY_GATE_MIN = 4.2  # chars-per-token floor for the gate stage
+
+
+def _l6p_oracle() -> str:
+    from chronicle_sniffer_spark.plans.dedup_sim import _ORACLE_GRAMS_CTE, JACCARD_THRESHOLD
+
+    return f"""
+    WITH RECURSIVE {_ORACLE_GRAMS_CTE},
+    pairs AS (
+      SELECT i.doc_a, i.doc_b
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.doc_a
+      JOIN sizes sb ON sb.doc_id = i.doc_b
+      WHERE round(i.n_inter * 1.0 / (sa.n_grams + sb.n_grams - i.n_inter), 6)
+            >= {JACCARD_THRESHOLD}
+    ),
+    e2 AS (SELECT doc_a AS s, doc_b AS t FROM pairs
+           UNION SELECT doc_b, doc_a FROM pairs),
+    reach(s, t) AS (
+      SELECT s, s FROM (SELECT DISTINCT s FROM e2)
+      UNION
+      SELECT r.s, e.t FROM reach r JOIN e2 e ON r.t = e.s
+    ),
+    labels AS (SELECT s AS doc_id, min(t) AS label FROM reach GROUP BY s),
+    sig AS (
+      SELECT doc_id, text,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             round(length(regexp_replace(text, ' ', '', 'g')) * 1.0
+                   / len(string_split(text, ' ')), 6) AS quality
+      FROM documents
+    ),
+    s1 AS (SELECT g.* FROM sig g
+           JOIN (SELECT min(doc_id) AS doc_id FROM documents
+                 GROUP BY md5(text)) k ON k.doc_id = g.doc_id),
+    s2 AS (SELECT s1.* FROM s1 LEFT JOIN labels l ON l.doc_id = s1.doc_id
+           WHERE l.doc_id IS NULL OR l.label = s1.doc_id),
+    s3 AS (SELECT * FROM s2 WHERE quality >= {QUALITY_GATE_MIN})
+    SELECT * FROM (
+      SELECT '0_raw' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS n_tokens FROM sig
+      UNION ALL
+      SELECT '1_exact_dedup', CAST(count(*) AS BIGINT),
+             CAST(sum(n_tokens) AS BIGINT) FROM s1
+      UNION ALL
+      SELECT '2_near_dedup', CAST(count(*) AS BIGINT),
+             CAST(sum(n_tokens) AS BIGINT) FROM s2
+      UNION ALL
+      SELECT '3_quality_gate', CAST(count(*) AS BIGINT),
+             CAST(sum(n_tokens) AS BIGINT) FROM s3
+    )
+    """
+
+
+@query("l6_curation_funnel", section="L6", oracle=_l6p_oracle())
+def l6_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end curation pipeline as ONE composed plan with a
+    per-stage accounting report — the artifact a 100 TB data-curation
+    run publishes next to its output: raw → exact dedup (hash-keyed
+    keep-min) → near-dup canonical filter (shared CC labels) →
+    quality gate, with surviving doc and token counts per stage (no
+    silent shrinkage; every stage's cost is visible).
+
+    Composition reuses the session-scoped pair/label materialization
+    (:func:`chronicle_sniffer_spark.plans.dedup_sim.
+    shared_pairs_and_labels`) — the cluster table is computed once per
+    session and this entry reads the parquet, exactly how a
+    production pipeline consumes its dedup stage.  The oracle nests
+    the full recursive-CTE closure + hash dedup + gate chain."""
+    from chronicle_sniffer_spark.plans.dedup_sim import shared_pairs_and_labels
+
+    d = _t(spark, sf_dir, "documents")
+    sig = d.select(
+        "doc_id",
+        "text",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+        F.round(
+            F.length(F.regexp_replace("text", " ", "")) * 1.0
+            / F.size(F.split("text", " ")),
+            6,
+        ).alias("quality"),
+    )
+    keep = d.groupBy(F.md5(F.col("text").cast("binary"))).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    s1 = sig.join(keep.select("doc_id"), "doc_id", "left_semi")
+    _, labels = shared_pairs_and_labels(spark, sf_dir)
+    noncanon = labels.filter(F.col("node") != F.col("label")).select(
+        F.col("node").alias("doc_id")
+    )
+    s2 = s1.join(noncanon, "doc_id", "left_anti")
+    s3 = s2.filter(F.col("quality") >= QUALITY_GATE_MIN)
+
+    def report(df: DataFrame, stage: str) -> DataFrame:
+        return df.agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        ).select(F.lit(stage).alias("stage"), "n_docs", "n_tokens")
+
+    return (
+        report(sig, "0_raw")
+        .unionByName(report(s1, "1_exact_dedup"))
+        .unionByName(report(s2, "2_near_dedup"))
+        .unionByName(report(s3, "3_quality_gate"))
+    )

@@ -28,6 +28,20 @@ def dedup_stream(events: DataFrame, delay: str = "10 minutes") -> DataFrame:
     return events.withWatermark("ts", delay).dropDuplicates(["event_id"])
 
 
+def dedup_stream_within_watermark(
+    events: DataFrame, delay: str = "10 minutes"
+) -> DataFrame:
+    """T5b: ``dropDuplicatesWithinWatermark`` (Spark 3.5+) — the
+    variant whose state is ALWAYS watermark-evicted.  Plain
+    ``dropDuplicates`` only expires state when the event-time column
+    is itself part of the dedup key; keyed on a pure id (the common
+    case — upstream redelivery produces the same event_id with the
+    same ts), its state map grows without bound.  This form keeps the
+    id-only key AND bounds state to the watermark horizon — the
+    correct 100 TB/day shape for at-least-once sources."""
+    return events.withWatermark("ts", delay).dropDuplicatesWithinWatermark(["event_id"])
+
+
 def read_notifications(spark: SparkSession, path: str) -> DataFrame:
     """S6: Pub/Sub-shaped queue emulation — a directory of JSON
     messages ``{filename, publish_ts, attributes}`` (the push envelope

@@ -346,3 +346,49 @@ def test_u9_iterator_udf_is_arrow_and_matches_python(spark):
     }
     got = {r.doc_id: r.score for r in df.collect()}
     assert got == expect
+
+
+def test_ts10_pattern_matches_python_scan(spark):
+    """Strict v->c->p run counts recomputed by a python scan of each
+    user's (ts, event_id)-ordered history."""
+    from chronicle_sniffer_spark.plans.round8 import ts10_sequence_pattern
+
+    events = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    )
+    series: dict[int, list] = {}
+    chr_map = {"view": "v", "click": "c", "purchase": "p", "signup": "s"}
+    for r in events:
+        series.setdefault(r.user_id, []).append(
+            (r.ts, r.event_id, chr_map.get(r.event_type, "e"))
+        )
+    expect = {}
+    for uid, rows in series.items():
+        rows.sort()
+        s = "".join(c for _, _, c in rows)
+        expect[uid] = (len(rows), s.count("vcp"))
+    got = {
+        r.user_id: (r.n_events, r.n_strict_funnels)
+        for r in ts10_sequence_pattern(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+    assert any(n > 0 for _, n in got.values())  # the pattern actually fires
+
+
+def test_l6_curation_funnel_is_monotone_and_anchored(spark):
+    """Stage counts never increase, stage 0 equals the raw corpus,
+    and every stage is present."""
+    from chronicle_sniffer_spark.plans.round8 import l6_curation_funnel
+
+    rows = {r.stage: (r.n_docs, r.n_tokens) for r in l6_curation_funnel(spark, SF_SMOKE).collect()}
+    assert sorted(rows) == ["0_raw", "1_exact_dedup", "2_near_dedup", "3_quality_gate"]
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    n = docs.count()
+    n_tok = docs.selectExpr("sum(size(split(text, ' ')))").first()[0]
+    assert rows["0_raw"] == (n, n_tok)
+    seq = [rows[s] for s in ("0_raw", "1_exact_dedup", "2_near_dedup", "3_quality_gate")]
+    for (d1, t1), (d2, t2) in zip(seq, seq[1:]):
+        assert d2 <= d1 and t2 <= t1
+    assert seq[-1][0] > 0  # the gate keeps something

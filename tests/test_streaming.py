@@ -76,6 +76,69 @@ def test_t5_stream_dedup(spark, staged):
     assert result.collect()[0][0] == expected
 
 
+def test_t5b_dedup_within_watermark_semantics(spark):
+    """dropDuplicatesWithinWatermark, the ALWAYS-watermark-evicted
+    dedup (plain dropDuplicates only expires state when the event-time
+    column is part of the key): (a) a redelivery inside the horizon is
+    dropped; (b) after the watermark passes an id's state, the SAME id
+    re-arriving with a fresh in-horizon timestamp is emitted again —
+    the visible proof that state was evicted, i.e. bounded."""
+    from datetime import datetime
+
+    from chronicle_sniffer_spark.streaming.reliability import (
+        dedup_stream_within_watermark,
+    )
+
+    base = tempfile.mkdtemp(prefix="css_dupw_")
+    d = os.path.join(base, "events")
+    os.makedirs(d)
+    checkpoint = os.path.join(base, "ckpt")
+    out = os.path.join(base, "out")
+
+    def run_once():
+        stream = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(d)
+        q = (
+            dedup_stream_within_watermark(stream, delay="10 minutes")
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # batch 1: id=1 plus an in-horizon duplicate of it -> ONE emission;
+    # a second row advances the watermark to 10:50
+    batch1 = [
+        (1, datetime(2024, 1, 1, 10, 0, 0), 1, "click", 1.0, "{}"),
+        (1, datetime(2024, 1, 1, 10, 0, 5), 1, "click", 1.0, "{}"),
+        (2, datetime(2024, 1, 1, 11, 0, 0), 1, "click", 1.0, "{}"),
+    ]
+    spark.createDataFrame(batch1, EVENTS_STREAM_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(d)
+    run_once()
+    # batch 2 (restart from checkpoint, watermark persisted at 10:50):
+    # id=1 again with a FRESH in-horizon ts — its state expired at
+    # 10:10, so it is emitted a second time
+    time.sleep(0.2)
+    batch2 = [(1, datetime(2024, 1, 1, 10, 59, 0), 1, "click", 1.0, "{}")]
+    spark.createDataFrame(batch2, EVENTS_STREAM_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(d)
+    run_once()
+
+    emitted = sorted(
+        (r.event_id, r.ts.isoformat()) for r in spark.read.parquet(out).collect()
+    )
+    assert emitted == [
+        (1, "2024-01-01T10:00:00"),   # first arrival kept, duplicate dropped
+        (1, "2024-01-01T10:59:00"),   # re-admitted after state eviction
+        (2, "2024-01-01T11:00:00"),
+    ]
+
+
 def test_t4_watermark_drops_late_rows(spark):
     """A row arriving after the watermark passed its window is dropped
     from the append-mode aggregate."""

@@ -149,6 +149,8 @@ QUERIES = (
     "l6_nucleus_select",
     "g5_bfs_hops",
     "u9_iter_pandas_udf",
+    "ts10_sequence_pattern",
+    "l6_curation_funnel",
 )
 
 
