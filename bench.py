@@ -167,6 +167,9 @@ HEADLINE = (
     "u9_iter_pandas_udf",
     "ts10_sequence_pattern",
     "l6_curation_funnel",
+    "p15_variant_shred",
+    "j13_lateral_topk",
+    "p16_try_arithmetic",
 )
 
 # Entries with documented ±18% round-over-round drift on identical code

@@ -950,3 +950,124 @@ def l6_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(report(s2, "2_near_dedup"))
         .unionByName(report(s3, "3_quality_gate"))
     )
+
+
+# ---------------------------------------------------------------------------
+# P15: VARIANT semi-structured shredding (Spark 4 native VARIANT)
+# ---------------------------------------------------------------------------
+
+_P15_ORACLE = """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
+           CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS min_k,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS max_k
+    FROM events GROUP BY event_type
+"""
+
+
+@query("p15_variant_shred", section="P15", oracle=_P15_ORACLE)
+def p15_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through Spark 4's native VARIANT type:
+    ``parse_json`` once, ``variant_get`` typed paths, then relational
+    aggregation — the open-format answer to JSON columns at 100 TB.
+    VARIANT stores a parsed binary encoding (no per-access re-parse,
+    ~8× faster than string JSON per the Spark 4 release notes) and
+    keeps schema-on-read flexibility where a rigid from_json struct
+    would reject drift.  The engine's UDM path already reads tshark
+    JSON as VARIANT (sources/json_source.py); this entry is the
+    declared catalog surface for it.  Integer sums — exact, engine-
+    identical."""
+    e = _t(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'bigint')")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.min("k").cast("bigint").alias("min_k"),
+            F.max("k").cast("bigint").alias("max_k"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J13: LATERAL correlated top-k join
+# ---------------------------------------------------------------------------
+
+_J13_SQL = """
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer c,
+         LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+    WHERE c.c_custkey < 30
+"""
+
+
+@query("j13_lateral_topk", section="J13", oracle=_J13_SQL)
+def j13_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key correlated top-k via a LATERAL subquery join (Spark 4
+    SQL surface) — 'each customer's two most expensive orders'
+    expressed as the correlated form users write, rather than the
+    window-rank rewrite (w1_topk_per_group) they are usually told to
+    use.  Catalyst decorrelates the LATERAL into a ranked join, so
+    the physical plan is the same partition-parallel shape — the
+    point of the entry is that the DECLARATIVE form is supported and
+    optimal, full tie-break keys included.  Identical SQL runs on
+    DuckDB."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_J13_SQL)
+
+
+# ---------------------------------------------------------------------------
+# P16: error-safe (try_*) arithmetic — ANSI-mode-safe ingestion
+# ---------------------------------------------------------------------------
+
+_P16_ORACLE = """
+    WITH x AS (
+      SELECT TRY_CAST(split_part(p_brand, '#', 2) AS INT) AS mfgr_id,
+             TRY_CAST(p_name AS INT) AS bad_cast,
+             CASE WHEN (p_size - 25) = 0 THEN NULL
+                  ELSE p_retailprice / (p_size - 25) END AS ratio
+      FROM part
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(mfgr_id) AS BIGINT) AS sum_mfgr,
+           CAST(sum(CASE WHEN bad_cast IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bad_casts,
+           CAST(sum(CASE WHEN ratio IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_div_by_zero,
+           CAST(SUM(CAST(round(ratio, 4) AS DECIMAL(18,6))) AS DOUBLE)
+             AS sum_ratio
+    FROM x
+"""
+
+
+@query("p16_try_arithmetic", section="P16", oracle=_P16_ORACLE)
+def p16_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe expression surface: ``try_cast`` / ``try_divide``
+    return NULL where ANSI mode would abort the job — the difference
+    between one malformed row killing a 100 TB ingest and that row
+    flowing to the DQ5 quarantine.  The audit aggregates count the
+    absorbed failures (never silent).  Per-row doubles are rounded
+    then summed in exact decimal, so the FP-division column is still
+    order-independent."""
+    p = _t(spark, sf_dir, "part")
+    x = p.select(
+        F.expr("try_cast(split_part(p_brand, '#', 2) AS INT)").alias("mfgr_id"),
+        F.expr("try_cast(p_name AS INT)").alias("bad_cast"),
+        F.expr("try_divide(p_retailprice, p_size - 25)").alias("ratio"),
+    )
+    return x.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum("mfgr_id").cast("bigint").alias("sum_mfgr"),
+        F.sum(F.col("bad_cast").isNull().cast("int")).cast("bigint").alias("n_bad_casts"),
+        F.sum(F.col("ratio").isNull().cast("int")).cast("bigint").alias("n_div_by_zero"),
+        F.sum(F.round("ratio", 4).cast("decimal(18,6)")).cast("double").alias("sum_ratio"),
+    )

@@ -392,3 +392,53 @@ def test_l6_curation_funnel_is_monotone_and_anchored(spark):
     for (d1, t1), (d2, t2) in zip(seq, seq[1:]):
         assert d2 <= d1 and t2 <= t1
     assert seq[-1][0] > 0  # the gate keeps something
+
+
+def test_j13_lateral_equals_window_rewrite(spark):
+    """The LATERAL correlated top-k must equal the window-rank
+    rewrite users are usually told to use instead."""
+    from pyspark.sql import Window
+    from chronicle_sniffer_spark.plans.round8 import j13_lateral_topk
+
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    cust = spark.read.parquet(f"{SF_SMOKE}/customer.parquet").filter(
+        F.col("c_custkey") < 30
+    )
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    rewrite = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("c_custkey", "o_orderkey", "o_totalprice")
+    )
+    key = lambda r: (r.c_custkey, r.o_orderkey, r.o_totalprice)
+    assert sorted(map(key, j13_lateral_topk(spark, SF_SMOKE).collect())) == sorted(
+        map(key, rewrite.collect())
+    )
+
+
+def test_p15_variant_equals_string_json_path(spark):
+    """The VARIANT path must agree with the legacy string-JSON path
+    (get_json_object) on every row."""
+    from chronicle_sniffer_spark.plans.round8 import p15_variant_shred
+
+    e = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    legacy = (
+        e.select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.min("k").cast("bigint").alias("min_k"),
+            F.max("k").cast("bigint").alias("max_k"),
+        )
+    )
+    key = lambda r: tuple(r)
+    assert sorted(map(key, p15_variant_shred(spark, SF_SMOKE).collect())) == sorted(
+        map(key, legacy.collect())
+    )
