@@ -1057,8 +1057,19 @@ def p16_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     flowing to the DQ5 quarantine.  The audit aggregates count the
     absorbed failures (never silent).  Per-row doubles are rounded
     then summed in exact decimal, so the FP-division column is still
-    order-independent."""
-    p = _t(spark, sf_dir, "part")
+    order-independent.
+
+    The failing-cast path is the expensive one (~8 µs/row for a long
+    non-numeric string vs ~0.5 µs for a clean parse — measured by the
+    sf1 soak), so the projection is spread across cores first: a
+    single-file testbed scan would otherwise run every try_cast in
+    ONE task.  At 100 TB inputs are well-split and spread() is a
+    no-op."""
+    from chronicle_sniffer_spark.tables import spread
+
+    p = spread(
+        _t(spark, sf_dir, "part").select("p_brand", "p_name", "p_retailprice", "p_size")
+    )
     x = p.select(
         F.expr("try_cast(split_part(p_brand, '#', 2) AS INT)").alias("mfgr_id"),
         F.expr("try_cast(p_name AS INT)").alias("bad_cast"),
