@@ -1,0 +1,147 @@
+"""Property tests (hypothesis): the set-similarity join operators'
+exactness and candidate-losslessness bounds on RANDOM corpora — the
+fixed-fixture tests in test_round8.py/test_dedup_filters.py pin known
+cases; these hunt for corpus shapes that break the prefix-filter
+bounds (the proofs in operators/dedup.py docstrings).
+
+One Spark action per hypothesis example is expensive, so examples are
+few but each is a full end-to-end check against a python brute force.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+N = 3  # gram size, matches the catalog constant
+
+# small vocabulary forces heavy gram collisions — the adversarial
+# regime for prefix filters; doc lengths straddle the gram boundary
+words = st.sampled_from([f"w{i}" for i in range(12)])
+doc = st.lists(words, min_size=1, max_size=12).map(" ".join)
+corpus = st.lists(doc, min_size=2, max_size=10)
+
+
+def _gram_sets(texts: list[str]) -> dict[int, frozenset]:
+    out = {}
+    for i, t in enumerate(texts):
+        ws = t.split(" ")
+        out[i] = frozenset(
+            " ".join(ws[j : j + N]) for j in range(max(len(ws) - N + 1, 1))
+        )
+    return out
+
+
+def _df(gsets: dict[int, frozenset]) -> dict[str, int]:
+    df: dict[str, int] = {}
+    for gs in gsets.values():
+        for g in gs:
+            df[g] = df.get(g, 0) + 1
+    return df
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=corpus)
+def test_jaccard_pairs_match_bruteforce_on_random_corpora(spark, texts):
+    """With the cap disabled (max_df_pct=100), ngram_jaccard_pairs
+    must equal the brute-force pair set exactly: the prefix +
+    positional filters may only prune BELOW-threshold pairs."""
+    from chronicle_sniffer_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, n=N, threshold=0.5, max_df_pct=100).collect()
+    }
+    gsets = _gram_sets(texts)
+    expect = {}
+    ids = sorted(gsets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(gsets[a] & gsets[b])
+            if not inter:
+                continue
+            j = round(inter / (len(gsets[a]) + len(gsets[b]) - inter), 6)
+            if j >= 0.5:
+                expect[(a, b)] = j
+    assert got == expect
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=corpus)
+def test_containment_pairs_match_bruteforce_on_random_corpora(spark, texts):
+    """Same exactness property for the asymmetric containment join,
+    including its index-side-only prefix filter."""
+    from chronicle_sniffer_spark.operators.dedup import containment_pairs
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in containment_pairs(docs, n=N, threshold=0.8, max_df_pct=100).collect()
+    }
+    gsets = _gram_sets(texts)
+    expect = {}
+    ids = sorted(gsets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(gsets[a] & gsets[b])
+            if not inter:
+                continue
+            c = round(inter / min(len(gsets[a]), len(gsets[b])), 6)
+            if c >= 0.8:
+                expect[(a, b)] = c
+    assert got == expect
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=corpus)
+def test_connected_components_match_union_find_on_random_graphs(spark, texts):
+    """CC over the (uncapped) jaccard pair graph equals a python
+    union-find over the same pairs — min label per component, every
+    incident node labeled."""
+    from chronicle_sniffer_spark.operators.dedup import (
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    pairs_df = ngram_jaccard_pairs(docs, n=N, threshold=0.5, max_df_pct=100)
+    pairs = [(r.doc_a, r.doc_b) for r in pairs_df.collect()]
+    got = {
+        r.node: r.label for r in connected_components(pairs_df).collect()
+    }
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect = {}
+    for a, b in pairs:
+        for n_ in (a, b):
+            expect[n_] = find(n_)
+    assert got == expect
