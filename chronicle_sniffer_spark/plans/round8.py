@@ -1082,3 +1082,185 @@ def p16_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("ratio").isNull().cast("int")).cast("bigint").alias("n_div_by_zero"),
         F.sum(F.round("ratio", 4).cast("decimal(18,6)")).cast("double").alias("sum_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A17: GROUP BY ALL (Spark 4 SQL surface)
+# ---------------------------------------------------------------------------
+
+_A17_SQL = """
+    SELECT CAST(year(o_orderdate) AS INT) AS yr, o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM orders GROUP BY ALL
+"""
+
+
+@query("a17_group_by_all", section="A17", oracle=_A17_SQL)
+def a17_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``GROUP BY ALL`` (Spark 4 / modern-SQL sugar): every
+    non-aggregate select item becomes a grouping key — kills the
+    copy-the-select-list-into-GROUP-BY drift bug in wide rollups.
+    The IDENTICAL query text runs on both engines; the resolved plan
+    is the ordinary hash aggregate."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_A17_SQL)
+
+
+# ---------------------------------------------------------------------------
+# DQ6: source-to-target reconciliation checksum
+# ---------------------------------------------------------------------------
+
+def _fold8(h: str) -> str:
+    """Fold the first 8 hex nibbles of md5 expression ``h`` into a
+    32-bit integer — pure instr/substr arithmetic, engine-identical
+    (same device as round7's CMS bucket hash)."""
+    # each nibble cast to BIGINT before the 16^7 multiply — the INT
+    # product overflows under ANSI mode (Spark) at the top nibble
+    nib = "(CAST(instr('0123456789abcdef', substr({h}, {j}, 1)) AS BIGINT) - 1)"
+    return (
+        "("
+        + " + ".join(
+            f"{nib.format(h=h, j=j + 1)} * {16 ** (7 - j)}" for j in range(8)
+        )
+        + ")"
+    )
+
+
+_DQ6_ROW_KEY = (
+    "md5(concat_ws('|', CAST(o_orderkey AS STRING), CAST(o_custkey AS STRING),"
+    " o_orderstatus, o_orderpriority,"
+    " CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS STRING)))"
+)
+
+_DQ6_ROW_KEY_DUCK = (
+    "md5(concat_ws('|', CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),"
+    " o_orderstatus, o_orderpriority,"
+    " CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR)))"
+)
+
+_DQ6_ORACLE = f"""
+    SELECT CAST(year(o_orderdate) AS INT) AS yr,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum({_fold8(_DQ6_ROW_KEY_DUCK)}) AS BIGINT) AS content_checksum
+    FROM orders GROUP BY yr
+"""
+
+
+@query("dq6_reconciliation_checksum", section="DQ6", oracle=_DQ6_ORACLE)
+def dq6_reconciliation_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Migration/replication validation: per partition (year), the row
+    count plus an ADDITIVE content checksum — sum of a 32-bit fold of
+    each row's md5 over its canonical field string.  Source and
+    target each compute this tiny relation; any dropped, duplicated,
+    or mutated row shifts the sum, and addition is commutative so
+    partitioning/order differences can't.  The checksum string avoids
+    raw doubles (engine float-formatting differs) by folding exact
+    integer cents.
+
+    Scale shape: one scan, map-side-combinable agg, O(#partitions)
+    output — the cheapest possible cross-system integrity handshake
+    at 100 TB (this entry's DuckDB oracle literally IS the
+    'other engine' computing the matching checksum)."""
+    e = _t(spark, sf_dir, "orders")
+    return (
+        e.groupBy(F.expr("CAST(year(o_orderdate) AS INT)").alias("yr"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.expr(_fold8(_DQ6_ROW_KEY))).cast("bigint").alias("content_checksum"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# L4: ROUGE-1 overlap scoring for near-dup pairs
+# ---------------------------------------------------------------------------
+
+def _l4r_oracle() -> str:
+    from chronicle_sniffer_spark.plans.dedup_sim import _ORACLE_GRAMS_CTE, JACCARD_THRESHOLD
+
+    return f"""
+    WITH {_ORACLE_GRAMS_CTE},
+    pairs AS (
+      SELECT i.doc_a, i.doc_b
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.doc_a
+      JOIN sizes sb ON sb.doc_id = i.doc_b
+      WHERE round(i.n_inter * 1.0 / (sa.n_grams + sb.n_grams - i.n_inter), 6)
+            >= {JACCARD_THRESHOLD}
+    ),
+    toks AS (
+      SELECT doc_id, w, count(*) AS cnt FROM (
+        SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+                                          x -> x <> '')) AS w
+        FROM documents
+      ) GROUP BY doc_id, w
+    ),
+    lens AS (SELECT doc_id, sum(cnt) AS n FROM toks GROUP BY doc_id),
+    ov AS (
+      SELECT p.doc_a, p.doc_b, sum(least(ta.cnt, tb.cnt)) AS overlap
+      FROM pairs p
+      JOIN toks ta ON ta.doc_id = p.doc_a
+      JOIN toks tb ON tb.doc_id = p.doc_b AND tb.w = ta.w
+      GROUP BY p.doc_a, p.doc_b
+    )
+    SELECT o.doc_a, o.doc_b,
+           round(o.overlap * 1.0 / lb.n, 6) AS rouge1_p,
+           round(o.overlap * 1.0 / la.n, 6) AS rouge1_r,
+           round(2.0 * (o.overlap * 1.0 / lb.n) * (o.overlap * 1.0 / la.n)
+                 / ((o.overlap * 1.0 / lb.n) + (o.overlap * 1.0 / la.n)), 6)
+             AS rouge1_f
+    FROM ov o JOIN lens la ON la.doc_id = o.doc_a
+              JOIN lens lb ON lb.doc_id = o.doc_b
+    """
+
+
+@query("l4_rouge_pairs", section="L4", oracle=_l4r_oracle())
+def l4_rouge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-1 precision/recall/F1 over token MULTISETS for every
+    near-dup pair — the eval-metric view of the dedup graph (treating
+    doc_a as reference, doc_b as candidate): how much of each
+    near-duplicate is literal token overlap vs paraphrase.  Joins the
+    L4 eval family (l3_ann_recall_eval) and consumes the
+    session-scoped materialized pair table — computed once, read here.
+
+    Shape: per-doc token counts are one token-keyed agg; the overlap
+    is a (pair × shared-token) join keyed on (doc, token) — candidate
+    pairs only, never all pairs.  Unigram overlap uses min(count_a,
+    count_b), the multiset intersection ROUGE defines."""
+    from chronicle_sniffer_spark.plans.dedup_sim import shared_pairs_and_labels
+
+    pairs, _ = shared_pairs_and_labels(spark, sf_dir)
+    pairs = pairs.select("doc_a", "doc_b")
+    d = _t(spark, sf_dir, "documents")
+    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    toks = (
+        d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    lens = toks.groupBy("doc_id").agg(F.sum("cnt").alias("n"))
+    ta = toks.select(F.col("doc_id").alias("doc_a"), "w", F.col("cnt").alias("cnt_a"))
+    tb = toks.select(F.col("doc_id").alias("doc_b"), "w", F.col("cnt").alias("cnt_b"))
+    ov = (
+        pairs.join(ta, "doc_a")
+        .join(tb, ["doc_b", "w"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.least("cnt_a", "cnt_b")).alias("overlap"))
+    )
+    la = lens.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    lb = lens.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    p_ = F.col("overlap") * 1.0 / F.col("n_b")
+    r_ = F.col("overlap") * 1.0 / F.col("n_a")
+    return (
+        ov.join(la, "doc_a")
+        .join(lb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(p_, 6).alias("rouge1_p"),
+            F.round(r_, 6).alias("rouge1_r"),
+            F.round(2.0 * p_ * r_ / (p_ + r_), 6).alias("rouge1_f"),
+        )
+    )

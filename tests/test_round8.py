@@ -442,3 +442,30 @@ def test_p15_variant_equals_string_json_path(spark):
     assert sorted(map(key, p15_variant_shred(spark, SF_SMOKE).collect())) == sorted(
         map(key, legacy.collect())
     )
+
+
+def test_dq6_checksum_detects_single_row_mutation(spark):
+    """The additive checksum must shift when exactly one row's content
+    changes (same row count — the failure mode bare counts miss)."""
+    from chronicle_sniffer_spark.plans.round8 import dq6_reconciliation_checksum
+    import tempfile
+
+    base = dq6_reconciliation_checksum(spark, SF_SMOKE).collect()
+    # mutate one order's priority and recompute via a staged copy
+    mut_dir = tempfile.mkdtemp(prefix="css_dq6_")
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    first = orders.select("o_orderkey").first()[0]
+    orders.withColumn(
+        "o_orderpriority",
+        F.when(F.col("o_orderkey") == first, F.lit("9-MUTATED")).otherwise(
+            F.col("o_orderpriority")
+        ),
+    ).write.parquet(f"{mut_dir}/orders.parquet")
+    mut = dq6_reconciliation_checksum(spark, mut_dir).collect()
+    b = {r.yr: (r.n_rows, r.content_checksum) for r in base}
+    m = {r.yr: (r.n_rows, r.content_checksum) for r in mut}
+    assert set(b) == set(m)
+    diff = [y for y in b if b[y] != m[y]]
+    assert len(diff) == 1  # exactly the mutated row's partition shifts
+    y = diff[0]
+    assert b[y][0] == m[y][0]  # same row count — only the checksum moves

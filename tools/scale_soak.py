@@ -154,6 +154,9 @@ QUERIES = (
     "p15_variant_shred",
     "j13_lateral_topk",
     "p16_try_arithmetic",
+    "a17_group_by_all",
+    "dq6_reconciliation_checksum",
+    "l4_rouge_pairs",
 )
 
 
