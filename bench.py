@@ -173,6 +173,9 @@ HEADLINE = (
     "a17_group_by_all",
     "dq6_reconciliation_checksum",
     "l4_rouge_pairs",
+    "p17_collated_group",
+    "s8c_dynamic_partition_overwrite",
+    "a4c_weighted_median",
 )
 
 # Entries with documented ±18% round-over-round drift on identical code

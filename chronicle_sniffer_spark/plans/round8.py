@@ -57,6 +57,7 @@ both engines, money math in exact decimal, ties fully keyed.
 
 from __future__ import annotations
 
+import os
 from typing import Iterator
 
 import pandas as pd
@@ -1263,4 +1264,167 @@ def l4_rouge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(r_, 6).alias("rouge1_r"),
             F.round(2.0 * p_ * r_ / (p_ + r_), 6).alias("rouge1_f"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# P17: collation-aware grouping (Spark 4 COLLATE)
+# ---------------------------------------------------------------------------
+
+_P17_ORACLE = """
+    WITH x AS (
+      SELECT CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END AS s,
+             n_chars
+      FROM documents
+    )
+    SELECT lower(s) AS source_ci,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM x GROUP BY lower(s)
+"""
+
+
+@query("p17_collated_group", section="P17", oracle=_P17_ORACLE)
+def p17_collated_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive grouping through Spark 4's native COLLATION
+    support (``COLLATE UTF8_LCASE``) — the declarative alternative to
+    sprinkling lower() into every predicate/group key, and collation-
+    aware comparison is pushed into hashing/codegen rather than
+    allocating a lowercased copy per row.  Case variance is induced
+    in-plan (the corpus is uniform); the grouped representative under
+    a collation is whichever variant a partition sees first, so the
+    output key is canonicalized with lower() for determinism — the
+    COUNTS are what prove the collated grouping merged the variants.
+    Oracle: the classic lower() rewrite."""
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        """
+        WITH x AS (
+          SELECT CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END
+                   COLLATE UTF8_LCASE AS s,
+                 n_chars
+          FROM documents
+        )
+        SELECT lower(s) AS source_ci,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM x GROUP BY s
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# S8c: dynamic-partition overwrite (partition-surgical rewrite)
+# ---------------------------------------------------------------------------
+
+_S8C_ORACLE = """
+    WITH final AS (
+      SELECT o_orderkey, o_totalprice, CAST(year(o_orderdate) AS INT) AS yr
+      FROM orders WHERE year(o_orderdate) <> 1995
+      UNION ALL
+      SELECT o_orderkey, o_totalprice, 1995 AS yr
+      FROM orders
+      WHERE year(o_orderdate) = 1995 AND o_orderpriority <> '1-URGENT'
+    )
+    SELECT yr, CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM final GROUP BY yr
+"""
+
+
+@query("s8c_dynamic_partition_overwrite", section="S8", oracle=_S8C_ORACLE)
+def s8c_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-surgical rewrite: ``partitionOverwriteMode=dynamic``
+    replaces ONLY the partitions present in the incoming write — here
+    a compliance-delete reprocess of year=1995 (drop its urgent
+    orders) that must not touch any other year.  With static mode
+    (the default) the same write would TRUNCATE THE WHOLE TABLE — the
+    classic data-loss foot-gun this mode exists to prevent; at 100 TB
+    the rewrite cost is one partition, not the table.  The entry
+    rebuilds the base table, applies the dynamic overwrite, and
+    returns the per-partition rollup of what actually survived on
+    disk."""
+    import hashlib
+    import tempfile
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"css_dynpart_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        "o_orderpriority",
+        F.expr("CAST(year(o_orderdate) AS INT)").alias("yr"),
+    )
+    # base table: full static overwrite (reset state for determinism)
+    o.drop("o_orderpriority").write.mode("overwrite").partitionBy("yr").parquet(path)
+    # the surgical step: dynamic overwrite of ONLY year=1995
+    (
+        o.filter((F.col("yr") == 1995) & (F.col("o_orderpriority") != "1-URGENT"))
+        .drop("o_orderpriority")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("yr")
+        .parquet(path)
+    )
+    t = spark.read.parquet(path)
+    return t.groupBy("yr").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias("revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A4c: exact weighted median per group
+# ---------------------------------------------------------------------------
+
+_A4C_ORACLE = """
+    WITH w AS (
+      SELECT l_returnflag, l_extendedprice AS x,
+             CAST(l_quantity AS BIGINT) AS wt
+      FROM lineitem
+    ),
+    ranked AS (
+      SELECT l_returnflag, x, wt,
+             sum(wt) OVER (PARTITION BY l_returnflag
+                           ORDER BY x, wt ROWS UNBOUNDED PRECEDING) AS cw,
+             sum(wt) OVER (PARTITION BY l_returnflag) AS tw
+      FROM w
+    )
+    SELECT l_returnflag, min(x) AS weighted_median
+    FROM ranked WHERE cw * 2 >= tw GROUP BY l_returnflag
+"""
+
+
+@query("a4c_weighted_median", section="A4", oracle=_A4C_ORACLE)
+def a4c_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted (lower) median per group — the smallest value
+    whose cumulative weight reaches half the group's total, weights =
+    quantities in exact integer arithmetic.  One partitioned-window
+    pass (ROWS frame, incrementally maintained) + a min-aggregate;
+    groups are the parallel unit.  Completes the A4 family: plain
+    percentiles (A4), mergeable sketch (A4b), and the weighted exact
+    form the sketch approximates."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("x"),
+        F.col("l_quantity").cast("bigint").alias("wt"),
+    )
+    w_cum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("x", "wt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("l_returnflag")
+    ranked = li.select(
+        "l_returnflag",
+        "x",
+        F.sum("wt").over(w_cum).alias("cw"),
+        F.sum("wt").over(w_tot).alias("tw"),
+    )
+    return (
+        ranked.filter(F.col("cw") * 2 >= F.col("tw"))
+        .groupBy("l_returnflag")
+        .agg(F.min("x").alias("weighted_median"))
     )

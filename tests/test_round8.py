@@ -469,3 +469,73 @@ def test_dq6_checksum_detects_single_row_mutation(spark):
     assert len(diff) == 1  # exactly the mutated row's partition shifts
     y = diff[0]
     assert b[y][0] == m[y][0]  # same row count — only the checksum moves
+
+
+def test_s8c_dynamic_overwrite_touches_only_target_partition(spark):
+    """The dynamic overwrite must leave every non-1995 partition's
+    files untouched (mtime/identity preserved) while 1995 shrinks."""
+    import glob
+    import hashlib
+    import tempfile
+    import os as _os
+
+    from chronicle_sniffer_spark.plans.round8 import (
+        s8c_dynamic_partition_overwrite,
+    )
+
+    path = _os.path.join(
+        tempfile.gettempdir(),
+        f"css_dynpart_{hashlib.md5(SF_SMOKE.encode()).hexdigest()[:8]}",
+    )
+    rows = {r.yr: r.n_orders for r in s8c_dynamic_partition_overwrite(spark, SF_SMOKE).collect()}
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    by_year = {
+        r.yr: r.n
+        for r in orders.selectExpr("CAST(year(o_orderdate) AS INT) AS yr")
+        .groupBy("yr")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    urgent_1995 = orders.filter(
+        (F.expr("year(o_orderdate)") == 1995) & (F.col("o_orderpriority") == "1-URGENT")
+    ).count()
+    for yr, n in by_year.items():
+        if yr == 1995:
+            assert rows[yr] == n - urgent_1995
+        else:
+            assert rows[yr] == n
+    # every partition directory still exists (static mode would have
+    # dropped all but 1995)
+    dirs = {p.split("yr=")[1] for p in glob.glob(_os.path.join(path, "yr=*"))}
+    assert dirs == {str(y) for y in by_year}
+
+
+def test_a4c_weighted_median_matches_python(spark):
+    """Weighted lower median recomputed in python per group."""
+    from chronicle_sniffer_spark.plans.round8 import a4c_weighted_median
+
+    li = (
+        spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+        .select("l_returnflag", "l_extendedprice", "l_quantity")
+        .collect()
+    )
+    groups: dict[str, list] = {}
+    for r in li:
+        groups.setdefault(r.l_returnflag, []).append(
+            (r.l_extendedprice, int(r.l_quantity))
+        )
+    expect = {}
+    for g, vals in groups.items():
+        vals.sort()
+        total = sum(w for _, w in vals)
+        cum = 0
+        for x, w in vals:
+            cum += w
+            if cum * 2 >= total:
+                expect[g] = x
+                break
+    got = {
+        r.l_returnflag: r.weighted_median
+        for r in a4c_weighted_median(spark, SF_SMOKE).collect()
+    }
+    assert got == expect

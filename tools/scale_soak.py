@@ -157,6 +157,9 @@ QUERIES = (
     "a17_group_by_all",
     "dq6_reconciliation_checksum",
     "l4_rouge_pairs",
+    "p17_collated_group",
+    "s8c_dynamic_partition_overwrite",
+    "a4c_weighted_median",
 )
 
 
