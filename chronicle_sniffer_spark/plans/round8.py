@@ -1401,27 +1401,74 @@ _A4C_ORACLE = """
 def a4c_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact weighted (lower) median per group — the smallest value
     whose cumulative weight reaches half the group's total, weights =
-    quantities in exact integer arithmetic.  One partitioned-window
-    pass (ROWS frame, incrementally maintained) + a min-aggregate;
-    groups are the parallel unit.  Completes the A4 family: plain
-    percentiles (A4), mergeable sketch (A4b), and the weighted exact
-    form the sketch approximates."""
+    quantities in exact integer arithmetic.
+
+    Scale shape — TWO-PHASE HISTOGRAM NARROWING, not a per-group
+    sorted window: with 3 groups over 6M+ rows, a window partitioned
+    by group runs THREE tasks however many cores exist (measured
+    7.0× wall for 10× data by the sf1 soak before this rewrite).
+    Instead: (1) one fully-parallel (group, bucket) weight aggregate
+    over B=1024 equi-width buckets (min/max from a first 1-row-per-
+    group agg, broadcast back); (2) the half-weight CROSSING bucket
+    found by a prefix sum over the tiny bin relation (≤ groups×B
+    rows); (3) the exact sorted window runs over ONLY the crossing
+    bucket's rows (~n/B per group) with the below-bucket weight as
+    offset.  Same exact answer — integer-weight crossings are
+    engine-identical — at scan-bound cost.  Completes the A4 family:
+    plain percentiles (A4), mergeable sketch (A4b), weighted exact
+    (A4c)."""
+    B = 1024
     li = _t(spark, sf_dir, "lineitem").select(
         "l_returnflag",
         F.col("l_extendedprice").alias("x"),
         F.col("l_quantity").cast("bigint").alias("wt"),
     )
+    rng = li.groupBy("l_returnflag").agg(
+        F.min("x").alias("lo"), F.max("x").alias("hi")
+    )
+    # equi-width bucket id, clamped to [0, B-1]; degenerate lo==hi
+    # collapses to bucket 0 (all values equal — still exact below)
+    bucket = F.when(
+        F.col("hi") == F.col("lo"), F.lit(0)
+    ).otherwise(
+        F.least(
+            F.lit(B - 1),
+            F.floor((F.col("x") - F.col("lo")) / (F.col("hi") - F.col("lo")) * B),
+        )
+    ).cast("int")
+    bucketed = li.join(F.broadcast(rng), "l_returnflag").select(
+        "l_returnflag", "x", "wt", bucket.alias("b")
+    )
+    bins = bucketed.groupBy("l_returnflag", "b").agg(F.sum("wt").alias("bw"))
+    w_bins = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("l_returnflag")
+    crossing = (
+        bins.select(
+            "l_returnflag",
+            "b",
+            (F.sum("bw").over(w_bins) - F.col("bw")).alias("below"),
+            F.sum("bw").over(w_bins).alias("cum"),
+            F.sum("bw").over(w_tot).alias("tw"),
+        )
+        .filter((F.col("cum") * 2 >= F.col("tw")) & (F.col("below") * 2 < F.col("tw")))
+        .select("l_returnflag", "b", "below", "tw")
+    )
+    # exact pass over ONLY the crossing bucket's rows
+    narrowed = bucketed.join(F.broadcast(crossing), ["l_returnflag", "b"])
     w_cum = (
         Window.partitionBy("l_returnflag")
         .orderBy("x", "wt")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    w_tot = Window.partitionBy("l_returnflag")
-    ranked = li.select(
+    ranked = narrowed.select(
         "l_returnflag",
         "x",
-        F.sum("wt").over(w_cum).alias("cw"),
-        F.sum("wt").over(w_tot).alias("tw"),
+        (F.col("below") + F.sum("wt").over(w_cum)).alias("cw"),
+        "tw",
     )
     return (
         ranked.filter(F.col("cw") * 2 >= F.col("tw"))
