@@ -176,6 +176,7 @@ HEADLINE = (
     "p17_collated_group",
     "s8c_dynamic_partition_overwrite",
     "a4c_weighted_median",
+    "u10_parameterized_sql",
 )
 
 # Entries with documented ±18% round-over-round drift on identical code

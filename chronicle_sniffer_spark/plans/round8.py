@@ -1475,3 +1475,49 @@ def a4c_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(F.min("x").alias("weighted_median"))
     )
+
+
+# ---------------------------------------------------------------------------
+# U10: session variables + parameterized SQL (Spark 4 surfaces)
+# ---------------------------------------------------------------------------
+
+_U10_ORACLE = """
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM orders
+    WHERE o_totalprice > (SELECT CAST(round(avg(o_totalprice)) AS DOUBLE)
+                          FROM orders)
+      AND year(o_orderdate) = 1995
+    GROUP BY o_orderstatus
+"""
+
+
+@query("u10_parameterized_sql", section="U10", oracle=_U10_ORACLE)
+def u10_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Injection-safe query parameterization, both Spark 4 flavors in
+    one flow: a SQL SESSION VARIABLE (``DECLARE VARIABLE`` +
+    ``SET VAR`` from a scalar subquery — computed state captured
+    server-side, no driver round-trip of the value into query text)
+    and a NAMED-PARAMETER query (``spark.sql(..., args={...})`` —
+    the API that retires f-string SQL splicing).  The threshold is
+    integer-rounded so a one-ulp cross-engine difference in the
+    average cannot move any 2-decimal price across the comparison.
+    Oracle inlines both parameters as plain SQL."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    spark.sql("DECLARE OR REPLACE VARIABLE css_rev_floor DOUBLE DEFAULT 0.0")
+    spark.sql(
+        "SET VAR css_rev_floor = (SELECT CAST(round(avg(o_totalprice)) AS DOUBLE)"
+        " FROM orders)"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM orders
+        WHERE o_totalprice > css_rev_floor AND year(o_orderdate) = :yr
+        GROUP BY o_orderstatus
+        """,
+        args={"yr": 1995},
+    )

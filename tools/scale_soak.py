@@ -160,6 +160,7 @@ QUERIES = (
     "p17_collated_group",
     "s8c_dynamic_partition_overwrite",
     "a4c_weighted_median",
+    "u10_parameterized_sql",
 )
 
 
