@@ -1521,3 +1521,96 @@ def u10_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"yr": 1995},
     )
+
+
+# ---------------------------------------------------------------------------
+# T9c (batch twin): full-outer interval attribution join
+# ---------------------------------------------------------------------------
+
+_T9C_ORACLE = """
+    WITH c AS (
+      SELECT user_id AS c_user, event_id AS click_id, ts AS click_ts
+      FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+      SELECT user_id AS p_user, event_id AS purchase_id, ts AS purchase_ts,
+             value AS purchase_value
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT COALESCE(c.c_user, p.p_user) AS user_id,
+           c.click_id, p.purchase_id, p.purchase_value
+    FROM c FULL OUTER JOIN p
+      ON c.c_user = p.p_user
+     AND p.purchase_ts >= c.click_ts
+     AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR
+"""
+
+
+@query("t9c_full_outer_join_batch", section="T9", oracle=_T9C_ORACLE)
+def t9c_full_outer_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the T9c FULL OUTER stream–stream attribution
+    join (streaming/joins.py:click_purchase_attribution_full_outer —
+    the SAME function, static inputs): every click and every purchase
+    appears, matched within the 1-hour window or null-extended.  The
+    streaming side's stream≡batch equivalence is proven in
+    tests/test_streaming.py::test_t9c; this entry pins the batch
+    semantics against the oracle."""
+    from chronicle_sniffer_spark.streaming.joins import (
+        click_purchase_attribution_full_outer,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    out = click_purchase_attribution_full_outer(
+        e.filter(F.col("event_type") == "click"),
+        e.filter(F.col("event_type") == "purchase"),
+    )
+    return out.select("user_id", "click_id", "purchase_id", "purchase_value")
+
+
+# ---------------------------------------------------------------------------
+# A18: deterministic mode per group
+# ---------------------------------------------------------------------------
+
+_A18_ORACLE = """
+    WITH counts AS (
+      SELECT o_orderstatus, o_orderpriority, count(*) AS n
+      FROM orders GROUP BY o_orderstatus, o_orderpriority
+    ),
+    ranked AS (
+      SELECT o_orderstatus, o_orderpriority, n,
+             row_number() OVER (PARTITION BY o_orderstatus
+                                ORDER BY n DESC, o_orderpriority) AS rn
+      FROM counts
+    )
+    SELECT o_orderstatus, o_orderpriority AS mode_priority,
+           CAST(n AS BIGINT) AS n_occurrences
+    FROM ranked WHERE rn = 1
+"""
+
+
+@query("a18_mode_per_group", section="A18", oracle=_A18_ORACLE)
+def a18_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC mode per group — most frequent value with a
+    total tie-break (count desc, value asc).  Spark's and DuckDB's
+    native ``mode()`` both leave ties implementation-defined (Spark's
+    depends on hash-map iteration order), which makes the built-in
+    unusable under a hash-compare contract or any reproducibility
+    requirement; the count + ranked-window form pins the semantics at
+    the cost of one extra (tiny, value-cardinality-sized) shuffle."""
+    counts = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("n").desc(), "o_orderpriority"
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            F.col("n").cast("bigint").alias("n_occurrences"),
+        )
+    )

@@ -116,3 +116,48 @@ def click_purchase_attribution_outer(
         "purchase_ts",
         "purchase_value",
     )
+
+
+def click_purchase_attribution_full_outer(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    attribution_window: str = "1 hour",
+    watermark_delay: str = "1 minute",
+) -> DataFrame:
+    """FULL OUTER stream–stream join (T9c): every click AND every
+    purchase emits — matched pairs as soon as both sides meet,
+    unmatched rows once the watermark proves no partner can still
+    arrive.  The interval condition bounds BOTH states: click state
+    expires when the watermark passes click_ts + window (no later
+    purchase can match), purchase state when it passes purchase_ts
+    (every matching click has click_ts ≤ purchase_ts, and arrivals
+    are watermark-late beyond that).  This is the audit-complete
+    attribution table — unmatched purchases are exactly the
+    'conversion with no tracked click' rows a funnel report must not
+    silently drop.  Works identically on static DataFrames, so tests
+    assert stream ≡ batch in the watermark-closed region."""
+    c = clicks.withWatermark("ts", watermark_delay).select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.withWatermark("ts", watermark_delay).select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    return c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {attribution_window}")),
+        "full_outer",
+    ).select(
+        F.coalesce("c_user", "p_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        "click_ts",
+        "purchase_ts",
+        "purchase_value",
+    )

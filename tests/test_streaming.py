@@ -307,6 +307,62 @@ def test_t9_stream_stream_interval_join(spark, staged):
     assert _rows(result, *cols) == _rows(batch, *cols)
 
 
+def test_t9c_stream_stream_full_outer_join(spark):
+    """FULL OUTER stream-stream join: matched rows equal the batch
+    plan everywhere; unmatched CLICKS below the click cutoff and
+    unmatched PURCHASES below the purchase cutoff equal batch too
+    (both sides' state provably expired and emitted); no spurious
+    null rows on either side."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from chronicle_sniffer_spark.streaming.joins import (
+        click_purchase_attribution_full_outer,
+    )
+    from chronicle_sniffer_spark.streaming.runtime import stage_events_time_ordered
+
+    def split(df):
+        return (
+            df.filter(df.event_type == "click"),
+            df.filter(df.event_type == "purchase"),
+        )
+
+    staged2, bounds = stage_events_time_ordered(spark, SF_SMOKE, n_files=4)
+    stream = read_events_stream(spark, staged2, max_files_per_trigger=2)
+    result = run_to_completion(
+        click_purchase_attribution_full_outer(*split(stream)), "t9c_stream", "append"
+    )
+    events = load_table(spark, SF_SMOKE, "events")
+    batch = click_purchase_attribution_full_outer(*split(events))
+    cols = ("user_id", "click_id", "purchase_id", "purchase_value")
+
+    matched = F.col("purchase_id").isNotNull() & F.col("click_id").isNotNull()
+    m_stream = _rows(result.filter(matched), *cols)
+    m_batch = _rows(batch.filter(matched), *cols)
+    assert len(m_batch) > 0
+    assert m_stream == m_batch
+
+    wm_last = bounds[1] - datetime.timedelta(minutes=1)
+    click_cutoff = wm_last - datetime.timedelta(hours=1, seconds=1)
+    p_null = F.col("purchase_id").isNull() & (F.col("click_ts") < F.lit(click_cutoff))
+    assert _rows(result.filter(p_null), *cols) == _rows(batch.filter(p_null), *cols)
+    assert len(_rows(batch.filter(p_null), *cols)) > 0
+
+    purchase_cutoff = wm_last - datetime.timedelta(seconds=1)
+    c_null = F.col("click_id").isNull() & (
+        F.col("purchase_ts") < F.lit(purchase_cutoff)
+    )
+    assert _rows(result.filter(c_null), *cols) == _rows(batch.filter(c_null), *cols)
+    assert len(_rows(batch.filter(c_null), *cols)) > 0
+
+    # no spurious nulls: every stream null-side row exists in batch
+    for cond in (F.col("purchase_id").isNull(), F.col("click_id").isNull()):
+        s = set(map(tuple, _rows(result.filter(cond), *cols)))
+        b = set(map(tuple, _rows(batch.filter(cond), *cols)))
+        assert s <= b
+
+
 def test_t9b_stream_stream_outer_join(spark):
     """LEFT OUTER stream–stream join equals the batch plan in the
     watermark-closed region.  Input replays in event-time order

@@ -161,6 +161,8 @@ QUERIES = (
     "s8c_dynamic_partition_overwrite",
     "a4c_weighted_median",
     "u10_parameterized_sql",
+    "t9c_full_outer_join_batch",
+    "a18_mode_per_group",
 )
 
 
