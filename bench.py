@@ -179,6 +179,8 @@ HEADLINE = (
     "u10_parameterized_sql",
     "t9c_full_outer_join_batch",
     "a18_mode_per_group",
+    "t3b_dynamic_gap_session",
+    "u11_apply_in_arrow",
 )
 
 # Entries with documented ±18% round-over-round drift on identical code

@@ -1614,3 +1614,98 @@ def a18_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("bigint").alias("n_occurrences"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# T3b (batch twin): dynamic-gap session windows
+# ---------------------------------------------------------------------------
+
+_T3B_ORACLE = """
+    WITH g AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN event_type = 'purchase'
+                  THEN INTERVAL 45 MINUTE ELSE INTERVAL 10 MINUTE END AS gap
+      FROM events
+    ),
+    marked AS (
+      SELECT user_id, ts, event_id, value, gap,
+             CASE WHEN ts >= max(ts + gap) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  OR max(ts + gap) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                  THEN 1 ELSE 0 END AS new_s
+      FROM g
+    ),
+    sess AS (
+      SELECT user_id, ts, value, gap,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    )
+    SELECT user_id, min(ts) AS s_start, max(ts + gap) AS s_end,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS session_value
+    FROM sess GROUP BY user_id, sid
+"""
+
+
+@query("t3b_dynamic_gap_session", section="T3", oracle=_T3B_ORACLE)
+def t3b_dynamic_gap_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the DYNAMIC-GAP session window
+    (streaming/windows.py:dynamic_session_aggregate — the same
+    function runs as a stream, tests/test_streaming.py::test_t3b):
+    each event extends its session by its OWN gap (purchases 45 min,
+    everything else 10 min), so high-intent actions keep sessions
+    alive — inexpressible with T3's fixed gap.  The oracle
+    reconstructs the merge with a running max(ts + gap) break flag +
+    cumulative session ids; native session_window and the
+    lag/cumsum construction must agree exactly."""
+    from chronicle_sniffer_spark.streaming.windows import dynamic_session_aggregate
+
+    return dynamic_session_aggregate(_t(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# U11: applyInArrow grouped map (Arrow-native, no pandas layer)
+# ---------------------------------------------------------------------------
+
+_U11_ORACLE = """
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM events GROUP BY user_id
+"""
+
+
+@query("u11_apply_in_arrow", section="U11", oracle=_U11_ORACLE)
+def u11_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped map through ``applyInArrow`` (Spark 4): the UDF
+    receives a raw ``pyarrow.Table`` per group — no pandas
+    construction at all, which skips the Arrow→pandas conversion
+    (index building, NaN coercion, object boxing for strings) that
+    ``applyInPandas`` pays on both edges.  For UDFs that only need
+    columnar kernels (sums, filters, takes), this is the lowest-
+    overhead Python hot path Spark offers.  The aggregation is exact
+    integer cents, so group-internal row order cannot matter."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def agg(table: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(table["value"], 100.0)), pa.int64())
+        return pa.table(
+            {
+                "user_id": [table["user_id"][0].as_py()],
+                "n_events": [table.num_rows],
+                "total_cents": [pc.sum(cents).as_py()],
+            }
+        )
+
+    return (
+        _t(spark, sf_dir, "events")
+        .select("user_id", "value")
+        .groupBy("user_id")
+        .applyInArrow(agg, "user_id bigint, n_events bigint, total_cents bigint")
+    )

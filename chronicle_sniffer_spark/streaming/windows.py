@@ -61,6 +61,37 @@ def session_aggregate(events: DataFrame, gap: str = "5 minutes") -> DataFrame:
     )
 
 
+def dynamic_session_aggregate(
+    events: DataFrame,
+    purchase_gap: str = "45 minutes",
+    default_gap: str = "10 minutes",
+) -> DataFrame:
+    """T3b: session windows with a DYNAMIC (per-event) gap — a
+    purchase keeps the session alive longer than browsing noise, the
+    engagement-modeling refinement a fixed gap cannot express.  Uses
+    the native ``session_window(ts, <gap expression>)``: each event
+    contributes the window [ts, ts + its own gap) and overlapping
+    windows merge, in streaming state exactly as in batch."""
+    gap = (
+        F.when(F.col("event_type") == "purchase", F.lit(purchase_gap))
+        .otherwise(F.lit(default_gap))
+    )
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast(_DEC)).cast("double").alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("s_start"),
+            F.col("w.end").alias("s_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
 def windowed_with_watermark(
     events: DataFrame, width: str = "60 seconds", delay: str = "10 minutes"
 ) -> DataFrame:

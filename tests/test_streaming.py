@@ -76,6 +76,21 @@ def test_t5_stream_dedup(spark, staged):
     assert result.collect()[0][0] == expected
 
 
+def test_t3b_dynamic_session_stream_equals_batch(spark, staged):
+    """Dynamic-gap session_window merges sessions incrementally in
+    streaming state; final merged sessions equal the batch plan's —
+    including sessions extended only through a purchase's longer gap."""
+    from chronicle_sniffer_spark.streaming.windows import dynamic_session_aggregate
+
+    stream = read_events_stream(spark, staged, max_files_per_trigger=2)
+    result = run_to_completion(
+        dynamic_session_aggregate(stream), "t3b_stream", "complete"
+    )
+    batch = dynamic_session_aggregate(load_table(spark, SF_SMOKE, "events"))
+    cols = ("user_id", "s_start", "s_end", "n_events", "session_value")
+    assert _rows(result, *cols) == _rows(batch, *cols)
+
+
 def test_t5b_dedup_within_watermark_semantics(spark):
     """dropDuplicatesWithinWatermark, the ALWAYS-watermark-evicted
     dedup (plain dropDuplicates only expires state when the event-time
