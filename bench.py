@@ -181,6 +181,9 @@ HEADLINE = (
     "a18_mode_per_group",
     "t3b_dynamic_gap_session",
     "u11_apply_in_arrow",
+    "j14_bucketed_range_join",
+    "a19_equidepth_histogram",
+    "ts11_seasonal_profile",
 )
 
 # Entries with documented ±18% round-over-round drift on identical code

@@ -73,6 +73,7 @@ _SUBMODULES = (
     "chronicle_sniffer_spark.plans.ml",
     "chronicle_sniffer_spark.plans.round7",
     "chronicle_sniffer_spark.plans.round8",
+    "chronicle_sniffer_spark.plans.round8b",
 )
 
 

@@ -165,6 +165,11 @@ QUERIES = (
     "a18_mode_per_group",
     "t3b_dynamic_gap_session",
     "u11_apply_in_arrow",
+    # round-8 second wave: bucketed range join, distributed NTILE,
+    # seasonal baseline
+    "j14_bucketed_range_join",
+    "a19_equidepth_histogram",
+    "ts11_seasonal_profile",
 )
 
 
@@ -233,6 +238,7 @@ def main() -> None:
             "l2_dedup_clusters": "reads the shared materialized labels (was 64.5s sf1; the one-time build carries the pair generation + component closure)",
             "l2_ngram_containment": "same inverted-index family as the Jaccard path but WITHOUT its positional filter (containment has no equivalent bound), so candidate volume is higher; output-scaled on the 40-word synthetic vocabulary, exact scores on full sets",
             "l2_semantic_dedup": "fixed K=16 cells for the oracle entry; the scale configuration grows n_centroids with the corpus (BASELINE.md: 3.0s at sf1 with K=160)",
+            "j14_bucketed_range_join": "the scale replicas multiply orders 10x over the SAME date span, so overlapping pairs grow ~100x (7.86M at sf0.1 -> ~786M at sf1); 13.9x wall for ~100x output is sub-linear in output (>40M pairs/s through the bucket join); real workloads grow the time span with the data, keeping pair density (and the ratio) linear",
         },
     }
     with open(out_path, "w") as fh:
