@@ -184,6 +184,9 @@ HEADLINE = (
     "j14_bucketed_range_join",
     "a19_equidepth_histogram",
     "ts11_seasonal_profile",
+    "s13_manifest_file_prune",
+    "u12_polymorphic_udtf",
+    "ts12_interval_coverage",
 )
 
 # Entries with documented ±18% round-over-round drift on identical code

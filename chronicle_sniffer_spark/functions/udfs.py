@@ -64,6 +64,33 @@ def register_udtf(spark: SparkSession) -> None:
     spark.udtf.register("split_words", split_words)
 
 
+class SplitFixed:
+    """U12: polymorphic UDTF — output schema (w0..w{n-1}) is computed
+    at plan time by ``analyze()`` from the constant third argument."""
+
+    @staticmethod
+    def analyze(doc_id, text, n):  # noqa: D102
+        from pyspark.sql.udtf import AnalyzeResult
+
+        if n.value is None or not isinstance(n.value, int) or n.value < 1:
+            raise ValueError("split_fixed: n must be a constant positive integer")
+        schema = T.StructType().add("doc_id", T.LongType())
+        for i in range(n.value):
+            schema = schema.add(f"w{i}", T.StringType())
+        return AnalyzeResult(schema=schema)
+
+    def eval(self, doc_id: int, text: str, n: int):  # noqa: D102
+        toks = (text or "").split(" ")
+        yield (doc_id,) + tuple(toks[i] if i < len(toks) else None for i in range(n))
+
+
+def register_polymorphic_udtf(spark: SparkSession) -> None:
+    from pyspark.sql.functions import udtf
+
+    # no returnType: the schema comes from SplitFixed.analyze at plan time
+    spark.udtf.register("split_fixed", udtf(SplitFixed))
+
+
 # ---- U6: SQL registration ---------------------------------------------------
 
 

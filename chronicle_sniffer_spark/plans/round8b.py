@@ -37,6 +37,10 @@ both engines, money math in exact decimal, ties fully keyed.
 
 from __future__ import annotations
 
+import hashlib
+import os
+from urllib.parse import urlparse
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -269,4 +273,239 @@ def ts11_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.join(F.broadcast(base), ["event_type", "hr"])
         .groupBy("event_type", "hr", "n_events", "avg_value")
         .agg(F.max(F.abs(F.col("value") - F.col("avg_value"))).alias("max_abs_residual"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# S13: manifest-based file pruning (data skipping)
+# ---------------------------------------------------------------------------
+
+_S13_FILES = 16  # range-clustered files in the written layout
+
+# (applicationId, sf_dir) -> (layout dir, manifest rows).  Like the
+# bucketed-table cache (round7.py:570), the layout is written once per
+# session and served many times — min/max stats are a property of the
+# stored table, exactly as in a Delta/Iceberg transaction log.
+_MANIFEST_CACHE: dict[tuple[str, str], tuple[str, list]] = {}
+
+
+def manifest_layout(spark: SparkSession, sf_dir: str) -> tuple[str, list]:
+    """Write orders range-clustered on o_orderdate and build a per-file
+    (min, max, rows) stats manifest.
+
+    The manifest build here re-scans the written files once (grouping
+    by ``input_file_name()``); a production writer collects the same
+    min/max from the parquet footers it just wrote, for free.  Either
+    way the manifest is O(files), not O(rows) — it IS the Delta/Iceberg
+    data-skipping index, kept driver-readable by construction.
+    """
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _MANIFEST_CACHE:
+        # location derives from sf_dir alone so repeated runs reuse it
+        suf = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path or "/tmp"
+        base = os.path.join(wh, f"css_manifest_orders_{suf}")
+        if not os.path.exists(os.path.join(base, "_SUCCESS")):
+            (
+                _t(spark, sf_dir, "orders")
+                .repartitionByRange(_S13_FILES, "o_orderdate")
+                .write.mode("overwrite")
+                .parquet(base)
+            )
+        manifest = (
+            spark.read.parquet(base)
+            .groupBy(F.input_file_name().alias("file"))
+            .agg(
+                F.min("o_orderdate").alias("min_d"),
+                F.max("o_orderdate").alias("max_d"),
+                F.count("*").alias("n_rows"),
+            )
+            .collect()  # O(files) planner metadata, never O(rows)
+        )
+        _MANIFEST_CACHE[key] = (base, manifest)
+    return _MANIFEST_CACHE[key]
+
+
+def prune_files(manifest: list, lo: str, hi: str) -> list[str]:
+    """Files whose [min_d, max_d] stats range intersects [lo, hi)."""
+    import datetime
+
+    lo_d = datetime.datetime.fromisoformat(lo)
+    hi_d = datetime.datetime.fromisoformat(hi)
+    return [r.file for r in manifest if r.max_d >= lo_d and r.min_d < hi_d]
+
+
+_S13_LO, _S13_HI = "1997-01-01", "1998-01-01"
+
+_S13_ORACLE = f"""
+SELECT strftime(o_orderdate, '%Y-%m') AS month,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       {o_dsum("o_totalprice", "sum_price")}
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '{_S13_LO}'
+  AND o_orderdate <  TIMESTAMP '{_S13_HI}'
+GROUP BY 1
+"""
+
+
+@query("s13_manifest_file_prune", section="S1", oracle=_S13_ORACLE)
+def s13_manifest_file_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-driven file pruning (data skipping): a selective date
+    predicate reads ONLY the files whose min/max stats can contain it.
+
+    Parquet row-group stats prune *within* a scan task, but the task
+    list itself — and, on object storage, the LIST + footer reads — is
+    O(all files) unless an external stats manifest prunes first.  This
+    entry materializes that pattern end-to-end: a range-clustered
+    layout (clustering is what makes min/max ranges narrow and
+    therefore skippable), a per-file stats manifest, driver-side
+    interval intersection over the manifest, and a scan constructed
+    from the surviving file list; the exact predicate is re-applied
+    after the scan, so pruning can only ever remove provably-empty
+    files (the oracle runs the same predicate over the FULL table —
+    equality proves soundness).  At 100 TB the manifest is the
+    Delta/Iceberg log and the intersection is the planner's job; a
+    year out of seven here keeps ~3 of 16 files, and the pruned scan
+    never opens the rest.  tests/test_round8b.py asserts real pruning
+    (fewer files than the layout) and pruned ≡ unpruned.
+    """
+    base, manifest = manifest_layout(spark, sf_dir)
+    keep = prune_files(manifest, _S13_LO, _S13_HI)
+    scan = spark.read.parquet(*keep) if keep else spark.read.parquet(base).limit(0)
+    return (
+        scan.filter(
+            (F.col("o_orderdate") >= F.lit(_S13_LO).cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(_S13_HI).cast("timestamp"))
+        )
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice", "sum_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# U12: polymorphic UDTF (dynamic output schema via analyze())
+# ---------------------------------------------------------------------------
+
+_U12_N = 4
+
+_U12_ORACLE = f"""
+SELECT doc_id,
+       words[1] AS w0, words[2] AS w1, words[3] AS w2, words[4] AS w3
+FROM (SELECT doc_id, string_split(text, ' ') AS words
+      FROM documents WHERE doc_id < 10)
+"""
+
+
+@query("u12_polymorphic_udtf", section="U5", oracle=_U12_ORACLE)
+def u12_polymorphic_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polymorphic Python UDTF: the OUTPUT SCHEMA is computed at plan
+    time by the UDTF's static ``analyze()`` from a constant argument —
+    ``split_fixed(doc_id, text, 4)`` yields columns w0..w3, and a
+    different literal yields a different schema with no re-registration
+    (Spark 4's dynamic-schema UDTF surface; the fixed-schema variant is
+    u5_udtf_split).
+
+    Scale shape: identical to any UDTF — Arrow-batched rows through one
+    Python worker per task, schema resolution entirely at plan time
+    (zero per-row cost), and the LATERAL correlation stays a per-row
+    generator with no join or shuffle.
+    """
+    from chronicle_sniffer_spark.functions.udfs import register_polymorphic_udtf
+
+    register_polymorphic_udtf(spark)
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        "SELECT s.* FROM documents d,"
+        f" LATERAL split_fixed(d.doc_id, d.text, {_U12_N}) s WHERE d.doc_id < 10"
+    )
+
+
+# ---------------------------------------------------------------------------
+# TS12: interval coverage (gaps-and-islands with VARIABLE durations)
+# ---------------------------------------------------------------------------
+
+_TS12_ORACLE = """
+WITH iv AS (
+  SELECT user_id,
+         CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS s,
+         CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT)
+           + (3600 + event_id % 20 * 7200) * 1000000 AS en
+  FROM events
+), marked AS (
+  SELECT user_id, s, en,
+         CASE WHEN s > COALESCE(max(en) OVER (
+                PARTITION BY user_id ORDER BY s, en
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                -9223372036854775807)
+              THEN 1 ELSE 0 END AS flag
+  FROM iv
+), islands AS (
+  SELECT user_id, s, en,
+         SUM(flag) OVER (PARTITION BY user_id ORDER BY s, en
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS island
+  FROM marked
+), isl AS (
+  SELECT user_id, island,
+         min(s) AS i_start, max(en) AS i_end
+  FROM islands GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_islands,
+       CAST(sum(i_end - i_start) AS BIGINT) AS covered_us
+FROM isl GROUP BY user_id
+"""
+
+
+@query("ts12_interval_coverage", section="TS5", oracle=_TS12_ORACLE)
+def ts12_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union of overlapping VARIABLE-length intervals per user
+    (gaps-and-islands by running max of interval end), reporting
+    islands and exact covered time.
+
+    Each event covers ``[ts, ts + 1h..39h)`` (duration varies by
+    event) — so an interval can be wholly CONTAINED in an earlier one,
+    which gap-based sessionization (ts5, t3b: gap between consecutive
+    STARTS) cannot merge correctly; the required primitive is the
+    running max of END over all preceding intervals.  A new island
+    starts exactly when a start exceeds every end seen before it.
+
+    Scale shape: both windows are PARTITIONED by user_id — parallel
+    across keys, state per task bounded by one user's events (the same
+    per-entity ordering bound as any sessionizer; a single pathological
+    entity is a data-model problem, not a plan problem).  The two
+    follow-up aggregates reuse the same user_id partitioning, and all
+    arithmetic is exact integer microseconds — no float drift between
+    engines.
+    """
+    ev = _t(spark, sf_dir, "events")
+    s = F.unix_micros(F.col("ts").cast("timestamp"))
+    iv = ev.select(
+        "user_id",
+        s.alias("s"),
+        (s + (F.lit(3600) + F.col("event_id") % 20 * 7200) * 1000000).alias("en"),
+    )
+    order = [F.col("s"), F.col("en")]
+    prev = Window.partitionBy("user_id").orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    run = Window.partitionBy("user_id").orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    marked = iv.withColumn(
+        "flag",
+        F.when(
+            F.col("s") > F.coalesce(F.max("en").over(prev), F.lit(-(2**63) + 1)), 1
+        ).otherwise(0),
+    )
+    islands = marked.withColumn("island", F.sum("flag").over(run))
+    isl = islands.groupBy("user_id", "island").agg(
+        F.min("s").alias("i_start"), F.max("en").alias("i_end")
+    )
+    return isl.groupBy("user_id").agg(
+        F.count("*").alias("n_islands"),
+        F.sum(F.col("i_end") - F.col("i_start")).cast("bigint").alias("covered_us"),
     )

@@ -170,6 +170,10 @@ QUERIES = (
     "j14_bucketed_range_join",
     "a19_equidepth_histogram",
     "ts11_seasonal_profile",
+    # round-8 third wave: data skipping, polymorphic UDTF, interval union
+    "s13_manifest_file_prune",
+    "u12_polymorphic_udtf",
+    "ts12_interval_coverage",
 )
 
 
