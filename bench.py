@@ -187,6 +187,9 @@ HEADLINE = (
     "s13_manifest_file_prune",
     "u12_polymorphic_udtf",
     "ts12_interval_coverage",
+    "j15_dynamic_partition_pruning",
+    "p18_pipe_syntax",
+    "o12_threshold_topk",
 )
 
 # Entries with documented ±18% round-over-round drift on identical code

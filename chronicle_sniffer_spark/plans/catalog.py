@@ -74,6 +74,7 @@ _SUBMODULES = (
     "chronicle_sniffer_spark.plans.round7",
     "chronicle_sniffer_spark.plans.round8",
     "chronicle_sniffer_spark.plans.round8b",
+    "chronicle_sniffer_spark.plans.round8c",
 )
 
 

@@ -174,6 +174,10 @@ QUERIES = (
     "s13_manifest_file_prune",
     "u12_polymorphic_udtf",
     "ts12_interval_coverage",
+    # round-8 fourth wave: DPP, pipe syntax, threshold-pruned top-k
+    "j15_dynamic_partition_pruning",
+    "p18_pipe_syntax",
+    "o12_threshold_topk",
 )
 
 
