@@ -190,6 +190,9 @@ HEADLINE = (
     "j15_dynamic_partition_pruning",
     "p18_pipe_syntax",
     "o12_threshold_topk",
+    "j16_merge_on_read",
+    "l6_temperature_mix",
+    "ml7_calibration_curve",
 )
 
 # Entries with documented ±18% round-over-round drift on identical code

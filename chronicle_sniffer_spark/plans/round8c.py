@@ -28,6 +28,19 @@ Three more operators whose value is the distributed plan shape:
   anti-join split — declaratively, in the same plan.  The oracle is
   the plain global window; equality proves exactness either way.
 
+Fourth wave, same file:
+
+- **J16 merge-on-read**: immutable base files + positional
+  ((file_path, row_index) via the parquet ``_metadata`` column) and
+  equality delete files, applied at read time with broadcast
+  anti-joins — the Iceberg v2 / Delta deletion-vector read path.
+- **L6 temperature mix**: UniMax/mT5-style p^alpha language quotas
+  with largest-remainder rounding and a deterministic md5-ordered
+  per-language take.
+- **ML7 calibration curve**: reliability diagram with a rational
+  squashing function so every score is a correctly-rounded IEEE
+  value on both engines (no library-dependent exp()).
+
 House determinism rules (plans/catalog.py) apply.
 """
 
@@ -250,4 +263,290 @@ def o12_threshold_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= K)
         .select("event_type", "rk", "event_id", "value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J16: merge-on-read (positional + equality delete files)
+# ---------------------------------------------------------------------------
+
+# (applicationId, sf_dir) -> (base dir, pos-delete dir, eq-delete dir)
+_MOR_CACHE: dict[tuple[str, str], tuple[str, str, str]] = {}
+
+
+def mor_layout(spark: SparkSession, sf_dir: str) -> tuple[str, str, str]:
+    """Write an orders base layout plus two delete files: an EQUALITY
+    delete (keys) and a POSITIONAL delete ((file_path, row_index) pairs
+    captured from the physical layout via the parquet ``_metadata``
+    column — exactly what Iceberg v2 position deletes store)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _MOR_CACHE:
+        suf = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path or "/tmp"
+        base = os.path.join(wh, f"css_mor_base_{suf}")
+        posd = os.path.join(wh, f"css_mor_posdel_{suf}")
+        eqd = os.path.join(wh, f"css_mor_eqdel_{suf}")
+        if not os.path.exists(os.path.join(base, "_SUCCESS")):
+            _t(spark, sf_dir, "orders").repartition(8).write.mode(
+                "overwrite"
+            ).parquet(base)
+        if not os.path.exists(os.path.join(eqd, "_SUCCESS")):
+            (
+                spark.read.parquet(base)
+                .filter(F.col("o_orderkey") % 97 == 0)
+                .select("o_orderkey")
+                .write.mode("overwrite")
+                .parquet(eqd)
+            )
+        if not os.path.exists(os.path.join(posd, "_SUCCESS")):
+            (
+                spark.read.parquet(base)
+                .filter(F.col("o_custkey") % 89 == 0)
+                .select(
+                    F.col("_metadata.file_path").alias("file_path"),
+                    F.col("_metadata.row_index").alias("row_index"),
+                )
+                .write.mode("overwrite")
+                .parquet(posd)
+            )
+        _MOR_CACHE[key] = (base, posd, eqd)
+    return _MOR_CACHE[key]
+
+
+_J16_ORACLE = f"""
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       {o_dsum("o_totalprice", "sum_price")}
+FROM orders
+WHERE o_orderkey % 97 <> 0 AND o_custkey % 89 <> 0
+GROUP BY o_orderstatus
+"""
+
+
+@query("j16_merge_on_read", section="J5", oracle=_J16_ORACLE)
+def j16_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read: serve a logically-deleted view of an immutable
+    base layout by applying DELETE FILES at read time — the Iceberg
+    v2 / Delta deletion-vector pattern that makes row-level deletes
+    cheap at 100 TB (no base-file rewrite on delete; the cost moves to
+    the read path, where it's two anti-joins).
+
+    Two delete flavors, both genuinely applied:
+
+    - **positional**: the delete file stores physical ``(file_path,
+      row_index)`` pairs (captured via the parquet ``_metadata``
+      column), applied with an anti-join against the scan's OWN
+      metadata columns — this works even when the deleted rows have no
+      usable key;
+    - **equality**: the delete file stores key values, applied with an
+      anti-join on the key.
+
+    Both delete sets are compaction-sized, so the anti-joins broadcast
+    (Iceberg readers apply them as in-task filter bitmaps — same
+    dataflow, fused one level lower).  The oracle computes the
+    equivalent logical view from the raw table; equality proves the
+    positional pairs were resolved back to exactly the right physical
+    rows.  The delete sets here are chosen FROM data predicates only so
+    the oracle can express them; production delete files come from
+    MERGE/DELETE statements and the read path is unchanged.
+    """
+    base, posd, eqd = mor_layout(spark, sf_dir)
+    scan = spark.read.parquet(base).select(
+        "*",
+        F.col("_metadata.file_path").alias("file_path"),
+        F.col("_metadata.row_index").alias("row_index"),
+    )
+    pos_del = spark.read.parquet(posd)
+    eq_del = spark.read.parquet(eqd)
+    live = scan.join(
+        F.broadcast(pos_del), ["file_path", "row_index"], "anti"
+    ).join(F.broadcast(eq_del), ["o_orderkey"], "anti")
+    return live.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_rows"),
+        dsum("o_totalprice", "sum_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# L6: temperature-scaled source mixing (UniMax/mT5-style)
+# ---------------------------------------------------------------------------
+
+_L6T_BUDGET = 200  # documents to select across languages
+
+_L6T_ORACLE = f"""
+WITH per AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1
+), sh AS (
+  SELECT lang, n_docs,
+         sqrt(n_docs) / SUM(sqrt(n_docs)) OVER () * {_L6T_BUDGET} AS raw
+  FROM per
+), t0 AS (
+  SELECT lang, n_docs, CAST(floor(raw) AS BIGINT) AS base,
+         raw - floor(raw) AS frac
+  FROM sh
+), t1 AS (
+  SELECT lang, n_docs, base,
+         {_L6T_BUDGET} - SUM(base) OVER () AS rem,
+         row_number() OVER (ORDER BY frac DESC, lang) AS rk
+  FROM t0
+), tgt AS (
+  SELECT lang, n_docs,
+         CAST(base + CASE WHEN rk <= rem THEN 1 ELSE 0 END AS BIGINT)
+           AS target_docs
+  FROM t1
+), ranked AS (
+  SELECT lang, n_chars,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents
+), sel AS (
+  SELECT r.lang,
+         CAST(count(*) AS BIGINT) AS n_selected,
+         CAST(SUM(r.n_chars) AS BIGINT) AS sel_chars
+  FROM ranked r JOIN tgt ON r.lang = tgt.lang
+  WHERE r.rn <= tgt.target_docs
+  GROUP BY 1
+)
+SELECT tgt.lang, tgt.n_docs, tgt.target_docs, sel.n_selected, sel.sel_chars
+FROM tgt JOIN sel ON tgt.lang = sel.lang
+"""
+
+
+@query("l6_temperature_mix", section="L6", oracle=_L6T_ORACLE)
+def l6_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language mixing: sampling quotas proportional
+    to ``p_i^alpha`` (alpha = 0.5, i.e. sqrt) upsample tail languages
+    relative to their corpus share — the UniMax/mT5 recipe for
+    multilingual training mixes — with LARGEST-REMAINDER rounding so
+    the integer quotas sum exactly to the budget, and a deterministic
+    md5-ordered per-language take.
+
+    Scale shape: the quota computation runs on the language HISTOGRAM
+    (dimension-sized, window over ()); the selection is one broadcast
+    join of quotas onto a per-language ranking window (parallel across
+    languages).  Everything cross-engine-exact by construction: sqrt
+    and division are correctly-rounded IEEE ops, quotas are integers,
+    and the md5 tie-order is identical text-hashing on both engines
+    (no RNG — reproducible sample for a given corpus, the property a
+    training-data pipeline actually wants).
+    """
+    B = _L6T_BUDGET
+    d = _t(spark, sf_dir, "documents")
+    per = d.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    w_all = Window.partitionBy()
+    sh = per.select(
+        "lang",
+        "n_docs",
+        (
+            F.sqrt("n_docs") / F.sum(F.sqrt("n_docs")).over(w_all) * B
+        ).alias("raw"),
+    )
+    t0 = sh.select(
+        "lang",
+        "n_docs",
+        F.floor("raw").cast("bigint").alias("base"),
+        (F.col("raw") - F.floor("raw")).alias("frac"),
+    )
+    t1 = t0.select(
+        "lang",
+        "n_docs",
+        "base",
+        (F.lit(B) - F.sum("base").over(w_all)).alias("rem"),
+        F.row_number()
+        .over(Window.partitionBy().orderBy(F.col("frac").desc(), F.col("lang")))
+        .alias("rk"),
+    )
+    tgt = t1.select(
+        "lang",
+        "n_docs",
+        (
+            F.col("base") + F.when(F.col("rk") <= F.col("rem"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("target_docs"),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("lang").orderBy(
+            F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+        )
+    )
+    sel = (
+        d.select("lang", "doc_id", "n_chars")
+        .withColumn("rn", rn)
+        .join(F.broadcast(tgt), "lang")
+        .filter(F.col("rn") <= F.col("target_docs"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_selected"),
+            F.sum("n_chars").cast("bigint").alias("sel_chars"),
+        )
+    )
+    return tgt.join(sel, "lang").select(
+        "lang", "n_docs", "target_docs", "n_selected", "sel_chars"
+    )
+
+
+# ---------------------------------------------------------------------------
+# ML7: probability calibration curve (reliability diagram)
+# ---------------------------------------------------------------------------
+
+_ML7_ORACLE = """
+WITH scored AS (
+  SELECT (lang = 'en') AS label,
+         0.5 + 0.5 * ((n_chars - 300) / 80.0)
+                   / (1 + abs((n_chars - 300) / 80.0)) AS p
+  FROM documents
+), binned AS (
+  SELECT CAST(least(floor(p * 10), 9) AS INT) AS bin, label, p FROM scored
+)
+SELECT bin,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) * 1.0
+         / count(*) AS frac_pos,
+       min(p) AS min_p,
+       max(p) AS max_p
+FROM binned GROUP BY bin
+"""
+
+
+@query("ml7_calibration_curve", section="ML3", oracle=_ML7_ORACLE)
+def ml7_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for a deterministic scorer: bin predicted
+    probabilities, compare each bin's empirical positive rate to its
+    probability range — the calibration step after any classifier
+    (ml1/ml2) and before thresholding (ml3).
+
+    One shuffle on a 10-value bin key; counts/min/max are all
+    order-independent.  The squashing function is the RATIONAL sigmoid
+    ``0.5 + 0.5·z/(1+|z|)`` instead of the logistic — every operation
+    (+, −, ×, ÷, abs) is a correctly-rounded IEEE primitive, so the
+    score is bit-identical on Spark and DuckDB, where ``exp()`` is
+    library-dependent in the last ulp (the same determinism trade as
+    the house decimal-money rule; the curve shape is equivalent).
+    Binning is explicit ``least(floor(p·10), 9)`` — the same arithmetic
+    on both engines, no width_bucket implementation drift.
+    """
+    d = _t(spark, sf_dir, "documents")
+    z = (F.col("n_chars") - 300) / 80.0
+    p = F.lit(0.5) + F.lit(0.5) * z / (F.lit(1) + F.abs(z))
+    scored = d.select(
+        (F.col("lang") == "en").alias("label"), p.alias("p")
+    )
+    binned = scored.select(
+        F.least(F.floor(F.col("p") * 10), F.lit(9)).cast("int").alias("bin"),
+        "label",
+        "p",
+    )
+    return binned.groupBy("bin").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("label"), 1).otherwise(0)).cast("bigint").alias("n_pos"),
+        (
+            F.sum(F.when(F.col("label"), 1).otherwise(0)).cast("bigint")
+            * F.lit(1.0)
+            / F.count("*")
+        ).alias("frac_pos"),
+        F.min("p").alias("min_p"),
+        F.max("p").alias("max_p"),
     )

@@ -144,3 +144,67 @@ def test_o12_both_paths_exact(spark):
     finally:
         round8c._O12_P = orig
     assert got_loose == expect
+
+
+def test_j16_deletes_applied_and_broadcast(spark):
+    """Merge-on-read must drop exactly the union of positional and
+    equality deletes (overlap counted once), the positional delete file
+    must store physical coordinates, and both anti-joins must
+    broadcast."""
+    from chronicle_sniffer_spark.plans.round8c import j16_merge_on_read, mor_layout
+
+    base, posd, eqd = mor_layout(spark, SF_SMOKE)
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    n_total = orders.count()
+    n_dead = orders.filter(
+        (F.col("o_orderkey") % 97 == 0) | (F.col("o_custkey") % 89 == 0)
+    ).count()
+    df = j16_merge_on_read(spark, SF_SMOKE)
+    rows = df.collect()
+    assert sum(r.n_rows for r in rows) == n_total - n_dead
+    pos = spark.read.parquet(posd)
+    assert set(pos.columns) == {"file_path", "row_index"}
+    assert pos.count() > 0 and pos.select("file_path").distinct().count() > 1
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "LeftAnti" in plan
+
+
+def test_l6_temperature_mix_upsamples_tail(spark):
+    """Quotas must sum exactly to the budget (largest-remainder), every
+    quota must be met, and temperature alpha=0.5 must move shares
+    toward uniform: tail languages get a HIGHER share than their corpus
+    share, the head language a LOWER one."""
+    from chronicle_sniffer_spark.plans.round8c import (
+        _L6T_BUDGET,
+        l6_temperature_mix,
+    )
+
+    rows = l6_temperature_mix(spark, SF_SMOKE).collect()
+    assert sum(r.target_docs for r in rows) == _L6T_BUDGET
+    assert all(r.n_selected == r.target_docs for r in rows)
+    n_corpus = sum(r.n_docs for r in rows)
+    head = max(rows, key=lambda r: r.n_docs)
+    for r in rows:
+        corpus_share = r.n_docs / n_corpus
+        quota_share = r.target_docs / _L6T_BUDGET
+        if r.lang == head.lang:
+            assert quota_share < corpus_share
+        else:
+            assert quota_share > corpus_share
+
+
+def test_ml7_bins_partition_the_corpus(spark):
+    """Bin counts must sum to the corpus, probabilities must respect
+    their bin's [bin/10, (bin+1)/10) range, and frac_pos must be a
+    valid rate."""
+    from chronicle_sniffer_spark.plans.round8c import ml7_calibration_curve
+
+    rows = ml7_calibration_curve(spark, SF_SMOKE).collect()
+    n_docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    for r in rows:
+        assert 0 <= r.frac_pos <= 1
+        assert r.bin / 10 <= r.min_p <= r.max_p
+        if r.bin < 9:
+            assert r.max_p < (r.bin + 1) / 10

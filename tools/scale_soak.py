@@ -178,6 +178,10 @@ QUERIES = (
     "j15_dynamic_partition_pruning",
     "p18_pipe_syntax",
     "o12_threshold_topk",
+    # round-8 fifth wave: merge-on-read, temperature mix, calibration
+    "j16_merge_on_read",
+    "l6_temperature_mix",
+    "ml7_calibration_curve",
 )
 
 
