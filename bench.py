@@ -193,6 +193,9 @@ HEADLINE = (
     "j16_merge_on_read",
     "l6_temperature_mix",
     "ml7_calibration_curve",
+    "j17_null_safe_join",
+    "ts13_m4_downsample",
+    "a20_multi_distinct_expand",
 )
 
 # Entries with documented ±18% round-over-round drift on identical code

@@ -75,6 +75,7 @@ _SUBMODULES = (
     "chronicle_sniffer_spark.plans.round8",
     "chronicle_sniffer_spark.plans.round8b",
     "chronicle_sniffer_spark.plans.round8c",
+    "chronicle_sniffer_spark.plans.round8d",
 )
 
 

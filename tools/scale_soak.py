@@ -182,6 +182,10 @@ QUERIES = (
     "j16_merge_on_read",
     "l6_temperature_mix",
     "ml7_calibration_curve",
+    # round-8 sixth wave: null-safe join, M4 downsample, multi-distinct
+    "j17_null_safe_join",
+    "ts13_m4_downsample",
+    "a20_multi_distinct_expand",
 )
 
 
