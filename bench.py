@@ -196,6 +196,9 @@ HEADLINE = (
     "j17_null_safe_join",
     "ts13_m4_downsample",
     "a20_multi_distinct_expand",
+    "ml8_auc_exact",
+    "u13_udtf_table_argument",
+    "s14_snapshot_time_travel",
 )
 
 # Entries with documented ±18% round-over-round drift on identical code

@@ -91,6 +91,34 @@ def register_polymorphic_udtf(spark: SparkSession) -> None:
     spark.udtf.register("split_fixed", udtf(SplitFixed))
 
 
+class SummarizeLang:
+    """U13: UDTF over a TABLE argument — eval() sees every row of one
+    PARTITION BY group; terminate() emits the group's summary row."""
+
+    def __init__(self):
+        self.lang = None
+        self.n = 0
+        self.chars = 0
+
+    def eval(self, row):  # noqa: D102 - one call per row of the partition
+        self.lang = row["lang"]
+        self.n += 1
+        self.chars += row["n_chars"]
+
+    def terminate(self):  # noqa: D102 - once per partition
+        if self.n:
+            yield self.lang, self.n, self.chars
+
+
+def register_table_arg_udtf(spark: SparkSession) -> None:
+    from pyspark.sql.functions import udtf
+
+    spark.udtf.register(
+        "summarize_lang",
+        udtf(SummarizeLang, returnType="lang string, n_docs bigint, sum_chars bigint"),
+    )
+
+
 # ---- U6: SQL registration ---------------------------------------------------
 
 

@@ -25,6 +25,9 @@ House determinism rules (plans/catalog.py) apply.
 
 from __future__ import annotations
 
+import os
+from urllib.parse import urlparse
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -186,4 +189,192 @@ def a20_multi_distinct_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("l_suppkey").alias("n_supps"),
         F.countDistinct("l_orderkey").alias("n_orders"),
         F.count("*").alias("n_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ML8: exact ROC AUC from the score histogram
+# ---------------------------------------------------------------------------
+
+_ML8_ORACLE = """
+WITH scored AS (
+  SELECT (lang = 'en') AS label,
+         0.5 + 0.5 * ((n_chars - 300) / 80.0)
+                   / (1 + abs((n_chars - 300) / 80.0)) AS p
+  FROM documents
+), hist AS (
+  SELECT p,
+         CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         CAST(SUM(CASE WHEN label THEN 0 ELSE 1 END) AS BIGINT) AS n_neg
+  FROM scored GROUP BY p
+), run AS (
+  SELECT n_pos, n_neg,
+         COALESCE(SUM(n_neg) OVER (
+           ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           0) AS cum_neg_lt
+  FROM hist
+)
+SELECT CAST(SUM(n_pos) AS BIGINT) AS n_pos,
+       CAST(SUM(n_neg) AS BIGINT) AS n_neg,
+       CAST(SUM(n_pos * (2 * cum_neg_lt + n_neg)) AS BIGINT) AS u2,
+       SUM(n_pos * (2 * cum_neg_lt + n_neg))
+         / (2.0 * SUM(n_pos) * SUM(n_neg)) AS auc
+FROM run
+"""
+
+
+@query("ml8_auc_exact", section="ML3", oracle=_ML8_ORACLE)
+def ml8_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC AUC as the Mann-Whitney U statistic, computed from the
+    SCORE HISTOGRAM instead of a global rank over every row.
+
+    The textbook AUC ranks all N rows (a global sort — one task at
+    100 TB).  But AUC only depends on how many (pos, neg) pairs are
+    ordered correctly, which the per-distinct-score histogram fully
+    determines: ``U = Σ_s n_pos(s) · (neg_below(s) + ½·n_neg(s))`` —
+    ties counted half.  So the plan is one hash aggregate to the
+    histogram (distinct-value-sized, map-side combinable) and one
+    running sum over it; the only ordered pass touches the HISTOGRAM,
+    never the corpus.  All arithmetic until the final division is exact
+    integers (the ½ is folded into ``2·cum_neg + n_neg`` over ``2PN``),
+    so both engines divide the same two integers.  Scores are the ml7
+    rational sigmoid (IEEE-exact on both engines).
+    """
+    d = _t(spark, sf_dir, "documents")
+    z = (F.col("n_chars") - 300) / 80.0
+    p = F.lit(0.5) + F.lit(0.5) * z / (F.lit(1) + F.abs(z))
+    scored = d.select((F.col("lang") == "en").alias("label"), p.alias("p"))
+    hist = scored.groupBy("p").agg(
+        F.sum(F.when(F.col("label"), 1).otherwise(0)).cast("bigint").alias("n_pos"),
+        F.sum(F.when(F.col("label"), 0).otherwise(1)).cast("bigint").alias("n_neg"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("p").rowsBetween(Window.unboundedPreceding, -1)
+    run = hist.select(
+        "n_pos",
+        "n_neg",
+        F.coalesce(F.sum("n_neg").over(w), F.lit(0)).alias("cum_neg_lt"),
+    )
+    u2 = F.sum(
+        F.col("n_pos") * (F.lit(2) * F.col("cum_neg_lt") + F.col("n_neg"))
+    )
+    return run.agg(
+        F.sum("n_pos").cast("bigint").alias("n_pos"),
+        F.sum("n_neg").cast("bigint").alias("n_neg"),
+        u2.cast("bigint").alias("u2"),
+        (u2 / (F.lit(2.0) * F.sum("n_pos") * F.sum("n_neg"))).alias("auc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# U13: UDTF over a TABLE argument (PARTITION BY)
+# ---------------------------------------------------------------------------
+
+_U13_ORACLE = """
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY lang
+"""
+
+
+@query("u13_udtf_table_argument", section="U5", oracle=_U13_ORACLE)
+def u13_udtf_table_argument(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF consuming a TABLE argument with PARTITION BY: the
+    engine shuffles the input so each UDTF instance sees exactly one
+    group's rows through ``eval()`` and emits its summary from
+    ``terminate()`` — the Spark 4 surface for arbitrary per-group
+    Python logic embedded in SQL text (the SQL-native sibling of U3's
+    ``applyInPandas``).
+
+    Scale shape: identical to any grouped shuffle — partitions are
+    hash-spread by the PARTITION BY key, the Python worker streams rows
+    per group (Arrow-batched), and per-group state is O(1) here.  The
+    SQL oracle (a plain GROUP BY) proves the partition-routing
+    delivered every row to exactly one group instance.
+    """
+    from chronicle_sniffer_spark.functions.udfs import register_table_arg_udtf
+
+    register_table_arg_udtf(spark)
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        "SELECT * FROM summarize_lang(TABLE(documents) PARTITION BY lang)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# S14: snapshot time travel (manifest-versioned reads)
+# ---------------------------------------------------------------------------
+
+# (applicationId, sf_dir) -> {version: [files]}
+_SNAPSHOT_CACHE: dict[tuple[str, str], dict[int, list]] = {}
+
+_S14_CUT = "1998-01-01"
+
+
+def snapshot_layout(spark: SparkSession, sf_dir: str) -> dict[int, list]:
+    """Write an append-only orders layout in two commits and record a
+    snapshot manifest: version 1 = orders before {cut}, version 2 =
+    version 1 + the appended later years.  The manifest (version ->
+    file list) is the table-format transaction log in miniature."""
+    import hashlib as _h
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _SNAPSHOT_CACHE:
+        suf = _h.md5(sf_dir.encode()).hexdigest()[:8]
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path or "/tmp"
+        base = os.path.join(wh, f"css_snap_orders_{suf}")
+        orders = _t(spark, sf_dir, "orders")
+        cut = F.lit(_S14_CUT).cast("timestamp")
+        v1_dir, v2_dir = os.path.join(base, "c1"), os.path.join(base, "c2")
+        if not os.path.exists(os.path.join(v1_dir, "_SUCCESS")):
+            orders.filter(F.col("o_orderdate") < cut).write.mode(
+                "overwrite"
+            ).parquet(v1_dir)
+        if not os.path.exists(os.path.join(v2_dir, "_SUCCESS")):
+            orders.filter(F.col("o_orderdate") >= cut).write.mode(
+                "overwrite"
+            ).parquet(v2_dir)
+        import glob as _g
+
+        f1 = sorted(_g.glob(os.path.join(v1_dir, "*.parquet")))
+        f2 = sorted(_g.glob(os.path.join(v2_dir, "*.parquet")))
+        # append-only log: each snapshot is a superset of the previous
+        _SNAPSHOT_CACHE[key] = {1: f1, 2: f1 + f2}
+    return _SNAPSHOT_CACHE[key]
+
+
+_S14_ORACLE = f"""
+SELECT year(o_orderdate) AS yr,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       {o_dsum("o_totalprice", "sum_price")}
+FROM orders
+WHERE o_orderdate < TIMESTAMP '{_S14_CUT}'
+GROUP BY 1
+"""
+
+
+@query("s14_snapshot_time_travel", section="S8", oracle=_S14_ORACLE)
+def s14_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read a table AS OF an earlier snapshot: the manifest maps each
+    version to its exact file list (append-only commits share the older
+    files), and the reader scans version 1's files — rows appended by
+    commit 2 are invisible, with no copy of the data and no tombstones.
+
+    This is the read half of every table format's time travel
+    (Delta VERSION AS OF, Iceberg snapshot-id): snapshot isolation is
+    a property of WHICH files you list, never of the bytes — so the
+    scan itself keeps every pushdown/pruning property of a plain
+    parquet read.  The manifest here is the same O(files) driver-side
+    metadata as s13's stats manifest (one IS the transaction log, the
+    other its per-file stats sidecar).  The oracle reconstructs
+    snapshot 1's logical content from the raw table; equality proves
+    the version boundary is exactly the commit boundary.
+    """
+    snaps = snapshot_layout(spark, sf_dir)
+    v1 = spark.read.parquet(*snaps[1])
+    return v1.groupBy(F.year("o_orderdate").alias("yr")).agg(
+        F.count("*").alias("n_orders"),
+        dsum("o_totalprice", "sum_price"),
     )

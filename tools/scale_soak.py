@@ -186,6 +186,10 @@ QUERIES = (
     "j17_null_safe_join",
     "ts13_m4_downsample",
     "a20_multi_distinct_expand",
+    # round-8 seventh wave: histogram AUC, table-arg UDTF, time travel
+    "ml8_auc_exact",
+    "u13_udtf_table_argument",
+    "s14_snapshot_time_travel",
 )
 
 
