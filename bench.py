@@ -199,6 +199,9 @@ HEADLINE = (
     "ml8_auc_exact",
     "u13_udtf_table_argument",
     "s14_snapshot_time_travel",
+    "w5_trailing_range_window",
+    "a21_grouping_id_rollup",
+    "o13_keyset_pagination",
 )
 
 # Entries with documented ±18% round-over-round drift on identical code

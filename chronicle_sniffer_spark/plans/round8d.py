@@ -378,3 +378,159 @@ def s14_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         dsum("o_totalprice", "sum_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# W5: trailing time-RANGE window (velocity features)
+# ---------------------------------------------------------------------------
+
+_W5_HORIZON_US = 3600 * 1_000_000  # trailing one hour
+
+_W5_ORACLE = f"""
+WITH e AS (
+  SELECT event_id, user_id,
+         CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS ts_us, value
+  FROM events
+)
+SELECT event_id,
+       CAST(count(*) OVER w AS BIGINT) AS n_1h,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sum_1h
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+             RANGE BETWEEN {_W5_HORIZON_US} PRECEDING AND CURRENT ROW)
+"""
+
+
+@query("w5_trailing_range_window", section="W3", oracle=_W5_ORACLE)
+def w5_trailing_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing one-hour count and sum over a time-RANGE
+    frame — the velocity/recency feature shape behind fraud scoring
+    and rate limiting ("how many events did this user fire in the last
+    hour, as of each event").
+
+    Scale shape: the window is PARTITIONED by user (parallel across
+    keys) and the frame is a TRAILING range — both bounds advance
+    monotonically with the ordered scan, so WindowExec slides in
+    amortized O(1) per row (contrast the SHRINKING range frame, which
+    re-evaluates per row and went quadratic in o11's first draft —
+    .claude verify notes).  RANGE semantics include order-value peers
+    on both engines, and the windowed money sum goes through exact
+    decimal so frame-internal addition order can't flip a bit.
+    """
+    e = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "value",
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-_W5_HORIZON_US, 0)
+    )
+    return e.select(
+        "event_id",
+        F.count("*").over(w).alias("n_1h"),
+        F.sum(F.col("value").cast("decimal(18,4)")).over(w).cast("double").alias("sum_1h"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A21: ROLLUP with GROUPING() disambiguation
+# ---------------------------------------------------------------------------
+
+_A21_ORACLE = f"""
+SELECT o_orderstatus,
+       NULLIF(o_orderpriority, '2-HIGH') AS prio_key,
+       CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+       CAST(GROUPING(NULLIF(o_orderpriority, '2-HIGH')) AS INT) AS g_prio,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       {o_dsum("o_totalprice", "sum_price")}
+FROM orders
+GROUP BY ROLLUP(o_orderstatus, NULLIF(o_orderpriority, '2-HIGH'))
+"""
+
+
+@query("a21_grouping_id_rollup", section="A5", oracle=_A21_ORACLE)
+def a21_grouping_id_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over a dimension that CONTAINS real NULLs, with
+    GROUPING() flags telling "NULL because subtotal" apart from "NULL
+    because the data is NULL" — without the flags the two collapse into
+    one indistinguishable output row, a classic reporting-layer bug
+    (here ~20% of orders carry a NULL priority key, so both kinds of
+    NULL genuinely occur).
+
+    Scale shape: same single Expand + hash aggregate as any grouping
+    set (one replica per rollup level), flags are constant metadata per
+    replica — zero extra passes.  The oracle runs the identical
+    GROUPING() spec in DuckDB; matching proves flag semantics, not just
+    totals.
+    """
+    o = _t(spark, sf_dir, "orders")
+    prio = F.nullif(F.col("o_orderpriority"), F.lit("2-HIGH")).alias("prio_key")
+    return (
+        o.select("o_orderstatus", prio, "o_totalprice")
+        .rollup("o_orderstatus", "prio_key")
+        .agg(
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("prio_key").cast("int").alias("g_prio"),
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice", "sum_price"),
+        )
+        .select(
+            "o_orderstatus", "prio_key", "g_status", "g_prio",
+            "n_orders", "sum_price",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# O13: keyset (seek) pagination
+# ---------------------------------------------------------------------------
+
+_O13_CURSOR_TS = "1997-06-01"
+_O13_CURSOR_KEY = 3000
+_O13_PAGE = 20
+
+_O13_ORACLE = f"""
+SELECT o_orderkey, o_orderdate, o_totalprice
+FROM orders
+WHERE (o_orderdate, o_orderkey)
+      > (TIMESTAMP '{_O13_CURSOR_TS}', CAST({_O13_CURSOR_KEY} AS BIGINT))
+ORDER BY o_orderdate, o_orderkey
+LIMIT {_O13_PAGE}
+"""
+
+
+@query("o13_keyset_pagination", section="O2", oracle=_O13_ORACLE)
+def o13_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset (seek) pagination: the next page starts strictly after a
+    (sort-key, tiebreak-key) cursor, instead of OFFSET.
+
+    OFFSET n is O(n) per page — the engine must produce and discard
+    every earlier row, so paging through a 100 TB result re-sorts ever
+    longer prefixes (and rows shifting under concurrent writes skip or
+    repeat entries).  The seek predicate is a FILTER — it pushes down
+    to the scan (min/max pruning applies), each page costs the same,
+    and the cursor is stable under appends.  Spark lacks row-value
+    comparison across struct-literal type gaps, so the predicate is the
+    expanded lexicographic form ``d > c OR (d = c AND k > kc)`` — the
+    same expansion every keyset implementation compiles to; the oracle
+    uses DuckDB's native row constructor, equality proving the
+    expansion.  LIMIT over the fully-keyed ORDER BY is deterministic
+    (house rule).
+    """
+    o = _t(spark, sf_dir, "orders")
+    c_ts = F.lit(_O13_CURSOR_TS).cast("timestamp")
+    c_key = F.lit(_O13_CURSOR_KEY).cast("bigint")
+    seek = (F.col("o_orderdate") > c_ts) | (
+        (F.col("o_orderdate") == c_ts) & (F.col("o_orderkey") > c_key)
+    )
+    return (
+        o.filter(seek)
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+        .orderBy("o_orderdate", "o_orderkey")
+        .limit(_O13_PAGE)
+    )

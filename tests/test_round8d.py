@@ -150,3 +150,94 @@ def test_s14_snapshots_are_append_only_supersets(spark):
     got = s14_snapshot_time_travel(spark, SF_SMOKE).collect()
     assert sum(r.n_orders for r in got) == n_v1
     assert all(r.yr < 1998 for r in got)
+
+
+def test_w5_trailing_window_matches_python(spark):
+    """Per-event trailing-hour counts must equal a brute-force pass
+    (including order-value peers), and the window must be partitioned
+    (no global single-task window)."""
+    from chronicle_sniffer_spark.plans.round8d import (
+        _W5_HORIZON_US,
+        w5_trailing_range_window,
+    )
+
+    df = w5_trailing_range_window(spark, SF_SMOKE)
+    got = {r.event_id: (r.n_1h, round(r.sum_1h, 4)) for r in df.collect()}
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").selectExpr(
+        "event_id", "user_id",
+        "unix_micros(cast(ts as timestamp)) AS ts_us", "value",
+    ).collect()
+    by_user: dict = {}
+    for r in ev:
+        by_user.setdefault(r.user_id, []).append(r)
+    from decimal import Decimal
+
+    expect = {}
+    for rows in by_user.values():
+        for r in rows:
+            in_frame = [
+                x for x in rows if r.ts_us - _W5_HORIZON_US <= x.ts_us <= r.ts_us
+            ]
+            s = sum(Decimal(str(round(x.value, 4))) for x in in_frame)
+            expect[r.event_id] = (len(in_frame), float(round(s, 4)))
+    assert got == expect
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Window [" in line:
+            assert "], [], [" not in line, f"global window: {line}"
+
+
+def test_a21_grouping_flags_disambiguate(spark):
+    """Both NULL kinds must coexist: a detail row with a NULL data key
+    (g_prio=0) AND a subtotal row (g_prio=1) for the same status; the
+    grand-total row carries both flags and the full count."""
+    from chronicle_sniffer_spark.plans.round8d import a21_grouping_id_rollup
+
+    rows = a21_grouping_id_rollup(spark, SF_SMOKE).collect()
+    n_all = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").count()
+    data_null = [r for r in rows if r.prio_key is None and r.g_prio == 0]
+    subtotal = [r for r in rows if r.prio_key is None and r.g_prio == 1 and r.g_status == 0]
+    grand = [r for r in rows if r.g_status == 1 and r.g_prio == 1]
+    assert data_null and subtotal
+    assert len(grand) == 1 and grand[0].n_orders == n_all
+    # each status subtotal equals the sum of its detail rows
+    for st in subtotal:
+        details = [
+            r for r in rows
+            if r.g_prio == 0 and r.g_status == 0 and r.o_orderstatus == st.o_orderstatus
+        ]
+        assert sum(r.n_orders for r in details) == st.n_orders
+
+
+def test_o13_pages_tile_the_result(spark):
+    """Walking pages by cursor must reproduce the full ordered result
+    exactly once (no skips, no repeats), and the seek predicate must
+    reach the scan as a pushed filter."""
+    from chronicle_sniffer_spark.plans import round8d
+    from chronicle_sniffer_spark.plans.round8d import o13_keyset_pagination
+
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    full = [
+        (r.o_orderkey, r.o_orderdate)
+        for r in orders.select("o_orderkey", "o_orderdate")
+        .orderBy("o_orderdate", "o_orderkey")
+        .collect()
+    ]
+    # walk from the beginning with a pre-epoch cursor
+    pages = []
+    ts, key = "1990-01-01", -1
+    orig = (round8d._O13_CURSOR_TS, round8d._O13_CURSOR_KEY)
+    try:
+        for _ in range(1000):
+            round8d._O13_CURSOR_TS, round8d._O13_CURSOR_KEY = ts, key
+            page = o13_keyset_pagination(spark, SF_SMOKE).collect()
+            if not page:
+                break
+            pages.extend((r.o_orderkey, r.o_orderdate) for r in page)
+            last = page[-1]
+            ts, key = str(last.o_orderdate), last.o_orderkey
+    finally:
+        round8d._O13_CURSOR_TS, round8d._O13_CURSOR_KEY = orig
+    assert pages == full
+    plan = o13_keyset_pagination(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan

@@ -190,6 +190,10 @@ QUERIES = (
     "ml8_auc_exact",
     "u13_udtf_table_argument",
     "s14_snapshot_time_travel",
+    # round-8 eighth wave: trailing range window, grouping flags, keyset page
+    "w5_trailing_range_window",
+    "a21_grouping_id_rollup",
+    "o13_keyset_pagination",
 )
 
 
