@@ -202,6 +202,8 @@ HEADLINE = (
     "w5_trailing_range_window",
     "a21_grouping_id_rollup",
     "o13_keyset_pagination",
+    "j18_asof_forward",
+    "s15_partition_evolution",
 )
 
 # Entries with documented ±18% round-over-round drift on identical code

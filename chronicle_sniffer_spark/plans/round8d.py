@@ -534,3 +534,193 @@ def o13_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_orderdate", "o_orderkey")
         .limit(_O13_PAGE)
     )
+
+
+# ---------------------------------------------------------------------------
+# J18: forward as-of join (time-to-next-event)
+# ---------------------------------------------------------------------------
+
+_J18_ORACLE = """
+WITH p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT user_id, ts, max(value) AS click_value
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+)
+SELECT p.event_id, p.user_id, p.ts AS p_ts, c.ts AS click_ts, c.click_value,
+       CAST(epoch_us(CAST(c.ts AS TIMESTAMP))
+            - epoch_us(CAST(p.ts AS TIMESTAMP)) AS BIGINT) AS wait_us
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts <= c.ts
+"""
+
+
+@query("j18_asof_forward", section="J8", oracle=_J18_ORACLE)
+def j18_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: for each purchase, the EARLIEST at-or-after
+    click, plus the wait until it — the time-to-next-event primitive
+    behind conversion latency, retry-delay and next-action analyses
+    (j8 is the backward mirror).
+
+    Same scale shape as j8: tagged union + ONE ordered window per key —
+    here ``first(..., ignorenulls)`` over ``[current row, unbounded
+    following]`` — so the cost is a single user_id shuffle; no range
+    probe, no candidate join.  At equal timestamps the purchase sorts
+    BEFORE the click (tag order), so an exactly-simultaneous click
+    qualifies, matching the oracle's ``p.ts <= c.ts`` (DuckDB's native
+    forward ASOF).
+    """
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+    )
+    tagged = purchases.select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("tag"),  # purchases first at equal ts → "<=" semantics
+        "event_id",
+        F.lit(None).cast("timestamp").alias("c_ts"),
+        F.lit(None).cast("double").alias("c_val"),
+    ).unionByName(
+        clicks.select(
+            "user_id",
+            "ts",
+            F.lit(1).alias("tag"),
+            F.lit(None).cast("long").alias("event_id"),
+            F.col("ts").alias("c_ts"),
+            F.col("click_value").alias("c_val"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    return (
+        tagged.withColumn("click_ts", F.first("c_ts", ignorenulls=True).over(w))
+        .withColumn("click_value", F.first("c_val", ignorenulls=True).over(w))
+        .filter(F.col("tag") == 0)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts").alias("p_ts"),
+            "click_ts",
+            "click_value",
+            (
+                F.unix_micros(F.col("click_ts").cast("timestamp"))
+                - F.unix_micros(F.col("ts").cast("timestamp"))
+            ).alias("wait_us"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# S15: partition-scheme evolution behind one view
+# ---------------------------------------------------------------------------
+
+# (applicationId, sf_dir) -> (yearly dir, monthly dir)
+_PEVO_CACHE: dict[tuple[str, str], tuple[str, str]] = {}
+
+_S15_SPLIT = "1998-01-01"  # data before: partitioned by year; after: by month
+
+
+def pevo_layout(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Write orders under TWO partition schemes: history partitioned by
+    o_year (coarse — written before the scheme changed), recent data by
+    o_month (fine).  Partition evolution means old files are NEVER
+    rewritten; the catalog just records which scheme covers which
+    commit range."""
+    import hashlib as _h
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _PEVO_CACHE:
+        suf = _h.md5(sf_dir.encode()).hexdigest()[:8]
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path or "/tmp"
+        ydir = os.path.join(wh, f"css_pevo_year_{suf}")
+        mdir = os.path.join(wh, f"css_pevo_month_{suf}")
+        orders = _t(spark, sf_dir, "orders")
+        split = F.lit(_S15_SPLIT).cast("timestamp")
+        if not os.path.exists(os.path.join(ydir, "_SUCCESS")):
+            (
+                orders.filter(F.col("o_orderdate") < split)
+                .withColumn("o_year", F.year("o_orderdate"))
+                .write.mode("overwrite")
+                .partitionBy("o_year")
+                .parquet(ydir)
+            )
+        if not os.path.exists(os.path.join(mdir, "_SUCCESS")):
+            (
+                orders.filter(F.col("o_orderdate") >= split)
+                .withColumn("o_month", F.date_format("o_orderdate", "yyyy-MM"))
+                .write.mode("overwrite")
+                .partitionBy("o_month")
+                .parquet(mdir)
+            )
+        _PEVO_CACHE[key] = (ydir, mdir)
+    return _PEVO_CACHE[key]
+
+
+_S15_LO, _S15_HI = "1997-07-01", "1998-07-01"
+
+_S15_ORACLE = f"""
+SELECT strftime(o_orderdate, '%Y-%m') AS month,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       {o_dsum("o_totalprice", "sum_price")}
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '{_S15_LO}'
+  AND o_orderdate <  TIMESTAMP '{_S15_HI}'
+GROUP BY 1
+"""
+
+
+@query("s15_partition_evolution", section="S8", oracle=_S15_ORACLE)
+def s15_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One logical table under TWO partition schemes (yearly history,
+    monthly recent — the Iceberg partition-evolution story: changing
+    the scheme never rewrites old files), queried with a date range
+    that straddles the scheme boundary.
+
+    The reader compiles the SAME logical predicate into each layout's
+    own partition language — ``o_year IN (1997, 1998)`` on the coarse
+    side, ``o_month IN ('1998-01'..'1998-06')`` on the fine side — so
+    BOTH scans prune at the directory level (plan-asserted), and the
+    exact row predicate is re-applied after each scan, so mistranslated
+    partition math could only ever surface as a wrong result against
+    the oracle (it doesn't).  At 100 TB this is how a table survives
+    years of layout decisions: pruning quality evolves with the scheme,
+    correctness never depends on it.
+    """
+    ydir, mdir = pevo_layout(spark, sf_dir)
+    lo = F.lit(_S15_LO).cast("timestamp")
+    hi = F.lit(_S15_HI).cast("timestamp")
+    lo_y, hi_y = int(_S15_LO[:4]), int(_S15_HI[:4])
+    months = []
+    y, m = int(_S15_LO[:4]), int(_S15_LO[5:7])
+    while (y, m) < (int(_S15_HI[:4]), int(_S15_HI[5:7])):
+        months.append(f"{y:04d}-{m:02d}")
+        m += 1
+        if m == 13:
+            y, m = y + 1, 1
+    row_pred = (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    a = (
+        spark.read.parquet(ydir)
+        .filter(F.col("o_year").isin(list(range(lo_y, hi_y + 1))))
+        .filter(row_pred)
+    )
+    b = spark.read.parquet(mdir).filter(F.col("o_month").isin(months)).filter(row_pred)
+    cols = ["o_orderdate", "o_totalprice"]
+    return (
+        a.select(*cols)
+        .unionByName(b.select(*cols))
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice", "sum_price"),
+        )
+    )

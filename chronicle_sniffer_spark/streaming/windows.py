@@ -104,3 +104,37 @@ def windowed_with_watermark(
         .agg(F.count("*").alias("n"))
         .select(F.col("w.start").alias("w_start"), "n")
     )
+
+
+def m4_windowed(events: DataFrame, width: str = "1 hour") -> DataFrame:
+    """T12: M4 downsampling (plans/round8d.py ts13) as a WINDOWED
+    aggregate — because every M4 measure (min/max plus lexicographic
+    struct-min/max for first/last under the total (ts, event_id) key)
+    is associative and order-independent, the identical expression runs
+    incrementally in streaming state and in batch, and must agree.
+    This is the dashboard feed shape: the stream maintains the pixel
+    table; the UI only ever reads O(series x pixels) rows."""
+    key = F.struct(
+        F.col("ts").alias("t"),
+        F.col("event_id").alias("i"),
+        F.col("value").alias("v"),
+    )
+    return (
+        events.groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("value").alias("min_v"),
+            F.max("value").alias("max_v"),
+            F.min(key).getField("v").alias("first_v"),
+            F.max(key).getField("v").alias("last_v"),
+        )
+        .select(
+            F.col("w.start").alias("w_start"),
+            "event_type",
+            "n_events",
+            "min_v",
+            "max_v",
+            "first_v",
+            "last_v",
+        )
+    )

@@ -500,3 +500,18 @@ def test_media_decode_stream_equals_batch(spark, tmp_path):
         tuple(r) for r in batch.select(*cols).collect()
     )
     assert result.count() > 0
+
+
+def test_t12_m4_stream_equals_batch(spark, staged):
+    """M4 downsampling is associative/order-independent by
+    construction, so the SAME expression maintained incrementally in
+    streaming state must equal the batch plan — including first/last,
+    which would diverge under redelivery/ordering if they were
+    positional instead of key-ordered."""
+    from chronicle_sniffer_spark.streaming.windows import m4_windowed
+
+    stream = read_events_stream(spark, staged, max_files_per_trigger=2)
+    result = run_to_completion(m4_windowed(stream), "t12_stream", "complete")
+    batch = m4_windowed(load_table(spark, SF_SMOKE, "events"))
+    cols = ("w_start", "event_type", "n_events", "min_v", "max_v", "first_v", "last_v")
+    assert _rows(result, *cols) == _rows(batch, *cols)

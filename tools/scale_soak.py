@@ -194,6 +194,9 @@ QUERIES = (
     "w5_trailing_range_window",
     "a21_grouping_id_rollup",
     "o13_keyset_pagination",
+    # round-8 ninth wave: forward asof, partition evolution
+    "j18_asof_forward",
+    "s15_partition_evolution",
 )
 
 
