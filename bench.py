@@ -204,6 +204,9 @@ HEADLINE = (
     "o13_keyset_pagination",
     "j18_asof_forward",
     "s15_partition_evolution",
+    "t9d_semi_join_batch",
+    "a22_sliding_distinct_users",
+    "s16_scan_path_options",
 )
 
 # Entries with documented ±18% round-over-round drift on identical code

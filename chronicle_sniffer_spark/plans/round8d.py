@@ -724,3 +724,179 @@ def s15_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("o_totalprice", "sum_price"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# T9d: stream-stream LEFT SEMI join (batch form; stream parity in
+# tests/test_streaming.py::test_t9d)
+# ---------------------------------------------------------------------------
+
+_T9D_ORACLE = """
+SELECT c.user_id, c.event_id AS click_id, CAST(c.ts AS TIMESTAMP) AS click_ts
+FROM events c
+WHERE c.event_type = 'click'
+  AND EXISTS (
+    SELECT 1 FROM events p
+    WHERE p.event_type = 'purchase'
+      AND p.user_id = c.user_id
+      AND p.ts >= c.ts
+      AND p.ts <= c.ts + INTERVAL 1 HOUR
+  )
+"""
+
+
+@query("t9d_semi_join_batch", section="T9", oracle=_T9D_ORACLE)
+def t9d_semi_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI stream-stream join, batch form: clicks that converted
+    (some same-user purchase within the hour), each emitted ONCE — the
+    EXISTS shape, which the inner join (t9) can't give without a
+    post-join dedup shuffle when several purchases qualify.
+
+    The same function runs as a true watermarked stream-stream join in
+    tests/test_streaming.py::test_t9d (stream ≡ batch); this completes
+    the stream-stream join matrix (inner t9, left outer t9b, full outer
+    t9c, semi t9d).  Scale: one user_id shuffle into shared state-store
+    partitioning; semi semantics additionally let purchase state
+    collapse to "seen" per key-interval — strictly smaller state than
+    the inner join's.
+    """
+    from chronicle_sniffer_spark.streaming.joins import clicks_with_conversion_semi
+
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click")
+    purchases = e.filter(F.col("event_type") == "purchase")
+    out = clicks_with_conversion_semi(clicks, purchases)
+    return out.select(
+        "user_id", "click_id", F.col("click_ts").cast("timestamp").alias("click_ts")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A22: exact distinct users over SLIDING windows (dedup + expand)
+# ---------------------------------------------------------------------------
+
+_A22_WIN_DAYS = 7
+
+_A22_ORACLE = f"""
+WITH pairs AS (
+  SELECT DISTINCT user_id,
+         CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) // 86400000000 AS d
+  FROM events
+), expanded AS (
+  SELECT user_id, d - off.o AS wstart_day
+  FROM pairs,
+       (SELECT unnest(generate_series(0, {_A22_WIN_DAYS - 1})) AS o) off
+)
+SELECT wstart_day,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM expanded GROUP BY wstart_day
+"""
+
+
+@query("a22_sliding_distinct_users", section="A2", oracle=_A22_ORACLE)
+def a22_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users per SLIDING 7-day window (1-day slide) —
+    the rolling-actives metric, and the canonical "hard" sliding
+    aggregate: distinct doesn't decompose across overlapping windows,
+    so naive plans re-deduplicate the full event volume once per
+    overlapping window (7x here, 30x for monthly actives).
+
+    Scalable shape: (1) collapse events to DISTINCT (user, day) pairs
+    first — ONE map-side-combinable shuffle over the raw volume, and
+    everything after sees at most users x days rows, not events;
+    (2) explode each pair into the {_A22_WIN_DAYS} window starts it
+    serves (a constant fan-out of the SMALL relation); (3) exact
+    count-distinct per window start (a user active on several days of
+    one window still counts once).  The approximate sibling at extreme
+    scale is per-day HLL sketches merged across the window (a3b);
+    this entry is the exact path, same skeleton as the (day,user)
+    pre-aggregation every warehouse uses for rolling actives.
+    """
+    W = _A22_WIN_DAYS
+    e = _t(spark, sf_dir, "events")
+    day = (F.unix_micros(F.col("ts").cast("timestamp")) / 86400000000).cast("bigint")
+    pairs = e.select("user_id", day.alias("d")).distinct()
+    expanded = pairs.select(
+        "user_id", F.explode(F.sequence(F.lit(0), F.lit(W - 1))).alias("off"), "d"
+    ).select("user_id", (F.col("d") - F.col("off")).alias("wstart_day"))
+    return expanded.groupBy("wstart_day").agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
+
+
+# ---------------------------------------------------------------------------
+# S16: scan path options (recursive lookup + glob filter)
+# ---------------------------------------------------------------------------
+
+# (applicationId, sf_dir) -> base dir
+_S16_CACHE: dict[tuple[str, str], str] = {}
+
+
+def s16_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Write orders across NESTED directories (year-named subtrees of
+    varying depth) with a non-parquet decoy file dropped in — the
+    arrival shape of a hand-managed data lake."""
+    import hashlib as _h
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _S16_CACHE:
+        suf = _h.md5(sf_dir.encode()).hexdigest()[:8]
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path or "/tmp"
+        base = os.path.join(wh, f"css_nested_orders_{suf}")
+        done = os.path.join(base, "_LAYOUT_DONE")
+        if not os.path.exists(done):
+            orders = _t(spark, sf_dir, "orders")
+            split = F.lit("1998-01-01").cast("timestamp")
+            (
+                orders.filter(F.col("o_orderdate") < split)
+                .write.mode("overwrite")
+                .parquet(os.path.join(base, "early"))
+            )
+            (
+                orders.filter(F.col("o_orderdate") >= split)
+                .write.mode("overwrite")
+                .parquet(os.path.join(base, "late", "deep"))
+            )
+            # a decoy a naive recursive read would choke on
+            with open(os.path.join(base, "late", "notes.json"), "w") as fh:
+                fh.write('{"this": "is not parquet"}\n')
+            with open(done, "w") as fh:
+                fh.write("ok\n")
+        _S16_CACHE[key] = base
+    return _S16_CACHE[key]
+
+
+_S16_ORACLE = f"""
+SELECT year(o_orderdate) AS yr,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       {o_dsum("o_totalprice", "sum_price")}
+FROM orders GROUP BY 1
+"""
+
+
+@query("s16_scan_path_options", section="S1", oracle=_S16_ORACLE)
+def s16_scan_path_options(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan a hand-managed nested directory tree in one read:
+    ``recursiveFileLookup`` walks arbitrary-depth subtrees (no
+    partition-discovery assumptions about dir names) and
+    ``pathGlobFilter`` keeps only ``*.parquet`` — the decoy JSON file
+    sitting in the tree is skipped at LISTING time, not after a failed
+    footer read (tests prove the unfiltered read fails on it).
+
+    At scale this is the ingestion posture for lakes that predate any
+    table format: listing-level filters are the only thing standing
+    between the job and a crash on the stray README/_tmp/json files
+    that real buckets accumulate.  The oracle aggregates the plain
+    table; equality proves the recursive listing found every file and
+    nothing else.
+    """
+    base = s16_layout(spark, sf_dir)
+    scan = (
+        spark.read.option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(base)
+    )
+    return scan.groupBy(F.year("o_orderdate").alias("yr")).agg(
+        F.count("*").alias("n_orders"),
+        dsum("o_totalprice", "sum_price"),
+    )

@@ -161,3 +161,42 @@ def click_purchase_attribution_full_outer(
         "purchase_ts",
         "purchase_value",
     )
+
+
+def clicks_with_conversion_semi(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    attribution_window: str = "1 hour",
+    watermark_delay: str = "45 days",
+) -> DataFrame:
+    """T9d: LEFT SEMI stream-stream join — emit each click exactly once
+    iff SOME same-user purchase lands within ``attribution_window``
+    after it; purchase columns never surface, so no duplication when
+    several purchases qualify (the EXISTS shape, as a streaming join).
+
+    State story: identical to the inner join — both sides keyed on
+    user_id in the same state-store partitioning; the time-interval
+    condition lets the engine drop click state once the purchase-side
+    watermark passes click.ts + window, and purchase state once seen.
+    Works identically on static DataFrames (tests assert stream ≡
+    batch).
+    """
+    c = clicks.withWatermark("ts", watermark_delay).select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.withWatermark("ts", watermark_delay).select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {attribution_window}")
+        ),
+        "left_semi",
+    ).select(F.col("c_user").alias("user_id"), "click_id", "click_ts")

@@ -304,3 +304,50 @@ def test_s15_both_schemes_prune(spark):
         & (F.col("o_orderdate") < F.lit(_S15_HI).cast("timestamp"))
     ).count()
     assert sum(r.n_orders for r in df.collect()) == expect
+
+
+def test_a22_sliding_distinct_matches_python(spark):
+    """Every window's exact distinct-user count must match brute force,
+    including users active on MULTIPLE days of one window (counted
+    once) — the case a per-day-sum would inflate."""
+    from chronicle_sniffer_spark.plans.round8d import (
+        _A22_WIN_DAYS,
+        a22_sliding_distinct_users,
+    )
+
+    got = {
+        r.wstart_day: r.n_users
+        for r in a22_sliding_distinct_users(spark, SF_SMOKE).collect()
+    }
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").selectExpr(
+        "user_id",
+        "CAST(unix_micros(cast(ts as timestamp)) / 86400000000 AS BIGINT) AS d",
+    ).collect()
+    pairs = {(r.user_id, r.d) for r in ev}
+    expect: dict = {}
+    for u, d in pairs:
+        for off in range(_A22_WIN_DAYS):
+            expect.setdefault(d - off, set()).add(u)
+    assert got == {w: len(s) for w, s in expect.items()}
+    # the dedup matters: some user covers >1 day of some window
+    multi = any(
+        sum((u, d) in pairs for d in range(w, w + _A22_WIN_DAYS)) > 1
+        for w, s in expect.items()
+        for u in s
+    )
+    assert multi
+
+
+def test_s16_glob_filter_skips_decoy(spark):
+    """The filtered recursive read must succeed and see every row; the
+    UNFILTERED recursive read must fail on the decoy JSON file (proof
+    the option filters at listing time, not by luck)."""
+    import pytest
+
+    from chronicle_sniffer_spark.plans.round8d import s16_layout, s16_scan_path_options
+
+    base = s16_layout(spark, SF_SMOKE)
+    n = sum(r.n_orders for r in s16_scan_path_options(spark, SF_SMOKE).collect())
+    assert n == spark.read.parquet(f"{SF_SMOKE}/orders.parquet").count()
+    with pytest.raises(Exception):
+        spark.read.option("recursiveFileLookup", "true").parquet(base).count()

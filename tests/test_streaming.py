@@ -11,6 +11,7 @@ import tempfile
 import time
 
 import pytest
+from pyspark.sql import functions as F
 
 from chronicle_sniffer_spark.streaming.reliability import DlqSink, dedup_stream, read_notifications
 from chronicle_sniffer_spark.streaming.runtime import (
@@ -515,3 +516,26 @@ def test_t12_m4_stream_equals_batch(spark, staged):
     batch = m4_windowed(load_table(spark, SF_SMOKE, "events"))
     cols = ("w_start", "event_type", "n_events", "min_v", "max_v", "first_v", "last_v")
     assert _rows(result, *cols) == _rows(batch, *cols)
+
+
+def test_t9d_semi_stream_equals_batch(spark, staged):
+    """LEFT SEMI stream-stream join: converted clicks emitted exactly
+    once each, stream ≡ batch, and no purchase columns leak."""
+    from chronicle_sniffer_spark.streaming.joins import clicks_with_conversion_semi
+
+    stream = read_events_stream(spark, staged, max_files_per_trigger=2)
+    s_clicks = stream.filter(F.col("event_type") == "click")
+    s_purch = stream.filter(F.col("event_type") == "purchase")
+    result = run_to_completion(
+        clicks_with_conversion_semi(s_clicks, s_purch), "t9d_stream", "append"
+    )
+    batch_ev = load_table(spark, SF_SMOKE, "events")
+    b = clicks_with_conversion_semi(
+        batch_ev.filter(F.col("event_type") == "click"),
+        batch_ev.filter(F.col("event_type") == "purchase"),
+    )
+    assert result.columns == ["user_id", "click_id", "click_ts"]
+    got = _rows(result, "user_id", "click_id")
+    expect = _rows(b, "user_id", "click_id")
+    assert got == expect and len(got) > 0
+    assert len({c for _, c in got}) == len(got)  # each click at most once

@@ -197,6 +197,10 @@ QUERIES = (
     # round-8 ninth wave: forward asof, partition evolution
     "j18_asof_forward",
     "s15_partition_evolution",
+    # round-8 tenth wave: semi stream-join, sliding distinct, path options
+    "t9d_semi_join_batch",
+    "a22_sliding_distinct_users",
+    "s16_scan_path_options",
 )
 
 
