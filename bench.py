@@ -207,6 +207,9 @@ HEADLINE = (
     "t9d_semi_join_batch",
     "a22_sliding_distinct_users",
     "s16_scan_path_options",
+    "p20_sql_scripting",
+    "ml10_lift_table",
+    "u14_pandas_window_udaf",
 )
 
 # Entries with documented ±18% round-over-round drift on identical code

@@ -76,6 +76,7 @@ _SUBMODULES = (
     "chronicle_sniffer_spark.plans.round8b",
     "chronicle_sniffer_spark.plans.round8c",
     "chronicle_sniffer_spark.plans.round8d",
+    "chronicle_sniffer_spark.plans.round8e",
 )
 
 

@@ -1,0 +1,265 @@
+"""Round-8 catalog additions, sixth wave.
+
+- **P20 SQL scripting**: Spark 4's procedural SQL (BEGIN/END, DECLARE,
+  WHILE) driving a real parameter-search loop — each iteration is a
+  full declarative aggregate, the script only sequences them.  The
+  oracle computes the same search closed-form, proving the loop's
+  fixed point.
+- **ML10 lift/gains table**: cumulative-capture and lift per score
+  decile, computed entirely on the distinct-score HISTOGRAM (the ml8
+  trick) — deciles from integer cumulative counts, every ratio a
+  single division of exact integers.
+- **U14 pandas UDAF as a WINDOW function**: the Arrow-vectorized
+  grouped aggregate (U4) evaluated over a bounded ROWS frame — custom
+  Python aggregation logic with windowed semantics, frame-bounded so
+  each evaluation sees O(frame) rows.
+
+House determinism rules (plans/catalog.py) apply.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from chronicle_sniffer_spark.plans.catalog import query
+from chronicle_sniffer_spark.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# P20: SQL scripting (procedural parameter search)
+# ---------------------------------------------------------------------------
+
+_P20_BASE_W = 1000  # starting bucket width; doubles each iteration
+_P20_MAX_K = 20
+
+_P20_ORACLE = f"""
+WITH ks AS (
+  SELECT unnest(generate_series(0, {_P20_MAX_K})) AS k
+), per_k AS (
+  SELECT ks.k,
+         max(cnt) AS max_cnt,
+         CAST(count(*) AS BIGINT) AS n_buckets
+  FROM ks, LATERAL (
+    SELECT CAST(floor(o_totalprice / ({_P20_BASE_W} * pow(2, ks.k))) AS BIGINT)
+             AS b,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM orders GROUP BY 1
+  )
+  GROUP BY ks.k
+), tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM orders)
+SELECT CAST(k AS INT) AS k,
+       CAST({_P20_BASE_W} * pow(2, k) AS BIGINT) AS width,
+       n_buckets,
+       CAST(max_cnt AS BIGINT) AS max_bucket
+FROM per_k, tot
+WHERE max_cnt * 4 >= n
+ORDER BY k LIMIT 1
+"""
+
+
+@query("p20_sql_scripting", section="P1", oracle=_P20_ORACLE)
+def p20_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Procedural SQL (Spark 4 scripting): a WHILE loop doubles a
+    histogram's bucket width until the fullest bucket holds at least a
+    quarter of the rows — the auto-tuning search every "pick a sane
+    bin width" tool runs, written as BEGIN/DECLARE/WHILE around full
+    declarative aggregates.
+
+    The script only SEQUENCES queries — each iteration is one
+    hash-aggregate job that Catalyst plans normally, so nothing about
+    the loop harms scale (iterations are O(log range), each a plain
+    scan+agg; the loop state is two scalar variables on the driver,
+    exactly like the iterative ML entries' driver loops but expressed
+    in pure SQL).  The oracle evaluates ALL candidate widths at once
+    and picks the fixed point closed-form — equality proves the loop
+    terminates at the right k.  The relative (quarter-of-rows) cap
+    keeps the answer scale-invariant.
+    """
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        f"""
+BEGIN
+  DECLARE k INT DEFAULT 0;
+  DECLARE width BIGINT DEFAULT {_P20_BASE_W};
+  DECLARE n_total BIGINT;
+  DECLARE max_cnt BIGINT;
+  DECLARE n_buckets BIGINT;
+  SET n_total = (SELECT count(*) FROM orders);
+  lp: LOOP
+    SET (max_cnt, n_buckets) = (
+      SELECT max(cnt), count(*) FROM (
+        SELECT count(*) AS cnt FROM orders
+        GROUP BY CAST(floor(o_totalprice / width) AS BIGINT)));
+    IF max_cnt * 4 >= n_total OR k >= {_P20_MAX_K} THEN
+      LEAVE lp;
+    END IF;
+    SET k = k + 1;
+    SET width = width * 2;
+  END LOOP;
+  SELECT k AS k, width AS width,
+         n_buckets AS n_buckets, max_cnt AS max_bucket;
+END
+"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# ML10: lift / cumulative-gains table from the score histogram
+# ---------------------------------------------------------------------------
+
+_ML10_ORACLE = """
+WITH scored AS (
+  SELECT (lang = 'en') AS label,
+         0.5 + 0.5 * ((n_chars - 300) / 80.0)
+                   / (1 + abs((n_chars - 300) / 80.0)) AS p
+  FROM documents
+), hist AS (
+  SELECT p,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+  FROM scored GROUP BY p
+), run AS (
+  SELECT n, n_pos,
+         COALESCE(SUM(n) OVER (
+           ORDER BY p DESC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           0) AS cum_before
+  FROM hist
+), tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS nn, CAST(SUM(n_pos) AS BIGINT) AS pp
+  FROM hist
+), dec AS (
+  SELECT CAST(cum_before * 10 // nn AS INT) AS decile, n, n_pos
+  FROM run, tot
+)
+SELECT decile,
+       CAST(SUM(n) AS BIGINT) AS n_docs,
+       CAST(SUM(n_pos) AS BIGINT) AS n_pos,
+       CAST(SUM(n_pos) * (SELECT nn FROM tot) AS DOUBLE)
+         / (SUM(n) * (SELECT pp FROM tot)) AS lift
+FROM dec GROUP BY decile
+"""
+
+
+@query("ml10_lift_table", section="ML3", oracle=_ML10_ORACLE)
+def ml10_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lift table (cumulative-gains deciles): bucket the population by
+    descending score into tenths and report each bucket's positive
+    rate relative to the base rate — the targeting-quality report
+    behind every "top decile captures X% of converters" claim.
+
+    Like ml8, everything runs on the distinct-score HISTOGRAM: decile
+    assignment comes from integer cumulative counts over distinct
+    scores (rows sharing a score land in the decile their cumulative
+    START position selects — grouped-tie semantics, identical on both
+    engines because the tie-group is atomic), and lift is ONE division
+    of two exact integer products.  No corpus-sized sort, no
+    row-by-row rank: the ordered pass is distinct-values-sized.
+    """
+    d = _t(spark, sf_dir, "documents")
+    z = (F.col("n_chars") - 300) / 80.0
+    p = F.lit(0.5) + F.lit(0.5) * z / (F.lit(1) + F.abs(z))
+    scored = d.select((F.col("lang") == "en").alias("label"), p.alias("p"))
+    hist = scored.groupBy("p").agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("label"), 1).otherwise(0)).cast("bigint").alias("n_pos"),
+    )
+    w = Window.orderBy(F.col("p").desc()).rowsBetween(Window.unboundedPreceding, -1)
+    run = hist.select(
+        "n",
+        "n_pos",
+        F.coalesce(F.sum("n").over(w), F.lit(0)).alias("cum_before"),
+    )
+    tot = hist.agg(
+        F.sum("n").cast("bigint").alias("nn"),
+        F.sum("n_pos").cast("bigint").alias("pp"),
+    )
+    dec = run.crossJoin(F.broadcast(tot)).select(
+        (F.col("cum_before") * 10 / F.col("nn"))
+        .cast("bigint")
+        .cast("int")
+        .alias("decile"),
+        "n",
+        "n_pos",
+        "nn",
+        "pp",
+    )
+    return dec.groupBy("decile").agg(
+        F.sum("n").cast("bigint").alias("n_docs"),
+        F.sum("n_pos").cast("bigint").alias("n_pos"),
+        (
+            (F.sum("n_pos") * F.first("nn")).cast("double")
+            / (F.sum("n") * F.first("pp"))
+        ).alias("lift"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# U14: pandas UDAF evaluated over a bounded window frame
+# ---------------------------------------------------------------------------
+
+_U14_ORACLE = """
+WITH e AS (
+  SELECT event_id, user_id,
+         CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS ts_us,
+         value, CAST(event_id % 5 + 1 AS DOUBLE) AS wgt
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT event_id,
+       SUM(value * wgt) OVER w / SUM(wgt) OVER w AS wavg_4
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+"""
+
+
+@query("u14_pandas_window_udaf", section="U4", oracle=_U14_ORACLE)
+def u14_pandas_window_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized pandas UDAF evaluated as a WINDOW function over
+    a bounded ROWS frame: a trailing 4-purchase weighted
+    average per user — custom Python aggregation with windowed
+    semantics (U4 ran the same UDAF over groupBy; this is the sliding
+    form).  Scoped to the purchase stream deliberately: a bounded-frame
+    pandas UDAF pays one Arrow evaluation PER ROW (O(rows x frame)
+    Python work — the 'UDFs are the slow path' tax made visible), so
+    you aim it at the value-bearing slice, and the 10x-cheaper pure-SQL
+    frame (the oracle's form, w5's machinery) at full volume.
+
+    Scale/exactness notes: the frame is BOUNDED, so each evaluation
+    materializes O(frame) rows into Arrow, partitioned by user
+    (parallel across keys).  The SQL oracle reproduces the arithmetic
+    exactly because a ≤4-element frame is summed in identical frame
+    order by pandas and the window engine (same operands, same order →
+    identical IEEE doubles); unbounded float UDAF frames would need
+    the decimal discipline instead.
+    """
+    # pd is imported at module level: pandas_udf resolves the stringized
+    # type hints (from __future__ import annotations) against module globals
+    @F.pandas_udf("double")
+    def wavg(v: pd.Series, w: pd.Series) -> float:
+        ws = float(w.sum())
+        return float((v * w).sum() / ws) if ws else float("nan")
+
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    ).select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "value",
+        (F.col("event_id") % 5 + 1).cast("double").alias("wgt"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(-3, 0)
+    )
+    return e.select(
+        "event_id", wavg(F.col("value"), F.col("wgt")).over(w).alias("wavg_4")
+    )

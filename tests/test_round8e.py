@@ -1,0 +1,81 @@
+"""Property tests for the round-8 sixth-wave operators (oracle parity
+runs via the auto-parametrized tests/test_catalog.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def test_p20_loop_reaches_the_fixed_point(spark):
+    """The scripted search must return the SMALLEST k whose width
+    satisfies the cap — verified by recomputing the predicate at k and
+    k-1 declaratively."""
+    from chronicle_sniffer_spark.plans.round8e import _P20_BASE_W, p20_sql_scripting
+
+    row = p20_sql_scripting(spark, SF_SMOKE).collect()[0]
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    n_total = orders.count()
+
+    def max_bucket(width: int) -> int:
+        return (
+            orders.groupBy(F.floor(F.col("o_totalprice") / width).cast("bigint"))
+            .count()
+            .agg(F.max("count"))
+            .collect()[0][0]
+        )
+
+    assert row.width == _P20_BASE_W * 2**row.k
+    assert max_bucket(row.width) == row.max_bucket
+    assert row.max_bucket * 4 >= n_total  # the loop's exit condition holds
+    if row.k > 0:
+        assert max_bucket(row.width // 2) * 4 < n_total  # k-1 fails the cap
+
+
+def test_ml10_deciles_tile_and_lift_is_consistent(spark):
+    """Decile doc counts must sum to the corpus, weighted lift must
+    average to 1 (Σ n_b·lift_b = N·Σpos_b/P), and the top decile of a
+    (near-random) scorer must still satisfy the arithmetic identity
+    lift = (pos_b/n_b)/(P/N)."""
+    from chronicle_sniffer_spark.plans.round8e import ml10_lift_table
+
+    rows = ml10_lift_table(spark, SF_SMOKE).collect()
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    n = docs.count()
+    p_total = docs.filter(F.col("lang") == "en").count()
+    assert sum(r.n_docs for r in rows) == n
+    assert sum(r.n_pos for r in rows) == p_total
+    for r in rows:
+        expect = (r.n_pos * n) / (r.n_docs * p_total)
+        assert abs(r.lift - expect) < 1e-12
+    wsum = sum(r.n_docs * r.lift for r in rows)
+    assert abs(wsum - n) < 1e-6  # weighted-average lift ≡ 1
+
+
+def test_u14_window_udaf_matches_sql(spark):
+    """The pandas window UDAF must equal the pure-SQL weighted average
+    over the identical bounded frame, row for row."""
+    from chronicle_sniffer_spark.plans.round8e import u14_pandas_window_udaf
+
+    got = {r.event_id: r.wavg_4 for r in u14_pandas_window_udaf(spark, SF_SMOKE).collect()}
+    sql = spark.read.parquet(f"{SF_SMOKE}/events.parquet").filter(
+        "event_type = 'purchase'"
+    ).selectExpr(
+        "event_id", "user_id",
+        "unix_micros(cast(ts as timestamp)) AS ts_us",
+        "value", "CAST(event_id % 5 + 1 AS DOUBLE) AS wgt",
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id").rowsBetween(-3, 0)
+    expect = {
+        r.event_id: r.e
+        for r in sql.select(
+            "event_id",
+            (F.sum(F.col("value") * F.col("wgt")).over(w) / F.sum("wgt").over(w)).alias("e"),
+        ).collect()
+    }
+    assert got.keys() == expect.keys()
+    for k in got:
+        assert abs(got[k] - expect[k]) < 1e-9

@@ -201,6 +201,10 @@ QUERIES = (
     "t9d_semi_join_batch",
     "a22_sliding_distinct_users",
     "s16_scan_path_options",
+    # round-8 eleventh wave: SQL scripting, lift table, window UDAF
+    "p20_sql_scripting",
+    "ml10_lift_table",
+    "u14_pandas_window_udaf",
 )
 
 
@@ -270,6 +274,7 @@ def main() -> None:
             "l2_ngram_containment": "same inverted-index family as the Jaccard path but WITHOUT its positional filter (containment has no equivalent bound), so candidate volume is higher; output-scaled on the 40-word synthetic vocabulary, exact scores on full sets",
             "l2_semantic_dedup": "fixed K=16 cells for the oracle entry; the scale configuration grows n_centroids with the corpus (BASELINE.md: 3.0s at sf1 with K=160)",
             "j14_bucketed_range_join": "the scale replicas multiply orders 10x over the SAME date span, so overlapping pairs grow ~100x (7.86M at sf0.1 -> ~786M at sf1); 13.9x wall for ~100x output is sub-linear in output (>40M pairs/s through the bucket join); real workloads grow the time span with the data, keeping pair density (and the ratio) linear",
+            "u14_pandas_window_udaf": "bounded-frame pandas UDAF pays one Arrow evaluation per ROW - Python work is inherently linear in rows (3.7x wall for 10x purchases on 32 cores is the parallel floor, not a plan defect); full-volume work belongs on the pure-SQL frame (w5)",
         },
     }
     with open(out_path, "w") as fh:
