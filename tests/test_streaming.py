@@ -539,3 +539,53 @@ def test_t9d_semi_stream_equals_batch(spark, staged):
     expect = _rows(b, "user_id", "click_id")
     assert got == expect and len(got) > 0
     assert len({c for _, c in got}) == len(got)  # each click at most once
+
+
+def test_t13_checkpoint_restart_no_dups_no_loss(spark):
+    """File-source exactly-once across a RESTART: run an AvailableNow
+    pass over 4 staged files into a durable parquet sink with a
+    checkpoint, then add 2 more files and run a SECOND query from the
+    SAME checkpoint — the sink must end with every row exactly once
+    (old files not reprocessed, new files not missed)."""
+    import shutil
+
+    base = tempfile.mkdtemp(prefix="css_restart_")
+    stage_all = os.path.join(base, "all")
+    stream_dir = os.path.join(base, "stream")
+    sink = os.path.join(base, "sink")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(stream_dir)
+    ev = load_table(spark, SF_SMOKE, "events")
+    ev.repartition(6).write.mode("overwrite").parquet(stage_all)
+    files = sorted(
+        f for f in os.listdir(stage_all) if f.endswith(".parquet")
+    )
+    assert len(files) == 6
+
+    def run_pass():
+        stream = read_events_stream(spark, stream_dir, max_files_per_trigger=1)
+        q = (
+            stream.select("event_id", "user_id", "value")
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    for f in files[:4]:
+        shutil.copy(os.path.join(stage_all, f), os.path.join(stream_dir, f))
+    run_pass()
+    n_first = spark.read.parquet(sink).count()
+    assert n_first == spark.read.parquet(
+        *[os.path.join(stage_all, f) for f in files[:4]]
+    ).count()
+
+    for f in files[4:]:
+        shutil.copy(os.path.join(stage_all, f), os.path.join(stream_dir, f))
+    run_pass()  # second query instance, same checkpoint = a restart
+    out = spark.read.parquet(sink)
+    assert out.count() == ev.count()  # no loss
+    assert out.select("event_id").distinct().count() == ev.count()  # no dups
