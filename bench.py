@@ -210,6 +210,9 @@ HEADLINE = (
     "p20_sql_scripting",
     "ml10_lift_table",
     "u14_pandas_window_udaf",
+    "dq8_observe_pipeline",
+    "l8_preference_pairs",
+    "p21_identifier_clause",
 )
 
 # Entries with documented ±18% round-over-round drift on identical code

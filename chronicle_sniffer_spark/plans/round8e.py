@@ -263,3 +263,179 @@ def u14_pandas_window_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "event_id", wavg(F.col("value"), F.col("wgt")).over(w).alias("wavg_4")
     )
+
+
+# ---------------------------------------------------------------------------
+# DQ8: in-flight pipeline metrics via observe()
+# ---------------------------------------------------------------------------
+
+_DQ8_ORACLE = """
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+         AS revenue
+FROM lineitem
+WHERE l_quantity > 5
+GROUP BY l_returnflag
+"""
+
+
+@query("dq8_observe_pipeline", section="DQ1", oracle=_DQ8_ORACLE)
+def dq8_observe_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue rollup with an ``observe()`` observation attached
+    mid-pipeline: row count, null count, and an exact-decimal revenue
+    checksum ride the SAME job as free accumulator metrics — data
+    quality accounting with ZERO extra passes over the data (the
+    alternative, a second validation scan, doubles the read at 100 TB).
+
+    The query result (the oracle-checked part) is unchanged by the
+    observation; tests/test_round8e.py drives the observation and
+    proves the collected metrics equal an independent second pass —
+    and that the checksum metric equals the sum of the returned
+    revenue column, i.e. the metrics describe exactly the rows that
+    flowed through.
+    """
+    from pyspark.sql import Observation
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 5)
+    obs = Observation()
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_extendedprice").isNull().cast("int")).alias("null_prices"),
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,4)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(18,4)"))
+        ).alias("revenue_checksum"),
+    )
+    return observed.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_items"),
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,4)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(18,4)"))
+        )
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# L8: preference-pair construction (chosen/rejected)
+# ---------------------------------------------------------------------------
+
+_L8_K = 3
+
+_L8_ORACLE = f"""
+WITH scored AS (
+  SELECT lang, doc_id,
+         0.5 + 0.5 * ((n_chars - 300) / 80.0)
+                   / (1 + abs((n_chars - 300) / 80.0)) AS p
+  FROM documents
+), r AS (
+  SELECT lang, doc_id, p,
+         row_number() OVER (PARTITION BY lang ORDER BY p DESC, doc_id) AS rk_top,
+         row_number() OVER (PARTITION BY lang ORDER BY p ASC, doc_id) AS rk_bot
+  FROM scored
+)
+SELECT t.lang, CAST(t.rk_top AS INT) AS pair_rank,
+       t.doc_id AS chosen_doc, b.doc_id AS rejected_doc,
+       t.p - b.p AS margin
+FROM (SELECT * FROM r WHERE rk_top <= {_L8_K}) t
+JOIN (SELECT * FROM r WHERE rk_bot <= {_L8_K}) b
+  ON t.lang = b.lang AND t.rk_top = b.rk_bot
+WHERE t.doc_id <> b.doc_id
+"""
+
+
+@query("l8_preference_pairs", section="L6", oracle=_L8_ORACLE)
+def l8_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair construction: per group (language), pair the
+    i-th best-scored document with the i-th worst (i <= {k}) into
+    (chosen, rejected, margin) rows — the data-side step of preference
+    tuning (DPO/RLHF reward modeling), where pairs need a clear
+    quality margin and deterministic provenance.
+
+    Scale shape: two ranking windows over the SAME per-group
+    partitioning (one shuffle), a self-join on (group, rank) — rank is
+    unique per group so the join is 1:1 and tiny — and a guard that
+    drops degenerate pairs (a group too small for the chosen and
+    rejected side to differ).  The score is the ml7 rational sigmoid
+    (IEEE-exact both engines), ties fully keyed by doc_id; the margin
+    is a single subtraction of identical doubles.
+    """
+    d = _t(spark, sf_dir, "documents")
+    z = (F.col("n_chars") - 300) / 80.0
+    p = F.lit(0.5) + F.lit(0.5) * z / (F.lit(1) + F.abs(z))
+    scored = d.select("lang", "doc_id", p.alias("p"))
+    w_top = Window.partitionBy("lang").orderBy(F.col("p").desc(), F.col("doc_id"))
+    w_bot = Window.partitionBy("lang").orderBy(F.col("p").asc(), F.col("doc_id"))
+    r = scored.select(
+        "lang",
+        "doc_id",
+        "p",
+        F.row_number().over(w_top).alias("rk_top"),
+        F.row_number().over(w_bot).alias("rk_bot"),
+    )
+    t = r.filter(F.col("rk_top") <= _L8_K).select(
+        "lang",
+        F.col("rk_top").cast("int").alias("pair_rank"),
+        F.col("doc_id").alias("chosen_doc"),
+        F.col("p").alias("p_top"),
+    )
+    b = r.filter(F.col("rk_bot") <= _L8_K).select(
+        "lang",
+        F.col("rk_bot").cast("int").alias("pair_rank"),
+        F.col("doc_id").alias("rejected_doc"),
+        F.col("p").alias("p_bot"),
+    )
+    return (
+        t.join(b, ["lang", "pair_rank"])
+        .filter(F.col("chosen_doc") != F.col("rejected_doc"))
+        .select(
+            "lang",
+            "pair_rank",
+            "chosen_doc",
+            "rejected_doc",
+            (F.col("p_top") - F.col("p_bot")).alias("margin"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# P21: IDENTIFIER clause (injection-safe dynamic SQL structure)
+# ---------------------------------------------------------------------------
+
+_P21_ORACLE = """
+SELECT o_orderpriority AS k,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+FROM orders GROUP BY 1
+"""
+
+
+@query("p21_identifier_clause", section="P1", oracle=_P21_ORACLE)
+def p21_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic SQL STRUCTURE through the IDENTIFIER clause: the table
+    AND the grouping column arrive as bound parameters —
+    ``IDENTIFIER(:tbl)`` / ``IDENTIFIER(:col)`` — not string-spliced
+    SQL text, so a hostile value can only ever name a missing object
+    (analysis error), never inject syntax.  This is the
+    template-report shape (same rollup over N tables/columns) done
+    safely; u10 parameterizes VALUES, this parameterizes structure.
+
+    Plan-wise the resolved query is byte-identical to the static
+    spelling — IDENTIFIER resolves at analysis time, so every pushdown
+    and pruning property survives.
+    """
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT IDENTIFIER(:col) AS k,
+               count(*) AS n,
+               CAST(SUM(CAST(IDENTIFIER(:col2) AS DECIMAL(18,4))) AS DOUBLE)
+                 AS total
+        FROM IDENTIFIER(:tbl) GROUP BY IDENTIFIER(:col)
+        """,
+        args={"tbl": "orders", "col": "o_orderpriority", "col2": "o_totalprice"},
+    )

@@ -205,6 +205,10 @@ QUERIES = (
     "p20_sql_scripting",
     "ml10_lift_table",
     "u14_pandas_window_udaf",
+    # round-8 twelfth wave: observe metrics, preference pairs, IDENTIFIER
+    "dq8_observe_pipeline",
+    "l8_preference_pairs",
+    "p21_identifier_clause",
 )
 
 
