@@ -213,6 +213,9 @@ HEADLINE = (
     "dq8_observe_pipeline",
     "l8_preference_pairs",
     "p21_identifier_clause",
+    "ml11_chi2_ab_test",
+    "dq9_order_inversions",
+    "u15_arrow_scalar_udf",
 )
 
 # Entries with documented ±18% round-over-round drift on identical code

@@ -20,6 +20,8 @@ House determinism rules (plans/catalog.py) apply.
 from __future__ import annotations
 
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -438,4 +440,183 @@ def p21_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM IDENTIFIER(:tbl) GROUP BY IDENTIFIER(:col)
         """,
         args={"tbl": "orders", "col": "o_orderpriority", "col2": "o_totalprice"},
+    )
+
+
+# ---------------------------------------------------------------------------
+# ML11: chi-square A/B test (integer-exact until one division)
+# ---------------------------------------------------------------------------
+
+_ML11_ORACLE = """
+WITH assigned AS (
+  SELECT CASE WHEN md5(CAST(user_id AS VARCHAR)) < '8' THEN 'A' ELSE 'B' END
+           AS variant,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS converted
+  FROM events
+), cells AS (
+  SELECT CAST(SUM(CASE WHEN variant = 'A' AND converted = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         CAST(SUM(CASE WHEN variant = 'A' AND converted = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+         CAST(SUM(CASE WHEN variant = 'B' AND converted = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+         CAST(SUM(CASE WHEN variant = 'B' AND converted = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+  FROM assigned
+)
+SELECT a, b, c, d,
+       CAST(a + b + c + d AS DOUBLE)
+         * CAST(a * d - b * c AS DOUBLE)
+         * CAST(a * d - b * c AS DOUBLE)
+         / (CAST((a + b) * (c + d) AS DOUBLE)
+            * CAST((a + c) * (b + d) AS DOUBLE)) AS chi2
+FROM cells
+"""
+
+
+@query("ml11_chi2_ab_test", section="ML3", oracle=_ML11_ORACLE)
+def ml11_chi2_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion A/B significance: users hash-split into variants
+    (deterministic md5 bucketing — the same assignment every run and
+    every engine, the property an experiment system actually needs),
+    the metric is per-EVENT purchase rate (the unit that keeps all four
+    contingency cells populated at every corpus scale; a per-user
+    "ever converted" unit saturates once users have enough events),
+    then the 2x2 chi-square statistic
+    ``N(ad-bc)² / ((a+b)(c+d)(a+c)(b+d))``.
+
+    Determinism: cells and every pairwise product are exact BIGINTs;
+    the statistic's remaining multiplies/division run in DOUBLE with
+    identical left association on both engines — identical operands,
+    identical op sequence, bit-identical result (no sqrt, no libm).
+    Scale shape: ONE map-side-combinable reduction straight to four
+    cells — no shuffle wider than 4 numbers whatever the event volume.
+    """
+    e = _t(spark, sf_dir, "events")
+    variant = F.when(
+        F.md5(F.col("user_id").cast("string")) < "8", F.lit("A")
+    ).otherwise(F.lit("B"))
+    assigned = e.select(
+        variant.alias("variant"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("converted"),
+    )
+    cells = assigned.agg(
+        F.sum(F.when((F.col("variant") == "A") & (F.col("converted") == 1), 1).otherwise(0))
+        .cast("bigint").alias("a"),
+        F.sum(F.when((F.col("variant") == "A") & (F.col("converted") == 0), 1).otherwise(0))
+        .cast("bigint").alias("b"),
+        F.sum(F.when((F.col("variant") == "B") & (F.col("converted") == 1), 1).otherwise(0))
+        .cast("bigint").alias("c"),
+        F.sum(F.when((F.col("variant") == "B") & (F.col("converted") == 0), 1).otherwise(0))
+        .cast("bigint").alias("d"),
+    )
+    # Overflow discipline for 100 TB cell counts: every BIGINT
+    # subproduct here fits 2^63 (pairwise sums ~n, pairwise products
+    # ~n^2 <= ~4e12 at a billion units is still fine; n*det^2 would
+    # NOT be, ~n^5) — so det and the two denominator halves stay exact
+    # integers, and the remaining multiplies run in DOUBLE with the
+    # SAME left association on both engines: identical operands +
+    # identical op sequence = bit-identical IEEE result.
+    n = (F.col("a") + F.col("b") + F.col("c") + F.col("d")).cast("double")
+    det = (F.col("a") * F.col("d") - F.col("b") * F.col("c")).cast("double")
+    den1 = ((F.col("a") + F.col("b")) * (F.col("c") + F.col("d"))).cast("double")
+    den2 = ((F.col("a") + F.col("c")) * (F.col("b") + F.col("d"))).cast("double")
+    return cells.select(
+        "a", "b", "c", "d",
+        (n * det * det / (den1 * den2)).alias("chi2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DQ9: ordering-consistency audit (event_id vs time inversions)
+# ---------------------------------------------------------------------------
+
+_DQ9_ORACLE = """
+WITH o AS (
+  SELECT user_id, event_id,
+         lag(event_id) OVER (
+           PARTITION BY user_id
+           ORDER BY CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT), event_id)
+           AS prev_id
+  FROM events
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN prev_id IS NOT NULL AND event_id < prev_id
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_inversions
+FROM o GROUP BY user_id
+"""
+
+
+@query("dq9_order_inversions", section="DQ1", oracle=_DQ9_ORACLE)
+def dq9_order_inversions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordering-consistency audit: per user, how often does the
+    sequence number (event_id) step BACKWARD when events are replayed
+    in timestamp order?  Adjacent inversions are the fingerprint of
+    clock skew, producer retries, or out-of-order ingestion — the
+    check a pipeline runs before trusting any sessionization or
+    as-of logic downstream.
+
+    One lag() window partitioned by user (parallel across keys; ties
+    fully keyed so "adjacent" is engine-identical), one aggregate.
+    At 100 TB this audit rides the same shuffle any per-user operator
+    already pays.
+    """
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros(F.col("ts").cast("timestamp")), F.col("event_id")
+    )
+    o = e.select(
+        "user_id", "event_id", F.lag("event_id").over(w).alias("prev_id")
+    )
+    return o.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum(
+            F.when(
+                F.col("prev_id").isNotNull() & (F.col("event_id") < F.col("prev_id")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_inversions"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# U15: Arrow-native scalar UDF
+# ---------------------------------------------------------------------------
+
+_U15_ORACLE = """
+SELECT doc_id,
+       upper(substring(text, 1, 12)) AS head12,
+       CAST(length(text) AS BIGINT) AS n_chars2
+FROM documents WHERE doc_id < 50
+"""
+
+
+@query("u15_arrow_scalar_udf", section="U2", oracle=_U15_ORACLE)
+def u15_arrow_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-NATIVE scalar UDF (Spark 4 ``arrow_udf``): the function
+    receives and returns ``pyarrow.Array`` directly — no Arrow→pandas
+    materialization on either edge, one less copy per batch than the
+    pandas UDF (u1/u2's measured ladder), with the compute done by
+    vectorized pyarrow.compute kernels in C.
+
+    The SQL oracle (upper/substring/length built-ins) proves the
+    kernels implement the same semantics — for THESE string ops the
+    JVM built-ins remain the right choice in production (no Python
+    worker at all); the entry exists for the ops pyarrow has and
+    Catalyst lacks, where arrow_udf is now the fastest Python lane.
+    """
+    # pa/pc are module-level imports: arrow_udf resolves the stringized
+    # type hints (from __future__ import annotations) against module globals
+    @F.arrow_udf("string")
+    def head12_upper(v: pa.Array) -> pa.Array:
+        return pc.utf8_upper(pc.utf8_slice_codeunits(v, 0, 12))
+
+    @F.arrow_udf("long")
+    def n_chars(v: pa.Array) -> pa.Array:
+        return pc.cast(pc.utf8_length(v), pa.int64())
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return d.select(
+        "doc_id",
+        head12_upper(F.col("text")).alias("head12"),
+        n_chars(F.col("text")).alias("n_chars2"),
     )

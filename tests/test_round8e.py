@@ -149,3 +149,62 @@ def test_p21_identifier_rejects_injection(spark):
     assert exc.value is not None  # analysis-time rejection, not execution
     # the real assertion: the view is still queryable afterwards
     assert spark.sql("SELECT count(*) AS n FROM orders").collect()[0].n > 0
+
+
+def test_ml11_chi2_matches_scipy_formula(spark):
+    """The statistic must equal the textbook 2x2 chi-square computed in
+    Python from the same cells, and assignment must be deterministic
+    (two runs, identical cells)."""
+    from chronicle_sniffer_spark.plans.round8e import ml11_chi2_ab_test
+
+    r1 = ml11_chi2_ab_test(spark, SF_SMOKE).collect()[0]
+    r2 = ml11_chi2_ab_test(spark, SF_SMOKE).collect()[0]
+    assert (r1.a, r1.b, r1.c, r1.d) == (r2.a, r2.b, r2.c, r2.d)
+    a, b, c, d = r1.a, r1.b, r1.c, r1.d
+    assert min(a, b, c, d) > 0  # all four cells populated
+    n = a + b + c + d
+    expect = n * (a * d - b * c) ** 2 / ((a + b) * (c + d) * (a + c) * (b + d))
+    assert abs(r1.chi2 - expect) < 1e-9
+
+
+def test_dq9_inversions_match_python(spark):
+    """Per-user inversion counts must equal a brute-force pass over the
+    time-ordered sequence."""
+    from chronicle_sniffer_spark.plans.round8e import dq9_order_inversions
+
+    got = {
+        r.user_id: (r.n_events, r.n_inversions)
+        for r in dq9_order_inversions(spark, SF_SMOKE).collect()
+    }
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").selectExpr(
+        "user_id", "event_id", "unix_micros(cast(ts as timestamp)) AS us"
+    ).collect()
+    by_user: dict = {}
+    for r in ev:
+        by_user.setdefault(r.user_id, []).append((r.us, r.event_id))
+    expect = {}
+    for u, seq in by_user.items():
+        seq.sort()
+        inv = sum(1 for x, y in zip(seq, seq[1:]) if y[1] < x[1])
+        expect[u] = (len(seq), inv)
+    assert got == expect
+
+
+def test_u15_arrow_udf_no_pandas_roundtrip(spark):
+    """The arrow UDF path must produce byte-identical results to the
+    JVM built-ins on non-ASCII-safe inputs too (codeunit slicing)."""
+    from chronicle_sniffer_spark.plans.round8e import u15_arrow_scalar_udf
+
+    got = {
+        r.doc_id: (r.head12, r.n_chars2)
+        for r in u15_arrow_scalar_udf(spark, SF_SMOKE).collect()
+    }
+    expect = {
+        r.doc_id: (r.h, r.n)
+        for r in spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .filter("doc_id < 50")
+        .selectExpr("doc_id", "upper(substring(text, 1, 12)) AS h",
+                    "CAST(length(text) AS BIGINT) AS n")
+        .collect()
+    }
+    assert got == expect and len(got) > 0

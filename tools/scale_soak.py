@@ -209,6 +209,10 @@ QUERIES = (
     "dq8_observe_pipeline",
     "l8_preference_pairs",
     "p21_identifier_clause",
+    # round-8 thirteenth wave: chi-square, inversion audit, arrow UDF
+    "ml11_chi2_ab_test",
+    "dq9_order_inversions",
+    "u15_arrow_scalar_udf",
 )
 
 
