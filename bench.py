@@ -216,6 +216,8 @@ HEADLINE = (
     "ml11_chi2_ab_test",
     "dq9_order_inversions",
     "u15_arrow_scalar_udf",
+    "s17_corrupt_record_quarantine",
+    "u16_arrow_udtf_wordhist",
 )
 
 # Entries with documented ±18% round-over-round drift on identical code

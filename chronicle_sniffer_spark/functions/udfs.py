@@ -144,3 +144,26 @@ def zscore_partitions(df: DataFrame, col: str) -> DataFrame:
             yield pdf.assign(zscore=z)
 
     return df.mapInPandas(op, schema)
+
+
+def register_arrow_udtf(spark: SparkSession) -> None:
+    """U16: arrow_udtf — per-RecordBatch vectorized word histogram
+    (map-side partial aggregation in Python via pyarrow kernels)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from pyspark.sql.functions import arrow_udtf
+
+    @arrow_udtf(returnType="word string, n bigint")
+    class WordHist:
+        def eval(self, batch):  # noqa: D102 - one call per Arrow batch
+            tbl = pa.Table.from_batches([batch])
+            words = pc.list_flatten(pc.split_pattern(tbl.column("text"), " "))
+            vc = pc.value_counts(words)
+            yield pa.table(
+                {
+                    "word": vc.field("values"),
+                    "n": pc.cast(vc.field("counts"), pa.int64()),
+                }
+            )
+
+    spark.udtf.register("word_hist", WordHist)

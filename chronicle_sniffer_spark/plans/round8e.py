@@ -19,6 +19,9 @@ House determinism rules (plans/catalog.py) apply.
 
 from __future__ import annotations
 
+import os
+from urllib.parse import urlparse
+
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -619,4 +622,150 @@ def u15_arrow_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         head12_upper(F.col("text")).alias("head12"),
         n_chars(F.col("text")).alias("n_chars2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# S17: corrupt-record quarantine (PERMISSIVE parse path)
+# ---------------------------------------------------------------------------
+
+# (applicationId, sf_dir) -> csv dir
+_S17_CACHE: dict[tuple[str, str], str] = {}
+
+
+def s17_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Write orders as CSV text with a deterministic fraction of
+    corrupted lines (o_orderkey % 101 == 0 becomes an unparseable
+    token) — the arrival shape of any feed that crosses a system
+    boundary as text."""
+    import hashlib as _h
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _S17_CACHE:
+        suf = _h.md5(sf_dir.encode()).hexdigest()[:8]
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path or "/tmp"
+        out = os.path.join(wh, f"css_badcsv_orders_{suf}")
+        if not os.path.exists(os.path.join(out, "_SUCCESS")):
+            orders = _t(spark, sf_dir, "orders")
+            line = F.when(
+                F.col("o_orderkey") % 101 == 0,
+                # type mismatch in a present field -> PERMISSIVE flags it
+                F.concat(
+                    F.lit("garbage,garbage,"),
+                    F.format_string("%.2f", F.col("o_totalprice")),
+                ),
+            ).otherwise(
+                F.concat_ws(
+                    ",",
+                    F.col("o_orderkey").cast("string"),
+                    F.col("o_custkey").cast("string"),
+                    F.format_string("%.2f", F.col("o_totalprice")),
+                )
+            )
+            orders.select(line.alias("value")).write.mode("overwrite").text(out)
+        _S17_CACHE[key] = out
+    return _S17_CACHE[key]
+
+
+_S17_ORACLE = """
+SELECT CAST(SUM(CASE WHEN o_orderkey % 101 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_good,
+       CAST(SUM(CASE WHEN o_orderkey % 101 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_corrupt,
+       CAST(SUM(CASE WHEN o_orderkey % 101 <> 0
+                THEN CAST(round(o_totalprice, 2) AS DECIMAL(18,4)) END)
+            AS DOUBLE) AS good_total,
+       CAST(SUM(CASE WHEN o_orderkey % 101 <> 0
+                THEN o_orderkey + o_custkey END) AS BIGINT) AS good_keys
+FROM orders
+"""
+
+
+@query("s17_corrupt_record_quarantine", section="S3", oracle=_S17_ORACLE)
+def s17_corrupt_record_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE CSV parsing with a corrupt-record column: unparseable
+    lines land in ``_corrupt`` instead of failing the job or silently
+    vanishing, and the pipeline accounts for BOTH populations in one
+    read — the ingest-side quarantine (dq5 is the rule-based cousin on
+    already-parsed rows).
+
+    Notes that matter at scale: the corrupt-record column is populated
+    per-task during parsing, so the split costs nothing beyond the
+    parse itself — BUT the CSV parser prunes to the columns the query
+    references, and a pruned-away column cannot fail: a malformed-ness
+    check is only as wide as the columns you touch (this entry's first
+    draft aggregated only o_totalprice and measured zero corruption;
+    the oracle gate caught it).  A quarantine aggregate must therefore
+    reference every column it claims to validate — done here via the
+    good_keys checksum.  The oracle recomputes both
+    populations from the generating rule; equality proves no line was
+    double-counted or lost.  Values ride through a round(...,2) on both
+    sides because the CSV serialization is 2dp text.
+    """
+    path = s17_layout(spark, sf_dir)
+    schema = "o_orderkey bigint, o_custkey bigint, o_totalprice double, _corrupt string"
+    df = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(path)
+    )
+    good = F.col("_corrupt").isNull()
+    return df.agg(
+        F.sum(good.cast("int")).cast("bigint").alias("n_good"),
+        F.sum((~good).cast("int")).cast("bigint").alias("n_corrupt"),
+        F.sum(
+            F.when(good, F.col("o_totalprice").cast("decimal(18,4)"))
+        )
+        .cast("double")
+        .alias("good_total"),
+        # referencing EVERY data column is load-bearing, not decoration:
+        # the CSV parser prunes to referenced columns, and an unparsed
+        # column can't fail — an aggregate touching only o_totalprice
+        # saw n_corrupt = 0 because the garbage o_orderkey was never
+        # parsed (found by this entry's own oracle gate)
+        F.sum(F.when(good, F.col("o_orderkey") + F.col("o_custkey")))
+        .cast("bigint")
+        .alias("good_keys"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# U16: Arrow UDTF (vectorized partial aggregation in Python)
+# ---------------------------------------------------------------------------
+
+_U16_ORACLE = """
+SELECT word, CAST(count(*) AS BIGINT) AS total
+FROM (SELECT unnest(string_split(text, ' ')) AS word
+      FROM documents WHERE doc_id < 50)
+GROUP BY word
+"""
+
+
+@query("u16_arrow_udtf_wordhist", section="U5", oracle=_U16_ORACLE)
+def u16_arrow_udtf_wordhist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow UDTF (Spark 4 ``arrow_udtf``): ``eval`` receives whole
+    ``pyarrow.RecordBatch``es and yields ``pyarrow.Table``s — here a
+    vectorized per-batch word histogram (split/flatten/value_counts,
+    all C kernels), with the final GROUP BY summing the batch-local
+    partials.
+
+    This is MAP-SIDE PARTIAL AGGREGATION expressed in Python: the UDTF
+    collapses each Arrow batch to its distinct words before anything
+    shuffles, so the exchange carries batch-distinct partials instead
+    of one row per token — the same combine discipline every built-in
+    aggregate gets from Catalyst, available to custom Python logic.
+    The row-at-a-time UDTF (u5) emits every token; this one never
+    materializes them individually anywhere.
+    """
+    from chronicle_sniffer_spark.functions.udfs import register_arrow_udtf
+
+    register_arrow_udtf(spark)
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        """
+        SELECT word, CAST(SUM(n) AS BIGINT) AS total
+        FROM word_hist(TABLE(SELECT text FROM documents WHERE doc_id < 50))
+        GROUP BY word
+        """
     )

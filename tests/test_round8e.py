@@ -208,3 +208,67 @@ def test_u15_arrow_udf_no_pandas_roundtrip(spark):
         .collect()
     }
     assert got == expect and len(got) > 0
+
+
+def test_s17_quarantine_accounts_for_every_line(spark):
+    """good + corrupt must equal the written line count, the corrupt
+    population must be exactly the generated garbage lines, and the
+    corrupt RAW lines must be recoverable from the _corrupt column."""
+    from chronicle_sniffer_spark.plans.round8e import (
+        s17_corrupt_record_quarantine,
+        s17_layout,
+    )
+
+    row = s17_corrupt_record_quarantine(spark, SF_SMOKE).collect()[0]
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    n_all = orders.count()
+    n_bad = orders.filter(F.col("o_orderkey") % 101 == 0).count()
+    assert row.n_good + row.n_corrupt == n_all
+    assert row.n_corrupt == n_bad > 0
+    # raw recovery: every corrupt line is present verbatim
+    path = s17_layout(spark, SF_SMOKE)
+    schema = "o_orderkey bigint, o_custkey bigint, o_totalprice double, _corrupt string"
+    df = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(path)
+    )
+    bad_lines = [
+        r._corrupt
+        for r in df.select("o_orderkey", "o_custkey", "o_totalprice", "_corrupt")
+        .filter(F.col("_corrupt").isNotNull())
+        .collect()
+    ]
+    assert len(bad_lines) == n_bad
+    assert all(l.startswith("garbage,") for l in bad_lines)
+
+
+def test_u16_arrow_udtf_emits_batch_partials(spark):
+    """The arrow UDTF must emit batch-LOCAL partials (rows <= distinct
+    words x batches, aggregating to exact corpus counts)."""
+    from chronicle_sniffer_spark.functions.udfs import register_arrow_udtf
+
+    register_arrow_udtf(spark)
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").filter("doc_id < 50")
+    docs.createOrReplaceTempView("documents")
+    partials = spark.sql(
+        "SELECT * FROM word_hist(TABLE(SELECT text FROM documents WHERE doc_id < 50))"
+    ).collect()
+    # partials are already collapsed per batch: every (batch-local) row
+    # carries a count, and the total token mass is preserved
+    total_tokens = sum(r.n for r in partials)
+    expect_tokens = docs.selectExpr("size(split(text, ' ')) AS n").agg(
+        F.sum("n")
+    ).collect()[0][0]
+    assert total_tokens == expect_tokens
+    # and summed partials equal exact per-word counts
+    from collections import Counter
+
+    expect = Counter()
+    for r in docs.select("text").collect():
+        expect.update(r.text.split(" "))
+    got = Counter()
+    for r in partials:
+        got[r.word] += r.n
+    assert got == expect

@@ -213,6 +213,9 @@ QUERIES = (
     "ml11_chi2_ab_test",
     "dq9_order_inversions",
     "u15_arrow_scalar_udf",
+    # round-8 fourteenth wave: corrupt-record quarantine, arrow UDTF
+    "s17_corrupt_record_quarantine",
+    "u16_arrow_udtf_wordhist",
 )
 
 
