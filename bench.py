@@ -218,6 +218,8 @@ HEADLINE = (
     "u15_arrow_scalar_udf",
     "s17_corrupt_record_quarantine",
     "u16_arrow_udtf_wordhist",
+    "g6_clustering_coefficient",
+    "o16_sequence_gaps",
 )
 
 # Entries with documented ±18% round-over-round drift on identical code

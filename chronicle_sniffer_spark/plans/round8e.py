@@ -769,3 +769,155 @@ def u16_arrow_udtf_wordhist(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY word
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# G6: local clustering coefficient (per node)
+# ---------------------------------------------------------------------------
+
+_G6_ORACLE = """
+WITH
+""" + __import__("chronicle_sniffer_spark.plans.round7", fromlist=["x"])._COPURCHASE_CTES + """,
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM edges e1
+  JOIN edges e2 ON e1.v = e2.u
+  JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+), node_tri AS (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+), deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+    SELECT u AS node FROM edges UNION ALL SELECT v AS node FROM edges)
+  GROUP BY node
+), nt AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM node_tri GROUP BY node
+)
+SELECT d.node AS user_id, d.deg,
+       CAST(COALESCE(nt.n_tri, 0) AS BIGINT) AS n_tri,
+       CASE WHEN d.deg >= 2
+            THEN CAST(2 * COALESCE(nt.n_tri, 0) AS DOUBLE)
+                 / (d.deg * (d.deg - 1))
+            ELSE 0.0 END AS cc
+FROM deg d LEFT JOIN nt ON d.node = nt.node
+"""
+
+
+@query("g6_clustering_coefficient", section="G2", oracle=_G6_ORACLE)
+def g6_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per node — how close each user's
+    co-purchase neighborhood is to a clique (2·triangles(v) /
+    deg(v)·(deg(v)−1)) — the per-node refinement of g2's global
+    triangle count, and the standard community-tightness signal.
+
+    Reuses g2's bounded-participation graph (the hour cap keeps edge
+    volume linear in history length — round7.py:418) and its
+    node-iterator join shape: triangles come from two edge self-joins
+    on the CANONICAL a<b<c orientation (each triangle materializes
+    once, then explodes to its three corners), degrees from one
+    union-count.  Everything integer until the final cc division of
+    exact ints — engine-identical.
+    """
+    from chronicle_sniffer_spark.plans.round7 import _copurchase_edges
+
+    edges = _copurchase_edges(spark, sf_dir).cache()
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .select(
+            F.col("e1.u").alias("a"), F.col("e1.v").alias("b"), F.col("e2.v").alias("c")
+        )
+    )
+    node_tri = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("n_tri"))
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("deg"))
+    )
+    return (
+        deg.join(node_tri, "node", "left")
+        .select(
+            F.col("node").alias("user_id"),
+            "deg",
+            F.coalesce(F.col("n_tri"), F.lit(0)).cast("bigint").alias("n_tri"),
+            F.when(
+                F.col("deg") >= 2,
+                (F.lit(2) * F.coalesce(F.col("n_tri"), F.lit(0))).cast("double")
+                / (F.col("deg") * (F.col("deg") - 1)),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("cc"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# O16: sequence-gap detection without a global window
+# ---------------------------------------------------------------------------
+
+_O16_ORACLE = """
+WITH k AS (SELECT DISTINCT o_orderkey AS id FROM orders
+           WHERE o_orderkey % 97 <> 0),
+s AS (SELECT id, lead(id) OVER (ORDER BY id) AS nxt FROM k)
+SELECT id + 1 AS gap_start, nxt - 1 AS gap_end,
+       CAST(nxt - id - 1 AS BIGINT) AS n_missing
+FROM s WHERE nxt IS NOT NULL AND nxt - id > 1
+"""
+
+
+@query("o16_sequence_gaps", section="O1", oracle=_O16_ORACLE)
+def o16_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Find every missing range in an id sequence (the "which orders
+    never arrived" integrity check) with NO single-task global window.
+
+    Adjacency in id order normally means ``lead() OVER (ORDER BY id)``
+    — a global sort into one task.  Instead: ``repartitionByRange`` on
+    id gives a total order ACROSS partitions; within-partition lead()
+    runs under a pid-partitioned window (parallel); and the only
+    cross-partition adjacencies — each partition's max to the next
+    partition's min — come from a P-row boundary relation joined on
+    pid+1.  Same decomposition as a19's distributed NTILE: the global
+    sort machinery without the global task.  The oracle is the classic
+    global-window spelling; equality proves the partition seams leak
+    no gap and invent none.
+    """
+    keys = (
+        _t(spark, sf_dir, "orders")
+        # the synthetic key space is dense; puncture it deterministically
+        # (identically in the oracle) so the detector has real gaps to find
+        .filter(F.col("o_orderkey") % 97 != 0)
+        .select(F.col("o_orderkey").alias("id"))
+        .distinct()
+    )
+    npart = max(spark.sparkContext.defaultParallelism, 2)
+    parted = keys.repartitionByRange(npart, "id").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    w = Window.partitionBy("pid").orderBy("id")
+    inner = parted.withColumn("nxt", F.lead("id").over(w))
+    bounds = parted.groupBy("pid").agg(
+        F.min("id").alias("p_min"), F.max("id").alias("p_max")
+    )
+    nxt_part = bounds.select((F.col("pid") - 1).alias("pid"), F.col("p_min").alias("nxt"))
+    seams = (
+        bounds.join(F.broadcast(nxt_part), "pid")
+        .select(F.col("p_max").alias("id"), "nxt")
+    )
+    adj = inner.filter(F.col("nxt").isNotNull()).select("id", "nxt").unionByName(seams)
+    return adj.filter(F.col("nxt") - F.col("id") > 1).select(
+        (F.col("id") + 1).alias("gap_start"),
+        (F.col("nxt") - 1).alias("gap_end"),
+        (F.col("nxt") - F.col("id") - 1).cast("bigint").alias("n_missing"),
+    )

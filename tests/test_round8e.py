@@ -272,3 +272,68 @@ def test_u16_arrow_udtf_emits_batch_partials(spark):
     for r in partials:
         got[r.word] += r.n
     assert got == expect
+
+
+def test_g6_cc_matches_networkx_style_python(spark):
+    """Per-node coefficients must equal a brute-force adjacency-set
+    computation over the same capped graph, with cc in [0, 1]."""
+    from chronicle_sniffer_spark.plans.round7 import _copurchase_edges
+    from chronicle_sniffer_spark.plans.round8e import g6_clustering_coefficient
+
+    edges = [(r.u, r.v) for r in _copurchase_edges(spark, SF_SMOKE).collect()]
+    adj: dict = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    expect = {}
+    for node, nbrs in adj.items():
+        deg = len(nbrs)
+        tri = sum(
+            1
+            for x in nbrs
+            for y in nbrs
+            if x < y and y in adj.get(x, ())
+        )
+        cc = 2 * tri / (deg * (deg - 1)) if deg >= 2 else 0.0
+        expect[node] = (deg, tri, round(cc, 12))
+    got = {
+        r.user_id: (r.deg, r.n_tri, round(r.cc, 12))
+        for r in g6_clustering_coefficient(spark, SF_SMOKE).collect()
+    }
+    assert got == expect and len(got) > 0
+    assert all(0.0 <= cc <= 1.0 for _, _, cc in got.values())
+    assert any(tri > 0 for _, tri, _ in got.values())  # non-trivial graph
+
+
+def test_o16_gaps_tile_the_punctured_sequence(spark):
+    """Recovered gaps must exactly cover the punctured ids (every
+    missing id in exactly one gap), survive partition seams, and the
+    within-partition window must be partitioned (no global sort task)."""
+    from chronicle_sniffer_spark.plans.round8e import o16_sequence_gaps
+
+    df = o16_sequence_gaps(spark, SF_SMOKE)
+    rows = df.collect()
+    keys = sorted(
+        r.id
+        for r in spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+        .filter("o_orderkey % 97 <> 0")
+        .select(F.col("o_orderkey").alias("id"))
+        .distinct()
+        .collect()
+    )
+    present = set(keys)
+    missing = {
+        i for i in range(keys[0], keys[-1] + 1) if i not in present
+    }
+    covered = set()
+    for r in rows:
+        assert r.gap_end >= r.gap_start
+        assert r.n_missing == r.gap_end - r.gap_start + 1
+        span = set(range(r.gap_start, r.gap_end + 1))
+        assert not (span & covered)  # gaps never overlap
+        covered |= span
+    assert covered == missing and missing
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Window [" in line:
+            assert "], [], [" not in line, f"global window: {line}"

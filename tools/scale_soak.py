@@ -216,6 +216,9 @@ QUERIES = (
     # round-8 fourteenth wave: corrupt-record quarantine, arrow UDTF
     "s17_corrupt_record_quarantine",
     "u16_arrow_udtf_wordhist",
+    # round-8 fifteenth wave: clustering coefficient, sequence gaps
+    "g6_clustering_coefficient",
+    "o16_sequence_gaps",
 )
 
 
