@@ -21,7 +21,10 @@ outputs are byte-identical.
 
 Rules:
 - integral floats/Decimals print as ints ("48", not "48.0") so BIGINT
-  vs DOUBLE vs DECIMAL(3,1) representations of the same value agree;
+  vs DOUBLE vs DECIMAL(3,1) representations of the same value agree —
+  at ANY magnitude (an integral Decimal that is not exactly
+  double-representable is first rounded to double, so it still equals
+  the float-path rendering of the same double);
 - non-integral floats use shortest-round-trip ``repr`` (full
   precision — 2-dp rounding masked the r6 ml2b 1e-6 mismatch);
 - non-integral Decimals normalize through float (engines that return
@@ -80,8 +83,21 @@ def canon_value(v) -> str:
     if isinstance(v, decimal.Decimal):
         if v.is_nan():
             return "NULL"  # pandas-path parity; see module docstring
-        if v == v.to_integral_value() and abs(v) < decimal.Decimal(10) ** 15:
-            return str(int(v))
+        if v == v.to_integral_value():
+            fv = float(v)
+            if math.isinf(fv) or decimal.Decimal(fv) == v:
+                # exactly double-representable (or beyond double range,
+                # where no double-computing engine can collide): print
+                # full digits so BIGINT/DOUBLE/DECIMAL arrivals of the
+                # same value agree at ANY magnitude (>=1e15 used to
+                # fall through to repr(float) -> '1e+15' while the int
+                # path printed digits — the exact fetch-path divergence
+                # this module exists to absorb)
+                return str(int(v))
+            # integral but NOT exactly double-representable (e.g.
+            # 10**16+1): compare at double precision — printed in the
+            # same integral form the float path uses for that double
+            return str(int(fv))
         return repr(float(v))
     # --- floats -------------------------------------------------------
     if isinstance(v, float):
@@ -89,10 +105,11 @@ def canon_value(v) -> str:
             return "NULL"  # pandas coerces SQL NULL -> NaN; see docstring
         if math.isinf(v):
             return "Infinity" if v > 0 else "-Infinity"
-        if v == int(v) and abs(v) < 1e15:
+        if v == int(v):
             # integral doubles print the same whether the engine
             # returned int64, float64, or DECIMAL (HUGEINT->float64
-            # drift, DECIMAL(3,1) literal typing)
+            # drift, DECIMAL(3,1) literal typing); int(v) is the
+            # float's exact value, so this holds at any magnitude
             return str(int(v))
         # FULL shortest-round-trip precision, matching the driver's
         # value-hash strictness

@@ -85,11 +85,14 @@ def shared_pairs_and_labels(
     every later caller (and every later stage of the same query) reads
     the parquet back — a scan, not a 7-shuffle recompute.
 
-    The location derives from ``sf_dir`` alone and is written with
-    mode("overwrite"), so repeated runs reuse one directory instead of
-    accumulating copies; the in-memory cache key includes the
-    applicationId so a fresh session always rewrites (never trusts a
-    stale file from a previous process).
+    The location includes BOTH the sf_dir hash and this session's
+    applicationId: the in-memory cache key is per-session (a fresh
+    session never trusts a stale file from a previous process), and
+    because the path is per-session too, two concurrent processes on
+    the same sf_dir (e.g. bench.py and pytest) each write their own
+    directory instead of one mode("overwrite") clobbering parquet
+    files the other is actively reading.  Directories live under the
+    OS temp dir and are reused for the lifetime of the session.
     """
     import hashlib
     import os
@@ -97,10 +100,10 @@ def shared_pairs_and_labels(
 
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _PAIR_LABEL_CACHE:
-        base = os.path.join(
-            tempfile.gettempdir(),
-            f"css_ngram_pairs_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
-        )
+        tag = hashlib.md5(
+            f"{sf_dir}|{spark.sparkContext.applicationId}".encode()
+        ).hexdigest()[:12]
+        base = os.path.join(tempfile.gettempdir(), f"css_ngram_pairs_{tag}")
         pairs_path = os.path.join(base, "pairs")
         labels_path = os.path.join(base, "labels")
         pairs = ngram_jaccard_pairs(

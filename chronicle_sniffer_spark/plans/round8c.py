@@ -376,10 +376,15 @@ _L6T_BUDGET = 200  # documents to select across languages
 _L6T_ORACLE = f"""
 WITH per AS (
   SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1
+), wts AS (
+  SELECT lang, n_docs,
+         CAST(floor(sqrt(n_docs) * 1e9) AS BIGINT) AS s
+  FROM per
 ), sh AS (
   SELECT lang, n_docs,
-         sqrt(n_docs) / SUM(sqrt(n_docs)) OVER () * {_L6T_BUDGET} AS raw
-  FROM per
+         CAST(s * {_L6T_BUDGET} AS DOUBLE) / CAST(SUM(s) OVER () AS DOUBLE)
+           AS raw
+  FROM wts
 ), t0 AS (
   SELECT lang, n_docs, CAST(floor(raw) AS BIGINT) AS base,
          raw - floor(raw) AS frac
@@ -425,21 +430,34 @@ def l6_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the quota computation runs on the language HISTOGRAM
     (dimension-sized, window over ()); the selection is one broadcast
     join of quotas onto a per-language ranking window (parallel across
-    languages).  Everything cross-engine-exact by construction: sqrt
-    and division are correctly-rounded IEEE ops, quotas are integers,
-    and the md5 tie-order is identical text-hashing on both engines
-    (no RNG — reproducible sample for a given corpus, the property a
-    training-data pipeline actually wants).
+    languages).  Cross-engine exactness is engineered, not assumed:
+    the p^alpha weight is QUANTIZED to an integer
+    (``floor(sqrt(n) * 1e9)`` — sqrt and the multiply are
+    correctly-rounded IEEE ops so both engines produce the same
+    BIGINT), the denominator is an exact integer SUM whose value is
+    independent of accumulation order (a raw double sum-of-sqrt would
+    be one ulp away from flipping ``floor(raw)`` at a quota boundary
+    depending on which engine's summation order won), and the single
+    remaining FP op is one identically-shaped BIGINT->DOUBLE division
+    on both engines.  The md5 tie-order is identical text-hashing on
+    both engines (no RNG — reproducible sample for a given corpus, the
+    property a training-data pipeline actually wants).
     """
     B = _L6T_BUDGET
     d = _t(spark, sf_dir, "documents")
     per = d.groupBy("lang").agg(F.count("*").alias("n_docs"))
     w_all = Window.partitionBy()
-    sh = per.select(
+    wts = per.select(
+        "lang",
+        "n_docs",
+        F.floor(F.sqrt("n_docs") * F.lit(1e9)).cast("bigint").alias("s"),
+    )
+    sh = wts.select(
         "lang",
         "n_docs",
         (
-            F.sqrt("n_docs") / F.sum(F.sqrt("n_docs")).over(w_all) * B
+            (F.col("s") * F.lit(B)).cast("double")
+            / F.sum("s").over(w_all).cast("double")
         ).alias("raw"),
     )
     t0 = sh.select(

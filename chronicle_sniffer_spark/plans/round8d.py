@@ -412,8 +412,8 @@ def w5_trailing_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys) and the frame is a TRAILING range — both bounds advance
     monotonically with the ordered scan, so WindowExec slides in
     amortized O(1) per row (contrast the SHRINKING range frame, which
-    re-evaluates per row and went quadratic in o11's first draft —
-    .claude verify notes).  RANGE semantics include order-value peers
+    re-evaluates per row and went quadratic in o11's first draft).
+    RANGE semantics include order-value peers
     on both engines, and the windowed money sum goes through exact
     decimal so frame-internal addition order can't flip a bit.
     """

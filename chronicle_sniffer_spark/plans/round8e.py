@@ -887,11 +887,17 @@ def o16_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     id gives a total order ACROSS partitions; within-partition lead()
     runs under a pid-partitioned window (parallel); and the only
     cross-partition adjacencies — each partition's max to the next
-    partition's min — come from a P-row boundary relation joined on
-    pid+1.  Same decomposition as a19's distributed NTILE: the global
-    sort machinery without the global task.  The oracle is the classic
-    global-window spelling; equality proves the partition seams leak
-    no gap and invent none.
+    PRESENT partition's min — come from a lead() over the P-row
+    boundary relation ordered by pid.  lead-over-bounds (rather than a
+    join on pid+1) is deliberate: RangePartitioner may leave a middle
+    partition empty, and a pid+1 equi-join would silently drop the
+    seam across the hole, losing any id-gap that spans it; lead skips
+    to whatever pid actually exists.  The global window this costs
+    runs over <= numPartitions rows (bounded by the pid groupBy), not
+    the data.  Same decomposition as a19's distributed NTILE: the
+    global sort machinery without the global task.  The oracle is the
+    classic global-window spelling; equality proves the partition
+    seams leak no gap and invent none.
     """
     keys = (
         _t(spark, sf_dir, "orders")
@@ -910,9 +916,10 @@ def o16_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds = parted.groupBy("pid").agg(
         F.min("id").alias("p_min"), F.max("id").alias("p_max")
     )
-    nxt_part = bounds.select((F.col("pid") - 1).alias("pid"), F.col("p_min").alias("nxt"))
+    wb = Window.partitionBy(F.lit(0)).orderBy("pid")
     seams = (
-        bounds.join(F.broadcast(nxt_part), "pid")
+        bounds.withColumn("nxt", F.lead("p_min").over(wb))
+        .filter(F.col("nxt").isNotNull())
         .select(F.col("p_max").alias("id"), "nxt")
     )
     adj = inner.filter(F.col("nxt").isNotNull()).select("id", "nxt").unionByName(seams)

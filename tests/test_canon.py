@@ -117,3 +117,20 @@ def test_harnesses_share_the_canonicalizer():
 
     assert tc._canon is canon_rows
     assert cc.canon_rows is canon_rows
+
+
+def test_large_integral_magnitudes_agree_across_arrival_types():
+    """>=1e15 used to split by arrival type: int printed full digits
+    while the SAME value as float/Decimal fell through to repr(float)
+    ('1e+15') — the exact fetch-path divergence the module absorbs."""
+    assert canon_value(10**15) == "1000000000000000"
+    assert canon_value(1e15) == "1000000000000000"
+    assert canon_value(decimal.Decimal(10**15)) == "1000000000000000"
+    # integral Decimal NOT exactly double-representable: compared at
+    # double precision, rendered the way the float path renders that
+    # same double (so a DuckDB exact-DECIMAL sum still matches a Spark
+    # double sum that differs only below double precision)
+    d = decimal.Decimal(10**16 + 1)
+    assert canon_value(d) == canon_value(float(d)) == "10000000000000000"
+    # beyond double range: full digits (nothing double-typed collides)
+    assert canon_value(decimal.Decimal(10**400)) == str(10**400)
