@@ -263,10 +263,27 @@ def containment_pairs(
     must include a shared gram.  So the INDEX side holds only prefix
     entries, the PROBE side all capped entries, and the join is
     provably lossless for pairs at/above threshold — dropped pairs
-    would fail the exact-score filter anyway.  Scores are computed
-    exactly on the full gram sets (``gram_sets``), so pruning affects
-    candidate recall only through the proven bound and the audited df
-    cap (:func:`ngram_df_cap_report`), never a reported score."""
+    would fail the exact-score filter anyway.
+
+    Candidates then pass a POSITIONAL filter (the containment
+    analogue of the Jaccard path's PPJoin bound) before the expensive
+    full-set scoring join: per-doc ranks follow the one global
+    (df asc, gram) order, so the last matched gram g* has the maximum
+    rank among matches in BOTH docs, every common gram globally
+    earlier than g* lies under a matched prefix (hence is itself
+    matched), and every later one fits in the smaller suffix.  Thus
+        |A∩B| ≤ shared + min(na − max_rn_a, nb − max_rn_b)
+    and containment ≥ t needs |A∩B| ≥ t·min(na, nb) — candidates whose
+    bound falls short are pruned without ever shipping their gram
+    arrays.  Lossless modulo the df cap (a capped-out common gram is
+    invisible to `shared` — the same already-audited recall budget the
+    prefix index spends, :func:`ngram_df_cap_report`); with the cap
+    disabled the pipeline is exactly lossless (hypothesis brute-force
+    equality on random adversarial corpora,
+    tests/test_dedup_property.py::test_containment_pairs_match_bruteforce_on_random_corpora).
+    Scores are computed exactly on the full gram sets (``gram_sets``),
+    so pruning affects candidate recall only through the proven bound
+    and the audited df cap, never a reported score."""
     cap_df, cap_col = _df_cap_col(docs, max_df, max_df_pct)
     ranked, gram_sets = _ranked_grams(docs, n)
 
@@ -274,16 +291,45 @@ def containment_pairs(
     ranked_capped = ranked if cap_df is None else ranked.crossJoin(F.broadcast(cap_df))
     capped = ranked_capped.filter(F.col("df") <= cap_col)
     prefix_len = F.col("n_grams") - F.ceil(F.lit(t) * F.col("n_grams")) + 1
-    index = capped.filter(F.col("rn") <= prefix_len).select("doc_id", "gram")
-    probe = capped.select(F.col("doc_id").alias("p_doc"), "gram")
-    cand = (
+    index = capped.filter(F.col("rn") <= prefix_len).select(
+        "doc_id", "gram", "rn", "n_grams"
+    )
+    probe = capped.select(
+        F.col("doc_id").alias("p_doc"),
+        "gram",
+        F.col("rn").alias("p_rn"),
+        F.col("n_grams").alias("p_n"),
+    )
+    ix_lt = F.col("doc_id") < F.col("p_doc")
+    m = (
         index.join(probe, "gram")
         .filter(F.col("doc_id") != F.col("p_doc"))
         .select(
             F.least("doc_id", "p_doc").alias("doc_a"),
             F.greatest("doc_id", "p_doc").alias("doc_b"),
+            "gram",
+            F.when(ix_lt, F.col("rn")).otherwise(F.col("p_rn")).alias("rn_a"),
+            F.when(ix_lt, F.col("p_rn")).otherwise(F.col("rn")).alias("rn_b"),
+            F.when(ix_lt, F.col("n_grams")).otherwise(F.col("p_n")).alias("na"),
+            F.when(ix_lt, F.col("p_n")).otherwise(F.col("n_grams")).alias("nb"),
         )
-        .distinct()
+    )
+    # the same gram can match twice (prefix(A)×B and prefix(B)×A) with
+    # identical rank payloads — countDistinct dedupes; max/first agree
+    overlap_bound = F.col("shared") + F.least(
+        F.col("na") - F.col("max_rn_a"), F.col("nb") - F.col("max_rn_b")
+    )
+    cand = (
+        m.groupBy("doc_a", "doc_b")
+        .agg(
+            F.countDistinct("gram").alias("shared"),
+            F.max("rn_a").alias("max_rn_a"),
+            F.max("rn_b").alias("max_rn_b"),
+            F.first("na").alias("na"),
+            F.first("nb").alias("nb"),
+        )
+        .filter(overlap_bound >= F.lit(t) * F.least(F.col("na"), F.col("nb")))
+        .select("doc_a", "doc_b")
     )
 
     sa = gram_sets.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("grams_a"))

@@ -813,6 +813,19 @@ def l2_fuzzy_title_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     JVM-side (`F.levenshtein`, whole-stage codegen) only on surviving
     candidates.
 
+    Between the length band and the edit-distance verify sits a
+    CHARACTER-FREQUENCY count filter (the q=1 count filter of
+    Gravano et al., VLDB'01): one edit operation perturbs the
+    character multiset by at most 2 in L1, so
+    ``lev(a,b) >= ceil(L1(counts_a, counts_b) / 2)`` and any pair with
+    bucketed-count L1 > 2·{d} cannot match.  Counts are projected onto
+    8 fixed alphabet buckets (translate+length, pure codegen, computed
+    ONCE per doc before the pair fan-out) — projection is an L1
+    contraction, so the filter stays lossless while costing 8 integer
+    diffs per candidate instead of an O(L²) DP.  This decouples
+    verify cost from candidate volume: only pairs that already look
+    compatible at the multiset level reach levenshtein.
+
     Scale note (measured, SCALE_r05.json): on the synthetic corpus the
     TRUE match set itself grows quadratically (40-word vocabulary ⇒
     title collisions; 12.8k pairs at sf0.1 → 1.27M at sf1, 99×), so
@@ -828,28 +841,38 @@ def l2_fuzzy_title_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # at sf1).  Same lesson as llm.minhash_signatures' shingle explode.
     d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     words = F.split("text", " ")
+    buckets = ["abcd", "efgh", "ijkl", "mnop", "qrst", "uvwx", "yz", "0123456789"]
     t = d.select(
         "doc_id",
         F.array_join(F.slice(words, 1, 3), " ").alias("title"),
         F.element_at(words, 1).alias("blk"),
     ).withColumn("tl", F.length("title"))
+    for i, chars in enumerate(buckets):
+        t = t.withColumn(
+            f"q{i}", F.length("title") - F.length(F.translate("title", chars, ""))
+        )
     a = t.select(
         F.col("doc_id").alias("doc_a"),
         F.col("title").alias("ta"),
         F.col("blk"),
         F.col("tl").alias("la"),
+        *[F.col(f"q{i}").alias(f"qa{i}") for i in range(len(buckets))],
     )
     b = t.select(
         F.col("doc_id").alias("doc_b"),
         F.col("title").alias("tb"),
         F.col("blk"),
         F.col("tl").alias("lb"),
+        *[F.col(f"q{i}").alias(f"qb{i}") for i in range(len(buckets))],
     )
+    l1 = sum(F.abs(F.col(f"qa{i}") - F.col(f"qb{i}")) for i in range(len(buckets)))
     return (
         a.join(b, "blk")
         .filter(
             (F.col("doc_a") < F.col("doc_b"))
             & (F.abs(F.col("la") - F.col("lb")) <= FUZZY_LEV_MAX)
+            # count filter: lev >= L1/2, so bucketed L1 > 2d cannot match
+            & (l1 <= 2 * FUZZY_LEV_MAX)
         )
         # project the distance BEFORE filtering on it: filter and
         # project are separate operators, so an expression repeated in

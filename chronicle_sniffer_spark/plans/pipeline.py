@@ -49,18 +49,30 @@ def udm_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("s4_pcap_ingest", section="S4/R9", oracle=None)
 def s4_pcap_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary pcap → packets → UDM event-type counts (rows-only smoke;
-    byte-level decode assertions live in tests/test_pcap.py).  The pcap
-    is synthesized deterministically at call time — testdata ships no
-    binary captures (the reference's own are missing blobs,
+    """Binary captures → packets → UDM event-type counts (rows-only
+    smoke; byte-level decode assertions live in tests/test_pcap.py).
+    Covers BOTH containers the reference's '.pcap*' wildcard ships
+    (sniffer_entrypoint.sh:159-164) — a classic .pcap and a .pcapng of
+    the same frames — plus one unknown-magic file that must surface as
+    a quarantined error event rather than silently yielding nothing.
+    Captures are synthesized deterministically at call time — testdata
+    ships no binary captures (the reference's own are missing blobs,
     .MISSING_LARGE_BLOBS:1-3)."""
     from chronicle_sniffer_spark.sources.pcap import read_pcap
-    from chronicle_sniffer_spark.sources.pcap_synth import example_packets, pcap_bytes
+    from chronicle_sniffer_spark.sources.pcap_synth import (
+        example_packets,
+        pcap_bytes,
+        pcapng_bytes,
+    )
     from chronicle_sniffer_spark.udm import project_udm
 
     d = tempfile.mkdtemp(prefix="css_s4_")
     with open(os.path.join(d, "capture_1.pcap"), "wb") as f:
         f.write(pcap_bytes(example_packets()))
+    with open(os.path.join(d, "capture_2.pcapng"), "wb") as f:
+        f.write(pcapng_bytes(example_packets()))
+    with open(os.path.join(d, "garbage.pcap"), "wb") as f:
+        f.write(b"\x00\x01\x02\x03" * 16)
     udm = project_udm(read_pcap(spark, d), PROC_TIME)
     return (
         udm.groupBy(F.col("event_type"))

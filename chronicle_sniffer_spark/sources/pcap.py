@@ -19,6 +19,13 @@ ClientHello SNI.  Anything it can't parse becomes a packet with only a
 trailing record yields a row whose JSON still parses — one-in-one-out
 is preserved (SURVEY §2C.1).
 
+Both capture containers decode natively: classic pcap
+(micro/nano, either endianness) and pcapng (SHB/IDB/EPB/SPB with
+per-interface if_tsresol — the format the reference's sniffer actually
+rotates, sniffer_entrypoint.sh:159-164).  A file matching neither
+magic quarantines as ONE error row rather than silently producing
+zero packets.
+
 Scale shape: ``binaryFile`` gives one task per capture file, matching
 the reference's unit of work (rotated ≤10 MB pcaps); decode is a
 narrow Arrow-batched map with no shuffle, and the emitted JSON-lines
@@ -38,10 +45,12 @@ from pyspark.sql import functions as F
 
 PCAP_MAGIC_MICRO = (0xA1B2C3D4, 0xD4C3B2A1)
 PCAP_MAGIC_NANO = (0xA1B23C4D, 0x4D3CB2A1)
+PCAPNG_SHB = b"\x0a\x0d\x0d\x0a"  # Section Header Block type (palindromic)
+PCAPNG_BOM = 0x1A2B3C4D  # byte-order magic inside the SHB
 
 ETH_IPV4, ETH_IPV6, ETH_ARP = 0x0800, 0x86DD, 0x0806
 
-DECODED_DDL = "packet_json string, source_file string"
+DECODED_DDL = "packet_json string, source_file string, decode_error string"
 
 
 def _mac(b: bytes) -> str:
@@ -222,7 +231,8 @@ def _decode_packet(data: bytes, ts: str, num: int) -> dict:
     sport = dport = None
 
     if ethertype == ETH_ARP and len(p) >= 28:
-        protocols.append("arp")
+        # tshark spells the dispatch step out: "eth:ethertype:arp"
+        protocols.extend(["ethertype", "arp"])
         opcode = struct.unpack("!H", p[6:8])[0]
         layers["arp"] = {
             "arp.opcode": str(opcode),
@@ -232,13 +242,13 @@ def _decode_packet(data: bytes, ts: str, num: int) -> dict:
             "arp.dst.proto_ipv4": _ip4(p[24:28]),
         }
     elif ethertype == ETH_IPV4 and len(p) >= 20:
-        protocols.append("ip")
+        protocols.extend(["ethertype", "ip"])
         ihl = (p[0] & 0x0F) * 4
         layers["ip"] = {"ip.src": _ip4(p[12:16]), "ip.dst": _ip4(p[16:20]), "ip.ttl": str(p[8])}
         proto = p[9]
         payload = p[ihl:]
     elif ethertype == ETH_IPV6 and len(p) >= 40:
-        protocols.append("ipv6")
+        protocols.extend(["ethertype", "ipv6"])
         layers["ipv6"] = {"ipv6.src": _ip6(p[8:24]), "ipv6.dst": _ip6(p[24:40])}
         proto = p[6]
         payload = p[40:]
@@ -327,33 +337,171 @@ def decode_pcap_bytes(content: bytes) -> Iterator[dict]:
         off += caplen
 
 
+def _idb_tsresol(body: bytes, endian: str) -> tuple[int, bool]:
+    """Interface Description Block → (exponent, is_power_of_2) timestamp
+    resolution.  Default per the pcapng spec is 10^-6 (microseconds);
+    the if_tsresol option (code 9) overrides: MSB clear = negative
+    power of 10, MSB set = negative power of 2."""
+    exp, pow2 = 6, False
+    off = 8  # LinkType(2) + Reserved(2) + SnapLen(4)
+    while off + 4 <= len(body):
+        code, olen = struct.unpack(endian + "HH", body[off : off + 4])
+        off += 4
+        if code == 0:  # opt_endofopt
+            break
+        if code == 9 and olen == 1 and off < len(body):
+            raw = body[off]
+            exp, pow2 = raw & 0x7F, bool(raw & 0x80)
+        off += (olen + 3) & ~3  # options pad to 32-bit boundaries
+    return exp, pow2
+
+
+def _pcapng_ts(ticks: int, res: tuple[int, bool]) -> tuple[int, int]:
+    """(ticks since epoch, (exp, pow2)) → (seconds, nanoseconds)."""
+    exp, pow2 = res
+    denom = (1 << exp) if pow2 else 10**exp
+    sec, rem = divmod(ticks, denom)
+    return sec, rem * 1_000_000_000 // denom
+
+
+def decode_pcapng_bytes(content: bytes) -> Iterator[dict]:
+    """Walk a pcapng byte string; yields tshark-shaped packets.
+
+    Handles the block grammar of the pcapng spec
+    (draft-tuexen-opsawg-pcapng): SHB (0x0A0D0D0A, byte-order magic
+    fixes section endianness, resets the interface list), IDB
+    (per-interface if_tsresol), EPB (64-bit tick timestamp in the
+    owning interface's resolution) and SPB (no timestamp → epoch).
+    Unknown block types (NRB, ISB, custom) are skipped by Block Total
+    Length — forward-compatible, exactly how tshark treats them.
+    Truncated or length-corrupt trailing blocks stop the walk cleanly
+    (partial rotated files must not error — ref retries them next
+    cycle, sniffer_entrypoint.sh:199-204).  The reference's sniffer
+    ships ``.pcapng`` by name (sniffer_entrypoint.sh:159-164) and
+    modern tshark ring buffers write pcapng by default, so this is the
+    container a real deployment replays.
+    """
+    n = len(content)
+    off, num = 0, 0
+    endian: str | None = None
+    ifaces: list[tuple[int, bool]] = []
+    while off + 12 <= n:
+        if content[off : off + 4] == PCAPNG_SHB:
+            bom = content[off + 8 : off + 12]
+            if bom == struct.pack("<I", PCAPNG_BOM):
+                endian = "<"
+            elif bom == struct.pack(">I", PCAPNG_BOM):
+                endian = ">"
+            else:
+                return  # corrupt SHB
+            ifaces = []  # interface IDs are section-scoped
+        if endian is None:
+            return  # first block must be an SHB
+        btype, blen = struct.unpack(endian + "II", content[off : off + 8])
+        if blen < 12 or blen % 4 or off + blen > n:
+            return  # truncated trailing block
+        body = content[off + 8 : off + blen - 4]
+        if btype == 0x00000001:  # IDB
+            if len(body) >= 8:
+                ifaces.append(_idb_tsresol(body, endian))
+        elif btype == 0x00000006 and len(body) >= 20:  # EPB
+            iface, ts_hi, ts_lo, caplen, _wire = struct.unpack(
+                endian + "IIIII", body[:20]
+            )
+            data = body[20 : 20 + caplen]
+            if len(data) == caplen:
+                res = ifaces[iface] if iface < len(ifaces) else (6, False)
+                sec, nanos = _pcapng_ts((ts_hi << 32) | ts_lo, res)
+                num += 1
+                yield {
+                    "_source": {
+                        "layers": _decode_packet(data, _ts_tshark(sec, nanos, True), num)
+                    }
+                }
+        elif btype == 0x00000003 and len(body) >= 4:  # SPB
+            (wire,) = struct.unpack(endian + "I", body[:4])
+            data = body[4 : 4 + min(wire, len(body) - 4)]
+            num += 1
+            yield {
+                "_source": {
+                    "layers": _decode_packet(data, _ts_tshark(0, 0, True), num)
+                }
+            }
+        off += blen
+
+
+def sniff_capture_kind(content: bytes) -> str:
+    """'pcap' | 'pcapng' | 'unknown' from the leading magic."""
+    if len(content) >= 4 and content[:4] == PCAPNG_SHB:
+        return "pcapng"
+    if len(content) >= 4:
+        m_le = struct.unpack("<I", content[:4])[0]
+        m_be = struct.unpack(">I", content[:4])[0]
+        known = PCAP_MAGIC_MICRO + PCAP_MAGIC_NANO
+        if m_le in known or m_be in known:
+            return "pcap"
+    return "unknown"
+
+
+def decode_capture_bytes(content: bytes) -> Iterator[dict]:
+    """Magic-sniffing dispatcher over both capture containers."""
+    kind = sniff_capture_kind(content)
+    if kind == "pcapng":
+        yield from decode_pcapng_bytes(content)
+    elif kind == "pcap":
+        yield from decode_pcap_bytes(content)
+    # 'unknown' yields nothing here — read_pcap emits the file-level
+    # quarantine row (the decoder itself stays a pure packet iterator)
+
+
 def read_pcap(spark: SparkSession, path: str) -> DataFrame:
-    """S4: pcap files → one row per packet, same columns as
+    """S4: capture files (classic pcap AND pcapng) → one row per
+    packet, same columns as
     :func:`chronicle_sniffer_spark.sources.json_source.read_tshark_json`
     (``_source`` VARIANT, ``_corrupt_record``, ``source_file``), so
-    ``project_udm`` runs unchanged on live captures."""
+    ``project_udm`` runs unchanged on live captures.
+
+    A file whose magic matches NEITHER container emits exactly one
+    quarantine row (``_source`` NULL, ``_corrupt_record`` carrying the
+    reason) instead of silently vanishing: one-in-one-out at file
+    granularity, the batch analogue of the reference 500-ing an
+    unreadable file into retry/DLQ (processor_app.py:184-190)."""
     import pandas as pd
 
     files = spark.read.format("binaryFile").load(path)
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out_json, out_file = [], []
+            out_json, out_file, out_err = [], [], []
             for path_, content in zip(pdf["path"], pdf["content"]):
-                for pkt in decode_pcap_bytes(bytes(content)):
+                raw = bytes(content)
+                if sniff_capture_kind(raw) == "unknown":
+                    magic = raw[:4].hex() if len(raw) >= 4 else raw.hex()
+                    out_json.append(None)
+                    out_file.append(path_)
+                    out_err.append(
+                        f"undecodable capture file: unknown magic 0x{magic or '(empty)'}"
+                    )
+                    continue
+                for pkt in decode_capture_bytes(raw):
                     out_json.append(json.dumps(pkt["_source"], separators=(",", ":")))
                     out_file.append(path_)
-            yield pd.DataFrame({"packet_json": out_json, "source_file": out_file})
+                    out_err.append(None)
+            yield pd.DataFrame(
+                {"packet_json": out_json, "source_file": out_file, "decode_error": out_err}
+            )
 
     decoded = files.select("path", "content").mapInPandas(decode, DECODED_DDL)
     return _shape_decoded(decoded)
 
 
 def _shape_decoded(decoded: DataFrame) -> DataFrame:
-    """packet_json rows → the json_source column contract."""
+    """packet_json rows → the json_source column contract.  A NULL
+    packet_json with a decode_error becomes the corrupt-record shape
+    the UDM error chain already quarantines (udm.py corrupt_elem)."""
     return decoded.select(
         F.parse_json(F.col("packet_json")).alias("_source"),
-        F.lit(None).cast("string").alias("_corrupt_record"),
+        F.col("decode_error").alias("_corrupt_record"),
         "source_file",
     )
 
@@ -404,6 +552,12 @@ def read_pcap_tshark(spark: SparkSession, path: str) -> DataFrame:
                     src = pkt.get("_source", pkt)
                     out_json.append(json.dumps(src, separators=(",", ":")))
                     out_file.append(path_)
-            yield pd.DataFrame({"packet_json": out_json, "source_file": out_file})
+            yield pd.DataFrame(
+                {
+                    "packet_json": out_json,
+                    "source_file": out_file,
+                    "decode_error": [None] * len(out_json),
+                }
+            )
 
     return _shape_decoded(files.select("path", "content").mapInPandas(decode, DECODED_DDL))

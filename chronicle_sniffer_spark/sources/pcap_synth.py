@@ -86,3 +86,61 @@ def pcap_bytes(packets: list[bytes], snaplen: int = 65535) -> bytes:
     for i, pkt in enumerate(packets):
         out += struct.pack("<IIII", TS[0], TS[1] + i, len(pkt), len(pkt)) + pkt
     return out
+
+
+def _png_block(btype: int, body: bytes, endian: str = "<") -> bytes:
+    padded = body + b"\x00" * ((-len(body)) % 4)
+    blen = 12 + len(padded)
+    return (
+        struct.pack(endian + "II", btype, blen)
+        + padded
+        + struct.pack(endian + "I", blen)
+    )
+
+
+def pcapng_bytes(
+    packets: list[bytes],
+    tsresol: int = 6,
+    snaplen: int = 65535,
+    endian: str = "<",
+    trailing_spb: bytes | None = None,
+) -> bytes:
+    """Deterministic pcapng (SHB + IDB + one EPB per frame) carrying
+    the SAME frames and timestamps as :func:`pcap_bytes`, so the two
+    container decodes must produce identical packet rows.  ``tsresol``
+    is a negative power of 10 (6 = the spec default microseconds; any
+    other value is written as an explicit if_tsresol option).
+    ``trailing_spb`` appends one Simple Packet Block (no timestamp)."""
+    shb_body = struct.pack(endian + "IHHq", 0x1A2B3C4D, 1, 0, -1)
+    out = _png_block(0x0A0D0D0A, shb_body, endian)
+    idb_body = struct.pack(endian + "HHI", 1, 0, snaplen)  # EN10MB
+    if tsresol != 6:
+        idb_body += (
+            struct.pack(endian + "HH", 9, 1)
+            + bytes([tsresol])
+            + b"\x00" * 3
+            + struct.pack(endian + "HH", 0, 0)
+        )
+    out += _png_block(0x00000001, idb_body, endian)
+    denom = 10**tsresol
+    for i, pkt in enumerate(packets):
+        ticks = TS[0] * denom + (TS[1] + i) * denom // 10**6
+        body = (
+            struct.pack(
+                endian + "IIIII",
+                0,
+                (ticks >> 32) & 0xFFFFFFFF,
+                ticks & 0xFFFFFFFF,
+                len(pkt),
+                len(pkt),
+            )
+            + pkt
+        )
+        out += _png_block(0x00000006, body, endian)
+    if trailing_spb is not None:
+        out += _png_block(
+            0x00000003,
+            struct.pack(endian + "I", len(trailing_spb)) + trailing_spb,
+            endian,
+        )
+    return out

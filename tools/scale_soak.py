@@ -281,7 +281,7 @@ def main() -> None:
         # synthetic corpus (fixed 40-word vocabulary), not plan flaws —
         # measured analysis in BASELINE.md §3
         "outlier_notes": {
-            "l2_fuzzy_title_join": "true match set grows 99x (12.8k->1.27M pairs); any correct algorithm is Omega(output); candidates ~30x matches under block+band",
+            "l2_fuzzy_title_join": "true match set grows 99x (12.8k->1.27M pairs); any correct algorithm is Omega(output); candidates ~30x matches under block+band; the r9 char-frequency count filter (lossless, lev>=L1/2) cuts candidates reaching levenshtein to 68.5% at sf0.1 (381,662->261,534 for 12,830 matches)",
             "l2_ngram_jaccard": "round 8: pairs+labels now materialized ONCE per session (shared_pairs_and_labels) and this entry reads the parquet back — the Omega(output) pair-generation cost (was ~35s sf1) is paid once in the session's first warm run, then amortized across all three consumers; candidate volume itself is unchanged and linear-in-corpus by design",
             "l6_leakage_safe_split": "reads the shared materialized cluster labels (was 68.7s sf1 recomputing pairs+closure; now a parquet scan + hash split)",
             "l2_dedup_clusters": "reads the shared materialized labels (was 64.5s sf1; the one-time build carries the pair generation + component closure)",
