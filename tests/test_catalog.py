@@ -104,3 +104,24 @@ def test_every_registry_entry_is_documented_in_coverage_md():
     ).read()
     undocumented = [k for k in registry() if k not in cov]
     assert not undocumented, undocumented
+
+
+def test_no_internal_tooling_residue_in_shipped_source():
+    """Shipped source must not cite builder-session tooling (the
+    round-8 verdict found one docstring doing so).  Patterns beyond
+    the driver's own LEAKCHECK grep."""
+    import os
+    import re
+
+    root = os.path.join(os.path.dirname(__file__), "..", "chronicle_sniffer_spark")
+    pat = re.compile(r"\.claude|anthropic|claude code", re.IGNORECASE)
+    hits = []
+    for dirpath, _dirs, files in os.walk(root):
+        for fn in files:
+            if not fn.endswith(".py"):
+                continue
+            p = os.path.join(dirpath, fn)
+            for i, line in enumerate(open(p, encoding="utf-8"), 1):
+                if pat.search(line):
+                    hits.append(f"{p}:{i}: {line.strip()[:80]}")
+    assert not hits, hits
