@@ -77,6 +77,7 @@ _SUBMODULES = (
     "chronicle_sniffer_spark.plans.round8c",
     "chronicle_sniffer_spark.plans.round8d",
     "chronicle_sniffer_spark.plans.round8e",
+    "chronicle_sniffer_spark.plans.round9",
 )
 
 

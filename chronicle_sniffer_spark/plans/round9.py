@@ -1,0 +1,822 @@
+"""Round-9 catalog additions.
+
+- **A23 bitmap set algebra**: exact |A|, |B|, |A∩B|, |A∪B|, |A\\B| of
+  user-id sets via mergeable bitmap aggregates — the shuffle carries
+  kilobyte bitmaps, never raw ids (extends A15's single-set distinct
+  to the full audience-overlap algebra every segmentation job runs).
+- **TS14 CUSUM changepoint**: the classic cumulative-sum shift
+  detector per series, kept in exact INTEGER arithmetic by scaling
+  (n·Σxᵢ − t·T instead of Σ(xᵢ − T/n)) so both engines agree bit-for-bit.
+- **TS15 lagged cross-correlation**: Pearson r between two daily
+  series at each lag 0..7, computed from exact BIGINT moments with ONE
+  identically-shaped double expression at the end — no
+  accumulation-order hazard anywhere.
+- **ML12 two-sample Kolmogorov–Smirnov**: exact D statistic from
+  integer cross-products |c₁·n₂ − c₂·n₁| over the merged distinct-value
+  grid (the ml8 histogram trick applied to CDFs).
+- **DQ10 snapshot profile diff**: per-column profile (null rate, min,
+  max, exact-decimal mean, distinct count) of two table snapshots,
+  unpivoted into a metric-per-row drift report.
+- **L7 template dedup**: near-dup detection for templated/boilerplate
+  text (log lines, form letters): digits collapsed, whitespace
+  normalized, md5 over the residual template — the cheap first pass
+  production pipelines run before MinHash.
+- **S18 gzip JSON-lines scan**: ingestion through a NON-SPLITTABLE
+  codec — the plan must spread() immediately after the single-task
+  scan or every downstream stage inherits one partition (the p16/l2
+  lesson, now as a declared source capability).
+- **L3 MIPS norm-prune**: exact maximum-inner-product top-k with a
+  lossless Cauchy–Schwarz prune (‖q‖·‖x‖ < kth-best seed IP ⇒ x cannot
+  reach top-k); the seed is a bounded largest-norm subset.  At index
+  time norms are one stored column; at query time the prune decouples
+  scoring cost from corpus size for skewed-norm embedding spaces.
+- **G7 k-core (k=2) peeling**: iterative leaf removal to the maximal
+  min-degree-2 subgraph — the third graph-algorithm shape (after
+  label-propagate CC and wedge counting): a FIXPOINT loop whose round
+  count is data-dependent, run as driver-sequenced Spark rounds with
+  localCheckpoint truncation; the oracle unrolls the peel far past the
+  measured convergence depth and the entry fails LOUDLY if the loop
+  ever needs more rounds than the oracle proves.
+
+House determinism rules (plans/catalog.py) apply.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from chronicle_sniffer_spark.plans.catalog import dsum, o_dsum, query
+from chronicle_sniffer_spark.tables import load_table, spread
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# A23: bitmap set algebra (audience overlap)
+# ---------------------------------------------------------------------------
+
+_A23_ORACLE = """
+WITH a AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+     b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+SELECT CAST((SELECT count(*) FROM a) AS BIGINT) AS n_a,
+       CAST((SELECT count(*) FROM b) AS BIGINT) AS n_b,
+       CAST((SELECT count(*) FROM a JOIN b USING (user_id)) AS BIGINT) AS n_and,
+       CAST((SELECT count(*) FROM (SELECT user_id FROM a UNION SELECT user_id FROM b)) AS BIGINT) AS n_or,
+       CAST((SELECT count(*) FROM a WHERE user_id NOT IN (SELECT user_id FROM b)) AS BIGINT) AS n_a_minus_b
+"""
+
+
+@query("a23_bitmap_set_algebra", section="A15", oracle=_A23_ORACLE)
+def a23_bitmap_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact audience-overlap algebra — |A|, |B|, |A∩B|, |A∪B|, |A\\B|
+    for two user segments — via mergeable BITMAPS instead of
+    COUNT(DISTINCT) shuffles of raw ids.
+
+    ONE scan builds three per-id-bucket bitmaps with conditional
+    inputs (``bitmap_construct_agg`` skips NULLs, so a CASE on the
+    segment key routes each row into its bitmap): segment A, segment
+    B, and A∪B — the union needs no scalar bitmap-OR because feeding
+    both segments' positions into one construct_agg IS the OR.
+    Intersection and difference follow by inclusion–exclusion on
+    exact integers.  Scale shape: the shuffle after the scan carries
+    #buckets × three 4 KB bitmap payloads — bounded by the id-space,
+    independent of row count — and every result is EXACT, unlike
+    sketch intersections whose error compounds.  This is the A15
+    single-set machinery extended to the full set algebra a
+    segmentation/attribution pipeline runs per pair of audiences."""
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    pos = F.expr("bitmap_bit_position(user_id)")
+    per_bucket = (
+        e.select(
+            F.expr("bitmap_bucket_number(user_id)").alias("bucket"),
+            F.when(F.col("event_type") == "click", pos).alias("pos_a"),
+            F.when(F.col("event_type") == "purchase", pos).alias("pos_b"),
+            pos.alias("pos_u"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.expr("bitmap_count(bitmap_construct_agg(pos_a))").alias("ca"),
+            F.expr("bitmap_count(bitmap_construct_agg(pos_b))").alias("cb"),
+            F.expr("bitmap_count(bitmap_construct_agg(pos_u))").alias("cor"),
+        )
+    )
+    return per_bucket.agg(
+        F.sum("ca").cast("bigint").alias("n_a"),
+        F.sum("cb").cast("bigint").alias("n_b"),
+        (F.sum("ca") + F.sum("cb") - F.sum("cor")).cast("bigint").alias("n_and"),
+        F.sum("cor").cast("bigint").alias("n_or"),
+        (F.sum("cor") - F.sum("cb")).cast("bigint").alias("n_a_minus_b"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TS14: CUSUM changepoint detection
+# ---------------------------------------------------------------------------
+
+_TS14_ORACLE = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+), tot AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS t
+  FROM daily GROUP BY 1
+), cus AS (
+  SELECT d.event_type, d.d,
+         SUM(d.x) OVER (PARTITION BY d.event_type ORDER BY d.d) * tot.n
+           - (row_number() OVER (PARTITION BY d.event_type ORDER BY d.d)) * tot.t
+           AS s_scaled
+  FROM daily d JOIN tot USING (event_type)
+)
+SELECT event_type, d AS change_day,
+       CAST(s_scaled AS BIGINT) AS cusum_scaled
+FROM (
+  SELECT event_type, d, s_scaled,
+         row_number() OVER (
+           PARTITION BY event_type ORDER BY abs(s_scaled) DESC, d) AS rk
+  FROM cus
+) WHERE rk = 1
+"""
+
+
+@query("ts14_cusum_changepoint", section="TS4", oracle=_TS14_ORACLE)
+def ts14_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detector per daily series: the day where the
+    cumulative deviation from the series mean peaks — the standard
+    level-shift locator (Page 1954) behind pipeline-regression alarms.
+
+    Exactness is engineered: the textbook statistic Σᵢ≤ₜ(xᵢ − T/n)
+    divides by the day count, putting a double into a running sum
+    whose accumulation order differs across engines.  Scaling by n
+    gives the INTEGER-equivalent n·Σᵢ≤ₜxᵢ − t·T, whose argmax is the
+    same day — so the running sum, the comparison, and the reported
+    peak are all BIGINT-exact on both engines (the l6_temperature_mix
+    quantization lesson applied to a window recursion).
+
+    Scale shape: one day-grain aggregate (map-side combinable), a
+    broadcast of per-series totals (dimension-sized), one
+    series-partitioned window, one ranked pick per series."""
+    e = _t(spark, sf_dir, "events")
+    daily = (
+        e.select("event_type", F.date_trunc("day", "ts").alias("d"))
+        .groupBy("event_type", "d")
+        .agg(F.count("*").cast("bigint").alias("x"))
+    )
+    tot = daily.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("t"),
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    cus = (
+        daily.join(F.broadcast(tot), "event_type")
+        .select(
+            "event_type",
+            "d",
+            (
+                F.sum("x").over(w) * F.col("n")
+                - F.row_number().over(w).cast("bigint") * F.col("t")
+            ).alias("s_scaled"),
+        )
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("event_type").orderBy(F.abs(F.col("s_scaled")).desc(), "d")
+    )
+    return (
+        cus.withColumn("rk", rk)
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("d").cast("timestamp").alias("change_day"),
+            F.col("s_scaled").cast("bigint").alias("cusum_scaled"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TS15: lagged cross-correlation between two series
+# ---------------------------------------------------------------------------
+
+_TS15_MAX_LAG = 7
+
+_TS15_ORACLE = f"""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d, event_type,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events WHERE event_type IN ('click', 'purchase') GROUP BY 1, 2
+), c AS (SELECT d, x FROM daily WHERE event_type = 'click'),
+   p AS (SELECT d, x FROM daily WHERE event_type = 'purchase'),
+   lags AS (SELECT unnest(generate_series(0, {_TS15_MAX_LAG})) AS lag),
+   joined AS (
+     SELECT lags.lag, c.x AS xc, p.x AS xp
+     FROM lags JOIN c ON TRUE
+     JOIN p ON p.d = c.d + to_days(CAST(lags.lag AS INT))
+   ),
+   mom AS (
+     SELECT lag,
+            CAST(count(*) AS BIGINT) AS n,
+            CAST(SUM(xc) AS BIGINT) AS sx, CAST(SUM(xp) AS BIGINT) AS sy,
+            CAST(SUM(xc*xc) AS BIGINT) AS sxx, CAST(SUM(xp*xp) AS BIGINT) AS syy,
+            CAST(SUM(xc*xp) AS BIGINT) AS sxy
+     FROM joined GROUP BY 1
+   )
+SELECT CAST(lag AS INT) AS lag, n,
+       CAST(n*sxy - sx*sy AS DOUBLE)
+         / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(n*syy - sy*sy AS DOUBLE)))
+         AS r
+FROM mom
+"""
+
+
+@query("ts15_lag_cross_correlation", section="TS4", oracle=_TS15_ORACLE)
+def ts15_lag_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead–lag discovery between two daily series (do clicks predict
+    purchases L days later?): Pearson r at each lag 0..{L}, the
+    cross-correlation function every metrics/causal-analysis stack
+    computes.
+
+    Determinism: r is NOT computed with ``corr()`` — a double
+    accumulator whose order differs across engines.  The five moments
+    (Σx, Σy, Σx², Σy², Σxy) are exact BIGINTs over integer daily
+    counts, and r is ONE identically-shaped double expression over
+    them (two separate sqrt casts keep the products inside the BIGINT
+    range AND the FP op sequence identical on both engines).
+
+    Scale shape: the day-grain aggregate collapses the event volume
+    first; the lag fan-out is (#days × #lags) on the collapsed
+    dimension-sized series — a broadcast-joined grid, never a shuffle
+    of raw events."""
+    L = _TS15_MAX_LAG
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    daily = (
+        e.select("event_type", F.date_trunc("day", "ts").alias("d"))
+        .groupBy("event_type", "d")
+        .agg(F.count("*").cast("bigint").alias("x"))
+    )
+    c = daily.filter(F.col("event_type") == "click").select(
+        F.col("d").alias("dc"), F.col("x").alias("xc")
+    )
+    p = daily.filter(F.col("event_type") == "purchase").select(
+        F.col("d").alias("dp"), F.col("x").alias("xp")
+    )
+    lags = spark.range(0, L + 1).select(F.col("id").cast("int").alias("lag"))
+    joined = (
+        c.crossJoin(F.broadcast(lags))
+        .join(
+            p,
+            F.col("dp")
+            == F.col("dc") + F.make_dt_interval(days=F.col("lag")),
+        )
+    )
+    mom = joined.groupBy("lag").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("xc").cast("bigint").alias("sx"),
+        F.sum("xp").cast("bigint").alias("sy"),
+        F.sum(F.col("xc") * F.col("xc")).cast("bigint").alias("sxx"),
+        F.sum(F.col("xp") * F.col("xp")).cast("bigint").alias("syy"),
+        F.sum(F.col("xc") * F.col("xp")).cast("bigint").alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    dx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    dy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return mom.select(
+        "lag", "n", (num / (F.sqrt(dx) * F.sqrt(dy))).alias("r")
+    )
+
+
+ts15_lag_cross_correlation.__doc__ = ts15_lag_cross_correlation.__doc__.format(
+    L=_TS15_MAX_LAG
+)
+
+
+# ---------------------------------------------------------------------------
+# ML12: exact two-sample Kolmogorov–Smirnov statistic
+# ---------------------------------------------------------------------------
+
+_ML12_ORACLE = """
+WITH s1 AS (SELECT n_chars AS v FROM documents WHERE lang = 'en'),
+     s2 AS (SELECT n_chars AS v FROM documents WHERE lang = 'de'),
+     grid AS (
+       SELECT v,
+              CAST(count(*) FILTER (WHERE src = 1) AS BIGINT) AS k1,
+              CAST(count(*) FILTER (WHERE src = 2) AS BIGINT) AS k2
+       FROM (SELECT v, 1 AS src FROM s1 UNION ALL SELECT v, 2 AS src FROM s2)
+       GROUP BY v
+     ),
+     cdf AS (
+       SELECT v,
+              SUM(k1) OVER (ORDER BY v) AS c1,
+              SUM(k2) OVER (ORDER BY v) AS c2
+       FROM grid
+     ),
+     tot AS (SELECT CAST((SELECT count(*) FROM s1) AS BIGINT) AS n1,
+                    CAST((SELECT count(*) FROM s2) AS BIGINT) AS n2)
+SELECT tot.n1, tot.n2,
+       CAST(MAX(abs(cdf.c1 * tot.n2 - cdf.c2 * tot.n1)) AS BIGINT) AS ks_num,
+       CAST(MAX(abs(cdf.c1 * tot.n2 - cdf.c2 * tot.n1)) AS DOUBLE)
+         / CAST(tot.n1 * tot.n2 AS DOUBLE) AS ks
+FROM cdf, tot GROUP BY tot.n1, tot.n2
+"""
+
+
+@query("ml12_ks_two_sample", section="ML3", oracle=_ML12_ORACLE)
+def ml12_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov distance between the
+    length distributions of two document segments — the standard
+    distribution-shift test batteries run between training snapshots.
+
+    D = max |F₁(v) − F₂(v)| is computed on the merged distinct-value
+    grid with CDFs kept as INTEGER cross-products: |c₁·n₂ − c₂·n₁| is
+    exact BIGINT (counts ≤ corpus², far inside the range), and the
+    single division happens once on the final max — the ml8/ml10
+    histogram discipline applied to CDF comparison.
+
+    Scale shape: the value grid is an aggregate over distinct lengths
+    (thousands of rows, independent of corpus size); the global
+    cumulative window runs on that aggregated grid — exactly the
+    bounded-input global window the window audit allows."""
+    d = _t(spark, sf_dir, "documents")
+    s1 = d.filter(F.col("lang") == "en").select(F.col("n_chars").alias("v"))
+    s2 = d.filter(F.col("lang") == "de").select(F.col("n_chars").alias("v"))
+    grid = (
+        s1.select("v", F.lit(1).alias("src"))
+        .unionByName(s2.select("v", F.lit(2).alias("src")))
+        .groupBy("v")
+        .agg(
+            F.sum(F.when(F.col("src") == 1, 1).otherwise(0)).cast("bigint").alias("k1"),
+            F.sum(F.when(F.col("src") == 2, 1).otherwise(0)).cast("bigint").alias("k2"),
+        )
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cdf = grid.select(
+        F.sum("k1").over(w).alias("c1"), F.sum("k2").over(w).alias("c2")
+    )
+    tot = s1.agg(F.count("*").cast("bigint").alias("n1")).crossJoin(
+        s2.agg(F.count("*").cast("bigint").alias("n2"))
+    )
+    return (
+        cdf.crossJoin(F.broadcast(tot))
+        .groupBy("n1", "n2")
+        .agg(
+            F.max(F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1")))
+            .cast("bigint")
+            .alias("ks_num"),
+        )
+        .select(
+            "n1",
+            "n2",
+            "ks_num",
+            (
+                F.col("ks_num").cast("double")
+                / (F.col("n1") * F.col("n2")).cast("double")
+            ).alias("ks"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# DQ10: snapshot profile drift report
+# ---------------------------------------------------------------------------
+
+_DQ10_ORACLE = f"""
+WITH prof AS (
+  SELECT (CASE WHEN o_orderdate < DATE '1996-01-01' THEN 'v1' ELSE 'v2' END) AS snap,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(count(*) - count(o_totalprice) AS BIGINT) AS price_nulls,
+         CAST(min(o_totalprice) AS DOUBLE) AS price_min,
+         CAST(max(o_totalprice) AS DOUBLE) AS price_max,
+         {o_dsum("o_totalprice", "price_sum")},
+         CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS priority_distinct
+  FROM orders GROUP BY 1
+)
+SELECT a.metric, a.v1, b.v2
+FROM (
+  SELECT * FROM (
+    SELECT 'n_rows' AS metric, CAST(n_rows AS DOUBLE) AS v1 FROM prof WHERE snap='v1'
+    UNION ALL SELECT 'price_nulls', CAST(price_nulls AS DOUBLE) FROM prof WHERE snap='v1'
+    UNION ALL SELECT 'price_min', price_min FROM prof WHERE snap='v1'
+    UNION ALL SELECT 'price_max', price_max FROM prof WHERE snap='v1'
+    UNION ALL SELECT 'price_sum', price_sum FROM prof WHERE snap='v1'
+    UNION ALL SELECT 'priority_distinct', CAST(priority_distinct AS DOUBLE) FROM prof WHERE snap='v1'
+  )
+) a JOIN (
+  SELECT * FROM (
+    SELECT 'n_rows' AS metric, CAST(n_rows AS DOUBLE) AS v2 FROM prof WHERE snap='v2'
+    UNION ALL SELECT 'price_nulls', CAST(price_nulls AS DOUBLE) FROM prof WHERE snap='v2'
+    UNION ALL SELECT 'price_min', price_min FROM prof WHERE snap='v2'
+    UNION ALL SELECT 'price_max', price_max FROM prof WHERE snap='v2'
+    UNION ALL SELECT 'price_sum', price_sum FROM prof WHERE snap='v2'
+    UNION ALL SELECT 'priority_distinct', CAST(priority_distinct AS DOUBLE) FROM prof WHERE snap='v2'
+  )
+) b USING (metric)
+"""
+
+
+@query("dq10_profile_snapshot_diff", section="DQ4", oracle=_DQ10_ORACLE)
+def dq10_profile_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-profile drift between two table snapshots (here the
+    pre-/post-1996 halves of ``orders``): row count, null count,
+    min/max, exact-decimal sum, distinct count — the Deequ/profiler
+    surface, unpivoted to one metric per row so a monitoring sink can
+    diff and alert per metric.  Complements dq4 (distribution drift of
+    ONE categorical column) with the whole-table profile shape.
+
+    Determinism: the mean-ish metric is an exact-decimal SUM cast to
+    double (house money rule); min/max/counts are order-independent by
+    nature.  Scale shape: ONE conditional-aggregate pass per snapshot
+    pair (profiles ride the same scan via the snap CASE key), then a
+    6-row unpivot + self-join on the metric name."""
+    o = _t(spark, sf_dir, "orders")
+    prof = (
+        o.withColumn(
+            "snap",
+            F.when(F.col("o_orderdate") < F.lit("1996-01-01").cast("date"), "v1")
+            .otherwise("v2"),
+        )
+        .groupBy("snap")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            (F.count("*") - F.count("o_totalprice")).cast("bigint").alias("price_nulls"),
+            F.min("o_totalprice").cast("double").alias("price_min"),
+            F.max("o_totalprice").cast("double").alias("price_max"),
+            dsum("o_totalprice", "price_sum"),
+            F.countDistinct("o_orderpriority").cast("bigint").alias("priority_distinct"),
+        )
+    )
+    metrics = [
+        "n_rows",
+        "price_nulls",
+        "price_min",
+        "price_max",
+        "price_sum",
+        "priority_distinct",
+    ]
+    unp = prof.select(
+        "snap", *[F.col(m).cast("double").alias(m) for m in metrics]
+    ).unpivot(["snap"], metrics, "metric", "val")
+    v1 = unp.filter(F.col("snap") == "v1").select("metric", F.col("val").alias("v1"))
+    v2 = unp.filter(F.col("snap") == "v2").select("metric", F.col("val").alias("v2"))
+    return v1.join(v2, "metric")
+
+
+# ---------------------------------------------------------------------------
+# L7: template-hash dedup (boilerplate collapse)
+# ---------------------------------------------------------------------------
+
+_L7_HEAD = 8
+
+_L7_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         md5(regexp_replace(
+           array_to_string((string_split(lower(text), ' '))[1:{_L7_HEAD}], ' '),
+           '[0-9]+', '#', 'g')) AS tpl
+  FROM documents
+)
+SELECT tpl, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS exemplar_doc
+FROM t GROUP BY tpl HAVING count(*) > 1
+"""
+
+
+@query("l7_template_dedup", section="L2", oracle=_L7_ORACLE)
+def l7_template_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template-hash dedup: collapse documents sharing a normalized
+    HEADER template — lowercased first 8 words with digit
+    runs collapsed to '#' — the cheap first pass real curation
+    pipelines run before MinHash: log lines, form letters and
+    generated boilerplate differ only in ids/timestamps/counters and
+    tail content, collapsing to a handful of templates while
+    full-text hashing sees every row as unique.
+
+    Cross-engine trap pinned here: DuckDB ``regexp_replace`` is
+    first-match-only by default and needs the explicit 'g' flag to
+    match Spark's replace-all semantics.  Scale shape: identical to
+    l1_exact_dedup — a narrow map + hash groupBy, no candidate
+    generation at all."""
+    d = _t(spark, sf_dir, "documents")
+    tpl = F.md5(
+        F.regexp_replace(
+            F.array_join(F.slice(F.split(F.lower("text"), " "), 1, _L7_HEAD), " "),
+            "[0-9]+",
+            "#",
+        )
+    )
+    return (
+        d.select("doc_id", tpl.alias("tpl"))
+        .groupBy("tpl")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("exemplar_doc"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# S18: gzip JSON-lines scan (non-splittable codec ingestion)
+# ---------------------------------------------------------------------------
+
+_S18_ORACLE = f"""
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n,
+       {o_dsum("o_totalprice", "sum_price")}
+FROM orders GROUP BY 1
+"""
+
+_S18_CACHE: dict[str, str] = {}
+
+
+def _s18_stage(spark: SparkSession, sf_dir: str) -> str:
+    """Stage orders as ONE gzip JSON-lines file (the shape log
+    shippers deliver)."""
+    key = f"{spark.sparkContext.applicationId}|{sf_dir}"
+    if key not in _S18_CACHE:
+        out = tempfile.mkdtemp(prefix="css_s18_gzip_")
+        (
+            _t(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_orderpriority", "o_totalprice")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .option("compression", "gzip")
+            .json(out)
+        )
+        _S18_CACHE[key] = out
+    return _S18_CACHE[key]
+
+
+@query("s18_gzip_json_scan", section="S2", oracle=_S18_ORACLE)
+def s18_gzip_json_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion through a NON-SPLITTABLE compression codec: a .json.gz
+    file cannot be byte-range split, so however large the file and
+    whatever ``maxPartitionBytes`` says, the scan is ONE task — and
+    every narrow stage after it inherits that single partition.  The
+    plan therefore ``spread()``s immediately after the scan, the same
+    single-task-source lesson p16/l2_minhash learned, now declared as
+    a source capability (at 100 TB: prefer splittable zstd/bzip2 or
+    many small gzip files; when gzip lands anyway, repartition right
+    after decode).
+
+    Double fidelity: JSON round-trips doubles through shortest-repr
+    text, which parses back to the identical bits — the exact-decimal
+    SUM then matches the oracle computed on the original parquet."""
+    staged = _s18_stage(spark, sf_dir)
+    raw = spark.read.schema(
+        "o_orderkey bigint, o_orderpriority string, o_totalprice double"
+    ).json(staged)
+    return (
+        spread(raw)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            dsum("o_totalprice", "sum_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# L3: exact MIPS top-k with lossless norm pruning
+# ---------------------------------------------------------------------------
+
+_MIPS_K = 10
+_MIPS_SEED = 256
+
+_MIPS_ORACLE = f"""
+WITH q AS (
+  SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+), scaled AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> x * (1 + CAST(vec_id % 13 AS DOUBLE))) AS xv
+  FROM embeddings WHERE vec_id <> 0
+), scored AS (
+  SELECT s.vec_id,
+         round(list_inner_product(s.xv, q.qv), 6) AS ip
+  FROM scaled s, q
+)
+SELECT vec_id, ip, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT vec_id, ip, row_number() OVER (ORDER BY ip DESC, vec_id) AS rank
+  FROM scored
+) WHERE rank <= {_MIPS_K}
+"""
+
+
+@query("l3_mips_norm_prune", section="L3", oracle=_MIPS_ORACLE)
+def l3_mips_norm_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT maximum-inner-product top-k with a lossless
+    Cauchy–Schwarz prune — the retrieval primitive for un-normalized
+    embedding spaces (recommendation scores, learned rankers), where
+    cosine ANN buckets don't apply because magnitude matters.
+
+    The corpus embeddings are unit-norm (cosine-ready), which would
+    make a norm prune structurally vacuous — so the entry scores the
+    MAGNITUDE-WEIGHTED space real recommenders serve:
+    ``x · (1 + vec_id % 13)`` (popularity × direction), identical
+    deterministic scaling on both engines.  float×small-int products
+    round identically in double, so scores still hash-match.
+
+    Two phases, both declarative: (1) SEED — the {_MIPS_SEED}
+    largest-norm vectors are scored exactly and the k-th best inner
+    product L extracted (a TakeOrdered + bounded window).  (2) PRUNE +
+    VERIFY — since q·x ≤ ‖q‖·‖x‖, any x with ‖q‖·‖x‖ < L can never
+    enter the top-k, so only survivors are scored.  The bound is
+    mathematically lossless; an epsilon relaxation absorbs the last-ulp
+    FP slack so the filter can only ADMIT extra candidates, never drop
+    a true member.  At index time ‖x‖ is one stored column (as the IVF
+    entries store cells); at query time the prune decouples scoring
+    cost from corpus size whenever the norm distribution is skewed —
+    the seed phase is O({_MIPS_SEED}·dim) and survivors shrink with
+    norm skew.  float×float products are exact in double and both
+    engines fold left-to-right, so scores hash-match at full
+    precision (the l3_cosine_topk determinism argument).
+
+    tests/test_round9.py proves the prune fires (survivors < corpus)
+    AND equals brute force."""
+    e = _t(spark, sf_dir, "embeddings")
+    dbl = F.col("embedding").cast("array<double>")
+    q = (
+        e.filter(F.col("vec_id") == 0)
+        .select(
+            dbl.alias("qv"),
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with(dbl, dbl, lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+            ).alias("qn"),
+        )
+    )
+    scaled = F.transform(
+        dbl, lambda x: x * (F.lit(1.0) + (F.col("vec_id") % 13).cast("double"))
+    )
+    cand = (
+        e.filter(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            scaled.alias("xv"),
+        )
+        .select(
+            "vec_id",
+            "xv",
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with(F.col("xv"), F.col("xv"), lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+            ).alias("xn"),
+        )
+    )
+    ip = F.round(
+        F.aggregate(
+            F.zip_with(F.col("xv"), F.col("qv"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        6,
+    )
+    seed = (
+        cand.orderBy(F.col("xn").desc(), "vec_id")
+        .limit(_MIPS_SEED)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", ip.alias("ip"))
+    )
+    # k-th best seed IP: a global window over a LIMIT-bounded relation
+    kth = (
+        seed.withColumn(
+            "rk", F.row_number().over(Window.orderBy(F.col("ip").desc(), "vec_id"))
+        )
+        .filter(F.col("rk") == _MIPS_K)
+        .select(F.col("ip").alias("l_bound"))
+    )
+    survivors = (
+        cand.crossJoin(F.broadcast(q))
+        .crossJoin(F.broadcast(kth))
+        .filter(
+            F.col("xn") * F.col("qn")
+            >= F.col("l_bound") - F.abs(F.col("l_bound")) * 1e-9 - F.lit(1e-9)
+        )
+        .select("vec_id", ip.alias("ip"))
+    )
+    return (
+        survivors.withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.col("ip").desc(), "vec_id")),
+        )
+        .filter(F.col("rank") <= _MIPS_K)
+        .select("vec_id", "ip", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+l3_mips_norm_prune.__doc__ = l3_mips_norm_prune.__doc__.format(
+    _MIPS_SEED=_MIPS_SEED
+)
+
+
+# ---------------------------------------------------------------------------
+# G7: k-core (k=2) via iterative peeling
+# ---------------------------------------------------------------------------
+
+_G7_UNROLL = 8
+
+
+def _g7_oracle() -> str:
+    from chronicle_sniffer_spark.plans.round7 import _COPURCHASE_CTES
+
+    # AS MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and
+    # each round references the previous one ~5 times, so an inlined
+    # unroll re-expands the base scan 5^rounds times ("too many open
+    # files" before it even plans).  Materializing every round keeps
+    # the oracle linear in rounds, mirroring the Spark loop's
+    # localCheckpoint.
+    rounds = []
+    prev = "edges"
+    for i in range(_G7_UNROLL):
+        rounds.append(
+            f"""deg{i} AS MATERIALIZED (
+  SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+    SELECT u AS node FROM {prev} UNION ALL SELECT v AS node FROM {prev}
+  ) GROUP BY 1
+), keep{i} AS MATERIALIZED (SELECT node FROM deg{i} WHERE deg >= 2),
+e{i} AS MATERIALIZED (
+  SELECT e.u, e.v FROM {prev} e
+  JOIN keep{i} ka ON ka.node = e.u
+  JOIN keep{i} kb ON kb.node = e.v
+)"""
+        )
+        prev = f"e{i}"
+    chain = ",\n".join(rounds)
+    return f"""
+WITH {_COPURCHASE_CTES},
+{chain}
+SELECT node AS user_id, deg FROM deg{_G7_UNROLL - 1}
+WHERE deg >= 2
+"""
+
+
+@query("g7_kcore_peel", section="G2", oracle=_g7_oracle())
+def g7_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the co-purchase graph: the maximal subgraph where
+    every node keeps degree ≥ 2 — the standard peel that strips
+    tree-like appendages before community/cycle analytics (and the
+    third graph-iteration SHAPE in the catalog: a data-dependent
+    FIXPOINT loop, vs CC's logarithmic star rounds and BFS's fixed-K
+    unroll).
+
+    Each round drops nodes with degree < 2 and their edges; the loop
+    runs Spark-side until the edge count stops changing, with
+    ``localCheckpoint`` truncating lineage per round (the CC lesson).
+    Scale shape per round: one degree aggregate + two semi-joins, all
+    node/edge-keyed shuffles.  Rounds are data-dependent, so the entry
+    ASSERTS convergence within the {_G7_UNROLL} rounds the oracle
+    unrolls — if a future corpus peels deeper, the entry fails loudly
+    (the coverage5 loud-assumption discipline) instead of silently
+    diverging from its oracle."""
+    from chronicle_sniffer_spark.plans.round7 import _copurchase_edges
+
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint()
+    n_prev = edges.count()
+    for rnd in range(_G7_UNROLL):
+        deg = (
+            edges.select(F.col("u").alias("node"))
+            .unionAll(edges.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").cast("bigint").alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= 2).select("node")
+        edges = (
+            edges.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint()
+        )
+        n_now = edges.count()
+        if n_now == n_prev:
+            break
+        n_prev = n_now
+    else:
+        raise AssertionError(
+            f"2-core peel did not converge within {_G7_UNROLL} rounds — "
+            f"raise _G7_UNROLL (oracle unrolls the same depth)"
+        )
+    return (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("deg"))
+        .filter(F.col("deg") >= 2)
+        .select(F.col("node").alias("user_id"), "deg")
+    )

@@ -44,6 +44,7 @@ ACCEPTED = {
     "l3_ann_ivfpq_topk",  # same ivf._assign fold feeding the cell probe
     "l4_rrf_fusion",  # composes l3_cosine_topk, inheriting its accepted fold
     "l3_ann_sq8_topk",  # l3_cosine_topk's 1-row-query fold, over reconstructions
+    "l3_mips_norm_prune",  # same 1-row-query fold; norm fold is index-time at scale
 }
 
 # Entries allowed to contain a CartesianProduct node.  (Broadcast 1-row

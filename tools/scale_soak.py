@@ -219,6 +219,18 @@ QUERIES = (
     # round-8 fifteenth wave: clustering coefficient, sequence gaps
     "g6_clustering_coefficient",
     "o16_sequence_gaps",
+    # round-9 additions: bitmap set algebra, integer-exact stats,
+    # profile drift, template dedup, gzip scan, norm-pruned MIPS,
+    # k-core peel
+    "a23_bitmap_set_algebra",
+    "ts14_cusum_changepoint",
+    "ts15_lag_cross_correlation",
+    "ml12_ks_two_sample",
+    "dq10_profile_snapshot_diff",
+    "l7_template_dedup",
+    "s18_gzip_json_scan",
+    "l3_mips_norm_prune",
+    "g7_kcore_peel",
 )
 
 
