@@ -232,6 +232,10 @@ HEADLINE = (
     "s18_gzip_json_scan",
     "l3_mips_norm_prune",
     "g7_kcore_peel",
+    "ts16_theil_sen_slope",
+    "ml13_poisson_bootstrap_ci",
+    "dq11_snapshot_row_diff",
+    "g8_degree_powerlaw",
 )
 
 # Entries with documented ±18% round-over-round drift on identical code

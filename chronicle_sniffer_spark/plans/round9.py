@@ -820,3 +820,400 @@ def g7_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("deg") >= 2)
         .select(F.col("node").alias("user_id"), "deg")
     )
+
+
+# ---------------------------------------------------------------------------
+# TS16: Theil–Sen robust trend slope
+# ---------------------------------------------------------------------------
+
+_TS16_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+), idx AS (
+  SELECT event_type, x,
+         row_number() OVER (PARTITION BY event_type ORDER BY d) AS i
+  FROM daily
+), pairs AS (
+  SELECT a.event_type,
+         CAST(b.x - a.x AS DOUBLE) / CAST(b.i - a.i AS DOUBLE) AS slope,
+         a.i AS i, b.i AS j
+  FROM idx a JOIN idx b
+    ON a.event_type = b.event_type AND a.i < b.i
+), ranked AS (
+  SELECT event_type, slope,
+         row_number() OVER (PARTITION BY event_type ORDER BY slope, i, j) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS m
+  FROM pairs
+)
+SELECT r.event_type,
+       CAST(n.n_days AS BIGINT) AS n_days,
+       CAST(r.m AS BIGINT) AS n_pairs,
+       r.slope AS ts_slope
+FROM ranked r
+JOIN (SELECT event_type, count(*) AS n_days FROM daily GROUP BY 1) n
+  USING (event_type)
+WHERE r.rn = (r.m + 1) // 2
+"""
+
+
+@query("ts16_theil_sen_slope", section="TS4", oracle=_TS16_ORACLE)
+def ts16_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen estimator per daily series: the MEDIAN of all
+    pairwise slopes — the robust trend the OLS line (a12) is not
+    (a single spiked day moves OLS, not the pairwise median; 29%
+    breakdown point).
+
+    Exactness: each slope is ONE integer-difference division —
+    identical doubles on both engines — and the median is picked by
+    deterministic rank ((m+1) div 2 under a total (slope, i, j)
+    order), never by averaging two middles (which would add a second
+    FP op to get wrong).  Scale shape: the pair fan-out is over the
+    DAY-collapsed series (calendar-bounded — 365 days is 66k pairs
+    per series regardless of event volume); the only data-sized work
+    is the first day-grain aggregate."""
+    e = _t(spark, sf_dir, "events")
+    daily = (
+        e.select("event_type", F.date_trunc("day", "ts").alias("d"))
+        .groupBy("event_type", "d")
+        .agg(F.count("*").cast("bigint").alias("x"))
+    )
+    idx = daily.select(
+        "event_type",
+        "x",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("d"))
+        .alias("i"),
+    )
+    a = idx.select(
+        F.col("event_type"), F.col("x").alias("xa"), F.col("i").alias("i")
+    )
+    b = idx.select(
+        F.col("event_type").alias("et_b"), F.col("x").alias("xb"), F.col("i").alias("j")
+    )
+    pairs = a.join(
+        b, (F.col("event_type") == F.col("et_b")) & (F.col("i") < F.col("j"))
+    ).select(
+        "event_type",
+        (
+            (F.col("xb") - F.col("xa")).cast("double")
+            / (F.col("j") - F.col("i")).cast("double")
+        ).alias("slope"),
+        "i",
+        "j",
+    )
+    wp = Window.partitionBy("event_type")
+    ranked = pairs.select(
+        "event_type",
+        "slope",
+        F.row_number().over(wp.orderBy("slope", "i", "j")).alias("rn"),
+        F.count("*").over(wp).alias("m"),
+    )
+    n_days = daily.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_days")
+    )
+    return (
+        ranked.filter(F.col("rn") == F.expr("(m + 1) div 2"))
+        .join(F.broadcast(n_days), "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            F.col("m").cast("bigint").alias("n_pairs"),
+            F.col("slope").alias("ts_slope"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ML13: Poisson-bootstrap confidence interval
+# ---------------------------------------------------------------------------
+
+_ML13_B = 64
+_U52 = float(1 << 52)
+# cumulative Poisson(1) CDF thresholds for the inverse-CDF draw
+_POIS_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.9999167588507119,
+    0.9999897507410252,
+)
+
+
+def _pois_case_sql(u_expr: str) -> str:
+    branches = " ".join(
+        f"WHEN {u_expr} < {t!r} THEN {k}" for k, t in enumerate(_POIS_CDF)
+    )
+    return f"CASE {branches} ELSE {len(_POIS_CDF)} END"
+
+
+_ML13_ORACLE = f"""
+WITH b AS (SELECT unnest(generate_series(0, {_ML13_B - 1})) AS b),
+rows_b AS (
+  SELECT b.b, o.o_totalprice,
+         {_pois_case_sql(
+             "CAST(('0x' || substr(md5(concat(CAST(o.o_orderkey AS VARCHAR), ':',"
+             " CAST(b.b AS VARCHAR))), 1, 13))::BIGINT AS DOUBLE) / "
+             + repr(_U52)
+         )} AS w
+  FROM orders o JOIN b ON TRUE
+),
+means AS (
+  SELECT b,
+         CAST(SUM(CAST(w AS BIGINT) * CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+           / CAST(SUM(CAST(w AS BIGINT)) AS DOUBLE) AS mean_b
+  FROM rows_b GROUP BY b
+),
+ranked AS (
+  SELECT mean_b, row_number() OVER (ORDER BY mean_b, b) AS rn FROM means
+),
+pt AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS mean
+  FROM orders
+)
+SELECT pt.n_rows, pt.mean,
+       (SELECT mean_b FROM ranked WHERE rn = 2) AS ci_lo,
+       (SELECT mean_b FROM ranked WHERE rn = {_ML13_B - 1}) AS ci_hi
+FROM pt
+"""
+
+
+@query("ml13_poisson_bootstrap_ci", section="ML3", oracle=_ML13_ORACLE)
+def ml13_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 95% confidence interval for a mean — THE
+    distributed bootstrap (Chamandy et al., Google 2012): instead of
+    resampling n rows with replacement (which needs global
+    coordination), each row independently receives a Poisson(1)
+    replication weight per resample, so all B resamples ride ONE pass
+    as conditional weighted sums.
+
+    Determinism: the weight is inverse-CDF'd from 52 md5 bits of
+    (row_key ':' resample_id) — the dq3 replayable-noise idiom — with
+    the Poisson CDF thresholds as shared double literals; each
+    resample mean is an exact-decimal weighted sum over integer
+    weights divided once; the CI picks ranks 2 and {B1} of the {B}
+    sorted means (deterministic total order), never interpolates.
+
+    Scale shape: the B-fold fan-out is map-side (a broadcast range
+    join); the shuffle carries B partial-aggregate rows per partition
+    — bounded by B, independent of data volume.  The rank window runs
+    over {B} aggregated rows."""
+    o = _t(spark, sf_dir, "orders")
+    b = spark.range(0, _ML13_B).select(F.col("id").cast("int").alias("b"))
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.col("o_orderkey").cast("string"), F.col("b").cast("string")
+                    )
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .cast("double")
+        / F.lit(_U52)
+    )
+    w = F.lit(len(_POIS_CDF))
+    for k in range(len(_POIS_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(_POIS_CDF[k]), F.lit(k)).otherwise(w)
+    rows_b = o.crossJoin(F.broadcast(b)).select(
+        "b", "o_totalprice", w.cast("bigint").alias("w")
+    )
+    means = rows_b.groupBy("b").agg(
+        (
+            F.sum(F.col("w") * F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double")
+            / F.sum("w").cast("double")
+        ).alias("mean_b")
+    )
+    ranked = means.select(
+        "mean_b", F.row_number().over(Window.orderBy("mean_b", "b")).alias("rn")
+    )
+    pt = o.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double")
+            / F.count("*").cast("double")
+        ).alias("mean"),
+    )
+    lo = ranked.filter(F.col("rn") == 2).select(F.col("mean_b").alias("ci_lo"))
+    hi = ranked.filter(F.col("rn") == _ML13_B - 1).select(
+        F.col("mean_b").alias("ci_hi")
+    )
+    return pt.crossJoin(F.broadcast(lo)).crossJoin(F.broadcast(hi))
+
+
+ml13_poisson_bootstrap_ci.__doc__ = ml13_poisson_bootstrap_ci.__doc__.format(
+    B=_ML13_B, B1=_ML13_B - 1
+)
+
+
+# ---------------------------------------------------------------------------
+# DQ11: snapshot row-level diff (data diff)
+# ---------------------------------------------------------------------------
+
+_DQ11_ORACLE = """
+WITH v1 AS (
+  SELECT o_orderkey AS k, o_totalprice AS price, o_orderstatus AS status
+  FROM orders WHERE o_orderkey % 50 <> 0
+), v2 AS (
+  SELECT o_orderkey AS k,
+         CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice * 1.1
+              ELSE o_totalprice END AS price,
+         CASE WHEN o_orderkey % 17 = 0 THEN 'X' ELSE o_orderstatus END AS status
+  FROM orders WHERE o_orderkey % 71 <> 0
+), j AS (
+  SELECT v1.k AS k1, v2.k AS k2,
+         v1.price AS p1, v2.price AS p2, v1.status AS s1, v2.status AS s2
+  FROM v1 FULL OUTER JOIN v2 ON v1.k = v2.k
+), cls AS (
+  SELECT CASE WHEN k1 IS NULL THEN 'added'
+              WHEN k2 IS NULL THEN 'removed'
+              WHEN p1 <> p2 OR s1 <> s2 THEN 'changed'
+              ELSE 'unchanged' END AS diff_class,
+         CASE WHEN k1 IS NOT NULL AND k2 IS NOT NULL AND p1 <> p2
+              THEN 1 ELSE 0 END AS pc,
+         CASE WHEN k1 IS NOT NULL AND k2 IS NOT NULL AND s1 <> s2
+              THEN 1 ELSE 0 END AS sc
+  FROM j
+)
+SELECT diff_class, CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(pc) AS BIGINT) AS n_price_changed,
+       CAST(SUM(sc) AS BIGINT) AS n_status_changed
+FROM cls GROUP BY 1
+"""
+
+
+@query("dq11_snapshot_row_diff", section="DQ4", oracle=_DQ11_ORACLE)
+def dq11_snapshot_row_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level data diff between two table snapshots — the
+    added/removed/changed/unchanged report (with per-COLUMN change
+    attribution) that migration sign-offs and CDC reconciliations run.
+    The snapshots are deterministic derivations of ``orders`` (a key
+    filter plus planted price/status mutations), so the diff has known
+    non-empty classes to find.
+
+    Exactness: the planted price change is ONE double multiply,
+    identical on both engines, so the inequality classification can't
+    flake.  Scale shape: one full-outer hash join on the primary key
+    (the unavoidable shape of a row diff) followed by a one-pass
+    conditional aggregate; at 100 TB the join co-partitions both
+    snapshots by key — no row ships twice."""
+    o = _t(spark, sf_dir, "orders")
+    v1 = o.filter(F.col("o_orderkey") % 50 != 0).select(
+        F.col("o_orderkey").alias("k1"),
+        F.col("o_totalprice").alias("p1"),
+        F.col("o_orderstatus").alias("s1"),
+    )
+    v2 = o.filter(F.col("o_orderkey") % 71 != 0).select(
+        F.col("o_orderkey").alias("k2"),
+        F.when(
+            F.col("o_orderkey") % 13 == 0, F.col("o_totalprice") * F.lit(1.1)
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("p2"),
+        F.when(F.col("o_orderkey") % 17 == 0, F.lit("X"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("s2"),
+    )
+    j = v1.join(v2, v1.k1 == v2.k2, "full_outer")
+    both = F.col("k1").isNotNull() & F.col("k2").isNotNull()
+    cls = j.select(
+        F.when(F.col("k1").isNull(), "added")
+        .when(F.col("k2").isNull(), "removed")
+        .when(
+            (F.col("p1") != F.col("p2")) | (F.col("s1") != F.col("s2")), "changed"
+        )
+        .otherwise("unchanged")
+        .alias("diff_class"),
+        F.when(both & (F.col("p1") != F.col("p2")), 1).otherwise(0).alias("pc"),
+        F.when(both & (F.col("s1") != F.col("s2")), 1).otherwise(0).alias("sc"),
+    )
+    return cls.groupBy("diff_class").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("pc").cast("bigint").alias("n_price_changed"),
+        F.sum("sc").cast("bigint").alias("n_status_changed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# G8: degree power-law exponent (MLE)
+# ---------------------------------------------------------------------------
+
+_G8_XMIN = 2
+
+
+def _g8_oracle() -> str:
+    from chronicle_sniffer_spark.plans.round7 import _COPURCHASE_CTES
+
+    return f"""
+WITH {_COPURCHASE_CTES},
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+    SELECT u AS node FROM edges UNION ALL SELECT v AS node FROM edges
+  ) GROUP BY 1
+), tail AS (
+  SELECT d FROM deg WHERE d >= {_G8_XMIN}
+), q AS (
+  SELECT CAST(round(ln(CAST(d AS DOUBLE) / {_G8_XMIN}.0), 9) AS DECIMAL(28,9)) AS qln
+  FROM tail
+)
+SELECT CAST((SELECT count(*) FROM tail) AS BIGINT) AS n_tail,
+       CAST({_G8_XMIN} AS INT) AS xmin,
+       round(CAST(1.0 AS DOUBLE)
+             + CAST((SELECT count(*) FROM tail) AS DOUBLE)
+               / CAST((SELECT SUM(qln) FROM q) AS DOUBLE), 6) AS alpha
+"""
+
+
+@query("g8_degree_powerlaw", section="G2", oracle=_g8_oracle())
+def g8_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-law exponent of the co-purchase degree distribution via
+    the continuous MLE α = 1 + n / Σ ln(dᵢ/x_min) (Clauset–Shalizi–
+    Newman 2009) — the one-number heavy-tail diagnostic that decides
+    whether a graph needs skew handling (α ≲ 2.5 means celebrity nodes
+    WILL dominate joins).
+
+    Determinism: Σ ln(...) is a double accumulation — the exact hazard
+    the temperature-mix fix removed — so each ln is QUANTIZED to 9 dp
+    per term (the dq3/surprisal discipline) and summed as exact
+    DECIMAL(28,9): the sum is order-independent, and the final
+    1 + n/Σ is one shared double expression.  Scale shape: degree agg
+    + one scan of the degree relation (node-sized, not edge-sized)."""
+    from chronicle_sniffer_spark.plans.round7 import _copurchase_edges
+
+    edges = _copurchase_edges(spark, sf_dir)
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("d"))
+    )
+    tail = deg.filter(F.col("d") >= _G8_XMIN)
+    q = tail.select(
+        F.round(F.log(F.col("d").cast("double") / F.lit(float(_G8_XMIN))), 9)
+        .cast("decimal(28,9)")
+        .alias("qln")
+    )
+    agg = tail.agg(F.count("*").cast("bigint").alias("n_tail")).crossJoin(
+        q.agg(F.sum("qln").alias("s"))
+    )
+    return agg.select(
+        "n_tail",
+        F.lit(_G8_XMIN).cast("int").alias("xmin"),
+        F.round(
+            F.lit(1.0) + F.col("n_tail").cast("double") / F.col("s").cast("double"),
+            6,
+        ).alias("alpha"),
+    )

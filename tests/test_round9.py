@@ -208,3 +208,94 @@ def test_ts15_moments_match_python(spark):
     for r in rows:
         assert -1.0 <= r.r <= 1.0
         assert r.n > 0
+
+
+def test_ts16_theil_sen_matches_python_median_of_slopes(spark):
+    from fractions import Fraction
+
+    from chronicle_sniffer_spark.plans import registry
+    from chronicle_sniffer_spark.tables import load_table
+
+    daily = (
+        load_table(spark, SF, "events")
+        .select("event_type", F.date_trunc("day", "ts").alias("d"))
+        .groupBy("event_type", "d")
+        .count()
+        .collect()
+    )
+    series: dict[str, list] = {}
+    for r in daily:
+        series.setdefault(r.event_type, []).append((r.d, r["count"]))
+    want = {}
+    for et, pts in series.items():
+        pts.sort()
+        xs = [x for _d, x in pts]
+        slopes = sorted(
+            (Fraction(xs[j] - xs[i], j - i), i + 1, j + 1)
+            for i in range(len(xs))
+            for j in range(i + 1, len(xs))
+        )
+        m = len(slopes)
+        med = slopes[(m + 1) // 2 - 1][0]
+        want[et] = (len(xs), m, float(med.numerator) / float(med.denominator))
+    got = {
+        r.event_type: (r.n_days, r.n_pairs, r.ts_slope)
+        for r in registry()["ts16_theil_sen_slope"].spark_fn(spark, SF).collect()
+    }
+    # slope doubles: both sides compute int/int in double — exact match
+    assert got == want
+
+
+def test_ml13_bootstrap_ci_brackets_the_mean_and_is_deterministic(spark):
+    from chronicle_sniffer_spark.plans import registry
+
+    fn = registry()["ml13_poisson_bootstrap_ci"].spark_fn
+    r1 = fn(spark, SF).collect()[0]
+    r2 = fn(spark, SF).collect()[0]
+    assert r1 == r2  # hash-seeded weights: same corpus -> same CI
+    assert r1.ci_lo <= r1.mean <= r1.ci_hi
+    assert r1.ci_lo < r1.ci_hi
+
+
+def test_dq11_diff_classes_are_consistent(spark):
+    from chronicle_sniffer_spark.plans import registry
+    from chronicle_sniffer_spark.tables import load_table
+
+    rows = {
+        r.diff_class: r
+        for r in registry()["dq11_snapshot_row_diff"].spark_fn(spark, SF).collect()
+    }
+    o = load_table(spark, SF, "orders")
+    n = o.count()
+    n_v1 = o.filter("o_orderkey % 50 != 0").count()
+    n_v2 = o.filter("o_orderkey % 71 != 0").count()
+    total = sum(r.n for r in rows.values())
+    # every key present in either snapshot is classified exactly once
+    n_union = o.filter("o_orderkey % 50 != 0 OR o_orderkey % 71 != 0").count()
+    assert total == n_union
+    assert rows["added"].n == n_v2 - o.filter(
+        "o_orderkey % 50 != 0 AND o_orderkey % 71 != 0"
+    ).count()
+    ch = rows["changed"]
+    # column attribution: every changed row changed price, status, or both
+    assert ch.n <= ch.n_price_changed + ch.n_status_changed
+    assert rows["unchanged"].n_price_changed == 0
+    assert rows["unchanged"].n_status_changed == 0
+
+
+def test_g8_alpha_matches_python_mle(spark):
+    import math as m
+
+    from chronicle_sniffer_spark.plans import registry
+    from chronicle_sniffer_spark.plans.round7 import _copurchase_edges
+
+    deg: dict[int, int] = {}
+    for r in _copurchase_edges(spark, SF).collect():
+        deg[r.u] = deg.get(r.u, 0) + 1
+        deg[r.v] = deg.get(r.v, 0) + 1
+    tail = [d for d in deg.values() if d >= 2]
+    s = sum(round(m.log(d / 2.0), 9) for d in tail)
+    want = round(1.0 + len(tail) / s, 6)
+    row = registry()["g8_degree_powerlaw"].spark_fn(spark, SF).collect()[0]
+    assert (row.n_tail, row.xmin) == (len(tail), 2)
+    assert abs(row.alpha - want) < 2e-6  # per-term 9dp quantization slack
