@@ -236,6 +236,7 @@ HEADLINE = (
     "ml13_poisson_bootstrap_ci",
     "dq11_snapshot_row_diff",
     "g8_degree_powerlaw",
+    "o18_incremental_sessionize",
 )
 
 # Entries with documented ±18% round-over-round drift on identical code

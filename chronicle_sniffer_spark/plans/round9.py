@@ -1217,3 +1217,162 @@ def g8_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("alpha"),
     )
+
+
+# ---------------------------------------------------------------------------
+# O18: incremental sessionization (merge new events into stored sessions)
+# ---------------------------------------------------------------------------
+
+def o18_cutoff_micros(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-row relation: the cutoff (epoch micros) splitting events into
+    base and delta.  Chosen as the LATEST event timestamp whose
+    predecessor (same user) is within the session gap — i.e. a cutoff
+    that lands strictly inside a session, so the base/delta split is
+    GUARANTEED to sever at least one stored session that the
+    incremental merge must re-bridge (a fixed calendar cutoff on this
+    sparse corpus severed nothing, making the oracle equality
+    vacuous).  In production the cutoff is simply yesterday's
+    watermark; data-deriving it here is test-harness rigor, not part
+    of the operator."""
+    from chronicle_sniffer_spark.plans.coverage5 import SESSION_GAP_MIN
+
+    gap_us = SESSION_GAP_MIN * 60 * 1000000
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag(us).over(w)
+    return (
+        e.select(us.alias("t"), prev.alias("p"))
+        .filter(F.col("p").isNotNull() & ((F.col("t") - F.col("p")) <= gap_us)
+                & (F.col("t") > F.col("p")))
+        .agg(F.max("t").alias("cutoff_us"))
+    )
+
+
+def _o18_oracle() -> str:
+    from chronicle_sniffer_spark.plans.coverage5 import SESSION_GAP_MIN
+
+    return f"""
+WITH marked AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                      > {SESSION_GAP_MIN} * 60 * 1000000
+              THEN 1 ELSE 0 END AS is_start
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts,
+         sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id,
+       CAST(min(ts) AS TIMESTAMP) AS session_start,
+       CAST(max(ts) AS TIMESTAMP) AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM sess GROUP BY user_id, sid
+"""
+
+
+@query("o18_incremental_sessionize", section="O10", oracle=_o18_oracle())
+def o18_incremental_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental sessionization: merge TODAY'S events into the
+    STORED session table without re-sessionizing history — the session
+    twin of o10's incremental aggregate refresh, and the 100 TB shape
+    (a day's delta is ~1/1000 of history; full re-sessionization
+    re-shuffles everything for nothing).
+
+    Mechanism: base sessions (events before the cutoff) collapse to
+    [start, end, n] intervals; the delta's AFFECTED USERS (semi-join)
+    get their base intervals + delta points re-merged by the ts12
+    interval-union-with-gap pass; untouched users' sessions pass
+    through byte-identical.  Correctness is not assumed — the ORACLE
+    IS THE FULL RECOMPUTE over all events, so the driver gate proves
+    incremental ≡ full on every run.  The proof sketch the equality
+    rests on: a stored session's internal gaps are ≤ G by
+    construction, so collapsing it to an interval preserves every
+    merge decision; delta events all sort after base intervals (the
+    cutoff orders them), so the interval-union's
+    start > max(end)+G island test asks exactly the questions full
+    sessionization would.
+
+    Scale shape: one user-keyed shuffle over the DELTA plus a
+    semi-join pull of affected users' stored sessions (session-table
+    sized, not event-history sized); untouched users never move."""
+    from chronicle_sniffer_spark.plans.coverage5 import SESSION_GAP_MIN
+
+    gap_us = SESSION_GAP_MIN * 60 * 1000000
+    e = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    ecut = e.crossJoin(F.broadcast(o18_cutoff_micros(spark, sf_dir)))
+    base_ev = ecut.filter(us < F.col("cutoff_us"))
+    delta_ev = ecut.filter(us >= F.col("cutoff_us"))
+
+    # --- stored session table (what a warehouse would have on disk) ---
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag(us).over(w)
+    marked = base_ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(prev.isNull() | ((us - prev) > gap_us), 1).otherwise(0).alias("st"),
+    )
+    wrun = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    base_sessions = (
+        marked.select("user_id", "ts", F.sum("st").over(wrun).alias("sid"))
+        .groupBy("user_id", "sid")
+        .agg(
+            F.unix_micros(F.min("ts").cast("timestamp")).alias("s"),
+            F.unix_micros(F.max("ts").cast("timestamp")).alias("e"),
+            F.count("*").cast("bigint").alias("n"),
+        )
+        .drop("sid")
+    )
+
+    # --- incremental merge for affected users only ---
+    affected = delta_ev.select("user_id").distinct()
+    touched_base = base_sessions.join(affected, "user_id", "left_semi")
+    untouched = base_sessions.join(affected, "user_id", "left_anti")
+    items = touched_base.unionByName(
+        delta_ev.select(
+            "user_id", us.alias("s"), us.alias("e"), F.lit(1).cast("bigint").alias("n")
+        )
+    )
+    wi = Window.partitionBy("user_id").orderBy("s", "e")
+    run_end = F.max("e").over(
+        Window.partitionBy("user_id").orderBy("s", "e").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+    )
+    flagged = items.select(
+        "user_id",
+        "s",
+        "e",
+        "n",
+        F.when(run_end.isNull() | (F.col("s") > run_end + gap_us), 1)
+        .otherwise(0)
+        .alias("st"),
+    )
+    wrun2 = wi.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    merged = (
+        flagged.select(
+            "user_id", "s", "e", "n", F.sum("st").over(wrun2).alias("island")
+        )
+        .groupBy("user_id", "island")
+        .agg(
+            F.min("s").alias("s"),
+            F.max("e").alias("e"),
+            F.sum("n").cast("bigint").alias("n"),
+        )
+        .drop("island")
+    )
+    return untouched.unionByName(merged).select(
+        "user_id",
+        F.timestamp_micros(F.col("s")).alias("session_start"),
+        F.timestamp_micros(F.col("e")).alias("session_end"),
+        F.col("n").alias("n_events"),
+    )

@@ -106,10 +106,10 @@ def test_ts14_integer_scaling_matches_rational_cusum(spark):
         best = None
         for d, x in pts:
             s += x - mean
-            key = (abs(s), )
-            if best is None or abs(s) > best[0] or (abs(s) == best[0] and d < best[1]):
-                if best is None or abs(s) > best[0]:
-                    best = (abs(s), d, s)
+            # strict > keeps the EARLIEST day among equal maxima, the
+            # entry's (abs desc, d asc) tie-break
+            if best is None or abs(s) > best[0]:
+                best = (abs(s), d, s)
         want[et] = (best[1], int(best[2] * n))
     got = {
         r.event_type: (r.change_day, r.cusum_scaled)
@@ -299,3 +299,31 @@ def test_g8_alpha_matches_python_mle(spark):
     row = registry()["g8_degree_powerlaw"].spark_fn(spark, SF).collect()[0]
     assert (row.n_tail, row.xmin) == (len(tail), 2)
     assert abs(row.alpha - want) < 2e-6  # per-term 9dp quantization slack
+
+
+def test_o18_incremental_merge_is_not_vacuous(spark):
+    """The incremental≡full oracle equality is only meaningful if the
+    merge machinery actually DOES something: at least one delta event
+    must extend or bridge a stored base session (a session spanning
+    the cutoff), and untouched users must exist and pass through."""
+    from chronicle_sniffer_spark.plans import registry
+    from chronicle_sniffer_spark.plans.round9 import o18_cutoff_micros
+    from chronicle_sniffer_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.01"
+    out = registry()["o18_incremental_sessionize"].spark_fn(spark, sf)
+    cut_us = o18_cutoff_micros(spark, sf).collect()[0].cutoff_us
+    spanning = out.filter(
+        (F.unix_micros("session_start") < cut_us)
+        & (F.unix_micros("session_end") >= cut_us)
+    ).count()
+    assert spanning > 0, "no session spans the cutoff — merge path untested"
+    e = load_table(spark, sf, "events")
+    delta_users = {
+        r.user_id
+        for r in e.filter(
+            F.unix_micros(F.col("ts").cast("timestamp")) >= cut_us
+        ).select("user_id").distinct().collect()
+    }
+    all_users = {r.user_id for r in e.select("user_id").distinct().collect()}
+    assert all_users - delta_users, "every user touched — untouched path untested"

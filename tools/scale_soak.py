@@ -235,6 +235,7 @@ QUERIES = (
     "ml13_poisson_bootstrap_ci",
     "dq11_snapshot_row_diff",
     "g8_degree_powerlaw",
+    "o18_incremental_sessionize",
 )
 
 
