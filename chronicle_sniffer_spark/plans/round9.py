@@ -930,7 +930,6 @@ def ts16_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _ML13_B = 64
-_U52 = float(1 << 52)
 # cumulative Poisson(1) CDF thresholds for the inverse-CDF draw
 _POIS_CDF = (
     0.36787944117144233,
@@ -951,14 +950,16 @@ def _pois_case_sql(u_expr: str) -> str:
     return f"CASE {branches} ELSE {len(_POIS_CDF)} END"
 
 
+_U15 = float(1 << 15)
+
 _ML13_ORACLE = f"""
 WITH b AS (SELECT unnest(generate_series(0, {_ML13_B - 1})) AS b),
 rows_b AS (
   SELECT b.b, o.o_totalprice,
          {_pois_case_sql(
-             "CAST(('0x' || substr(md5(concat(CAST(o.o_orderkey AS VARCHAR), ':',"
-             " CAST(b.b AS VARCHAR))), 1, 13))::BIGINT AS DOUBLE) / "
-             + repr(_U52)
+             "CAST(((('0x' || substr(md5(concat(CAST(o.o_orderkey AS VARCHAR), ':',"
+             " CAST(b.b // 4 AS VARCHAR))), 1, 15))::BIGINT"
+             " >> (15 * (b.b % 4))) & 32767) AS DOUBLE) / " + repr(_U15)
          )} AS w
   FROM orders o JOIN b ON TRUE
 ),
@@ -993,50 +994,76 @@ def ml13_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     replication weight per resample, so all B resamples ride ONE pass
     as conditional weighted sums.
 
-    Determinism: the weight is inverse-CDF'd from 52 md5 bits of
-    (row_key ':' resample_id) — the dq3 replayable-noise idiom — with
-    the Poisson CDF thresholds as shared double literals; each
-    resample mean is an exact-decimal weighted sum over integer
-    weights divided once; the CI picks ranks 2 and {B1} of the {B}
-    sorted means (deterministic total order), never interpolates.
+    Determinism: each weight is inverse-CDF'd from a 15-bit slice of
+    one 60-bit md5-derived integer per draw group — the dq3
+    replayable-noise idiom, with FOUR draws shift/masked out of each
+    digest so a row pays 16 hashes + 16 hex parses for its {B}
+    weights, not {B} — with the Poisson CDF thresholds as
+    shared double literals; each resample mean is an exact-decimal
+    weighted sum over integer weights divided once; the CI picks ranks
+    2 and {B1} of the {B} sorted means (deterministic total order),
+    never interpolates.
 
-    Scale shape: the B-fold fan-out is map-side (a broadcast range
-    join); the shuffle carries B partial-aggregate rows per partition
-    — bounded by B, independent of data volume.  The rank window runs
-    over {B} aggregated rows."""
+    Scale shape: a TRUE one-pass — no B-fold row fan-out at all.  All
+    {B} weighted sums ride one aggregate as 2·{B} conditional columns
+    (the first draft cross-joined a B-row relation and shuffled B×N
+    rows; this shape shuffles ONE 128-column partial-agg row per
+    partition).  The rank window runs over {B} unpivoted rows."""
     o = _t(spark, sf_dir, "orders")
-    b = spark.range(0, _ML13_B).select(F.col("id").cast("int").alias("b"))
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat_ws(
-                        ":", F.col("o_orderkey").cast("string"), F.col("b").cast("string")
-                    )
-                ),
-                1,
-                13,
-            ),
-            16,
-            10,
-        )
-        .cast("bigint")
-        .cast("double")
-        / F.lit(_U52)
+    key = F.col("o_orderkey").cast("string")
+    n_groups = (_ML13_B + 3) // 4
+    # ONE hex parse per digest: 15 hex chars = 60 uniform bits = four
+    # 15-bit draws extracted by shift/mask — the expensive per-draw
+    # string ops (substring+conv ×B) collapse to n_groups integer ops
+    t1 = o.select(
+        F.col("o_totalprice").cast("decimal(18,4)").alias("p"),
+        *[
+            F.conv(
+                F.substring(F.md5(F.concat_ws(":", key, F.lit(str(g)))), 1, 15),
+                16,
+                10,
+            )
+            .cast("bigint")
+            .alias(f"v{g}")
+            for g in range(n_groups)
+        ],
     )
-    w = F.lit(len(_POIS_CDF))
-    for k in range(len(_POIS_CDF) - 1, -1, -1):
-        w = F.when(u < F.lit(_POIS_CDF[k]), F.lit(k)).otherwise(w)
-    rows_b = o.crossJoin(F.broadcast(b)).select(
-        "b", "o_totalprice", w.cast("bigint").alias("w")
-    )
-    means = rows_b.groupBy("b").agg(
-        (
-            F.sum(F.col("w") * F.col("o_totalprice").cast("decimal(18,4)"))
+
+    def w_col(b: int):
+        g, k = divmod(b, 4)
+        u = (
+            F.shiftright(F.col(f"v{g}"), 15 * k)
+            .bitwiseAND(F.lit(32767))
             .cast("double")
-            / F.sum("w").cast("double")
-        ).alias("mean_b")
-    )
+            / F.lit(_U15)
+        )
+        w = F.lit(len(_POIS_CDF))
+        for i in range(len(_POIS_CDF) - 1, -1, -1):
+            w = F.when(u < F.lit(_POIS_CDF[i]), F.lit(i)).otherwise(w)
+        return w.cast("bigint")
+
+    t2 = t1.select("p", *[w_col(b).alias(f"w{b}") for b in range(_ML13_B)])
+    aggs = []
+    for b in range(_ML13_B):
+        aggs.append(F.sum(F.col(f"w{b}") * F.col("p")).alias(f"s{b}"))
+        aggs.append(F.sum(f"w{b}").alias(f"c{b}"))
+    wide = t2.agg(*aggs)
+    means = wide.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("b"),
+                        (
+                            F.col(f"s{b}").cast("double")
+                            / F.col(f"c{b}").cast("double")
+                        ).alias("mean_b"),
+                    )
+                    for b in range(_ML13_B)
+                ]
+            )
+        ).alias("x")
+    ).select("x.b", "x.mean_b")
     ranked = means.select(
         "mean_b", F.row_number().over(Window.orderBy("mean_b", "b")).alias("rn")
     )
