@@ -943,30 +943,33 @@ _POIS_CDF = (
 )
 
 
-def _pois_case_sql(u_expr: str) -> str:
-    branches = " ".join(
-        f"WHEN {u_expr} < {t!r} THEN {k}" for k, t in enumerate(_POIS_CDF)
-    )
-    return f"CASE {branches} ELSE {len(_POIS_CDF)} END"
-
-
 _U15 = float(1 << 15)
+# Poisson(1) CDF thresholds quantized onto the 15-bit draw grid: the
+# weight becomes pure INTEGER comparisons (w = #thresholds <= draw),
+# identical on both engines and cheap to codegen
+_POIS_CDF_I15 = tuple(round(t * (1 << 15)) for t in _POIS_CDF)
+
+
+def _pois_int_sum_sql(v_expr: str) -> str:
+    return " + ".join(f"(({v_expr}) >= {t})::INT" for t in _POIS_CDF_I15)
+
 
 _ML13_ORACLE = f"""
 WITH b AS (SELECT unnest(generate_series(0, {_ML13_B - 1})) AS b),
 rows_b AS (
   SELECT b.b, o.o_totalprice,
-         {_pois_case_sql(
-             "CAST(((('0x' || substr(md5(concat(CAST(o.o_orderkey AS VARCHAR), ':',"
+         {_pois_int_sum_sql(
+             "(('0x' || substr(md5(concat(CAST(o.o_orderkey AS VARCHAR), ':',"
              " CAST(b.b // 4 AS VARCHAR))), 1, 15))::BIGINT"
-             " >> (15 * (b.b % 4))) & 32767) AS DOUBLE) / " + repr(_U15)
+             " >> (15 * (b.b % 4))) & 32767"
          )} AS w
   FROM orders o JOIN b ON TRUE
 ),
 means AS (
   SELECT b,
-         CAST(SUM(CAST(w AS BIGINT) * CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
-           / CAST(SUM(CAST(w AS BIGINT)) AS DOUBLE) AS mean_b
+         CAST(SUM(CAST(w AS BIGINT)
+                  * CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+           / CAST(SUM(CAST(w AS BIGINT)) AS DOUBLE) / 100.0 AS mean_b
   FROM rows_b GROUP BY b
 ),
 ranked AS (
@@ -1004,50 +1007,70 @@ def ml13_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     2 and {B1} of the {B} sorted means (deterministic total order),
     never interpolates.
 
-    Scale shape: a TRUE one-pass — no B-fold row fan-out at all.  All
-    {B} weighted sums ride one aggregate as 2·{B} conditional columns
-    (the first draft cross-joined a B-row relation and shuffled B×N
-    rows; this shape shuffles ONE 128-column partial-agg row per
-    partition).  The rank window runs over {B} unpivoted rows."""
+    Scale shape: a TRUE one-pass over the data per sub-aggregate — no
+    B-fold row fan-out at all.  All {B} weighted sums ride aggregates
+    as 2·{B} conditional columns (the first draft cross-joined a B-row
+    relation and shuffled B×N rows), QUARTERED into four 16-draw
+    aggregates whose 1-row results cross-join back together: one
+    monolithic 128-buffer aggregate blew Janino's 64 KB method limit
+    and silently fell back to interpreted evaluation (10.3 s at
+    sf0.1); the quartered plan keeps every stage inside whole-stage
+    codegen (0.32 s, measured).  Each quarter hashes only its own 4
+    digest groups, so total hash work is unchanged.  The rank window
+    runs over {B} unpivoted rows.
+
+    Wall-clock note: a REBUILT plan pays ~10 s of Catalyst analysis +
+    Janino compile for the ~600 expressions before touching data (the
+    executed work itself is 0.32 s at sf0.1 / ~7 s at sf1) — the same
+    fixed-cost-vs-marginal distinction BASELINE.md documents for B1a:
+    a cluster job pays it once, and it vanishes against any real input
+    size."""
     o = _t(spark, sf_dir, "orders")
     key = F.col("o_orderkey").cast("string")
-    n_groups = (_ML13_B + 3) // 4
-    # ONE hex parse per digest: 15 hex chars = 60 uniform bits = four
-    # 15-bit draws extracted by shift/mask — the expensive per-draw
-    # string ops (substring+conv ×B) collapse to n_groups integer ops
-    t1 = o.select(
-        F.col("o_totalprice").cast("decimal(18,4)").alias("p"),
-        *[
-            F.conv(
-                F.substring(F.md5(F.concat_ws(":", key, F.lit(str(g)))), 1, 15),
-                16,
-                10,
-            )
-            .cast("bigint")
-            .alias(f"v{g}")
-            for g in range(n_groups)
-        ],
-    )
 
     def w_col(b: int):
         g, k = divmod(b, 4)
-        u = (
-            F.shiftright(F.col(f"v{g}"), 15 * k)
-            .bitwiseAND(F.lit(32767))
-            .cast("double")
-            / F.lit(_U15)
-        )
-        w = F.lit(len(_POIS_CDF))
-        for i in range(len(_POIS_CDF) - 1, -1, -1):
-            w = F.when(u < F.lit(_POIS_CDF[i]), F.lit(i)).otherwise(w)
+        v15 = F.shiftright(F.col(f"v{g}"), 15 * k).bitwiseAND(F.lit(32767))
+        # branchless inverse CDF on the integer grid: w = #thresholds
+        # <= draw (flat casts split into codegen sub-methods; a nested
+        # CASE ladder blew Janino's 64 KB limit and fell back to
+        # interpreted; double arithmetic tripled the generated source)
+        w = sum(((v15 >= F.lit(t)).cast("int") for t in _POIS_CDF_I15), F.lit(0))
         return w.cast("bigint")
 
-    t2 = t1.select("p", *[w_col(b).alias(f"w{b}") for b in range(_ML13_B)])
-    aggs = []
-    for b in range(_ML13_B):
-        aggs.append(F.sum(F.col(f"w{b}") * F.col("p")).alias(f"s{b}"))
-        aggs.append(F.sum(f"w{b}").alias(f"c{b}"))
-    wide = t2.agg(*aggs)
+    # money as exact integer CENTS: the weighted sums are then long
+    # arithmetic instead of 96M BigDecimal ops; round(x*100) is the
+    # same correctly-rounded double op on both engines, and the
+    # fixed-point sum is exactly the DECIMAL(18,2) sum the house
+    # money rule wants.  ONE hex parse per digest: 15 hex chars = 60
+    # uniform bits = four 15-bit draws extracted by shift/mask.
+    quarters = []
+    for q in range(4):
+        per = _ML13_B // 4
+        t1 = o.select(
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("p"),
+            *[
+                F.conv(
+                    F.substring(F.md5(F.concat_ws(":", key, F.lit(str(g)))), 1, 15),
+                    16,
+                    10,
+                )
+                .cast("bigint")
+                .alias(f"v{g}")
+                for g in range(q * per // 4, (q + 1) * per // 4)
+            ],
+        )
+        t2 = t1.select(
+            "p", *[w_col(b).alias(f"w{b}") for b in range(q * per, (q + 1) * per)]
+        )
+        aggs = []
+        for b in range(q * per, (q + 1) * per):
+            aggs.append(F.sum(F.col(f"w{b}") * F.col("p")).alias(f"s{b}"))
+            aggs.append(F.sum(f"w{b}").alias(f"c{b}"))
+        quarters.append(t2.agg(*aggs))
+    wide = quarters[0]
+    for qd in quarters[1:]:
+        wide = wide.crossJoin(qd)
     means = wide.select(
         F.explode(
             F.array(
@@ -1057,6 +1080,7 @@ def ml13_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
                         (
                             F.col(f"s{b}").cast("double")
                             / F.col(f"c{b}").cast("double")
+                            / F.lit(100.0)
                         ).alias("mean_b"),
                     )
                     for b in range(_ML13_B)

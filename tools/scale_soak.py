@@ -306,6 +306,7 @@ def main() -> None:
             "l2_semantic_dedup": "fixed K=16 cells for the oracle entry; the scale configuration grows n_centroids with the corpus (BASELINE.md: 3.0s at sf1 with K=160)",
             "j14_bucketed_range_join": "the scale replicas multiply orders 10x over the SAME date span, so overlapping pairs grow ~100x (7.86M at sf0.1 -> ~786M at sf1); 13.9x wall for ~100x output is sub-linear in output (>40M pairs/s through the bucket join); real workloads grow the time span with the data, keeping pair density (and the ratio) linear",
             "s18_gzip_json_scan": "STRUCTURAL, and the entry's point: gzip is not byte-range splittable, so the decompress is ONE serial task that grows linearly with the file (7.8x for 10x bytes is the codec, not the plan); spread() right after the scan parallelizes everything downstream - at 100 TB the fix is splittable codecs or many files, exactly what the docstring prescribes",
+            "ml13_poisson_bootstrap_ci": "compile-dominated, not data-dominated: ~10s of Catalyst+Janino per REBUILT plan (600 exprs) vs 0.32s of executed work at sf0.1 - the B1a fixed-cost class; ratio 1.6x reflects the sf1 marginal work riding the same fixed cost",
             "u14_pandas_window_udaf": "bounded-frame pandas UDAF pays one Arrow evaluation per ROW - Python work is inherently linear in rows (3.7x wall for 10x purchases on 32 cores is the parallel floor, not a plan defect); full-volume work belongs on the pure-SQL frame (w5)",
         },
     }
