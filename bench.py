@@ -237,6 +237,9 @@ HEADLINE = (
     "dq11_snapshot_row_diff",
     "g8_degree_powerlaw",
     "o18_incremental_sessionize",
+    "w7_rolling_median",
+    "ts17_mase_backtest",
+    "ml14_feature_hash_score",
 )
 
 # Entries with documented ±18% round-over-round drift on identical code

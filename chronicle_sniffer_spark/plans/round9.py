@@ -1427,3 +1427,211 @@ def o18_incremental_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.timestamp_micros(F.col("e")).alias("session_end"),
         F.col("n").alias("n_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# W7: rolling exact median (order-statistic window)
+# ---------------------------------------------------------------------------
+
+_W7_ORACLE = """
+WITH v AS (
+  SELECT user_id, ts, event_id,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+       median(cents) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS med_cents
+FROM v
+"""
+
+
+@query("w7_rolling_median", section="W3", oracle=_W7_ORACLE)
+def w7_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling EXACT median over the trailing 7 events per user — the
+    robust smoother (unlike the W3 moving mean, one spiked purchase
+    cannot drag it).  An order statistic has no incremental
+    accumulator, so the frame is deliberately ROWS-bounded: each
+    evaluation sorts O(7), total O(n·w log w) per key, embarrassingly
+    parallel across users.
+
+    Cross-engine exactness: the median interpolates the two middle
+    values on even counts — on DOUBLES that midpoint can differ in the
+    last ulp between engines' formulas, so the value is integer CENTS
+    first: (a+b)/2 of two bigints is exactly representable and both
+    engines' interpolations collapse to the same double.  (Spark
+    rejects ``median`` with an explicit frame; ``percentile(x, 0.5)``
+    is the same exact order statistic and frames fine.)"""
+    e = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return e.select(
+        "user_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.expr("percentile(CAST(round(value * 100) AS BIGINT), 0.5)")
+        .over(w)
+        .alias("med_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TS17: seasonal-naive forecast backtest (MASE)
+# ---------------------------------------------------------------------------
+
+_TS17_SEASON = 7  # weekly seasonality on daily series
+
+_TS17_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+), lagged AS (
+  SELECT event_type, x,
+         lag(x, {_TS17_SEASON}) OVER w AS x_season,
+         lag(x, 1) OVER w AS x_prev
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY d)
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_eval,
+       CAST(SUM(abs(x - x_season)) AS BIGINT) AS ae_seasonal,
+       CAST(SUM(abs(x - x_prev)) AS BIGINT) AS ae_naive,
+       CAST(SUM(abs(x - x_season)) AS DOUBLE)
+         / CAST(SUM(abs(x - x_prev)) AS DOUBLE) AS mase
+FROM lagged
+WHERE x_season IS NOT NULL AND x_prev IS NOT NULL
+GROUP BY event_type
+"""
+
+
+@query("ts17_mase_backtest", section="TS4", oracle=_TS17_ORACLE)
+def ts17_mase_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast backtesting: score the SEASONAL-NAIVE forecast (value
+    one week ago) against the random-walk baseline with MASE — the
+    scale-free forecast-quality metric (Hyndman–Koehler 2006) every
+    capacity-planning pipeline reports before trusting a model.
+    MASE < 1 means weekly seasonality genuinely predicts the series.
+
+    Exactness: both absolute-error sums are BIGINTs over integer daily
+    counts; MASE is one shared double division.  Scale shape: the
+    day-grain aggregate collapses event volume; two lag windows ride
+    ONE series-partitioned sort."""
+    e = _t(spark, sf_dir, "events")
+    daily = (
+        e.select("event_type", F.date_trunc("day", "ts").alias("d"))
+        .groupBy("event_type", "d")
+        .agg(F.count("*").cast("bigint").alias("x"))
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    lagged = daily.select(
+        "event_type",
+        "x",
+        F.lag("x", _TS17_SEASON).over(w).alias("x_season"),
+        F.lag("x", 1).over(w).alias("x_prev"),
+    ).filter(F.col("x_season").isNotNull() & F.col("x_prev").isNotNull())
+    return lagged.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_eval"),
+        F.sum(F.abs(F.col("x") - F.col("x_season"))).cast("bigint").alias("ae_seasonal"),
+        F.sum(F.abs(F.col("x") - F.col("x_prev"))).cast("bigint").alias("ae_naive"),
+        (
+            F.sum(F.abs(F.col("x") - F.col("x_season"))).cast("double")
+            / F.sum(F.abs(F.col("x") - F.col("x_prev"))).cast("double")
+        ).alias("mase"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ML14: hashing-trick featurization + linear scoring
+# ---------------------------------------------------------------------------
+
+_ML14_BUCKETS = 1024
+_ML14_WSCALE = 1_000_000
+
+
+_ML14_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+  FROM documents
+), feat AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(token), 1, 6))::BIGINT % {_ML14_BUCKETS} AS bucket
+  FROM tok
+), wtab AS (
+  SELECT bucket,
+         CAST(round((CAST(('0x' || substr(md5(CAST(bucket AS VARCHAR)), 1, 13))::BIGINT
+                          AS DOUBLE) / {float(1 << 52)!r} - 0.5)
+                    * 2 * {_ML14_WSCALE}) AS BIGINT) AS w_int
+  FROM (SELECT unnest(generate_series(0, {_ML14_BUCKETS - 1})) AS bucket)
+)
+SELECT f.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(w.w_int) AS BIGINT) AS score_scaled,
+       round(CAST(SUM(w.w_int) AS DOUBLE)
+             / (CAST(count(*) AS DOUBLE) * {float(_ML14_WSCALE)!r}), 6) AS score
+FROM feat f JOIN wtab w USING (bucket)
+GROUP BY f.doc_id
+"""
+
+
+@query("ml14_feature_hash_score", section="ML2", oracle=_ML14_ORACLE)
+def ml14_feature_hash_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HASHING TRICK (Weinberger et al. 2009) + linear model
+    inference: tokens hash into {NB} weight buckets (no vocabulary
+    dictionary to build, ship, or keep consistent — the property that
+    makes it THE featurizer for high-cardinality text at scale), and
+    each document scores as the mean bucket weight.
+
+    The weight table is deterministic (md5 of the bucket id — the dq3
+    replayable idiom standing in for trained weights, so the oracle
+    replays inference bit-for-bit) and broadcast-joined onto the
+    token stream.  Weights are INTEGER-quantized (×1e6) so the
+    per-document accumulation is an exact BIGINT sum — a double
+    Σweights would be accumulation-order-dependent — with one shared
+    division at the end.  Scale shape: explode → broadcast join →
+    doc-keyed partial-agg sum; no vocabulary state anywhere."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token")
+    )
+    feat = tok.select(
+        "doc_id",
+        (
+            F.conv(F.substring(F.md5("token"), 1, 6), 16, 10).cast("bigint")
+            % _ML14_BUCKETS
+        ).alias("bucket"),
+    )
+    wtab = spark.range(0, _ML14_BUCKETS).select(
+        F.col("id").alias("bucket"),
+        F.round(
+            (
+                F.conv(
+                    F.substring(F.md5(F.col("id").cast("string")), 1, 13), 16, 10
+                )
+                .cast("bigint")
+                .cast("double")
+                / F.lit(float(1 << 52))
+                - F.lit(0.5)
+            )
+            * 2
+            * _ML14_WSCALE
+        )
+        .cast("bigint")
+        .alias("w_int"),
+    )
+    return (
+        feat.join(F.broadcast(wtab), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum("w_int").cast("bigint").alias("score_scaled"),
+            F.round(
+                F.sum("w_int").cast("double")
+                / (F.count("*").cast("double") * F.lit(float(_ML14_WSCALE))),
+                6,
+            ).alias("score"),
+        )
+    )

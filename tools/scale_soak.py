@@ -236,6 +236,9 @@ QUERIES = (
     "dq11_snapshot_row_diff",
     "g8_degree_powerlaw",
     "o18_incremental_sessionize",
+    "w7_rolling_median",
+    "ts17_mase_backtest",
+    "ml14_feature_hash_score",
 )
 
 
