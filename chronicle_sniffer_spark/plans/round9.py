@@ -1570,8 +1570,8 @@ WITH tok AS (
 SELECT f.doc_id,
        CAST(count(*) AS BIGINT) AS n_tokens,
        CAST(SUM(w.w_int) AS BIGINT) AS score_scaled,
-       round(CAST(SUM(w.w_int) AS DOUBLE)
-             / (CAST(count(*) AS DOUBLE) * {float(_ML14_WSCALE)!r}), 6) AS score
+       CAST(SUM(w.w_int) AS DOUBLE)
+             / (CAST(count(*) AS DOUBLE) * {float(_ML14_WSCALE)!r}) AS score
 FROM feat f JOIN wtab w USING (bucket)
 GROUP BY f.doc_id
 """
@@ -1628,10 +1628,14 @@ def ml14_feature_hash_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").cast("bigint").alias("n_tokens"),
             F.sum("w_int").cast("bigint").alias("score_scaled"),
-            F.round(
+            # NO 6dp round: score_scaled/n lands EXACTLY on .5
+            # decimal boundaries (130027.5/1e6 at sf0.1), where Spark
+            # rounds the shortest-repr decimal and DuckDB the binary
+            # value — the verify-skill round() trap.  The raw division
+            # of identical integers is bit-identical instead.
+            (
                 F.sum("w_int").cast("double")
-                / (F.count("*").cast("double") * F.lit(float(_ML14_WSCALE))),
-                6,
+                / (F.count("*").cast("double") * F.lit(float(_ML14_WSCALE)))
             ).alias("score"),
         )
     )
