@@ -83,6 +83,12 @@ def canon_value(v) -> str:
     if isinstance(v, decimal.Decimal):
         if v.is_nan():
             return "NULL"  # pandas-path parity; see module docstring
+        if v.is_infinite():
+            # must precede the integral branch: Inf == Inf.to_integral_value()
+            # holds, and int(Decimal('Infinity')) raises OverflowError — print
+            # the same token the float path uses so Decimal/float arrivals of
+            # an infinite value agree
+            return "Infinity" if v > 0 else "-Infinity"
         if v == v.to_integral_value():
             fv = float(v)
             if math.isinf(fv) or decimal.Decimal(fv) == v:

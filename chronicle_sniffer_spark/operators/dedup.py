@@ -275,11 +275,18 @@ def containment_pairs(
         |A∩B| ≤ shared + min(na − max_rn_a, nb − max_rn_b)
     and containment ≥ t needs |A∩B| ≥ t·min(na, nb) — candidates whose
     bound falls short are pruned without ever shipping their gram
-    arrays.  Lossless modulo the df cap (a capped-out common gram is
-    invisible to `shared` — the same already-audited recall budget the
-    prefix index spends, :func:`ngram_df_cap_report`); with the cap
-    disabled the pipeline is exactly lossless (hypothesis brute-force
-    equality on random adversarial corpora,
+    arrays.  A capped-out common gram is invisible to `shared` AND not
+    covered by the matched-prefix argument (it never enters the join),
+    so the bound CREDITS the cap explicitly: each doc carries its count
+    of capped-out grams c = n_grams − kept, and any unmatched common
+    gram is either uncapped-after-g* (≤ the suffix allowance) or capped
+    (≤ min(c_a, c_b)), giving
+        |A∩B| ≤ shared + min(na − max_rn_a, nb − max_rn_b) + min(c_a, c_b).
+    With the credit the positional filter is lossless EVEN under a df
+    cap — its only recall exposure is the prefix index's own, already
+    audited by :func:`ngram_df_cap_report` — and with the cap disabled
+    the credit is zero and the pipeline is exactly lossless (hypothesis
+    brute-force equality on random adversarial corpora,
     tests/test_dedup_property.py::test_containment_pairs_match_bruteforce_on_random_corpora).
     Scores are computed exactly on the full gram sets (``gram_sets``),
     so pruning affects candidate recall only through the proven bound
@@ -289,16 +296,24 @@ def containment_pairs(
 
     t = threshold - 1e-6  # epsilon-relaxed: 6dp score rounding can admit
     ranked_capped = ranked if cap_df is None else ranked.crossJoin(F.broadcast(cap_df))
-    capped = ranked_capped.filter(F.col("df") <= cap_col)
+    capped = ranked_capped.filter(F.col("df") <= cap_col).withColumn(
+        # capped-OUT grams per doc, credited in the positional bound
+        # below (rn/n_grams are pre-cap; the kept-count window reuses
+        # the doc_id partitioning the rn window established — no new
+        # shuffle)
+        "n_capped",
+        F.col("n_grams") - F.count("*").over(Window.partitionBy("doc_id")),
+    )
     prefix_len = F.col("n_grams") - F.ceil(F.lit(t) * F.col("n_grams")) + 1
     index = capped.filter(F.col("rn") <= prefix_len).select(
-        "doc_id", "gram", "rn", "n_grams"
+        "doc_id", "gram", "rn", "n_grams", "n_capped"
     )
     probe = capped.select(
         F.col("doc_id").alias("p_doc"),
         "gram",
         F.col("rn").alias("p_rn"),
         F.col("n_grams").alias("p_n"),
+        F.col("n_capped").alias("p_capped"),
     )
     # ONE direction only: the prefix theorem needs only the SMALLER
     # set's prefix to contain a shared gram (for equal sizes it holds
@@ -322,10 +337,18 @@ def containment_pairs(
             F.when(ix_lt, F.col("p_rn")).otherwise(F.col("rn")).alias("rn_b"),
             F.when(ix_lt, F.col("n_grams")).otherwise(F.col("p_n")).alias("na"),
             F.when(ix_lt, F.col("p_n")).otherwise(F.col("n_grams")).alias("nb"),
+            F.when(ix_lt, F.col("n_capped")).otherwise(F.col("p_capped")).alias("ca"),
+            F.when(ix_lt, F.col("p_capped")).otherwise(F.col("n_capped")).alias("cb"),
         )
     )
-    overlap_bound = F.col("shared") + F.least(
-        F.col("na") - F.col("max_rn_a"), F.col("nb") - F.col("max_rn_b")
+    # |A∩B| ≤ matched + uncapped-unmatched (suffix window) + capped
+    # common grams (≤ min of the per-doc capped-out counts) — see the
+    # docstring's losslessness argument; with no cap active both
+    # credits are zero and this is the plain PPJoin-suffix bound
+    overlap_bound = (
+        F.col("shared")
+        + F.least(F.col("na") - F.col("max_rn_a"), F.col("nb") - F.col("max_rn_b"))
+        + F.least(F.col("ca"), F.col("cb"))
     )
     cand = (
         m.groupBy("doc_a", "doc_b")
@@ -335,6 +358,8 @@ def containment_pairs(
             F.max("rn_b").alias("max_rn_b"),
             F.first("na").alias("na"),
             F.first("nb").alias("nb"),
+            F.first("ca").alias("ca"),
+            F.first("cb").alias("cb"),
         )
         .filter(overlap_bound >= F.lit(t) * F.least(F.col("na"), F.col("nb")))
         .select("doc_a", "doc_b")

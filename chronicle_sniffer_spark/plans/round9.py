@@ -706,8 +706,13 @@ def l3_mips_norm_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.crossJoin(F.broadcast(q))
         .crossJoin(F.broadcast(kth))
         .filter(
+            # relaxation must absorb BOTH last-ulp FP slack (relative 1e-9
+            # term) AND the 6-dp rounding of l_bound itself: a candidate
+            # whose true IP lies in (l_bound - 5e-7, l_bound) rounds to the
+            # same 6-dp value and can win the vec_id tie-break, so the
+            # absolute slack is a full 6-dp ulp (1e-6), not 1e-9
             F.col("xn") * F.col("qn")
-            >= F.col("l_bound") - F.abs(F.col("l_bound")) * 1e-9 - F.lit(1e-9)
+            >= F.col("l_bound") - F.abs(F.col("l_bound")) * 1e-9 - F.lit(1e-6)
         )
         .select("vec_id", ip.alias("ip"))
     )

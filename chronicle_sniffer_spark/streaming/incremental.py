@@ -12,17 +12,26 @@ MERGE entry (plans/quality.py s8_merge_upsert), generalizing the
 reference's per-file counter accumulation (R23/R26) to a keyed,
 restart-safe table.
 
-Exactly-once: the epoch id of the last applied batch is stored IN the
-table directory (``_epoch``); a replayed micro-batch (failure/restart
-redelivery) is detected and skipped, so the merge is idempotent under
-at-least-once delivery — the T8/S7 discipline applied to an aggregate
-sink instead of a file sink.
+Storage & merge shape (the 100 TB design, all distributed — no driver
+collect anywhere on the merge path): the table is hash-bucketed on
+user_id into ``bucket=NN`` parquet partitions; each micro-batch
+full-outer-merges its partials into ONLY the buckets its keys hash
+into and rewrites those buckets via dynamic-partition overwrite (the
+s8c technique).  Untouched buckets' files are physically never
+rewritten, so per-batch write cost tracks the batch's key spread, not
+the table size.
 
-Scale shape: per-batch work is (micro-batch partial agg) ⋈ (current
-table) on the key — the table side is key-sized, not event-sized; at
-100 TB the parquet rewrite becomes a Delta/Iceberg MERGE on the same
-plan.  Values accumulate through exact DECIMAL(18,4) so association
-order across micro-batches can never matter.
+Exactly-once: the applied epoch is a COLUMN of the data — every row
+written for micro-batch E carries epoch=E, so the epoch marker commits
+in the same artifact as the merge (no separate marker-file write to
+crash between).  On redelivery, buckets whose stored epoch already
+reached E are skipped; buckets a crashed attempt never replaced are
+merged exactly once.  Granularity is the bucket directory (partition
+replacement is the committer's delete+rename at job commit — the
+window every Hive-style table has); production swaps the parquet
+overwrite for a Delta/Iceberg MERGE whose commit is one atomic log
+append, same plan.  Values accumulate through exact DECIMAL(18,4) so
+association order across micro-batches can never matter.
 """
 
 from __future__ import annotations
@@ -33,53 +42,71 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 TABLE_SCHEMA = "user_id bigint, n_events bigint, total_value decimal(18,4)"
+_FULL_SCHEMA = TABLE_SCHEMA + ", epoch bigint, bucket int"
+N_BUCKETS = 32
+
+
+def _bucket_of(col: str = "user_id"):
+    return F.pmod(F.xxhash64(col), F.lit(N_BUCKETS)).cast("int")
 
 
 def _read_table(spark: SparkSession, table_dir: str) -> DataFrame:
-    if os.path.exists(os.path.join(table_dir, "_SUCCESS")):
+    # dynamic-partition-overwrite commits do not leave a root _SUCCESS
+    # marker; existence = at least one committed bucket directory
+    if os.path.isdir(table_dir) and any(
+        name.startswith("bucket=") for name in os.listdir(table_dir)
+    ):
         return spark.read.parquet(table_dir)
-    return spark.createDataFrame([], TABLE_SCHEMA)
-
-
-def _last_epoch(table_dir: str) -> int:
-    try:
-        with open(os.path.join(table_dir, "_epoch")) as fh:
-            return int(fh.read().strip())
-    except (OSError, ValueError):
-        return -1
+    return spark.createDataFrame([], _FULL_SCHEMA)
 
 
 def merge_batch(spark: SparkSession, table_dir: str, batch_df: DataFrame, epoch_id: int) -> None:
     """MERGE one micro-batch's partial aggregates into the table,
-    idempotently (a replayed epoch is skipped)."""
-    if epoch_id <= _last_epoch(table_dir):
-        return  # redelivered micro-batch: already applied
-    part = batch_df.groupBy("user_id").agg(
-        F.count("*").cast("bigint").alias("d_n"),
-        F.sum(F.col("value").cast("decimal(18,4)")).alias("d_total"),
+    idempotently — only affected buckets whose stored epoch has not
+    yet reached ``epoch_id`` are merged and rewritten."""
+    part = (
+        batch_df.groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("d_n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("d_total"),
+        )
+        .withColumn("bucket", _bucket_of())
     )
     cur = _read_table(spark, table_dir)
-    merged = (
-        cur.join(part, "user_id", "full_outer")
-        .select(
-            "user_id",
-            (F.coalesce("n_events", F.lit(0)) + F.coalesce("d_n", F.lit(0)))
-            .cast("bigint")
-            .alias("n_events"),
-            (
-                F.coalesce(F.col("total_value"), F.lit(0).cast("decimal(18,4)"))
-                + F.coalesce(F.col("d_total"), F.lit(0).cast("decimal(18,4)"))
-            )
-            .cast("decimal(18,4)")
-            .alias("total_value"),
+    done = cur.filter(F.col("epoch") >= F.lit(int(epoch_id))).select("bucket").distinct()
+    todo = part.join(done, "bucket", "left_anti").drop("bucket")
+    if todo.isEmpty():
+        return  # fully-applied replay (or empty batch): no-op
+    affected = todo.select(_bucket_of().alias("bucket")).distinct()
+    # a rewritten bucket carries ALL its keys forward: untouched keys
+    # in an affected bucket flow through the full-outer join unchanged
+    stored = cur.join(affected, cur["bucket"] == affected["bucket"], "left_semi").select(
+        "user_id", "n_events", "total_value"
+    )
+    merged = stored.join(todo, "user_id", "full_outer").select(
+        "user_id",
+        (F.coalesce("n_events", F.lit(0)) + F.coalesce("d_n", F.lit(0)))
+        .cast("bigint")
+        .alias("n_events"),
+        (
+            F.coalesce(F.col("total_value"), F.lit(0).cast("decimal(18,4)"))
+            + F.coalesce(F.col("d_total"), F.lit(0).cast("decimal(18,4)"))
         )
+        .cast("decimal(18,4)")
+        .alias("total_value"),
+        F.lit(int(epoch_id)).cast("bigint").alias("epoch"),
+        _bucket_of().alias("bucket"),
     )
-    rows = merged.collect()  # test-scale staging; a real table sink MERGEs in place
-    spark.createDataFrame(rows, TABLE_SCHEMA).coalesce(1).write.mode("overwrite").parquet(
-        table_dir
+    # localCheckpoint materializes the merge BEFORE the overwrite job,
+    # cutting lineage to the very files being replaced; on a multi-node
+    # cluster swap for reliable checkpoint(dir) — same call shape
+    merged = merged.localCheckpoint()
+    (
+        merged.write.partitionBy("bucket")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .parquet(table_dir)
     )
-    with open(os.path.join(table_dir, "_epoch"), "w") as fh:
-        fh.write(str(epoch_id))
 
 
 def maintain_rollup(events_stream: DataFrame, table_dir: str, checkpoint_dir: str):
@@ -95,4 +122,4 @@ def maintain_rollup(events_stream: DataFrame, table_dir: str, checkpoint_dir: st
         .start()
     )
     q.awaitTermination()
-    return _read_table(spark, table_dir)
+    return _read_table(spark, table_dir).select("user_id", "n_events", "total_value")

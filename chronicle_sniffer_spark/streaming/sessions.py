@@ -17,15 +17,26 @@ merged interval's internal gaps stay ≤ G, re-establishing the
 invariant for the next batch.  tests/test_streaming.py proves the
 stream-maintained table equals the batch one-shot sessionization.
 
-Exactly-once: the epoch guard of streaming/incremental.py — a
-replayed micro-batch is detected via the ``_epoch`` marker and
-skipped, so at-least-once delivery cannot double-count events.
+Storage & merge shape (the 100 TB design, all distributed — no driver
+collect anywhere on the merge path): the table is hash-bucketed on
+user_id into ``bucket=NN`` parquet partitions, and each micro-batch
+rewrites ONLY the buckets its users hash into, via dynamic-partition
+overwrite (the s8c technique).  Per-batch work is one user-keyed
+shuffle of the micro-batch plus a bucket-pruned read of affected
+buckets; untouched buckets' files are physically never rewritten.
 
-Scale shape per batch: one user-keyed shuffle of the micro-batch plus
-a semi-join pull of AFFECTED users' stored fragments; untouched users'
-rows are never rewritten at the logical level (this test-scale sink
-rewrites the parquet; a real deployment MERGEs into Delta/Iceberg with
-the identical plan).
+Exactly-once: the applied epoch is a COLUMN of the data itself —
+every row written for micro-batch E carries epoch=E, so the epoch
+marker commits in the same artifact as the merge (no separate
+marker-file write to crash between, the round-9 advisor finding).  On
+redelivery, buckets whose stored epoch already reached E are skipped;
+buckets the crashed attempt never replaced are merged exactly once.
+Granularity of the guarantee is the bucket directory: replacement of
+one partition dir is delegated to the file committer (delete + rename
+at job commit), the same window every Hive-style table has; a
+production deployment swaps the parquet overwrite for a Delta/Iceberg
+MERGE where that final commit is a single atomic log append — the
+merge plan is identical.
 """
 
 from __future__ import annotations
@@ -36,20 +47,22 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 SESSIONS_SCHEMA = "user_id bigint, s bigint, e bigint, n bigint"
+_FULL_SCHEMA = SESSIONS_SCHEMA + ", epoch bigint, bucket int"
+N_BUCKETS = 32
+
+
+def _bucket_of(col: str = "user_id"):
+    return F.pmod(F.xxhash64(col), F.lit(N_BUCKETS)).cast("int")
 
 
 def _read_table(spark: SparkSession, table_dir: str) -> DataFrame:
-    if os.path.exists(os.path.join(table_dir, "_SUCCESS")):
+    # dynamic-partition-overwrite commits do not leave a root _SUCCESS
+    # marker; existence = at least one committed bucket directory
+    if os.path.isdir(table_dir) and any(
+        name.startswith("bucket=") for name in os.listdir(table_dir)
+    ):
         return spark.read.parquet(table_dir)
-    return spark.createDataFrame([], SESSIONS_SCHEMA)
-
-
-def _last_epoch(table_dir: str) -> int:
-    try:
-        with open(os.path.join(table_dir, "_epoch")) as fh:
-            return int(fh.read().strip())
-    except (OSError, ValueError):
-        return -1
+    return spark.createDataFrame([], _FULL_SCHEMA)
 
 
 def interval_union_with_gap(items: DataFrame, gap_us: int) -> DataFrame:
@@ -90,25 +103,48 @@ def merge_session_batch(
     spark: SparkSession, table_dir: str, batch_df: DataFrame, epoch_id: int, gap_us: int
 ) -> None:
     """Merge one micro-batch of events into the session table,
-    idempotently."""
-    if epoch_id <= _last_epoch(table_dir):
-        return  # redelivered micro-batch: already applied
+    idempotently — only affected buckets whose stored epoch has not
+    yet reached ``epoch_id`` are merged and rewritten."""
     us = F.unix_micros(F.col("ts").cast("timestamp"))
     pts = batch_df.select(
         "user_id", us.alias("s"), us.alias("e"), F.lit(1).cast("bigint").alias("n")
-    )
+    ).withColumn("bucket", _bucket_of())
     cur = _read_table(spark, table_dir)
-    affected = pts.select("user_id").distinct()
-    touched = cur.join(affected, "user_id", "left_semi")
-    untouched = cur.join(affected, "user_id", "left_anti")
-    merged = interval_union_with_gap(touched.unionByName(pts), gap_us)
-    out = untouched.unionByName(merged)
-    rows = out.collect()  # test-scale staging; a real sink MERGEs in place
-    spark.createDataFrame(rows, SESSIONS_SCHEMA).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(table_dir)
-    with open(os.path.join(table_dir, "_epoch"), "w") as fh:
-        fh.write(str(epoch_id))
+    # buckets already carrying this (or a later) epoch were fully
+    # committed by a previous attempt — redelivery skips them
+    done = cur.filter(F.col("epoch") >= F.lit(int(epoch_id))).select("bucket").distinct()
+    todo_pts = pts.join(done, "bucket", "left_anti")
+    affected = todo_pts.select("bucket").distinct()
+    if affected.isEmpty():
+        return  # fully-applied replay (or empty batch): no-op
+    # a rewritten bucket must carry ALL its users forward, not just the
+    # batch's: pull every stored row of the affected buckets (stored
+    # fragments of untouched users pass through the union unchanged —
+    # they are already maximal, so the gaps-and-islands pass is the
+    # identity on them)
+    stored = cur.join(affected, "bucket", "left_semi").select("user_id", "s", "e", "n")
+    merged = interval_union_with_gap(
+        stored.unionByName(todo_pts.select("user_id", "s", "e", "n")), gap_us
+    )
+    out = merged.select(
+        "user_id",
+        "s",
+        "e",
+        "n",
+        F.lit(int(epoch_id)).cast("bigint").alias("epoch"),
+        _bucket_of().alias("bucket"),
+    )
+    # localCheckpoint materializes the merge BEFORE the overwrite job,
+    # cutting lineage to the very files being replaced (Spark refuses
+    # to overwrite a path it is still reading from); on a multi-node
+    # cluster swap for reliable checkpoint(dir) — same call shape
+    out = out.localCheckpoint()
+    (
+        out.write.partitionBy("bucket")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .parquet(table_dir)
+    )
 
 
 def maintain_sessions(
@@ -126,4 +162,4 @@ def maintain_sessions(
         .start()
     )
     q.awaitTermination()
-    return _read_table(spark, table_dir)
+    return _read_table(spark, table_dir).select("user_id", "s", "e", "n")

@@ -646,3 +646,59 @@ def test_t11_stream_maintained_sessions_equal_batch(spark, staged):
     before = _rows(_read_table(spark, table_dir), *cols)
     merge_session_batch(spark, table_dir, ev.limit(50), epoch_id=0, gap_us=gap_us)
     assert _rows(_read_table(spark, table_dir), *cols) == before
+
+
+def test_t11_crash_recovery_partial_bucket_commit(spark, tmp_path):
+    """The advisor's round-9 finding: the old design wrote the table
+    and a separate _epoch marker non-atomically, so a crash between
+    the two re-merged an applied batch and double-counted n.  The
+    epoch now rides IN the committed bucket data, so recovery is
+    per-bucket: simulate a crash that replaced only SOME buckets of
+    epoch 1 (roll the others back to their epoch-0 files), replay
+    epoch 1, and require exact equality with the uninterrupted run —
+    already-committed buckets skipped, stale ones merged exactly
+    once."""
+    import shutil
+
+    from chronicle_sniffer_spark.streaming.sessions import (
+        _read_table,
+        merge_session_batch,
+    )
+
+    gap_us = 60 * 60 * 1000000
+    ev = load_table(spark, SF_SMOKE, "events")
+    b0 = ev.filter(F.col("event_id") % 2 == 0)
+    b1 = ev.filter(F.col("event_id") % 2 == 1)
+    cols = ("user_id", "s", "e", "n")
+
+    want_dir = str(tmp_path / "want")
+    merge_session_batch(spark, want_dir, b0, 0, gap_us)
+    merge_session_batch(spark, want_dir, b1, 1, gap_us)
+    want = _rows(_read_table(spark, want_dir), *cols)
+
+    crash_dir = str(tmp_path / "crash")
+    merge_session_batch(spark, crash_dir, b0, 0, gap_us)
+    backup = str(tmp_path / "backup")
+    shutil.copytree(crash_dir, backup)
+    merge_session_batch(spark, crash_dir, b1, 1, gap_us)
+    # crash simulation: half the buckets epoch-1 attempt touched are
+    # rolled back to their epoch-0 content (or removed if new)
+    rolled = 0
+    for name in sorted(os.listdir(crash_dir)):
+        if not name.startswith("bucket=") or int(name.split("=")[1]) % 2:
+            continue
+        shutil.rmtree(os.path.join(crash_dir, name))
+        if os.path.isdir(os.path.join(backup, name)):
+            shutil.copytree(
+                os.path.join(backup, name), os.path.join(crash_dir, name)
+            )
+        rolled += 1
+    assert rolled > 0
+    partial = _rows(_read_table(spark, crash_dir), *cols)
+    assert partial != want  # the crash left the table genuinely torn
+    # at-least-once redelivery of epoch 1 completes the merge exactly
+    merge_session_batch(spark, crash_dir, b1, 1, gap_us)
+    assert _rows(_read_table(spark, crash_dir), *cols) == want
+    # and a THIRD delivery is a pure no-op
+    merge_session_batch(spark, crash_dir, b1, 1, gap_us)
+    assert _rows(_read_table(spark, crash_dir), *cols) == want
