@@ -1012,36 +1012,23 @@ def ml13_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     2 and {B1} of the {B} sorted means (deterministic total order),
     never interpolates.
 
-    Scale shape: a TRUE one-pass over the data per sub-aggregate — no
-    B-fold row fan-out at all.  All {B} weighted sums ride aggregates
-    as 2·{B} conditional columns (the first draft cross-joined a B-row
-    relation and shuffled B×N rows), QUARTERED into four 16-draw
-    aggregates whose 1-row results cross-join back together: one
-    monolithic 128-buffer aggregate blew Janino's 64 KB method limit
-    and silently fell back to interpreted evaluation (10.3 s at
-    sf0.1); the quartered plan keeps every stage inside whole-stage
-    codegen (0.32 s, measured).  Each quarter hashes only its own 4
-    digest groups, so total hash work is unchanged.  The rank window
-    runs over {B} unpivoted rows.
-
-    Wall-clock note: a REBUILT plan pays ~10 s of Catalyst analysis +
-    Janino compile for the ~600 expressions before touching data (the
-    executed work itself is 0.32 s at sf0.1 / ~7 s at sf1) — the same
-    fixed-cost-vs-marginal distinction BASELINE.md documents for B1a:
-    a cluster job pays it once, and it vanishes against any real input
-    size."""
+    Scale shape: O(1) expressions in B — the plan no longer grows with
+    the draw count at all.  The draw axis is unrolled by two pipelined
+    Generates instead of 2·{B} aggregate columns: explode the 16
+    digest-group ids (ONE sequence expression), hash each (row, group)
+    once, posexplode the four literal-shift 15-bit slices, compute the
+    weight, and hash-aggregate on the draw id b = 4·g + k.  Every
+    stage stays inside whole-stage codegen (Generate pipelines; no
+    higher-order lambdas, which evaluate interpreted), total md5 work
+    is the same 16 digests per row, and the {B}-fold "fan-out" never
+    reaches a shuffle — map-side partial aggregation collapses it to
+    {B} rows per task before the one {B}-group exchange.  The previous
+    shape (2·{B} conditional sums quartered into four cross-joined
+    aggregates to dodge Janino's 64 KB method limit) was codegen'd and
+    one-pass but paid ~7 s of driver-side Catalyst + Janino per plan
+    REBUILD for its ~600 expressions — this form plans in
+    milliseconds.  The rank window runs over {B} aggregated rows."""
     o = _t(spark, sf_dir, "orders")
-    key = F.col("o_orderkey").cast("string")
-
-    def w_col(b: int):
-        g, k = divmod(b, 4)
-        v15 = F.shiftright(F.col(f"v{g}"), 15 * k).bitwiseAND(F.lit(32767))
-        # branchless inverse CDF on the integer grid: w = #thresholds
-        # <= draw (flat casts split into codegen sub-methods; a nested
-        # CASE ladder blew Janino's 64 KB limit and fell back to
-        # interpreted; double arithmetic tripled the generated source)
-        w = sum(((v15 >= F.lit(t)).cast("int") for t in _POIS_CDF_I15), F.lit(0))
-        return w.cast("bigint")
 
     # money as exact integer CENTS: the weighted sums are then long
     # arithmetic instead of 96M BigDecimal ops; round(x*100) is the
@@ -1049,50 +1036,59 @@ def ml13_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fixed-point sum is exactly the DECIMAL(18,2) sum the house
     # money rule wants.  ONE hex parse per digest: 15 hex chars = 60
     # uniform bits = four 15-bit draws extracted by shift/mask.
-    quarters = []
-    for q in range(4):
-        per = _ML13_B // 4
-        t1 = o.select(
+    g_rows = spread(
+        o.select(
             F.round(F.col("o_totalprice") * 100).cast("bigint").alias("p"),
-            *[
-                F.conv(
-                    F.substring(F.md5(F.concat_ws(":", key, F.lit(str(g)))), 1, 15),
-                    16,
-                    10,
-                )
-                .cast("bigint")
-                .alias(f"v{g}")
-                for g in range(q * per // 4, (q + 1) * per // 4)
-            ],
+            F.col("o_orderkey").cast("string").alias("key"),
         )
-        t2 = t1.select(
-            "p", *[w_col(b).alias(f"w{b}") for b in range(q * per, (q + 1) * per)]
-        )
-        aggs = []
-        for b in range(q * per, (q + 1) * per):
-            aggs.append(F.sum(F.col(f"w{b}") * F.col("p")).alias(f"s{b}"))
-            aggs.append(F.sum(f"w{b}").alias(f"c{b}"))
-        quarters.append(t2.agg(*aggs))
-    wide = quarters[0]
-    for qd in quarters[1:]:
-        wide = wide.crossJoin(qd)
-    means = wide.select(
-        F.explode(
+    ).select(
+        "p",
+        "key",
+        F.explode(F.sequence(F.lit(0), F.lit(_ML13_B // 4 - 1))).alias("g"),
+    )
+    digest = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col("key"), F.col("g").cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    k_rows = g_rows.select(
+        "p",
+        "g",
+        # the four slices carry LITERAL shift amounts, so shiftright
+        # stays a plain codegen'd long op
+        F.posexplode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("b"),
-                        (
-                            F.col(f"s{b}").cast("double")
-                            / F.col(f"c{b}").cast("double")
-                            / F.lit(100.0)
-                        ).alias("mean_b"),
-                    )
-                    for b in range(_ML13_B)
+                    F.shiftright(digest, 15 * k).bitwiseAND(F.lit(32767))
+                    for k in range(4)
                 ]
             )
-        ).alias("x")
-    ).select("x.b", "x.mean_b")
+        ).alias("k", "v15"),
+    )
+    # branchless inverse CDF on the integer grid: w = #thresholds
+    # <= draw (flat casts; a nested CASE ladder blew Janino's 64 KB
+    # limit in the round-9 draft and fell back to interpreted)
+    w = sum(
+        ((F.col("v15") >= F.lit(t)).cast("bigint") for t in _POIS_CDF_I15),
+        F.lit(0).cast("bigint"),
+    )
+    means = (
+        k_rows.select(
+            (F.col("g") * 4 + F.col("k")).cast("int").alias("b"),
+            "p",
+            w.alias("w"),
+        )
+        .groupBy("b")
+        .agg(
+            (
+                F.sum(F.col("w") * F.col("p")).cast("double")
+                / F.sum("w").cast("double")
+                / F.lit(100.0)
+            ).alias("mean_b")
+        )
+    )
     ranked = means.select(
         "mean_b", F.row_number().over(Window.orderBy("mean_b", "b")).alias("rn")
     )
@@ -1103,11 +1099,14 @@ def ml13_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("*").cast("double")
         ).alias("mean"),
     )
-    lo = ranked.filter(F.col("rn") == 2).select(F.col("mean_b").alias("ci_lo"))
-    hi = ranked.filter(F.col("rn") == _ML13_B - 1).select(
-        F.col("mean_b").alias("ci_hi")
+    # ONE consumption of the ranked means: separate rn==2 / rn==B-1
+    # filter branches would each re-execute the whole explode+hash
+    # pipeline (measured 9.6 s vs 0.9 s at sf0.1)
+    ci = ranked.agg(
+        F.min(F.when(F.col("rn") == 2, F.col("mean_b"))).alias("ci_lo"),
+        F.min(F.when(F.col("rn") == _ML13_B - 1, F.col("mean_b"))).alias("ci_hi"),
     )
-    return pt.crossJoin(F.broadcast(lo)).crossJoin(F.broadcast(hi))
+    return pt.crossJoin(F.broadcast(ci))
 
 
 ml13_poisson_bootstrap_ci.__doc__ = ml13_poisson_bootstrap_ci.__doc__.format(
