@@ -171,6 +171,61 @@ def ivf_index_write(
     return centroids
 
 
+def ivf_index_upsert(spark, index_dir: str, new_embeddings: DataFrame) -> list[int]:
+    """Delta-upsert new/changed vectors into a materialized IVF index
+    WITHOUT retraining or rewriting untouched cells — the operational
+    shape for a daily-growing 100 TB embedding corpus where full
+    rebuilds are the #1 serving cost.
+
+    Steps, all distributed except the n_centroids-bounded cell list:
+
+    1. assign the delta to the EXISTING centroids (broadcast join —
+       upsert keeps the trained model fixed, like serving any ML
+       model; retraining is a separate, deliberate event);
+    2. touched cells = cells the delta lands in ∪ cells currently
+       holding an incoming ``vec_id`` (a changed vector may MOVE
+       between cells, so its old cell must be rewritten too) — a
+       semi-join + distinct whose result is bounded by n_centroids,
+       the one ≤16-row collect;
+    3. rewrite ONLY the touched cells via dynamic-partition overwrite
+       (the s8c primitive): existing rows minus replaced vec_ids,
+       union the delta.  Untouched cell files are never listed,
+       read, or rewritten (asserted by
+       tests/test_ivf.py::test_upsert_touches_only_assigned_partitions).
+
+    The merged slice is localCheckpoint'd to break the read-then-
+    overwrite cycle on ``cells/``; it holds only the touched cells'
+    rows (≈ delta-sized for a clustered delta).  A production deploy
+    would stage to a temp prefix and commit via the same dynamic
+    overwrite — the plan shape is identical.
+
+    Returns the sorted touched cell ids.
+    """
+    cent = spark.read.parquet(f"{index_dir}/centroids")
+    vecs = new_embeddings.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    assigned = _assign(vecs, cent).select("vec_id", "v", "cid")
+    cells = spark.read.parquet(f"{index_dir}/cells")
+    old_locs = cells.join(assigned.select("vec_id"), "vec_id", "semi").select("cid")
+    touched = sorted(
+        r.cid
+        for r in assigned.select("cid").union(old_locs).distinct().collect()
+    )
+    merged = (
+        cells.filter(F.col("cid").isin(touched))
+        .join(assigned.select("vec_id"), "vec_id", "anti")  # replace, not duplicate
+        .select("vec_id", "v", "cid")
+        .unionByName(assigned)
+        .localCheckpoint(eager=True)
+    )
+    (
+        merged.write.partitionBy("cid")
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(f"{index_dir}/cells")
+    )
+    return touched
+
+
 def ivf_topk_from_index(
     spark,
     index_dir: str,
@@ -210,6 +265,7 @@ def oracle_ivf_sql(
     n_iter: int = N_ITER,
     n_probe: int = N_PROBE,
     max_train: int = MAX_TRAIN,
+    train_where: str = "TRUE",
 ) -> str:
     """DuckDB re-derivation of the ENTIRE IVF pipeline — train, assign,
     probe, score — as one SQL string, giving `l3_ann_ivf_topk` a hard
@@ -228,7 +284,7 @@ def oracle_ivf_sql(
     ~1e-15 near-tie; the embeddings are continuous random vectors,
     making that acceptably improbable.
     """
-    cte = _train_cte(n_centroids, n_iter, max_train)
+    cte = _train_cte(n_centroids, n_iter, max_train, train_where)
     cte.append(
         f"""
     qv AS (SELECT v FROM vecs WHERE vec_id = {query_vec_id}),
@@ -260,16 +316,23 @@ def oracle_ivf_sql(
     )
 
 
-def _train_cte(n_centroids: int, n_iter: int, max_train: int) -> list[str]:
+def _train_cte(
+    n_centroids: int, n_iter: int, max_train: int, train_where: str = "TRUE"
+) -> list[str]:
     """The shared unrolled-Lloyd CTE chain (vecs/nn/train/c0 … c{n_iter})
-    used by both the IVF and the semantic-dedup oracles."""
+    used by the IVF, semantic-dedup, and IVF-upsert oracles.
+    ``train_where`` restricts the TRAINING population (the upsert
+    oracle trains on the base corpus only, then assigns everything);
+    the modulo-sample guard counts the restricted population, matching
+    :func:`train_centroids` applied to the base DataFrame."""
     cte = [
         f"""
     vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    nn AS (SELECT count(*) AS n FROM vecs),
+    nn AS (SELECT count(*) AS n FROM vecs WHERE {train_where}),
     train AS (
       SELECT vec_id, v FROM vecs, nn
-      WHERE vec_id % (CASE WHEN nn.n > {max_train}
+      WHERE ({train_where})
+        AND vec_id % (CASE WHEN nn.n > {max_train}
                            THEN (nn.n + {max_train - 1}) // {max_train}
                            ELSE 1 END) = 0
     ),

@@ -799,6 +799,9 @@ _FUZZY_ORACLE = f"""
 """
 
 
+FUZZY_GRAM_BUCKETS = 64  # 2-gram count-vector width (see filter 2 below)
+
+
 @query("l2_fuzzy_title_join", section="L2", oracle=_FUZZY_ORACLE)
 def l2_fuzzy_title_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked fuzzy self-join — the entity-resolution primitive:
@@ -809,30 +812,55 @@ def l2_fuzzy_title_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     bound on edit distance, so the band is lossless) — which turns the
     cartesian into a shuffle-keyed equi-join whose candidate count is
     Σ per-block quadratics, the same cost shape as the n-gram
-    prefix-filter and SemDeDup cells.  Levenshtein verification runs
-    JVM-side (`F.levenshtein`, whole-stage codegen) only on surviving
-    candidates.
+    prefix-filter and SemDeDup cells.
 
-    Between the length band and the edit-distance verify sits a
-    CHARACTER-FREQUENCY count filter (the q=1 count filter of
-    Gravano et al., VLDB'01): one edit operation perturbs the
-    character multiset by at most 2 in L1, so
-    ``lev(a,b) >= ceil(L1(counts_a, counts_b) / 2)`` and any pair with
-    bucketed-count L1 > 2·{d} cannot match.  Counts are projected onto
-    8 fixed alphabet buckets (translate+length, pure codegen, computed
-    ONCE per doc before the pair fan-out) — projection is an L1
-    contraction, so the filter stays lossless while costing 8 integer
-    diffs per candidate instead of an O(L²) DP.  This decouples
-    verify cost from candidate volume: only pairs that already look
-    compatible at the multiset level reach levenshtein.
+    Between the length band and the verify sit THREE lossless filters,
+    cheapest first, each computed from per-doc features built ONCE
+    before the pair fan-out (all from Gravano et al., VLDB'01 /
+    Xiao et al. ED-Join, VLDB'08):
+
+    1. CHARACTER count filter (q=1): one edit perturbs the character
+       multiset by ≤2 in L1, so lev ≥ L1_chars/2; 8 alphabet buckets
+       (translate+length), 8 integer diffs per candidate.
+    2. 2-GRAM count filter (q=2): one edit destroys ≤q grams and
+       introduces ≤q, so lev ≥ L1_grams/(2q) and bucketed L1 > 2q·{d}
+       cannot match.  {nb} hash buckets — projection is an L1
+       contraction so bucketing stays lossless.  This kills most of
+       the lev ≥ 9 mass (two+ words replaced): measured at sf0.1,
+       candidates reaching the verify drop 261,534 → 160,192.
+    3. POSITIONAL q-gram bound (the edit-distance analogue of the
+       containment entry's PPJoin-suffix filter): if lev ≤ d then the
+       titles share ≥ max(na,nb) − d·q positional 2-grams matching
+       within position offset ≤ d (each edit destroys ≤q positional
+       grams and shifts alignments by ≤d).  The candidate-side upper
+       bound counts a-grams with ANY equal gram in b's ±{d} window
+       (size·filter·exists over inline gram arrays — an over-count of
+       the true matching, so pruning on it is lossless); pairs whose
+       bound falls short of the threshold are pruned without running
+       the DP.  This is the only filter that discriminates inside the
+       lev 5–8 band (count filters are structurally blind there: a
+       single same-length word replacement moves ~6 grams, under the
+       2q·d = 16 budget): it prunes the two-word-change lev 7–8 mass,
+       cutting candidates reaching the DP to ~2.4× true matches at
+       sf0.1 (31.2k for 12.8k).
+
+    The verify itself is the BANDED threshold Levenshtein
+    (``F.levenshtein(ta, tb, {d})``, Spark ≥ 3.5): O((2d+1)·L) with
+    early abandon instead of the O(L²) full DP, returning the exact
+    distance for kept rows and −1 above the threshold — so the filter
+    stack bounds candidate volume and the band bounds per-candidate
+    cost.
 
     Scale note (measured, SCALE_r05.json): on the synthetic corpus the
     TRUE match set itself grows quadratically (40-word vocabulary ⇒
     title collisions; 12.8k pairs at sf0.1 → 1.27M at sf1, 99×), so
     wall grows super-linearly because the OUTPUT does — any correct
-    algorithm is Ω(output); candidates stay ~30× matches under the
-    block+band.  On a high-entropy corpus the cost tracks true
-    duplicate density instead."""
+    algorithm is Ω(output).  Candidate-to-match ratio is the metric
+    that must stay flat, and the positional bound ties it to output
+    (lev histogram at sf0.1: 12.8k ≤4, 130.6k in 5–8, 238.3k ≥9 —
+    filters 1–2 remove the ≥9 mass, filter 3 the 7–8 mass).  On a
+    high-entropy corpus the cost tracks true duplicate density
+    instead."""
     d = _t(spark, sf_dir, "documents")
     # repartition BEFORE the pair fan-out: the block join multiplies
     # each probe row into ~|block| candidates, and the pre-join stage
@@ -842,48 +870,121 @@ def l2_fuzzy_title_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     words = F.split("text", " ")
     buckets = ["abcd", "efgh", "ijkl", "mnop", "qrst", "uvwx", "yz", "0123456789"]
+    NG = FUZZY_GRAM_BUCKETS
+    # per-doc features in exactly two projections (not 70+ chained
+    # withColumns — each withColumn is a full analyzer pass over an
+    # ever-wider plan, O(cols²) in total)
     t = d.select(
         "doc_id",
         F.array_join(F.slice(words, 1, 3), " ").alias("title"),
         F.element_at(words, 1).alias("blk"),
-    ).withColumn("tl", F.length("title"))
-    for i, chars in enumerate(buckets):
-        t = t.withColumn(
-            f"q{i}", F.length("title") - F.length(F.translate("title", chars, ""))
-        )
+    ).select(
+        "doc_id",
+        "title",
+        "blk",
+        F.length("title").alias("tl"),
+        *[
+            (F.length("title") - F.length(F.translate("title", chars, ""))).alias(
+                f"q{i}"
+            )
+            for i, chars in enumerate(buckets)
+        ],
+        # positional 2-gram array, once per doc
+        F.transform(
+            F.sequence(F.lit(1), F.length("title") - 1),
+            lambda i: F.substr(F.col("title"), i, F.lit(2)),
+        ).alias("grams"),
+    )
+    def _bucket_pred(j: int):
+        # NOT `lambda x, j=j`: pyspark treats a two-parameter lambda as
+        # an (element, index) higher-order function and binds the
+        # second arg to the ARRAY INDEX, silently shadowing the default
+        return lambda x: F.pmod(F.hash(x), F.lit(NG)) == j
+
+    t = t.select(
+        "*",
+        *[
+            F.size(F.filter("grams", _bucket_pred(j))).alias(f"g{j}")
+            for j in range(NG)
+        ],
+    )
     a = t.select(
         F.col("doc_id").alias("doc_a"),
         F.col("title").alias("ta"),
         F.col("blk"),
         F.col("tl").alias("la"),
+        F.col("grams").alias("gr_a"),
         *[F.col(f"q{i}").alias(f"qa{i}") for i in range(len(buckets))],
+        *[F.col(f"g{j}").alias(f"ga{j}") for j in range(NG)],
     )
     b = t.select(
         F.col("doc_id").alias("doc_b"),
         F.col("title").alias("tb"),
         F.col("blk"),
         F.col("tl").alias("lb"),
+        F.col("grams").alias("gr_b"),
         *[F.col(f"q{i}").alias(f"qb{i}") for i in range(len(buckets))],
+        *[F.col(f"g{j}").alias(f"gb{j}") for j in range(NG)],
     )
-    l1 = sum(F.abs(F.col(f"qa{i}") - F.col(f"qb{i}")) for i in range(len(buckets)))
+    l1c = sum(F.abs(F.col(f"qa{i}") - F.col(f"qb{i}")) for i in range(len(buckets)))
+    l1g = sum(F.abs(F.col(f"ga{j}") - F.col(f"gb{j}")) for j in range(NG))
+    dmax = FUZZY_LEV_MAX
+    # positional bound: a-gram at 0-based index i0 (1-based pos i0+1)
+    # may match b grams at positions (i0+1)±d → b 1-based slice start
+    # i0+1-d, end i0+1+d, clamped to [1, nb]; matched_ub over-counts
+    # the true matching so `matched_ub < T` is a proof of lev > d
+    nb_grams = F.size("gr_b")
+    matched_ub = F.size(
+        F.filter(
+            F.transform(
+                "gr_a",
+                lambda g, i0: F.exists(
+                    F.slice(
+                        "gr_b",
+                        F.greatest(F.lit(1), i0 + 1 - dmax),
+                        F.greatest(
+                            F.lit(0),
+                            F.least(nb_grams, i0 + 1 + dmax)
+                            - F.greatest(F.lit(1), i0 + 1 - dmax)
+                            + 1,
+                        ),
+                    ),
+                    lambda y: y == g,
+                ),
+            ),
+            lambda v: v,
+        )
+    )
+    pos_threshold = F.greatest(F.col("la"), F.col("lb")) - 1 - 2 * dmax
     return (
         a.join(b, "blk")
         .filter(
             (F.col("doc_a") < F.col("doc_b"))
-            & (F.abs(F.col("la") - F.col("lb")) <= FUZZY_LEV_MAX)
-            # count filter: lev >= L1/2, so bucketed L1 > 2d cannot match
-            & (l1 <= 2 * FUZZY_LEV_MAX)
+            & (F.abs(F.col("la") - F.col("lb")) <= dmax)
+            # filter 1: lev >= L1_chars/2, so bucketed L1 > 2d cannot match
+            & (l1c <= 2 * dmax)
+            # filter 2: lev >= L1_grams/4, so bucketed L1 > 4d cannot match
+            & (l1g <= 4 * dmax)
         )
+        # filter 3 runs as its own stage so filters 1-2 (pure codegen
+        # integer diffs) gate the interpreted higher-order expression
+        .filter((pos_threshold <= 0) | (matched_ub >= pos_threshold))
         # project the distance BEFORE filtering on it: filter and
         # project are separate operators, so an expression repeated in
         # both is computed twice per candidate (measured 2x on 38M
         # candidates at sf1)
-        .select("doc_a", "doc_b", F.levenshtein("ta", "tb").cast("int").alias("dist"))
-        .filter(F.col("dist") <= FUZZY_LEV_MAX)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("ta", "tb", dmax).cast("int").alias("dist"),
+        )
+        .filter(F.col("dist") >= 0)
     )
 
 
-l2_fuzzy_title_join.__doc__ = l2_fuzzy_title_join.__doc__.format(d=FUZZY_LEV_MAX)
+l2_fuzzy_title_join.__doc__ = l2_fuzzy_title_join.__doc__.format(
+    d=FUZZY_LEV_MAX, nb=FUZZY_GRAM_BUCKETS
+)
 
 
 # ---------------------------------------------------------------------------
@@ -1382,22 +1483,30 @@ _MOORE_LEWIS_ORACLE = f"""
     ngen AS (SELECT CAST(count(*) AS BIGINT) AS n FROM words),
     delta AS (
       SELECT g.w,
-             round(ln((CAST(coalesce(i.c, 0) + 1 AS DOUBLE))
-                      / (CAST(nin.n + vocab.v AS DOUBLE))), 6)
-           - round(ln((CAST(g.c + 1 AS DOUBLE))
-                      / (CAST(ngen.n + vocab.v AS DOUBLE))), 6) AS d
+             CAST(round(ln((CAST(coalesce(i.c, 0) + 1 AS DOUBLE))
+                           / (CAST(nin.n + vocab.v AS DOUBLE))) * 1000000) AS BIGINT)
+           - CAST(round(ln((CAST(g.c + 1 AS DOUBLE))
+                           / (CAST(ngen.n + vocab.v AS DOUBLE))) * 1000000) AS BIGINT)
+               AS d_mic
       FROM cgen g LEFT JOIN cin i ON i.w = g.w
       CROSS JOIN nin CROSS JOIN ngen CROSS JOIN vocab
     ),
     tf AS (
       SELECT doc_id, w, count(*) AS tf FROM words GROUP BY doc_id, w
+    ),
+    sums AS (
+      SELECT tf.doc_id,
+             CAST(sum(tf.tf) AS BIGINT) AS n,
+             CAST(sum(d.d_mic * tf.tf) AS BIGINT) AS num
+      FROM tf JOIN delta d USING (w)
+      GROUP BY tf.doc_id
     )
-    SELECT tf.doc_id,
-           CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
-           round(CAST(sum(CAST(d.d AS DECIMAL(18,6)) * tf.tf) AS DOUBLE)
-                 / CAST(sum(tf.tf) AS DOUBLE), 6) + 0.0 AS ce_diff
-    FROM tf JOIN delta d USING (w)
-    GROUP BY tf.doc_id
+    SELECT doc_id,
+           n AS n_tokens,
+           CAST(CASE WHEN num < 0 THEN -((2 * (-num) + n) // (2 * n))
+                     ELSE (2 * num + n) // (2 * n) END AS DOUBLE)
+             / 1000000.0 AS ce_diff
+    FROM sums
 """
 
 
@@ -1412,9 +1521,15 @@ def l6_moore_lewis_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shapes: two vocabulary-sized model aggregations and a token-keyed
     per-doc join — the same broadcastable-model / partial-agg skeleton
-    as the surprisal entries.  Both ln calls are quantized to 6 dp
-    BEFORE the difference (the per-engine libm channel again), and the
-    tf-weighted sum is exact decimal."""
+    as the surprisal entries.  Numeric determinism is INTEGER
+    end-to-end after the one libm call: each ln is quantized to
+    micro-nats (round(ln·1e6) → BIGINT), the tf-weighted per-doc sum
+    is exact BIGINT, and the per-token mean rounds half-away in
+    integer arithmetic ((2·|num|+n) div (2·n)) before one exact
+    /1e6 — the earlier round(double_sum/double_n, 6) flaked at sf0.1
+    when the true quotient sat on a 6-dp boundary and Spark's
+    BigDecimal HALF_UP disagreed with DuckDB's multiply-nearbyint
+    (CROSS_SF_r10.json, doc 1676: -0.008116 vs -0.008115)."""
     d = _t(spark, sf_dir, "documents")
     words = d.select(
         "doc_id", "lang", F.explode(F.split("text", " ")).alias("w")
@@ -1442,38 +1557,41 @@ def l6_moore_lewis_select(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.log(
                         (F.coalesce("ci", F.lit(0)) + 1).cast("double")
                         / (F.col("ni") + F.col("v")).cast("double")
-                    ),
-                    6,
-                )
+                    )
+                    * 1000000
+                ).cast("bigint")
                 - F.round(
                     F.log(
                         (F.col("cg") + 1).cast("double")
                         / (F.col("ng") + F.col("v")).cast("double")
-                    ),
-                    6,
-                )
-            ).alias("d"),
+                    )
+                    * 1000000
+                ).cast("bigint")
+            ).alias("d_mic"),
         )
     )
     tf = words.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
-    return (
+    sums = (
         tf.join(F.broadcast(delta), "w")
         .groupBy("doc_id")
         .agg(
-            F.sum("tf").cast("bigint").alias("n_tokens"),
-            # + 0.0 normalizes IEEE signed zero: a ce_diff of exactly 0
-            # rounded from below is -0.0 in one engine and +0.0 in the
-            # other, and the canonicalizer prints them differently
-            # (observed on doc 1275 at sf0.1)
-            (
-                F.round(
-                    F.sum(F.col("d").cast("decimal(18,6)") * F.col("tf")).cast("double")
-                    / F.sum("tf").cast("double"),
-                    6,
-                )
-                + F.lit(0.0)
-            ).alias("ce_diff"),
+            F.sum("tf").cast("bigint").alias("n"),
+            F.sum(F.col("d_mic") * F.col("tf")).alias("num"),
         )
+    )
+    # integer half-away-from-zero mean in micro-nats, then one exact
+    # /1e6 — `div` (Spark) and `//` (DuckDB) agree on non-negative
+    # operands, so the sign is peeled first
+    return sums.select(
+        "doc_id",
+        F.col("n").alias("n_tokens"),
+        (
+            F.expr(
+                "CASE WHEN num < 0 THEN -((2 * (-num) + n) div (2 * n))"
+                " ELSE (2 * num + n) div (2 * n) END"
+            ).cast("double")
+            / 1000000.0
+        ).alias("ce_diff"),
     )
 
 
@@ -2415,23 +2533,34 @@ PR_ITER = 3
 PR_TOP_K = 50
 
 
+# rank unit: 1e-12 of total mass, held as BIGINT ("pico-rank").  Every
+# arithmetic step below is integer half-away-from-zero on non-negative
+# operands, so the two engines cannot diverge by even 1 ulp — the
+# earlier 12-dp double rounding flaked at sf0.1 when Spark's BigDecimal
+# HALF_UP and DuckDB's multiply-nearbyint landed on opposite sides of a
+# boundary (CROSS_SF_r10.json, node 1013: …685 vs …684).
+PR_UNIT = 10**12
+_PR_DAMP_NUM = 85  # 0.85 as 85/100 — exact integer damping
+
+
 def _pagerank_iter_sql() -> str:
-    """Unrolled PageRank iterations as CTEs (r0 → c{i}/s{i}/r{i})."""
+    """Unrolled PageRank iterations as CTEs (r0 → c{i}/s{i}/r{i}),
+    integer pico-rank arithmetic throughout."""
     parts = []
     for i in range(1, PR_ITER + 1):
         parts.append(
             f"""
     c{i} AS (
-      SELECT e.dst, round(r.r / d.outdeg, 12) AS c
+      SELECT e.dst, (2 * r.rq + d.outdeg) // (2 * d.outdeg) AS cq
       FROM und e JOIN r{i - 1} r ON r.node = e.src JOIN deg d ON d.node = e.src
     ),
     s{i} AS (
-      SELECT dst AS node, CAST(sum(CAST(c AS DECIMAL(28,12))) AS DOUBLE) AS s
+      SELECT dst AS node, CAST(sum(cq) AS BIGINT) AS sq
       FROM c{i} GROUP BY dst
     ),
     r{i} AS (
       SELECT n.node,
-             round((0.15 / nn.n) + {PR_DAMP} * coalesce(s.s, 0.0), 12) AS r
+             nn.baseq + (2 * {_PR_DAMP_NUM} * coalesce(s.sq, 0) + 100) // 200 AS rq
       FROM nodes n CROSS JOIN nn LEFT JOIN s{i} s ON s.node = n.node
     )"""
         )
@@ -2452,15 +2581,20 @@ _PAGERANK_ORACLE = f"""
       SELECT src AS node, count(*) AS outdeg FROM und GROUP BY src
     ),
     nodes AS (SELECT DISTINCT src AS node FROM und),
-    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
-    r0 AS (SELECT node, (1.0 / nn.n) AS r FROM nodes, nn),
+    nn AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             (2 * {PR_UNIT} + count(*)) // (2 * count(*)) AS initq,
+             (2 * {PR_UNIT} * 15 // 100 + count(*)) // (2 * count(*)) AS baseq
+      FROM nodes
+    ),
+    r0 AS (SELECT node, nn.initq AS rq FROM nodes, nn),
     {_pagerank_iter_sql()}
     SELECT node, entity, entity_key, pr, CAST(rnk AS INTEGER) AS rnk FROM (
       SELECT node,
              CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS entity,
              CAST(node // 2 AS BIGINT) AS entity_key,
-             r AS pr,
-             row_number() OVER (ORDER BY r DESC, node) AS rnk
+             CAST(rq AS DOUBLE) / {PR_UNIT} AS pr,
+             row_number() OVER (ORDER BY rq DESC, node) AS rnk
       FROM r{PR_ITER})
     WHERE rnk <= {PR_TOP_K}
 """
@@ -2480,29 +2614,33 @@ def g1_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     node-keyed partial-agg sum.  At 100 TB the rank/degree tables stay
     node-sized (≪ edge-sized) and every shuffle key is a node id.
 
-    Determinism: each per-edge contribution ``r/outdeg`` is one IEEE
-    division rounded to 12 dp half-away, then summed EXACTLY as
-    DECIMAL(28,12); the damping update re-rounds to 12 dp — no
-    float-association channel anywhere (catalog.py decimal-sum rule).
+    Determinism: ranks live as BIGINT pico-rank (1e-12 of total mass);
+    the per-edge contribution, the damping update, and the init/base
+    terms are all integer half-away divisions on non-negative operands
+    ((2a+b) div (2b)), and the per-node sum is an exact integer sum —
+    no float operation exists anywhere in the iteration, so the two
+    engines agree bit-for-bit at any SF (the earlier 12-dp double
+    rounding flaked at sf0.1 — see PR_UNIT note above).
     """
     ranks = pagerank_ranks(spark, sf_dir)
-    w = Window.orderBy(F.col("r").desc(), F.col("node"))
+    w = Window.orderBy(F.col("rq").desc(), F.col("node"))
     return (
-        ranks.orderBy(F.col("r").desc(), F.col("node"))
+        ranks.orderBy(F.col("rq").desc(), F.col("node"))
         .limit(PR_TOP_K)
         .select(
             "node",
             F.when(F.col("node") % 2 == 0, "customer").otherwise("supplier").alias("entity"),
             F.floor(F.col("node") / 2).cast("bigint").alias("entity_key"),
-            F.col("r").alias("pr"),
+            (F.col("rq").cast("double") / PR_UNIT).alias("pr"),
             F.row_number().over(w).cast("int").alias("rnk"),
         )
     )
 
 
 def pagerank_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full (node, r) rank table after PR_ITER damped iterations —
-    exposed separately so tests can assert rank-mass conservation."""
+    """Full (node, rq, r) rank table after PR_ITER damped iterations —
+    rq is the exact BIGINT pico-rank, r its double rendering; exposed
+    separately so tests can assert rank-mass conservation."""
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     edges = (
@@ -2521,12 +2659,16 @@ def pagerank_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cache()
     deg = und.groupBy("src").agg(F.count("*").alias("outdeg")).withColumnRenamed("src", "node")
     nodes = und.select(F.col("src").alias("node")).distinct()
-    nn = nodes.agg(F.count("*").cast("double").alias("n"))
-    ranks = nodes.crossJoin(F.broadcast(nn)).select(
-        "node", (F.lit(1.0) / F.col("n")).alias("r")
+    nn = nodes.agg(
+        F.count("*").alias("n"),
+        F.expr(f"(2 * {PR_UNIT} + count(*)) div (2 * count(*))").alias("initq"),
+        F.expr(
+            f"(2 * {PR_UNIT} * 15 div 100 + count(*)) div (2 * count(*))"
+        ).alias("baseq"),
     )
+    ranks = nodes.crossJoin(F.broadcast(nn)).select("node", F.col("initq").alias("rq"))
     # ranks and deg are node-sized (≪ edge-sized) — broadcast them into
-    # the edge join so each iteration shuffles only the (dst, c) partial
+    # the edge join so each iteration shuffles only the (dst, cq) partial
     # aggregation, never the edge list; at node counts beyond broadcast
     # range this becomes a shuffle join on the node id
     for _ in range(PR_ITER):
@@ -2536,11 +2678,12 @@ def pagerank_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.broadcast(deg.withColumnRenamed("node", "dnode")),
                 F.col("src") == F.col("dnode"),
             )
-            .select(F.col("dst"), F.round(F.col("r") / F.col("outdeg"), 12).alias("c"))
+            .select(
+                F.col("dst"),
+                F.expr("(2 * rq + outdeg) div (2 * outdeg)").alias("cq"),
+            )
         )
-        sums = contrib.groupBy("dst").agg(
-            F.sum(F.col("c").cast("decimal(28,12)")).cast("double").alias("s")
-        )
+        sums = contrib.groupBy("dst").agg(F.sum("cq").alias("sq"))
         # cache each iterate: it is node-sized, and the next iteration
         # broadcasts it — uncached, iteration i would re-execute the
         # full lineage of iterations 1..i-1 on every materialization
@@ -2549,15 +2692,14 @@ def pagerank_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(sums, nodes.node == sums.dst, "left")
             .select(
                 "node",
-                F.round(
-                    (F.lit(0.15) / F.col("n"))
-                    + F.lit(PR_DAMP) * F.coalesce(F.col("s"), F.lit(0.0)),
-                    12,
-                ).alias("r"),
+                F.expr(
+                    f"baseq + (2 * {_PR_DAMP_NUM} * coalesce(sq, 0) + 100)"
+                    " div 200"
+                ).alias("rq"),
             )
             .cache()
         )
-    return ranks
+    return ranks.select("node", "rq", (F.col("rq").cast("double") / PR_UNIT).alias("r"))
 
 
 g1_pagerank_topk.__doc__ = g1_pagerank_topk.__doc__.format(it=PR_ITER)

@@ -381,6 +381,66 @@ def l3_ann_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The upsert entry's base/delta split: base = 80% of the corpus (index
+# built + centroids trained on it), delta = the remaining 20% upserted
+# afterwards.  Mirrored verbatim in the DuckDB oracle's train_where.
+_IVF_UPSERT_BASE = "vec_id % 5 <> 0"
+
+_IVF_UPSERT_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _ivf_upserted_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    import tempfile
+
+    from chronicle_sniffer_spark.operators.ivf import ivf_index_upsert, ivf_index_write
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _IVF_UPSERT_CACHE:
+        out = tempfile.mkdtemp(prefix="css_ivf_upsert_")
+        emb = _t(spark, sf_dir, "embeddings")
+        ivf_index_write(emb.filter(F.expr(_IVF_UPSERT_BASE)), out)
+        ivf_index_upsert(spark, out, emb.filter(~F.expr(_IVF_UPSERT_BASE)))
+        _IVF_UPSERT_CACHE[key] = out
+    return _IVF_UPSERT_CACHE[key]
+
+
+def _ivf_upsert_oracle() -> str:
+    from chronicle_sniffer_spark.operators.ivf import oracle_ivf_sql
+
+    return oracle_ivf_sql(ANN_QUERY_VEC, ANN_K, train_where=_IVF_UPSERT_BASE)
+
+
+@query("l3_ann_ivf_index_upsert", section="L3", oracle=_ivf_upsert_oracle())
+def l3_ann_ivf_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF serving after an INCREMENTAL index update — the missing
+    piece next to rebuild-only indexing: the index is built on 80% of
+    the corpus (centroids trained there), then the remaining 20% is
+    delta-upserted via `operators/ivf.py::ivf_index_upsert` — assigned
+    to the EXISTING centroids with a broadcast join and merged by
+    dynamic-partition overwrite that rewrites ONLY the touched cells
+    (tests/test_ivf.py::test_upsert_touches_only_assigned_partitions
+    proves untouched cell files are byte-identical afterwards;
+    test_upsert_index_equals_full_assignment proves the merged cells
+    equal a from-scratch assignment of the full corpus to the base
+    centroids).  At 100 TB this is the difference between a daily
+    full-index rebuild and a delta-sized write.  HARD oracle: the same
+    unrolled-Lloyd SQL, trained on the base predicate, assigning the
+    full corpus — train-on-base-then-upsert must return exactly what a
+    monolithic pipeline would."""
+    from chronicle_sniffer_spark.operators.ivf import ivf_topk_from_index
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == ANN_QUERY_VEC).select("embedding").collect()
+    qv = [float(x) for x in qrow[0][0]]
+    return ivf_topk_from_index(
+        spark,
+        _ivf_upserted_index_dir(spark, sf_dir),
+        qv,
+        ANN_K,
+        exclude_vec_id=ANN_QUERY_VEC,
+    )
+
+
 # GPT-2-style pre-tokenizer, RE2/Java-compatible subset (no lookahead):
 # letter runs, digit runs, punctuation runs — each optionally preceded
 # by one space — plus residual whitespace runs.

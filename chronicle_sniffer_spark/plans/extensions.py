@@ -168,13 +168,20 @@ _LOG_LINE_DUCK = (
     )
     SELECT file,
            count(*) AS n,
-           CAST(floor(ln(duration) / ln(1.5)) AS BIGINT) AS bucket
+           CASE WHEN duration > 0
+                THEN CAST(floor(ln(duration) / ln(1.5)) AS BIGINT)
+                END AS bucket
     FROM parsed GROUP BY file, bucket
     """,
 )
 def r27_log_metric_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Regex metric extraction from log lines + the reference's
-    exponential latency histogram (growth 1.5, terraform/main.tf:540-547)."""
+    exponential latency histogram (growth 1.5, terraform/main.tf:540-547).
+
+    Non-positive durations bucket as NULL EXPLICITLY on both sides:
+    Spark's log(0) quietly returns null while DuckDB's ln(0) raises —
+    a zero-valued metric at sf0.1 is exactly the cross-SF-sweep class
+    of divergence (CROSS_SF_r10.json caught it; sf0.01 has no zero)."""
     ev = _t(spark, sf_dir, "events")
     logs = ev.select(F.expr(_LOG_LINE_SQL).alias("line"))
     parsed = logs.select(
@@ -183,7 +190,9 @@ def r27_log_metric_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("duration"),
         F.regexp_extract("line", r"FILE: ([^ ]+)", 1).alias("file"),
     )
-    bucket = F.floor(F.log("duration") / F.log(F.lit(1.5))).alias("bucket")
+    bucket = F.when(
+        F.col("duration") > 0, F.floor(F.log("duration") / F.log(F.lit(1.5)))
+    ).alias("bucket")
     return parsed.groupBy("file", bucket).agg(F.count("*").alias("n"))
 
 

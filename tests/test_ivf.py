@@ -147,3 +147,117 @@ def test_materialized_index_matches_inline(emb, tmp_path):
     ]
     inline_rows = [(r.vec_id, r.sim) for r in ivf_topk(emb, QUERY, K).collect()]
     assert served_rows == inline_rows[: len(served_rows)]
+
+
+def _cell_files(cells_dir: str) -> dict[str, tuple]:
+    """path -> (size, mtime_ns) for every parquet data file under the
+    cid-partitioned cells layout."""
+    import os
+
+    out = {}
+    for root, _dirs, files in os.walk(cells_dir):
+        for f in files:
+            if f.endswith(".parquet"):
+                p = os.path.join(root, f)
+                st = os.stat(p)
+                out[p] = (st.st_size, st.st_mtime_ns)
+    return out
+
+
+def test_upsert_index_equals_full_assignment(emb, tmp_path):
+    """Build on 80%, upsert 20%: the merged cells must equal a
+    from-scratch assignment of the FULL corpus to the base-trained
+    centroids — the full-rebuild-equivalence contract (centroids stay
+    fixed; upsert is serving-time maintenance, not retraining)."""
+    from chronicle_sniffer_spark.operators.ivf import (
+        _assign,
+        ivf_index_upsert,
+        ivf_index_write,
+    )
+
+    spark = emb.sparkSession
+    idx = str(tmp_path / "index")
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    delta = emb.filter(F.col("vec_id") % 5 == 0)
+    ivf_index_write(base, idx)
+    touched = ivf_index_upsert(spark, idx, delta)
+    assert touched, "delta landed in no cell"
+
+    merged = spark.read.parquet(f"{idx}/cells")
+    cent = spark.read.parquet(f"{idx}/centroids")
+    vecs = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    full = _assign(vecs, cent)
+    key = lambda r: (r.vec_id, r.cid, tuple(r.v))  # noqa: E731
+    assert sorted(map(key, merged.collect())) == sorted(map(key, full.collect()))
+
+
+def test_upsert_touches_only_assigned_partitions(emb, tmp_path):
+    """Cells the delta does not land in (and that hold none of the
+    incoming vec_ids) must be byte-identical after the upsert — the
+    dynamic-partition overwrite never lists, reads, or rewrites
+    them."""
+    from chronicle_sniffer_spark.operators.ivf import (
+        ivf_index_upsert,
+        ivf_index_write,
+    )
+
+    spark = emb.sparkSession
+    idx = str(tmp_path / "index")
+    ivf_index_write(emb, idx)
+    # a deliberately CLUSTERED delta — three new vec_ids copying one
+    # existing cell's vector, so they land in exactly that cell (a
+    # uniform 20% delta would touch all 16 cells at this corpus size
+    # and leave nothing to assert)
+    seed = spark.read.parquet(f"{idx}/cells").orderBy("vec_id").first()
+    max_id = emb.agg(F.max("vec_id")).collect()[0][0]
+    delta = spark.createDataFrame(
+        [(max_id + 1 + i, list(seed.v)) for i in range(3)],
+        "vec_id bigint, embedding array<double>",
+    )
+    before = _cell_files(f"{idx}/cells")
+    touched = ivf_index_upsert(spark, idx, delta)
+    assert touched == [seed.cid]
+    after = _cell_files(f"{idx}/cells")
+
+    untouched_before = {
+        p: v
+        for p, v in before.items()
+        if not any(f"cid={c}/" in p for c in touched)
+    }
+    assert untouched_before, "every cell was touched — test not meaningful"
+    for p, v in untouched_before.items():
+        assert after.get(p) == v, f"untouched cell file changed: {p}"
+
+
+def test_upsert_replaces_changed_vector_and_moves_cells(emb, tmp_path):
+    """Re-upserting an EXISTING vec_id with a different vector must
+    replace the old row (no duplicate) and move it to its new cell,
+    rewriting the old cell too."""
+    from chronicle_sniffer_spark.operators.ivf import (
+        _assign,
+        ivf_index_upsert,
+        ivf_index_write,
+    )
+
+    spark = emb.sparkSession
+    idx = str(tmp_path / "index")
+    ivf_index_write(emb, idx)
+    cells = spark.read.parquet(f"{idx}/cells")
+    victim = cells.orderBy("vec_id").first()
+    # replace the victim's vector with another cell's centroid-ish
+    # vector: any OTHER existing vector guarantees a valid embedding
+    donor = cells.filter(F.col("cid") != victim.cid).orderBy("vec_id").first()
+    changed = spark.createDataFrame(
+        [(victim.vec_id, list(donor.v))], "vec_id bigint, embedding array<double>"
+    )
+    touched = ivf_index_upsert(spark, idx, changed)
+    assert victim.cid in touched, "old cell not rewritten"
+    merged = spark.read.parquet(f"{idx}/cells")
+    rows = merged.filter(F.col("vec_id") == victim.vec_id).collect()
+    assert len(rows) == 1, "upsert duplicated an existing vec_id"
+    assert list(rows[0].v) == list(donor.v)
+    cent = spark.read.parquet(f"{idx}/centroids")
+    expected_cid = _assign(
+        changed.select("vec_id", as_double(F.col("embedding")).alias("v")), cent
+    ).collect()[0].cid
+    assert rows[0].cid == expected_cid
