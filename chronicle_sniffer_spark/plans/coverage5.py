@@ -799,7 +799,52 @@ _FUZZY_ORACLE = f"""
 """
 
 
-FUZZY_GRAM_BUCKETS = 64  # 2-gram count-vector width (see filter 2 below)
+def _fuzzy_pos_ub_fn(gca, gcb):
+    """Vectorized positional q-gram matched-count UPPER BOUND for one
+    Arrow batch of candidate pairs: for each a-gram (hashed), is there
+    an equal b-gram hash within position offset ≤ d — and vice versa?
+    Returns min(ub_a→b, ub_b→a), since a true positional matching is
+    injective both ways.  2·(2d+1) shifted whole-array comparisons
+    over padded (batch × len) int matrices — ~400 numpy ops per pair,
+    no Python per-row work beyond padding.
+
+    Sentinels: a-pads are -1, b-pads are -2, so a pad never matches the
+    other side's pad; a REAL hash colliding with a sentinel (or two
+    distinct grams colliding in hash) only OVER-counts — and the filter
+    prunes on ``ub < threshold``, so any over-count is lossless."""
+    import numpy as np
+    import pandas as pd
+
+    d = FUZZY_LEV_MAX
+
+    def pad(series, fill):
+        lists = series.tolist()
+        n = len(lists)
+        m = max((len(x) for x in lists), default=0)
+        out = np.full((n, max(m, 1)), fill, dtype=np.int64)
+        for i, x in enumerate(lists):
+            out[i, : len(x)] = x
+        return out
+
+    a = pad(gca, -1)
+    b = pad(gcb, -2)
+    la, lb = a.shape[1], b.shape[1]
+    matched_a = np.zeros(a.shape, dtype=bool)
+    matched_b = np.zeros(b.shape, dtype=bool)
+    for s in range(-d, d + 1):
+        lo, hi = max(0, -s), min(la, lb - s)
+        if hi > lo:
+            eq = a[:, lo:hi] == b[:, lo + s : hi + s]
+            matched_a[:, lo:hi] |= eq
+            matched_b[:, lo + s : hi + s] |= eq
+    ub = np.minimum(matched_a.sum(axis=1), matched_b.sum(axis=1))
+    return pd.Series(ub.astype("int32"))
+
+
+def _fuzzy_pos_ub(gca, gcb):
+    # built lazily: pandas_udf construction requires an active session,
+    # and this module imports before any session exists
+    return F.pandas_udf(_fuzzy_pos_ub_fn, "integer")(gca, gcb)
 
 
 @query("l2_fuzzy_title_join", section="L2", oracle=_FUZZY_ORACLE)
@@ -814,35 +859,36 @@ def l2_fuzzy_title_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Σ per-block quadratics, the same cost shape as the n-gram
     prefix-filter and SemDeDup cells.
 
-    Between the length band and the verify sit THREE lossless filters,
-    cheapest first, each computed from per-doc features built ONCE
-    before the pair fan-out (all from Gravano et al., VLDB'01 /
-    Xiao et al. ED-Join, VLDB'08):
+    Between the length band and the verify sit TWO lossless filters,
+    cheapest first, from per-doc features built ONCE before the pair
+    fan-out (Gravano et al., VLDB'01 / Xiao et al. ED-Join, VLDB'08):
 
     1. CHARACTER count filter (q=1): one edit perturbs the character
        multiset by ≤2 in L1, so lev ≥ L1_chars/2; 8 alphabet buckets
-       (translate+length), 8 integer diffs per candidate.
-    2. 2-GRAM count filter (q=2): one edit destroys ≤q grams and
-       introduces ≤q, so lev ≥ L1_grams/(2q) and bucketed L1 > 2q·{d}
-       cannot match.  {nb} hash buckets — projection is an L1
-       contraction so bucketing stays lossless.  This kills most of
-       the lev ≥ 9 mass (two+ words replaced): measured at sf0.1,
-       candidates reaching the verify drop 261,534 → 160,192.
-    3. POSITIONAL q-gram bound (the edit-distance analogue of the
+       (translate+length), 8 integer diffs per candidate, pure
+       whole-stage codegen (381.7k block+band pairs → 261.5k at
+       sf0.1).
+    2. POSITIONAL q-gram bound (the edit-distance analogue of the
        containment entry's PPJoin-suffix filter): if lev ≤ d then the
        titles share ≥ max(na,nb) − d·q positional 2-grams matching
        within position offset ≤ d (each edit destroys ≤q positional
-       grams and shifts alignments by ≤d).  The candidate-side upper
-       bound counts a-grams with ANY equal gram in b's ±{d} window
-       (size·filter·exists over inline gram arrays — an over-count of
-       the true matching, so pruning on it is lossless); pairs whose
-       bound falls short of the threshold are pruned without running
-       the DP.  This is the only filter that discriminates inside the
-       lev 5–8 band (count filters are structurally blind there: a
-       single same-length word replacement moves ~6 grams, under the
-       2q·d = 16 budget): it prunes the two-word-change lev 7–8 mass,
-       cutting candidates reaching the DP to ~2.4× true matches at
-       sf0.1 (31.2k for 12.8k).
+       grams and shifts alignments by ≤d).  The per-pair upper bound
+       min(|a-grams matched in b's ±{d} window|, |b-grams matched in
+       a's|) over-counts the true injective matching, so pruning on
+       ``ub < max(na,nb) − d·q`` is lossless.  It runs as a VECTORIZED
+       Arrow pandas UDF over pre-hashed gram-code arrays (2·(2d+1)
+       shifted numpy array comparisons per batch) — expressing it as a
+       higher-order SQL expression de-codegens the entire merged join
+       filter and re-evaluates per-doc transforms per PAIR (measured
+       25 s vs ~2 s at sf0.1).  This is the only filter that
+       discriminates inside the lev 5–8 band (count filters are
+       structurally blind there: a single same-length word replacement
+       moves ~6 grams, inside every count budget): it prunes the
+       two-word-change lev ≥ 7 mass, cutting candidates reaching the
+       DP to 52.9k for 12.8k matches at sf0.1 (4.1×, from 20.4× —
+       the corpus floor for ANY lossless filter is ~2.9×: the 23.9k
+       lev 5–6 single-word-replacement pairs sit inside the d·q
+       positional budget and are indistinguishable without the DP).
 
     The verify itself is the BANDED threshold Levenshtein
     (``F.levenshtein(ta, tb, {d})``, Spark ≥ 3.5): O((2d+1)·L) with
@@ -857,8 +903,9 @@ def l2_fuzzy_title_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     wall grows super-linearly because the OUTPUT does — any correct
     algorithm is Ω(output).  Candidate-to-match ratio is the metric
     that must stay flat, and the positional bound ties it to output
-    (lev histogram at sf0.1: 12.8k ≤4, 130.6k in 5–8, 238.3k ≥9 —
-    filters 1–2 remove the ≥9 mass, filter 3 the 7–8 mass).  On a
+    (lev histogram of block+band pairs at sf0.1: 12.8k ≤4, 130.6k in
+    5–8, 238.3k ≥9 — the char filter thins the ≥9 mass, the positional
+    bound removes the rest of it plus the 7–8 band).  On a
     high-entropy corpus the cost tracks true duplicate density
     instead."""
     d = _t(spark, sf_dir, "documents")
@@ -870,10 +917,12 @@ def l2_fuzzy_title_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     words = F.split("text", " ")
     buckets = ["abcd", "efgh", "ijkl", "mnop", "qrst", "uvwx", "yz", "0123456789"]
-    NG = FUZZY_GRAM_BUCKETS
-    # per-doc features in exactly two projections (not 70+ chained
-    # withColumns — each withColumn is a full analyzer pass over an
-    # ever-wider plan, O(cols²) in total)
+    # per-doc features, CACHED as a materialization barrier: without
+    # it, CollapseProject + predicate pushdown inline the higher-order
+    # gram expression into the post-join candidate stage, re-evaluating
+    # a per-DOC transform once per candidate PAIR (measured 20 s vs
+    # 2 s at sf0.1) — and a higher-order expression inside the merged
+    # join filter additionally de-codegens the whole stage
     t = d.select(
         "doc_id",
         F.array_join(F.slice(words, 1, 3), " ").alias("title"),
@@ -889,86 +938,53 @@ def l2_fuzzy_title_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             for i, chars in enumerate(buckets)
         ],
-        # positional 2-gram array, once per doc
+        # positional 2-gram HASH array, once per doc, for the
+        # positional-bound UDF (hash equality is a superset of gram
+        # equality, so over-matching only weakens pruning, never
+        # correctness)
         F.transform(
             F.sequence(F.lit(1), F.length("title") - 1),
-            lambda i: F.substr(F.col("title"), i, F.lit(2)),
-        ).alias("grams"),
-    )
-    def _bucket_pred(j: int):
-        # NOT `lambda x, j=j`: pyspark treats a two-parameter lambda as
-        # an (element, index) higher-order function and binds the
-        # second arg to the ARRAY INDEX, silently shadowing the default
-        return lambda x: F.pmod(F.hash(x), F.lit(NG)) == j
-
-    t = t.select(
-        "*",
-        *[
-            F.size(F.filter("grams", _bucket_pred(j))).alias(f"g{j}")
-            for j in range(NG)
-        ],
-    )
+            lambda i: F.hash(F.substr(F.col("title"), i, F.lit(2))),
+        ).alias("gcodes"),
+    ).cache()
     a = t.select(
         F.col("doc_id").alias("doc_a"),
         F.col("title").alias("ta"),
         F.col("blk"),
         F.col("tl").alias("la"),
-        F.col("grams").alias("gr_a"),
+        F.col("gcodes").alias("gca"),
         *[F.col(f"q{i}").alias(f"qa{i}") for i in range(len(buckets))],
-        *[F.col(f"g{j}").alias(f"ga{j}") for j in range(NG)],
     )
     b = t.select(
         F.col("doc_id").alias("doc_b"),
         F.col("title").alias("tb"),
         F.col("blk"),
         F.col("tl").alias("lb"),
-        F.col("grams").alias("gr_b"),
+        F.col("gcodes").alias("gcb"),
         *[F.col(f"q{i}").alias(f"qb{i}") for i in range(len(buckets))],
-        *[F.col(f"g{j}").alias(f"gb{j}") for j in range(NG)],
     )
     l1c = sum(F.abs(F.col(f"qa{i}") - F.col(f"qb{i}")) for i in range(len(buckets)))
-    l1g = sum(F.abs(F.col(f"ga{j}") - F.col(f"gb{j}")) for j in range(NG))
     dmax = FUZZY_LEV_MAX
-    # positional bound: a-gram at 0-based index i0 (1-based pos i0+1)
-    # may match b grams at positions (i0+1)±d → b 1-based slice start
-    # i0+1-d, end i0+1+d, clamped to [1, nb]; matched_ub over-counts
-    # the true matching so `matched_ub < T` is a proof of lev > d
-    nb_grams = F.size("gr_b")
-    matched_ub = F.size(
-        F.filter(
-            F.transform(
-                "gr_a",
-                lambda g, i0: F.exists(
-                    F.slice(
-                        "gr_b",
-                        F.greatest(F.lit(1), i0 + 1 - dmax),
-                        F.greatest(
-                            F.lit(0),
-                            F.least(nb_grams, i0 + 1 + dmax)
-                            - F.greatest(F.lit(1), i0 + 1 - dmax)
-                            + 1,
-                        ),
-                    ),
-                    lambda y: y == g,
-                ),
-            ),
-            lambda v: v,
-        )
-    )
     pos_threshold = F.greatest(F.col("la"), F.col("lb")) - 1 - 2 * dmax
     return (
         a.join(b, "blk")
         .filter(
             (F.col("doc_a") < F.col("doc_b"))
             & (F.abs(F.col("la") - F.col("lb")) <= dmax)
-            # filter 1: lev >= L1_chars/2, so bucketed L1 > 2d cannot match
+            # count filter: lev >= L1_chars/2, so bucketed L1 > 2d
+            # cannot match — pure codegen integer diffs per candidate
             & (l1c <= 2 * dmax)
-            # filter 2: lev >= L1_grams/4, so bucketed L1 > 4d cannot match
-            & (l1g <= 4 * dmax)
         )
-        # filter 3 runs as its own stage so filters 1-2 (pure codegen
-        # integer diffs) gate the interpreted higher-order expression
-        .filter((pos_threshold <= 0) | (matched_ub >= pos_threshold))
+        # the positional bound runs as an ARROW-BATCHED pandas UDF, not
+        # a higher-order SQL expression: an interpreted expression in
+        # this filter would de-codegen the ENTIRE merged filter
+        # (CombineFilters folds adjacent filters into one conjunct),
+        # dropping the whole fan-out to interpreted evaluation —
+        # measured 25 s vs ~2 s at sf0.1.  The UDF-result filter cannot
+        # be combined into the codegen'd filter above it, so the cheap
+        # filters gate the UDF.
+        .withColumn("mub", _fuzzy_pos_ub(F.col("gca"), F.col("gcb")))
+        .filter((pos_threshold <= 0) | (F.col("mub") >= pos_threshold))
         # project the distance BEFORE filtering on it: filter and
         # project are separate operators, so an expression repeated in
         # both is computed twice per candidate (measured 2x on 38M
@@ -983,7 +999,7 @@ def l2_fuzzy_title_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 l2_fuzzy_title_join.__doc__ = l2_fuzzy_title_join.__doc__.format(
-    d=FUZZY_LEV_MAX, nb=FUZZY_GRAM_BUCKETS
+    d=FUZZY_LEV_MAX
 )
 
 

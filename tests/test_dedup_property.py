@@ -145,3 +145,66 @@ def test_connected_components_match_union_find_on_random_graphs(spark, texts):
         for n_ in (a, b):
             expect[n_] = find(n_)
     assert got == expect
+
+
+# the fuzzy join's title alphabet: short words over few letters makes
+# near-threshold edit distances (the adversarial regime for the char
+# count filter and the positional q-gram bound) common
+_fuzzy_word = st.text(alphabet="abc", min_size=1, max_size=5)
+_fuzzy_doc = st.lists(_fuzzy_word, min_size=3, max_size=6).map(" ".join)
+_fuzzy_corpus = st.lists(_fuzzy_doc, min_size=2, max_size=12)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=_fuzzy_corpus)
+def test_fuzzy_join_matches_bruteforce_on_random_corpora(spark, texts):
+    """l2_fuzzy_title_join's filter stack (length band, char count
+    filter, positional q-gram bound via the Arrow UDF, banded
+    threshold levenshtein) must reproduce the brute-force within-block
+    pair set EXACTLY — every filter claims to be lossless."""
+    import os
+    import tempfile
+
+    from chronicle_sniffer_spark.plans.coverage5 import (
+        FUZZY_LEV_MAX,
+        l2_fuzzy_title_join,
+    )
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    titles = {}
+    for i, t in enumerate(texts):
+        ws = t.split(" ")
+        titles[i] = (" ".join(ws[:3]), ws[0])
+    want = {}
+    for i in titles:
+        for j in titles:
+            if i < j and titles[i][1] == titles[j][1]:
+                d = lev(titles[i][0], titles[j][0])
+                if d <= FUZZY_LEV_MAX:
+                    want[(i, j)] = d
+
+    # the entry reads documents.parquet from a directory — stage one
+    with tempfile.TemporaryDirectory(prefix="css_fuzzy_prop_") as tmp:
+        docs = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        docs.write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+        got = {
+            (r.doc_a, r.doc_b): r.dist
+            for r in l2_fuzzy_title_join(spark, tmp).collect()
+        }
+    assert got == want

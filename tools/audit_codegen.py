@@ -46,10 +46,10 @@ ACCEPTED = {
     "l3_ann_sq8_topk",  # l3_cosine_topk's 1-row-query fold, over reconstructions
     "l3_mips_norm_prune",  # same 1-row-query fold; norm fold is index-time at scale
     "l3_ann_ivf_index_upsert",  # l3_ann_ivf_index_topk's scoring fold, post-upsert
-    # per-doc gram arrays + the positional q-gram bound are higher-order
-    # by design; the interpreted Filter runs only on candidates already
-    # surviving the codegen'd char/gram count filters (~0.4× of pairs),
-    # and it prunes ~4x the banded-DP work it costs
+    # the per-doc gram-hash array is a higher-order projection evaluated
+    # once per DOC behind a cache barrier (5k rows at sf0.1); the
+    # positional bound itself is an Arrow-batched pandas UDF, and the
+    # candidate-side filters stay whole-stage codegen
     "l2_fuzzy_title_join",
 }
 
