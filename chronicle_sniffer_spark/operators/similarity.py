@@ -213,17 +213,100 @@ def robust_sigma_threshold(sims: DataFrame, c: float = NEAR_DUP_SIGMA) -> DataFr
 
 
 def cosine_pairs_adaptive(embeddings: DataFrame) -> DataFrame:
-    """Near-dup pairs with the corpus-derived c-sigma threshold.  The
-    1-row threshold joins back by broadcast — no collect, the cutoff
-    stays inside the plan.  The sims DataFrame is cached because both
-    consumers (the threshold agg and the filter) would otherwise
-    re-run the N×N matmul stage."""
-    sims = cosine_sims(embeddings).cache()
-    thr = robust_sigma_threshold(sims)
-    return (
-        sims.crossJoin(F.broadcast(thr))
-        .filter(F.col("sim") >= F.col("thr"))
-        .select("vec_a", "vec_b", "sim")
+    """Near-dup pairs with the corpus-derived c-sigma threshold, in
+    two matmul passes with NO pair materialization:
+
+    - pass 1 reduces each Arrow batch's sims to one (n, s, s2) moment
+      row INSIDE the matmul worker — only ~#batches rows leave the
+      stage, against ~N²/2 before;
+    - the 1-row threshold (round(mean + c·σ_pop, 6), identical algebra
+      to :func:`robust_sigma_threshold`) broadcast-joins into pass 2,
+      which re-runs the matmul and filters ``sim ≥ thr`` inside numpy,
+      emitting only the near-dup rows.
+
+    The earlier formulation cached the full pair table to share it
+    between the threshold agg and the filter: at sf0.1 that is 12.5M
+    rows Arrow-shipped to the JVM and pinned in storage memory per
+    invocation — measured 1.6–5.9 s swings within one session (GC/
+    storage churn) where this form holds ~1.3 s; redoing the matmul
+    (~0.2 s of BLAS) is far cheaper than materializing its output.
+    Threshold parity with the DuckDB oracle is unchanged: both engines
+    compute moments of the SAME 6-dp-rounded sims, and their ~1e-12
+    association-order noise sits far inside the 6-dp rounding."""
+    import numpy as np
+    import pandas as pd
+    from typing import Iterator
+
+    spark = embeddings.sparkSession
+    slim = embeddings.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    probe = slim.limit(BRUTE_FORCE_MAX + 1).count()
+    if probe > BRUTE_FORCE_MAX:
+        raise ValueError(
+            f"more than {BRUTE_FORCE_MAX} vectors exceeds the brute-force "
+            "scope; use ann_topk / operators.ivf at scale"
+        )
+    rows = slim.collect()  # bounded: guard above capped the cardinality
+    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    mat = np.array([r.v for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0.0] = 1.0
+    normed = mat / norms[:, None]
+    bc = spark.sparkContext.broadcast((ids, normed))
+
+    def _batch_sims(pdf, all_ids, m):
+        bids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        vecs = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+        vn = np.linalg.norm(vecs, axis=1)
+        vn[vn == 0.0] = 1.0
+        raw = (vecs / vn[:, None]) @ m.T
+        # half-away-from-zero, matching Spark/DuckDB round()
+        sims = np.sign(raw) * np.floor(np.abs(raw) * 1e6 + 0.5) / 1e6
+        mask = all_ids[None, :] > bids[:, None]
+        return bids, sims, mask
+
+    def moments(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        all_ids, m = bc.value
+        for pdf in batches:
+            _, sims, mask = _batch_sims(pdf, all_ids, m)
+            vals = sims[mask]
+            yield pd.DataFrame(
+                {
+                    "n": [int(vals.size)],
+                    "s": [float(vals.sum())],
+                    "s2": [float((vals * vals).sum())],
+                }
+            )
+
+    mom = slim.mapInPandas(moments, "n bigint, s double, s2 double").agg(
+        F.sum("n").alias("n"), F.sum("s").alias("s"), F.sum("s2").alias("s2")
+    )
+    thr = mom.select(
+        F.round(
+            F.col("s") / F.col("n")
+            + F.lit(NEAR_DUP_SIGMA)
+            * F.sqrt(
+                F.greatest(
+                    F.col("s2") / F.col("n") - F.pow(F.col("s") / F.col("n"), 2),
+                    F.lit(0.0),
+                )
+            ),
+            6,
+        ).alias("thr")
+    )
+
+    def filtered(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        all_ids, m = bc.value
+        for pdf in batches:
+            t = float(pdf["thr"].iloc[0])
+            bids, sims, mask = _batch_sims(pdf, all_ids, m)
+            keep = mask & (sims >= t)
+            bi, oj = np.nonzero(keep)
+            yield pd.DataFrame(
+                {"vec_a": bids[bi], "vec_b": all_ids[oj], "sim": sims[bi, oj]}
+            )
+
+    return slim.crossJoin(F.broadcast(thr)).mapInPandas(
+        filtered, "vec_a bigint, vec_b bigint, sim double"
     )
 
 
