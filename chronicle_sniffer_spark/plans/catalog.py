@@ -78,6 +78,7 @@ _SUBMODULES = (
     "chronicle_sniffer_spark.plans.round8d",
     "chronicle_sniffer_spark.plans.round8e",
     "chronicle_sniffer_spark.plans.round9",
+    "chronicle_sniffer_spark.plans.round10",
 )
 
 
