@@ -7,10 +7,28 @@
   learned vocabulary).  The merge list is a broadcast-sized model
   artifact baked in as literals; encoding is a pure string-replace
   chain that stays in whole-stage codegen on both engines.
+- **ML19 Population Stability Index**: the binned magnitude-weighted
+  drift monitor dashboards alert on, in exact integer micro/pico
+  arithmetic end-to-end.
+- **DQ13 functional-dependency audit**: does A → B hold — per-claim
+  distinct keys, violating keys, worst RHS cardinality, verdict.
+- **ML21 leave-one-out target encoding**: leakage-free categorical
+  feature (Σy − y_i)/(n − 1) from a broadcast decimal-exact model.
+- **TS18 additive seasonal decomposition**: centered-MA trend, weekly
+  seasonal, residual — all integer micro-unit arithmetic.
+- **G9 fixed-round label propagation**: synchronous LPA communities
+  with deterministic (count desc, label asc) tie-breaks.
+- **L3 sparse TF-IDF cosine top-k**: the lexical twin of the dense
+  ANN family, candidates from posting-list joins only.
+- **G10 bipartite co-occurrence projection**: order–supplier graph
+  collapsed to a weighted supplier co-supply edge list.
+- **TS20 heartbeat-gap outage windows**: the batch/backfill twin of
+  streaming/heartbeat.py (reference R6) — gaps above the liveness
+  threshold become (start, end, duration) downtime rows.
 
 Reference scope note: the reference engine (processor/
-json2udm_cloud.py) has no tokenizer; these entries extend the
-declared LLM-data-pipeline surface (SURVEY.md §2B L-rows).
+json2udm_cloud.py) has none of these; they extend the declared
+analytics/LLM surface (SURVEY.md §2B rows).
 """
 
 from __future__ import annotations
@@ -130,3 +148,752 @@ def l4_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 l4_bpe_encode.__doc__ = l4_bpe_encode.__doc__.format(
     m=len(BPE_MERGES), p=BPE_PASSES
 )
+
+
+# ---------------------------------------------------------------------------
+# ML19: Population Stability Index (score-distribution drift)
+# ---------------------------------------------------------------------------
+
+PSI_BUCKETS = 10
+
+
+def _psi_oracle() -> str:
+    return f"""
+    WITH stats AS (
+      SELECT min(value) AS vmin, max(value) AS vmax FROM events
+    ),
+    bucketed AS (
+      SELECT least(CAST(floor((value - s.vmin) * {PSI_BUCKETS}
+                               / (s.vmax - s.vmin)) AS BIGINT),
+                   {PSI_BUCKETS - 1}) AS bucket,
+             event_id % 2 AS half
+      FROM events, stats s
+    ),
+    counts AS (
+      SELECT bucket,
+             CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_exp,
+             CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c_act
+      FROM bucketed GROUP BY bucket
+    ),
+    totals AS (
+      SELECT CAST(sum(c_exp) AS BIGINT) AS n_exp,
+             CAST(sum(c_act) AS BIGINT) AS n_act FROM counts
+    ),
+    mics AS (
+      SELECT bucket, c_exp, c_act,
+             (2 * c_exp * 1000000 + n_exp) // (2 * n_exp) AS p_mic,
+             (2 * c_act * 1000000 + n_act) // (2 * n_act) AS q_mic
+      FROM counts, totals
+    ),
+    terms AS (
+      SELECT bucket, c_exp AS n_expected, c_act AS n_actual,
+             (p_mic - q_mic)
+               * CAST(round(ln(CAST(greatest(p_mic, 1) AS DOUBLE)
+                                / CAST(greatest(q_mic, 1) AS DOUBLE)) * 1000000)
+                      AS BIGINT) AS term_pico
+      FROM mics
+    )
+    SELECT bucket, n_expected, n_actual, term_pico,
+           CAST(sum(term_pico) OVER () AS DOUBLE) / 1e12 AS psi
+    FROM terms
+    """
+
+
+@query("ml19_psi_drift", section="ML", oracle=_psi_oracle())
+def ml19_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index — the standard production monitor
+    for score-distribution drift between a reference ("expected") and
+    a live ("actual") population, here the even/odd event_id halves of
+    the metric stream: PSI = Σ_b (p_b − q_b)·ln(p_b/q_b) over
+    {nb} equal-width buckets spanning the combined [min, max].
+    PSI < 0.1 ⇒ stable, 0.1–0.25 ⇒ shifting, > 0.25 ⇒ retrain.
+
+    Complements the distribution tests already in the catalog:
+    `ml12_ks_two_sample` (exact sup-norm test) and
+    `dq10_profile_snapshot_diff` (per-column profile deltas) — PSI is
+    the binned, magnitude-weighted summary dashboards alert on.
+
+    Numeric determinism (the g1/l6 integer discipline): proportions
+    quantize to integer micro-units via half-up integer division, the
+    ln argument is a ratio of those EXACT integers (so both engines
+    feed libm the identical double; the result is quantized to
+    micro-nats before use), each bucket term is an exact BIGINT
+    pico-unit product, and the final PSI is one exact-integer sum
+    divided by 1e12.  Zero-count buckets use the standard ε-floor
+    (count clamp to 1 micro-unit) inside the ln only — a (p−q)=0
+    bucket contributes exactly 0.
+
+    Spark shapes: one stats agg (broadcast back), one bucket hash-agg
+    with map-side partials, a ≤{nb}-row window for totals — at 100 TB
+    the only full-data pass is the bucketed count, shuffling
+    {nb} rows per partition."""
+    ev = _t(spark, sf_dir, "events")
+    stats = ev.agg(F.min("value").alias("vmin"), F.max("value").alias("vmax"))
+    nb = PSI_BUCKETS
+    bucketed = ev.crossJoin(F.broadcast(stats)).select(
+        F.least(
+            F.floor(
+                (F.col("value") - F.col("vmin")) * nb / (F.col("vmax") - F.col("vmin"))
+            ).cast("bigint"),
+            F.lit(nb - 1),
+        ).alias("bucket"),
+        (F.col("event_id") % 2).alias("half"),
+    )
+    counts = bucketed.groupBy("bucket").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("c_exp"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("c_act"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy()  # ≤ PSI_BUCKETS rows: bounded by the agg above
+    mics = counts.select(
+        "bucket",
+        "c_exp",
+        "c_act",
+        F.sum("c_exp").over(w).alias("n_exp"),
+        F.sum("c_act").over(w).alias("n_act"),
+    ).select(
+        "bucket",
+        F.col("c_exp").alias("n_expected"),
+        F.col("c_act").alias("n_actual"),
+        F.expr("(2 * c_exp * 1000000 + n_exp) div (2 * n_exp)").alias("p_mic"),
+        F.expr("(2 * c_act * 1000000 + n_act) div (2 * n_act)").alias("q_mic"),
+    )
+    terms = mics.select(
+        "bucket",
+        "n_expected",
+        "n_actual",
+        (
+            (F.col("p_mic") - F.col("q_mic"))
+            * F.round(
+                F.log(
+                    F.greatest("p_mic", F.lit(1)).cast("double")
+                    / F.greatest("q_mic", F.lit(1)).cast("double")
+                )
+                * 1000000
+            ).cast("bigint")
+        ).alias("term_pico"),
+    )
+    return terms.select(
+        "*",
+        (F.sum("term_pico").over(w).cast("double") / F.lit(1e12)).alias("psi"),
+    )
+
+
+ml19_psi_drift.__doc__ = ml19_psi_drift.__doc__.format(nb=PSI_BUCKETS)
+
+
+# ---------------------------------------------------------------------------
+# DQ13: functional-dependency audit
+# ---------------------------------------------------------------------------
+
+# Declared FD claims: (name, table, lhs, rhs).  A mix of true key
+# dependencies and deliberately violated ones, so the report is
+# non-vacuous in both directions.
+FD_CLAIMS = [
+    ("orders.o_orderkey->o_orderdate", "orders", "o_orderkey", "o_orderdate"),
+    ("nation.n_nationkey->n_regionkey", "nation", "n_nationkey", "n_regionkey"),
+    ("lineitem.l_orderkey->l_returnflag", "lineitem", "l_orderkey", "l_returnflag"),
+    ("lineitem.l_partkey->l_suppkey", "lineitem", "l_partkey", "l_suppkey"),
+    ("events.user_id->event_type", "events", "user_id", "event_type"),
+]
+
+
+def _fd_oracle() -> str:
+    parts = []
+    for name, table, lhs, rhs in FD_CLAIMS:
+        parts.append(f"""
+    SELECT '{name}' AS fd,
+           CAST(count(*) AS BIGINT) AS n_lhs,
+           CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violating,
+           CAST(max(nd) AS BIGINT) AS max_rhs_distinct,
+           (max(nd) = 1) AS holds
+    FROM (SELECT {lhs}, count(DISTINCT {rhs}) AS nd FROM {table} GROUP BY {lhs})""")
+    return " UNION ALL ".join(parts)
+
+
+@query("dq13_fd_audit", section="DQ", oracle=_fd_oracle())
+def dq13_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit: for each DECLARED dependency
+    A → B, does every A value map to exactly one B?  The data-quality
+    primitive behind key discovery, denormalization safety checks, and
+    "is this column derivable" questions — profilers run exactly this
+    sweep before schema changes.
+
+    Reports per claim: distinct LHS count, number of violating keys,
+    the worst per-key RHS cardinality, and the verdict.  The claim
+    list mixes true dependencies (primary-key determinations) with
+    deliberately false ones (a part ships from 4 suppliers; an order
+    ships by many modes) so both outcomes are exercised.
+
+    Spark shapes: each claim is one groupBy(lhs).countDistinct(rhs) —
+    a two-phase partial aggregate keyed on the LHS — followed by a
+    4-measure rollup of the key-level result; claims union into one
+    report.  At 100 TB each claim touches two columns of one table
+    (column pruning does the rest) and shuffles key-level rows only."""
+    outs = []
+    for name, table, lhs, rhs in FD_CLAIMS:
+        t = _t(spark, sf_dir, table)
+        keys = t.groupBy(lhs).agg(F.countDistinct(rhs).alias("nd"))
+        outs.append(
+            keys.agg(
+                F.lit(name).alias("fd"),
+                F.count("*").alias("n_lhs"),
+                F.sum(F.when(F.col("nd") > 1, 1).otherwise(0)).alias("n_violating"),
+                F.max("nd").alias("max_rhs_distinct"),
+                (F.max("nd") == 1).alias("holds"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# ML21: leave-one-out target encoding
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ml21_target_encode_loo",
+    section="ML",
+    oracle="""
+    WITH g AS (
+      SELECT o_orderpriority,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS s,
+             CAST(count(*) AS BIGINT) AS n
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o.o_orderkey,
+           o.o_orderpriority,
+           CASE WHEN g.n > 1
+                THEN round(CAST(g.s - CAST(o.o_totalprice AS DECIMAL(18,2))
+                                AS DOUBLE) / (g.n - 1), 6)
+                END AS enc
+    FROM orders o JOIN g USING (o_orderpriority)
+    """,
+)
+def ml21_target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding — the standard high-cardinality
+    categorical feature for tabular ML: each row's category is encoded
+    as the mean target of all OTHER rows in that category,
+    (Σ_c y − y_i) / (n_c − 1), which is leakage-free by construction
+    (the row's own label never reaches its feature).
+
+    Spark shapes: one partial-aggregated groupBy builds the per-
+    category (sum, count) model — category-cardinality-sized, so it
+    BROADCASTS back onto the fact table; the encode itself is then a
+    map-side join + two arithmetic ops per row, no second shuffle.
+    The category sums accumulate in exact DECIMAL (the catalog's money
+    rule) so the broadcast model is bit-identical across engines, and
+    the final division is one double op on identical inputs.
+    Singleton categories yield NULL (no peer evidence) rather than a
+    leaked self-mean."""
+    o = _t(spark, sf_dir, "orders")
+    g = o.groupBy("o_orderpriority").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("s"),
+        F.count("*").alias("n"),
+    )
+    return (
+        o.join(F.broadcast(g), "o_orderpriority")
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.when(
+                F.col("n") > 1,
+                F.round(
+                    (F.col("s") - F.col("o_totalprice").cast("decimal(18,2)")).cast(
+                        "double"
+                    )
+                    / (F.col("n") - 1),
+                    6,
+                ),
+            ).alias("enc"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TS18: additive seasonal decomposition (trend / weekly seasonal / residual)
+# ---------------------------------------------------------------------------
+
+TS18_HALF_WIN = 3  # centered moving-average half-width (7-day trend)
+
+
+def _ts18_oracle() -> str:
+    hw = TS18_HALF_WIN
+    return f"""
+    WITH daily AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS d,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7 AS dow,
+             CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS y_mic
+      FROM events GROUP BY 1, 2
+    ),
+    tr AS (
+      SELECT d, dow, y_mic,
+             CAST(sum(y_mic) OVER w AS BIGINT) AS s_w,
+             CAST(count(*) OVER w AS BIGINT) AS n_w
+      FROM daily
+      WINDOW w AS (ORDER BY d ROWS BETWEEN {hw} PRECEDING AND {hw} FOLLOWING)
+    ),
+    detr AS (
+      SELECT d, dow, y_mic,
+             CASE WHEN s_w < 0 THEN -((2 * (-s_w) + n_w) // (2 * n_w))
+                  ELSE (2 * s_w + n_w) // (2 * n_w) END AS trend_mic
+      FROM tr
+    ),
+    seas AS (
+      SELECT dow,
+             CAST(sum(y_mic - trend_mic) AS BIGINT) AS sd,
+             CAST(count(*) AS BIGINT) AS nd
+      FROM detr GROUP BY dow
+    )
+    SELECT d.d,
+           CAST(d.y_mic AS DOUBLE) / 1e6 AS y,
+           CAST(d.trend_mic AS DOUBLE) / 1e6 AS trend,
+           CAST(CASE WHEN s.sd < 0 THEN -((2 * (-s.sd) + s.nd) // (2 * s.nd))
+                     ELSE (2 * s.sd + s.nd) // (2 * s.nd) END AS DOUBLE) / 1e6
+             AS seasonal,
+           CAST((d.y_mic - d.trend_mic)
+                - (CASE WHEN s.sd < 0 THEN -((2 * (-s.sd) + s.nd) // (2 * s.nd))
+                        ELSE (2 * s.sd + s.nd) // (2 * s.nd) END)
+                AS DOUBLE) / 1e6 AS residual
+    FROM detr d JOIN seas s USING (dow)
+    """
+
+
+@query("ts18_seasonal_decompose", section="TS", oracle=_ts18_oracle())
+def ts18_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of the daily metric
+    series: trend = centered {w}-day moving average, weekly seasonal =
+    per-weekday mean of the detrended series, residual = remainder —
+    the first diagnostic any time-series pipeline runs before anomaly
+    detection or forecasting (the catalog's ts4 z-scores and ts17 MASE
+    assume exactly this structure exists; this entry EXPOSES it).
+
+    Numeric determinism: per-event values quantize to exact micro
+    units at the scan, the daily sum / trend mean / seasonal mean are
+    all exact BIGINT arithmetic with sign-peeled half-away integer
+    division (Spark ``div`` truncates toward zero while DuckDB ``//``
+    floors, so negatives peel the sign first — the moore-lewis rule),
+    and the three components convert to double once at the end.
+
+    Spark shapes: one partial-agg groupBy(day), a ≤366-row global
+    window for the centered trend frame (bounded by the Aggregate —
+    audit-accepted), a 7-row seasonal aggregate broadcast back.  At
+    100 TB only the daily rollup touches full data."""
+    hw = TS18_HALF_WIN
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            F.date_format("ts", "yyyy-MM-dd").alias("d"),
+            (F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")) % 7
+             ).alias("dow"),
+            F.round(F.col("value") * 1000000).cast("bigint").alias("v_mic"),
+        )
+        .groupBy("d", "dow")
+        .agg(F.sum("v_mic").alias("y_mic"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("d").rowsBetween(-hw, hw)
+    half_div = (
+        "CASE WHEN {s} < 0 THEN -((2 * (-({s})) + {n}) div (2 * {n}))"
+        " ELSE (2 * ({s}) + {n}) div (2 * {n}) END"
+    )
+    detr = daily.select(
+        "d",
+        "dow",
+        "y_mic",
+        F.sum("y_mic").over(w).alias("s_w"),
+        F.count("*").over(w).alias("n_w"),
+    ).select(
+        "d",
+        "dow",
+        "y_mic",
+        F.expr(half_div.format(s="s_w", n="n_w")).alias("trend_mic"),
+    )
+    seas = detr.groupBy("dow").agg(
+        F.sum(F.col("y_mic") - F.col("trend_mic")).alias("sd"),
+        F.count("*").alias("nd"),
+    )
+    seas_mic = F.expr(half_div.format(s="sd", n="nd"))
+    return (
+        detr.join(F.broadcast(seas), "dow")
+        .select(
+            "d",
+            (F.col("y_mic").cast("double") / 1e6).alias("y"),
+            (F.col("trend_mic").cast("double") / 1e6).alias("trend"),
+            (seas_mic.cast("double") / 1e6).alias("seasonal"),
+            (
+                ((F.col("y_mic") - F.col("trend_mic")) - seas_mic).cast("double")
+                / 1e6
+            ).alias("residual"),
+        )
+    )
+
+
+ts18_seasonal_decompose.__doc__ = ts18_seasonal_decompose.__doc__.format(
+    w=2 * TS18_HALF_WIN + 1
+)
+
+
+# ---------------------------------------------------------------------------
+# G9: fixed-round label propagation (community detection)
+# ---------------------------------------------------------------------------
+
+LPA_ROUNDS = 3
+
+
+def _lpa_oracle() -> str:
+    rounds = []
+    for i in range(1, LPA_ROUNDS + 1):
+        rounds.append(f"""
+    nl{i} AS (
+      SELECT dst AS node, lbl, count(*) AS cnt
+      FROM und e JOIN l{i - 1} l ON l.node = e.src
+      GROUP BY dst, lbl
+    ),
+    l{i} AS (
+      SELECT node, lbl FROM (
+        SELECT node, lbl,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY cnt DESC, lbl) AS rn
+        FROM nl{i}) WHERE rn = 1
+    )""")
+    return f"""
+    WITH edges AS (
+      SELECT DISTINCT 2 * o.o_custkey AS src, 2 * l.l_suppkey + 1 AS dst
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    und AS (
+      SELECT src, dst FROM edges
+      UNION ALL
+      SELECT dst AS src, src AS dst FROM edges
+    ),
+    l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM und),
+    {",".join(rounds)}
+    SELECT lbl AS community,
+           CAST(count(*) AS BIGINT) AS size,
+           CAST(min(node) AS BIGINT) AS min_node
+    FROM l{LPA_ROUNDS} GROUP BY lbl
+    """
+
+
+@query("g9_label_propagation", section="G", oracle=_lpa_oracle())
+def g9_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-round synchronous label propagation (Raghavan et al.,
+    2007) over the customer–supplier trade graph: every node starts as
+    its own label; each round it adopts the MOST FREQUENT label among
+    its neighbors (ties → smallest label).  After {r} rounds, report
+    communities (label, size, min member).  Distinct from
+    `g3_cc_components` — LPA finds densely-connected groups, not mere
+    reachability, and the fixed round count makes the declarative
+    semantics exact (classic LPA on bipartite graphs can oscillate
+    under synchronous updates; a FIXED horizon is deterministic by
+    construction and is what one scan-budgeted pass over 100 TB of
+    edges gives you anyway).
+
+    Spark shapes per round: one edge⋈label equi-join (labels are
+    node-sized → broadcast), one (node, label) partial-agg count, one
+    per-node argmax via min(struct(-cnt, lbl)) — the same mode idiom
+    as a18.  Labels cache per round (node-sized) so round i never
+    re-executes rounds 1..i-1."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            (F.lit(2) * F.col("o_custkey")).alias("src"),
+            (F.lit(2) * F.col("l_suppkey") + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    und = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).cache()
+    labels = und.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    for _ in range(LPA_ROUNDS):
+        counted = (
+            und.join(F.broadcast(labels), und.src == labels.node)
+            .groupBy(F.col("dst").alias("n2"), "lbl")
+            .agg(F.count("*").alias("cnt"))
+        )
+        labels = (
+            counted.groupBy("n2")
+            .agg(
+                F.min(F.struct((-F.col("cnt")).alias("nc"), F.col("lbl")))
+                .getField("lbl")
+                .alias("lbl")
+            )
+            .select(F.col("n2").alias("node"), "lbl")
+            .cache()
+        )
+    return labels.groupBy(F.col("lbl").alias("community")).agg(
+        F.count("*").alias("size"), F.min("node").alias("min_node")
+    )
+
+
+g9_label_propagation.__doc__ = g9_label_propagation.__doc__.format(r=LPA_ROUNDS)
+
+
+# ---------------------------------------------------------------------------
+# L3: sparse TF-IDF cosine top-k via posting-list join
+# ---------------------------------------------------------------------------
+
+SPARSE_QUERY_DOC = 0
+SPARSE_K = 10
+
+
+def _sparse_cosine_oracle() -> str:
+    return f"""
+    WITH tf AS (
+      SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+      GROUP BY doc_id, w
+    ),
+    nn AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM tf),
+    idf AS (
+      SELECT w,
+             CAST(round(ln(CAST(nn.n + 1 AS DOUBLE)
+                           / CAST(count(DISTINCT doc_id) + 1 AS DOUBLE))
+                        * 1000) AS BIGINT) AS idf_mil
+      FROM tf, nn GROUP BY w, nn.n
+    ),
+    wts AS (
+      SELECT tf.doc_id, tf.w, tf.tf * idf.idf_mil AS wt
+      FROM tf JOIN idf USING (w)
+    ),
+    norms AS (
+      SELECT doc_id, sqrt(CAST(sum(wt * wt) AS DOUBLE)) AS nrm
+      FROM wts GROUP BY doc_id
+    ),
+    q AS (SELECT w, wt FROM wts WHERE doc_id = {SPARSE_QUERY_DOC}),
+    nums AS (
+      SELECT d.doc_id, CAST(sum(d.wt * q.wt) AS BIGINT) AS num
+      FROM wts d JOIN q USING (w)
+      WHERE d.doc_id <> {SPARSE_QUERY_DOC}
+      GROUP BY d.doc_id
+    ),
+    scored AS (
+      SELECT n.doc_id,
+             CAST(n.num AS DOUBLE)
+               / (nd.nrm * (SELECT nrm FROM norms
+                            WHERE doc_id = {SPARSE_QUERY_DOC})) AS sim
+      FROM nums n JOIN norms nd USING (doc_id)
+    )
+    SELECT doc_id, sim, CAST(rank AS INTEGER) AS rank FROM (
+      SELECT doc_id, sim,
+             row_number() OVER (ORDER BY sim DESC, doc_id) AS rank
+      FROM scored) WHERE rank <= {SPARSE_K}
+    """
+
+
+@query("l3_sparse_cosine_topk", section="L3", oracle=_sparse_cosine_oracle())
+def l3_sparse_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF cosine top-k through an INVERTED-INDEX join — the
+    lexical twin of the dense-embedding ANN family: documents sharing
+    no token with the query never generate a candidate row, so the
+    score join touches only the query's posting lists instead of the
+    corpus (the same candidates-only shape as BM25, but producing a
+    true cosine that slots into the RRF/MMR fusion entries).
+
+    Numeric determinism: idf quantizes to integer milli-nats (the
+    BM25 rule), weights and dot products are exact BIGINT products
+    summed with map-side partials, and norms/similarity are IEEE
+    sqrt/divide on bit-identical inputs — the output double is
+    compared UNROUNDED because every input to the float ops is exact.
+
+    Spark shapes: tf/idf are token-keyed partial aggs; the query
+    vector (one doc's terms) broadcasts into the posting join; norms
+    broadcast back onto candidate scores; TakeOrderedAndProject
+    finishes top-k.  At 100 TB the posting table is the classic
+    shardable inverted index and the query side stays KB-sized."""
+    d = _t(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("tf"))
+    )
+    nn = tf.agg(F.countDistinct("doc_id").alias("n"))
+    idf = (
+        tf.groupBy("w")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "w",
+            F.round(
+                F.log((F.col("n") + 1).cast("double") / (F.col("df") + 1).cast("double"))
+                * 1000
+            )
+            .cast("bigint")
+            .alias("idf_mil"),
+        )
+    )
+    wts = tf.join(idf, "w").select(
+        "doc_id", "w", (F.col("tf") * F.col("idf_mil")).alias("wt")
+    )
+    norms = wts.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("wt") * F.col("wt")).cast("double")).alias("nrm")
+    )
+    q = wts.filter(F.col("doc_id") == SPARSE_QUERY_DOC).select(
+        "w", F.col("wt").alias("qwt")
+    )
+    qnorm = norms.filter(F.col("doc_id") == SPARSE_QUERY_DOC).select(
+        F.col("nrm").alias("qnrm")
+    )
+    nums = (
+        wts.filter(F.col("doc_id") != SPARSE_QUERY_DOC)
+        .join(F.broadcast(q), "w")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("wt") * F.col("qwt")).alias("num"))
+    )
+    scored = (
+        nums.join(norms, "doc_id")
+        .crossJoin(F.broadcast(qnorm))
+        .select(
+            "doc_id",
+            (F.col("num").cast("double") / (F.col("nrm") * F.col("qnrm"))).alias("sim"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("sim").desc(), F.col("doc_id"))
+    return (
+        scored.orderBy(F.col("sim").desc(), F.col("doc_id"))
+        .limit(SPARSE_K)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# G10: bipartite co-occurrence projection (supplier co-supply graph)
+# ---------------------------------------------------------------------------
+
+G10_TOP_K = 20
+
+
+@query(
+    "g10_cosupply_projection",
+    section="G",
+    oracle=f"""
+    WITH os AS (
+      SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+    ),
+    pairs AS (
+      SELECT a.l_suppkey AS supp_a, b.l_suppkey AS supp_b,
+             CAST(count(*) AS BIGINT) AS n_orders
+      FROM os a JOIN os b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+      GROUP BY 1, 2
+    )
+    SELECT supp_a, supp_b, n_orders, CAST(rank AS INTEGER) AS rank FROM (
+      SELECT supp_a, supp_b, n_orders,
+             row_number() OVER (ORDER BY n_orders DESC, supp_a, supp_b) AS rank
+      FROM pairs) WHERE rank <= {G10_TOP_K}
+    """,
+)
+def g10_cosupply_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite-graph projection: collapse the order–supplier
+    bipartite graph onto suppliers, weighting each supplier pair by
+    the number of orders they co-supply — the standard way
+    co-purchase / co-occurrence / collaborator graphs are built before
+    any community or similarity analysis runs on them (g9's LPA and
+    g2's triangles consume exactly this kind of projected edge list).
+
+    Spark shapes: the projection is a self-equi-join on the ORDER key
+    — candidates are Σ per-order C(k,2) with k ≤ 7 lineitems, never a
+    supplier×supplier cross — followed by one pair-keyed partial-agg
+    count and TakeOrderedAndProject.  At 100 TB the order-keyed
+    shuffle is the only full-data movement, and the k ≤ items-per-
+    order bound keeps the fan-out linear in input."""
+    os_ = (
+        _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey").distinct()
+    )
+    a = os_.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("supp_a"))
+    b = os_.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("supp_b"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("supp_a") < F.col("supp_b"))
+        .groupBy("supp_a", "supp_b")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("n_orders").desc(), "supp_a", "supp_b")
+    return (
+        pairs.orderBy(F.col("n_orders").desc(), "supp_a", "supp_b")
+        .limit(G10_TOP_K)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TS20: heartbeat-gap outage windows
+# ---------------------------------------------------------------------------
+
+TS20_GAP_S = 1800  # liveness threshold: 30 min without an event
+
+
+@query(
+    "ts20_outage_windows",
+    section="TS",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    )
+    SELECT user_id,
+           prev_ts AS outage_start,
+           ts AS outage_end,
+           CAST(date_diff('second', prev_ts, ts) AS BIGINT) AS gap_s
+    FROM seq
+    WHERE prev_ts IS NOT NULL
+      AND date_diff('second', prev_ts, ts) > {TS20_GAP_S}
+    """,
+)
+def ts20_outage_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heartbeat-gap inversion: turn a per-source event stream into
+    its OUTAGE intervals — every gap between consecutive events that
+    exceeds the {g}s liveness threshold becomes an (start, end,
+    duration) row.  This is the batch/backfill twin of the streaming
+    heartbeat monitor (`streaming/heartbeat.py`, reference R6): the
+    stream side alerts on silence in real time; this entry reconstructs
+    the historical downtime ledger SLO reports are computed from —
+    and it is the complement of ts5 sessionization (sessions keep the
+    dense spans; this keeps the holes between them).
+
+    Spark shapes: one lag window partitioned by source key ordered by
+    (ts, event_id) — the deterministic total order — then a filter;
+    a single shuffle on the partition key, no joins.  Gap seconds are
+    exact integer timestamp arithmetic on both engines."""
+    ev = _t(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "ts",
+        F.lag("ts").over(w).alias("prev_ts"),
+    )
+    gap_s = (
+        F.unix_timestamp("ts") - F.unix_timestamp("prev_ts")
+    ).cast("bigint")
+    return (
+        seq.filter(F.col("prev_ts").isNotNull())
+        .select(
+            "user_id",
+            F.col("prev_ts").alias("outage_start"),
+            F.col("ts").alias("outage_end"),
+            gap_s.alias("gap_s"),
+        )
+        .filter(F.col("gap_s") > TS20_GAP_S)
+    )
+
+
+ts20_outage_windows.__doc__ = ts20_outage_windows.__doc__.format(g=TS20_GAP_S)
