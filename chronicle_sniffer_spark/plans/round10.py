@@ -25,6 +25,13 @@
 - **TS20 heartbeat-gap outage windows**: the batch/backfill twin of
   streaming/heartbeat.py (reference R6) — gaps above the liveness
   threshold become (start, end, duration) downtime rows.
+- **ML16 multi-feature OLS via normal equations**: one exact-decimal
+  moment pass + in-plan Cramer solve — distributed linear regression's
+  real shape (tiny Gram matrix, O(p³) solve off the data path).
+- **DQ14 referential-integrity orphan audit**: per-FK orphan counts
+  via broadcast anti-semantics left joins.
+- **J19 as-of join with tolerance**: latest-prior match capped at a
+  staleness bound — the union-sort-lag j8 idiom, made streamable.
 
 Reference scope note: the reference engine (processor/
 json2udm_cloud.py) has none of these; they extend the declared
@@ -897,3 +904,309 @@ def ts20_outage_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ts20_outage_windows.__doc__ = ts20_outage_windows.__doc__.format(g=TS20_GAP_S)
+
+
+# ---------------------------------------------------------------------------
+# ML16: multi-feature OLS via normal equations (Cramer's rule, in-plan)
+# ---------------------------------------------------------------------------
+
+
+def _ols2_moment_sql() -> str:
+    # exact decimal moments of (x1=l_quantity, x2=l_discount,
+    # y=l_extendedprice); quantity/discount/price are 2-dp-class
+    # decimals, so products fit DECIMAL(38,8) exactly
+    return """
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+             CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS s2,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s11,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS s12,
+             CAST(sum(CAST(l_discount AS DECIMAL(18,2))
+                      * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS s22,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s1y,
+             CAST(sum(CAST(l_discount AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s2y
+      FROM lineitem
+    """
+
+
+_OLS2_SOLVE_SQL = """
+      SELECT
+        (s11 - s1 * s1 / n) AS a11,
+        (s12 - s1 * s2 / n) AS a12,
+        (s22 - s2 * s2 / n) AS a22,
+        (s1y - s1 * sy / n) AS b1,
+        (s2y - s2 * sy / n) AS b2,
+        n, s1, s2, sy
+      FROM m
+"""
+
+
+@query(
+    "ml16_ols_normal_eq",
+    section="ML",
+    oracle=f"""
+    WITH m AS ({_ols2_moment_sql()}),
+    c AS ({_OLS2_SOLVE_SQL}),
+    sol AS (
+      SELECT (b1 * a22 - b2 * a12) / (a11 * a22 - a12 * a12) AS beta1,
+             (a11 * b2 - a12 * b1) / (a11 * a22 - a12 * a12) AS beta2,
+             n, s1, s2, sy
+      FROM c
+    )
+    SELECT beta1, beta2,
+           (sy - beta1 * s1 - beta2 * s2) / n AS intercept
+    FROM sol
+    """,
+)
+def ml16_ols_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-feature ordinary least squares SOLVED IN THE PLAN via the
+    normal equations + Cramer's rule: y = β₀ + β₁·quantity +
+    β₂·discount over lineitem, from ONE aggregation pass of nine
+    exact-decimal moments (n, Σx, Σxx', Σxy) followed by a closed-form
+    2×2 solve — the way distributed linear regression actually works
+    at scale (the data pass produces a tiny Gram matrix; the solve is
+    O(p³) on p features, not on rows).  Extends `a12_ols_trend`
+    (single feature per group) to the multi-feature case and contrasts
+    with `ml1_logreg_gd`'s iterative path: one pass, no learning rate,
+    exact answer.
+
+    Determinism: every moment is an exact DECIMAL sum (2-dp inputs ⇒
+    4-dp products, zero float channel in the aggregation); the
+    centered Gram entries, determinant, and betas are then a fixed
+    dag of IEEE double ops on bit-identical inputs, so the output
+    doubles compare UNROUNDED across engines.
+
+    Spark shapes: one partial-agg over the fact table (9 measures,
+    map-side combine), then a 1-row projection — nothing else moves.
+    At 100 TB this is a single scan producing 9 numbers; for p
+    features it is p(p+3)/2 measures and a driver-side (or in-plan,
+    as here for p=2) solve."""
+    li = _t(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("decimal(18,2)")
+    d = F.col("l_discount").cast("decimal(18,2)")
+    y = F.col("l_extendedprice").cast("decimal(18,2)")
+    m = li.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(q).cast("double").alias("s1"),
+        F.sum(d).cast("double").alias("s2"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(q * q).cast("double").alias("s11"),
+        F.sum(q * d).cast("double").alias("s12"),
+        F.sum(d * d).cast("double").alias("s22"),
+        F.sum(q * y).cast("double").alias("s1y"),
+        F.sum(d * y).cast("double").alias("s2y"),
+    )
+    c = m.select(
+        (F.col("s11") - F.col("s1") * F.col("s1") / F.col("n")).alias("a11"),
+        (F.col("s12") - F.col("s1") * F.col("s2") / F.col("n")).alias("a12"),
+        (F.col("s22") - F.col("s2") * F.col("s2") / F.col("n")).alias("a22"),
+        (F.col("s1y") - F.col("s1") * F.col("sy") / F.col("n")).alias("b1"),
+        (F.col("s2y") - F.col("s2") * F.col("sy") / F.col("n")).alias("b2"),
+        "n",
+        "s1",
+        "s2",
+        "sy",
+    )
+    det = F.col("a11") * F.col("a22") - F.col("a12") * F.col("a12")
+    sol = c.select(
+        ((F.col("b1") * F.col("a22") - F.col("b2") * F.col("a12")) / det).alias(
+            "beta1"
+        ),
+        ((F.col("a11") * F.col("b2") - F.col("a12") * F.col("b1")) / det).alias(
+            "beta2"
+        ),
+        "n",
+        "s1",
+        "s2",
+        "sy",
+    )
+    return sol.select(
+        "beta1",
+        "beta2",
+        (
+            (F.col("sy") - F.col("beta1") * F.col("s1") - F.col("beta2") * F.col("s2"))
+            / F.col("n")
+        ).alias("intercept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DQ14: referential-integrity (orphan) audit
+# ---------------------------------------------------------------------------
+
+RI_CLAIMS = [
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    (
+        "lineitem.l_suppkey->supplier",
+        "lineitem",
+        "l_suppkey",
+        "supplier",
+        "s_suppkey",
+    ),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+]
+
+
+def _ri_oracle() -> str:
+    parts = []
+    for name, child, fk, parent, pk in RI_CLAIMS:
+        parts.append(f"""
+    SELECT '{name}' AS ri,
+           CAST(count(*) AS BIGINT) AS n_child_rows,
+           CAST(sum(CASE WHEN p.{pk} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_orphans,
+           (sum(CASE WHEN p.{pk} IS NULL THEN 1 ELSE 0 END) = 0) AS holds
+    FROM {child} c LEFT JOIN (SELECT DISTINCT {pk} FROM {parent}) p
+      ON c.{fk} = p.{pk}""")
+    return " UNION ALL ".join(parts)
+
+
+@query("dq14_ri_orphan_audit", section="DQ", oracle=_ri_oracle())
+def dq14_ri_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: for each declared foreign key,
+    count child rows whose key has NO parent — the orphan check every
+    warehouse loads run before exposing a table (and the reason MERGE
+    pipelines quarantine rather than drop).  Complements `dq13`'s
+    intra-table functional dependencies with the cross-table contract.
+
+    Spark shapes: each claim is one left join against the DISTINCT
+    parent key set — dimension-sized, so Catalyst broadcasts it and
+    the audit is a map-side null-count over the child scan; claim
+    results union into one report.  At 100 TB the child table streams
+    once per claim (or once total if claims share a scan) and nothing
+    child-sized shuffles."""
+    outs = []
+    for name, child, fk, parent, pk in RI_CLAIMS:
+        c = _t(spark, sf_dir, child)
+        p = _t(spark, sf_dir, parent).select(pk).distinct()
+        joined = c.join(F.broadcast(p), c[fk] == p[pk], "left")
+        outs.append(
+            joined.agg(
+                F.lit(name).alias("ri"),
+                F.count("*").alias("n_child_rows"),
+                F.sum(F.when(F.col(pk).isNull(), 1).otherwise(0)).alias("n_orphans"),
+                (F.sum(F.when(F.col(pk).isNull(), 1).otherwise(0)) == 0).alias(
+                    "holds"
+                ),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# J19: as-of join with tolerance (max staleness)
+# ---------------------------------------------------------------------------
+
+J19_TOLERANCE_S = 3600  # accept a quote at most 1h stale
+
+
+@query(
+    "j19_asof_tolerance",
+    section="J",
+    oracle=f"""
+    WITH a AS (
+      SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'view'
+    ),
+    b AS (
+      SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+    ),
+    matched AS (
+      SELECT a.event_id, a.user_id, a.ts,
+             max({{'t': b.ts, 'v': b.value}}) AS best
+      FROM a LEFT JOIN b
+        ON a.user_id = b.user_id
+       AND b.ts <= a.ts
+       AND date_diff('second', b.ts, a.ts) <= {J19_TOLERANCE_S}
+      GROUP BY a.event_id, a.user_id, a.ts
+    )
+    SELECT event_id, user_id, ts,
+           best.t AS matched_ts,
+           best.v AS matched_value,
+           CASE WHEN best.t IS NOT NULL
+                THEN CAST(date_diff('second', best.t, ts) AS BIGINT)
+                END AS staleness_s
+    FROM matched
+    """,
+)
+def j19_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join WITH A TOLERANCE: each 'view' event picks the latest
+    prior 'purchase' by the same user — but only if it is at most
+    {tol}s stale, else NULL.  The staleness bound is what production
+    as-of joins (market-data quotes, feature lookups) actually ship
+    with: an unboundedly old match is usually worse than no match, and
+    the bound is also what makes the operator streamable (state can be
+    evicted after the tolerance window — the same reason t9's interval
+    join carries a range condition).
+
+    Spark shapes: both sides bucket to the user key; the match is the
+    union-sort-lag idiom `j8_asof` established, here with the
+    tolerance as a post-lag filter so the join never materializes
+    per-pair candidates (an equi+range join would); output is one row
+    per left event, exact integer staleness.  Mirrors DuckDB's
+    grouped max_by over the range-joined pairs — same (ts, value)
+    lexicographic tie-break on simultaneous purchases."""
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    b = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    from pyspark.sql import Window
+
+    # union-sort-lag as-of: tag sides, order by (ts, side, tie), carry
+    # the last purchase (ts, value) forward within each user
+    au = a.select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("side"),
+        "event_id",
+        F.lit(None).cast("double").alias("bval"),
+    )
+    bu = b.select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("side"),
+        F.lit(None).cast("bigint").alias("event_id"),
+        F.col("value").alias("bval"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", "bval")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # last purchase at-or-before: max of (ts, value) structs over the
+    # running frame, purchases only — ties on ts break on value then,
+    # matching the oracle's lexicographic struct max ordering
+    last_purchase = F.max(
+        F.when(F.col("side") == 0, F.struct(F.col("ts").alias("t"), F.col("bval").alias("v")))
+    ).over(w)
+    merged = (
+        au.unionByName(bu)
+        .select("user_id", "ts", "side", "event_id", "bval",
+                last_purchase.alias("best"))
+        .filter(F.col("side") == 1)
+    )
+    stale = F.unix_timestamp("ts") - F.unix_timestamp(F.col("best.t"))
+    ok = F.col("best").isNotNull() & (stale <= J19_TOLERANCE_S)
+    return merged.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(ok, F.col("best.t")).alias("matched_ts"),
+        F.when(ok, F.col("best.v")).alias("matched_value"),
+        F.when(ok, stale.cast("bigint")).alias("staleness_s"),
+    )
+
+
+j19_asof_tolerance.__doc__ = j19_asof_tolerance.__doc__.format(tol=J19_TOLERANCE_S)
