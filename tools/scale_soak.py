@@ -239,12 +239,27 @@ QUERIES = (
     "w7_rolling_median",
     "ts17_mase_backtest",
     "ml14_feature_hash_score",
+    # round-10 additions
+    "l3_ann_ivf_index_upsert",
+    "l4_bpe_encode",
+    "ml19_psi_drift",
+    "dq13_fd_audit",
+    "ml21_target_encode_loo",
+    "ts18_seasonal_decompose",
+    "g9_label_propagation",
+    "l3_sparse_cosine_topk",
+    "g10_cosupply_projection",
+    "ts20_outage_windows",
+    "ml16_ols_normal_eq",
+    "dq14_ri_orphan_audit",
+    "j19_asof_tolerance",
+    "l2_embedding_near_dup",
 )
 
 
 def main() -> None:
     out_path = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE_r05.json"
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE_r10.json"
     )
     only = set(sys.argv[2:])
     sf1_dir = make_scale_data()
