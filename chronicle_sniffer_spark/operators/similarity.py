@@ -27,6 +27,8 @@ import hashlib
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from chronicle_sniffer_spark.tables import spread
+
 N_TABLES = 8  # L hash tables
 N_BITS = 4  # hyperplane bits per table
 DIM = 64  # embedding dimensionality of the testdata corpus
@@ -186,7 +188,10 @@ def cosine_sims(embeddings: DataFrame) -> DataFrame:
                 {"vec_a": bids[bi], "vec_b": all_ids[oj], "sim": sims[bi, oj]}
             )
 
-    return slim.mapInPandas(op, "vec_a bigint, vec_b bigint, sim double")
+    # spread(): the single-file testbed scan yields ONE task, which
+    # would run the entire N x N matmul on one core (measured 157 s at
+    # sf1 in SCALE_r10); at 100 TB the corpus arrives pre-split
+    return spread(slim).mapInPandas(op, "vec_a bigint, vec_b bigint, sim double")
 
 
 def cosine_pairs(embeddings: DataFrame, threshold: float) -> DataFrame:
@@ -277,7 +282,8 @@ def cosine_pairs_adaptive(embeddings: DataFrame) -> DataFrame:
                 }
             )
 
-    mom = slim.mapInPandas(moments, "n bigint, s double, s2 double").agg(
+    # spread() both passes: one scan task would serialize the matmul
+    mom = spread(slim).mapInPandas(moments, "n bigint, s double, s2 double").agg(
         F.sum("n").alias("n"), F.sum("s").alias("s"), F.sum("s2").alias("s2")
     )
     thr = mom.select(
@@ -305,7 +311,7 @@ def cosine_pairs_adaptive(embeddings: DataFrame) -> DataFrame:
                 {"vec_a": bids[bi], "vec_b": all_ids[oj], "sim": sims[bi, oj]}
             )
 
-    return slim.crossJoin(F.broadcast(thr)).mapInPandas(
+    return spread(slim).crossJoin(F.broadcast(thr)).mapInPandas(
         filtered, "vec_a bigint, vec_b bigint, sim double"
     )
 

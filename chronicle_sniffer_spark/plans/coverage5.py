@@ -799,52 +799,64 @@ _FUZZY_ORACLE = f"""
 """
 
 
-def _fuzzy_pos_ub_fn(gca, gcb):
-    """Vectorized positional q-gram matched-count UPPER BOUND for one
-    Arrow batch of candidate pairs: for each a-gram (hashed), is there
-    an equal b-gram hash within position offset ≤ d — and vice versa?
-    Returns min(ub_a→b, ub_b→a), since a true positional matching is
-    injective both ways.  2·(2d+1) shifted whole-array comparisons
-    over padded (batch × len) int matrices — ~400 numpy ops per pair,
-    no Python per-row work beyond padding.
+def _fuzzy_pos_ub(spark, gram_rows, doc_a, doc_b):
+    """Column: vectorized positional q-gram matched-count UPPER BOUND
+    per candidate pair, computed from BROADCAST per-doc gram matrices
+    so the Arrow stage ships only (doc_a, doc_b) id pairs — 16 bytes
+    per candidate instead of two gram arrays (~5 GB at sf1 for 26M
+    candidates; the ids are ~0.4 GB).
 
-    Sentinels: a-pads are -1, b-pads are -2, so a pad never matches the
-    other side's pad; a REAL hash colliding with a sentinel (or two
-    distinct grams colliding in hash) only OVER-counts — and the filter
-    prunes on ``ub < threshold``, so any over-count is lossless."""
+    ``gram_rows``: collected (doc_id, gcodes) rows — doc-count bounded
+    (the corpus table itself, ~3 MB of int32 at sf1), the same
+    broadcast-model class as cosine_sims' normalized matrix.
+
+    Bound: for each a-gram, is there an equal b-gram hash within
+    position offset ≤ d — and vice versa; returns min of the two
+    directional counts (a true positional matching is injective both
+    ways).  2·(2d+1) shifted whole-matrix comparisons per batch after
+    fancy-indexing the broadcast matrix by the id columns.  The pad
+    value (-2) and hash collisions can only OVER-count, and the filter
+    prunes on ``ub < threshold``, so over-counts are lossless;
+    per-row gram counts are masked exactly by the length vector."""
     import numpy as np
-    import pandas as pd
 
     d = FUZZY_LEV_MAX
+    max_id = max(r.doc_id for r in gram_rows)
+    maxlen = max((len(r.gcodes) for r in gram_rows), default=1)
+    mat = np.full((max_id + 1, max(maxlen, 1)), -2, dtype=np.int64)
+    lens = np.zeros(max_id + 1, dtype=np.int64)
+    for r in gram_rows:
+        g = r.gcodes
+        mat[r.doc_id, : len(g)] = g
+        lens[r.doc_id] = len(g)
+    bc = spark.sparkContext.broadcast((mat, lens))
 
-    def pad(series, fill):
-        lists = series.tolist()
-        n = len(lists)
-        m = max((len(x) for x in lists), default=0)
-        out = np.full((n, max(m, 1)), fill, dtype=np.int64)
-        for i, x in enumerate(lists):
-            out[i, : len(x)] = x
-        return out
+    def fn(ida, idb):
+        import pandas as pd
 
-    a = pad(gca, -1)
-    b = pad(gcb, -2)
-    la, lb = a.shape[1], b.shape[1]
-    matched_a = np.zeros(a.shape, dtype=bool)
-    matched_b = np.zeros(b.shape, dtype=bool)
-    for s in range(-d, d + 1):
-        lo, hi = max(0, -s), min(la, lb - s)
-        if hi > lo:
-            eq = a[:, lo:hi] == b[:, lo + s : hi + s]
-            matched_a[:, lo:hi] |= eq
-            matched_b[:, lo + s : hi + s] |= eq
-    ub = np.minimum(matched_a.sum(axis=1), matched_b.sum(axis=1))
-    return pd.Series(ub.astype("int32"))
+        m, ln = bc.value
+        ia = ida.to_numpy(dtype=np.int64)
+        ib = idb.to_numpy(dtype=np.int64)
+        a, b = m[ia], m[ib]
+        la, lb = ln[ia], ln[ib]
+        L = m.shape[1]
+        matched_a = np.zeros(a.shape, dtype=bool)
+        matched_b = np.zeros(b.shape, dtype=bool)
+        for s in range(-d, d + 1):
+            lo, hi = max(0, -s), min(L, L - s)
+            if hi > lo:
+                eq = a[:, lo:hi] == b[:, lo + s : hi + s]
+                matched_a[:, lo:hi] |= eq
+                matched_b[:, lo + s : hi + s] |= eq
+        pos = np.arange(L)[None, :]
+        matched_a &= pos < la[:, None]
+        matched_b &= pos < lb[:, None]
+        ub = np.minimum(matched_a.sum(axis=1), matched_b.sum(axis=1))
+        return pd.Series(ub.astype("int32"))
 
-
-def _fuzzy_pos_ub(gca, gcb):
     # built lazily: pandas_udf construction requires an active session,
     # and this module imports before any session exists
-    return F.pandas_udf(_fuzzy_pos_ub_fn, "integer")(gca, gcb)
+    return F.pandas_udf(fn, "integer")(doc_a, doc_b)
 
 
 @query("l2_fuzzy_title_join", section="L2", oracle=_FUZZY_ORACLE)
@@ -947,26 +959,30 @@ def l2_fuzzy_title_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.hash(F.substr(F.col("title"), i, F.lit(2))),
         ).alias("gcodes"),
     ).cache()
+    # the fan-out carries ONLY ids, lengths, and the 8 char buckets
+    # (~90 bytes/candidate): gram arrays reach the positional UDF via
+    # a broadcast per-doc matrix (collected from the cached t — doc-
+    # count bounded, ~3 MB at sf1), and title strings join back onto
+    # the filtered survivors only
     a = t.select(
         F.col("doc_id").alias("doc_a"),
-        F.col("title").alias("ta"),
         F.col("blk"),
         F.col("tl").alias("la"),
-        F.col("gcodes").alias("gca"),
         *[F.col(f"q{i}").alias(f"qa{i}") for i in range(len(buckets))],
     )
     b = t.select(
         F.col("doc_id").alias("doc_b"),
-        F.col("title").alias("tb"),
         F.col("blk"),
         F.col("tl").alias("lb"),
-        F.col("gcodes").alias("gcb"),
         *[F.col(f"q{i}").alias(f"qb{i}") for i in range(len(buckets))],
     )
     l1c = sum(F.abs(F.col(f"qa{i}") - F.col(f"qb{i}")) for i in range(len(buckets)))
     dmax = FUZZY_LEV_MAX
     pos_threshold = F.greatest(F.col("la"), F.col("lb")) - 1 - 2 * dmax
-    return (
+    gram_rows = t.select("doc_id", "gcodes").collect()  # doc-count bounded
+    ta = t.select(F.col("doc_id").alias("doc_a"), F.col("title").alias("ta"))
+    tb = t.select(F.col("doc_id").alias("doc_b"), F.col("title").alias("tb"))
+    survivors = (
         a.join(b, "blk")
         .filter(
             (F.col("doc_a") < F.col("doc_b"))
@@ -983,8 +999,15 @@ def l2_fuzzy_title_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         # measured 25 s vs ~2 s at sf0.1.  The UDF-result filter cannot
         # be combined into the codegen'd filter above it, so the cheap
         # filters gate the UDF.
-        .withColumn("mub", _fuzzy_pos_ub(F.col("gca"), F.col("gcb")))
+        .withColumn(
+            "mub", _fuzzy_pos_ub(spark, gram_rows, F.col("doc_a"), F.col("doc_b"))
+        )
         .filter((pos_threshold <= 0) | (F.col("mub") >= pos_threshold))
+        .select("doc_a", "doc_b")
+    )
+    return (
+        survivors.join(F.broadcast(ta), "doc_a")
+        .join(F.broadcast(tb), "doc_b")
         # project the distance BEFORE filtering on it: filter and
         # project are separate operators, so an expression repeated in
         # both is computed twice per candidate (measured 2x on 38M

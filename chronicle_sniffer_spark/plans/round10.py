@@ -145,7 +145,12 @@ def l4_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         for _ in range(BPE_PASSES):
             enc = F.replace(enc, F.lit(f" {a} {b} "), F.lit(f" {a}{b} "))
     enc_trim = F.trim(enc)
-    return _t(spark, sf_dir, "documents").select(
+    from chronicle_sniffer_spark.tables import spread
+
+    # spread(): the single-file documents scan is ONE task, and the
+    # replace chain is pure per-row CPU — serialized it measured 9.2 s
+    # at sf1 (SCALE_r10); at 100 TB the corpus arrives pre-split
+    return spread(_t(spark, sf_dir, "documents")).select(
         "doc_id",
         F.size(F.split(enc_trim, " +")).cast("int").alias("n_bpe_tokens"),
         F.md5(F.regexp_replace(enc_trim, " +", " ").cast("binary")).alias("enc_md5"),
