@@ -240,6 +240,20 @@ HEADLINE = (
     "w7_rolling_median",
     "ts17_mase_backtest",
     "ml14_feature_hash_score",
+    # round-10 additions
+    "l3_ann_ivf_index_upsert",
+    "l4_bpe_encode",
+    "ml19_psi_drift",
+    "dq13_fd_audit",
+    "ml21_target_encode_loo",
+    "ts18_seasonal_decompose",
+    "g9_label_propagation",
+    "l3_sparse_cosine_topk",
+    "g10_cosupply_projection",
+    "ts20_outage_windows",
+    "ml16_ols_normal_eq",
+    "dq14_ri_orphan_audit",
+    "j19_asof_tolerance",
 )
 
 # Entries with documented ±18% round-over-round drift on identical code
