@@ -191,7 +191,15 @@ def ivf_index_upsert(spark, index_dir: str, new_embeddings: DataFrame) -> list[i
        (the s8c primitive): existing rows minus replaced vec_ids,
        union the delta.  Untouched cell files are never listed,
        read, or rewritten (asserted by
-       tests/test_ivf.py::test_upsert_touches_only_assigned_partitions).
+       tests/test_ivf.py::test_upsert_touches_only_assigned_partitions);
+    4. DRAINED cells — touched cells left with zero surviving rows
+       (every row moved out, no delta landed) — produce no rows in the
+       merged slice, so dynamic overwrite would never rewrite them and
+       the stale rows would keep serving (and a moved vec_id would
+       exist in two cells).  Those partition directories are deleted
+       explicitly through the Hadoop FileSystem, the same metadata-side
+       delete a table format issues for an emptied partition (asserted
+       by tests/test_ivf.py::test_upsert_drained_cell_is_deleted).
 
     The merged slice is localCheckpoint'd to break the read-then-
     overwrite cycle on ``cells/``; it holds only the touched cells'
@@ -217,12 +225,22 @@ def ivf_index_upsert(spark, index_dir: str, new_embeddings: DataFrame) -> list[i
         .unionByName(assigned)
         .localCheckpoint(eager=True)
     )
+    surviving = {r.cid for r in merged.select("cid").distinct().collect()}
     (
         merged.write.partitionBy("cid")
         .mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .parquet(f"{index_dir}/cells")
     )
+    # drained cells: touched but with zero surviving rows — dynamic
+    # overwrite never rewrites an absent partition, so delete explicitly
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    for cid in touched:
+        if cid not in surviving:
+            path = jvm.org.apache.hadoop.fs.Path(f"{index_dir}/cells/cid={cid}")
+            fs = path.getFileSystem(jsc.hadoopConfiguration())
+            fs.delete(path, True)
     return touched
 
 

@@ -261,3 +261,49 @@ def test_upsert_replaces_changed_vector_and_moves_cells(emb, tmp_path):
         changed.select("vec_id", as_double(F.col("embedding")).alias("v")), cent
     ).collect()[0].cid
     assert rows[0].cid == expected_cid
+
+
+def test_upsert_drained_cell_is_deleted(emb, tmp_path):
+    """When an upsert moves EVERY row out of a cell and no delta lands
+    there, the drained cell's partition directory must be removed —
+    dynamic overwrite alone never rewrites an absent partition, so
+    without the explicit delete the stale rows would keep serving and
+    the moved vec_ids would exist in two cells at once."""
+    import os
+
+    from chronicle_sniffer_spark.operators.ivf import (
+        ivf_index_upsert,
+        ivf_index_write,
+    )
+
+    spark = emb.sparkSession
+    idx = str(tmp_path / "index")
+    ivf_index_write(emb, idx)
+    cells = spark.read.parquet(f"{idx}/cells")
+    # pick the smallest cell and move ALL its vectors to another
+    # cell's vector — the source cell drains completely
+    sizes = cells.groupBy("cid").count().orderBy("count", "cid").collect()
+    victim_cid = sizes[0].cid
+    donor = cells.filter(F.col("cid") != victim_cid).orderBy("vec_id").first()
+    movers = cells.filter(F.col("cid") == victim_cid).select("vec_id").collect()
+    delta = spark.createDataFrame(
+        [(r.vec_id, list(donor.v)) for r in movers],
+        "vec_id bigint, embedding array<double>",
+    )
+    touched = ivf_index_upsert(spark, idx, delta)
+    assert victim_cid in touched, "drained cell not in touched set"
+    assert not os.path.exists(
+        f"{idx}/cells/cid={victim_cid}"
+    ), "drained cell partition directory survived the upsert"
+    merged = spark.read.parquet(f"{idx}/cells")
+    assert merged.filter(F.col("cid") == victim_cid).count() == 0
+    dupes = (
+        merged.groupBy("vec_id").count().filter(F.col("count") > 1).count()
+    )
+    assert dupes == 0, "a moved vec_id exists in two cells"
+    # every mover now serves from the donor's cell with the new vector
+    moved = merged.filter(
+        F.col("vec_id").isin([r.vec_id for r in movers])
+    ).collect()
+    assert len(moved) == len(movers)
+    assert all(r.cid == donor.cid and list(r.v) == list(donor.v) for r in moved)
