@@ -277,17 +277,33 @@ def containment_pairs(
     bound falls short are pruned without ever shipping their gram
     arrays.  A capped-out common gram is invisible to `shared` AND not
     covered by the matched-prefix argument (it never enters the join),
-    so the bound CREDITS the cap explicitly: each doc carries its count
-    of capped-out grams c = n_grams − kept, and any unmatched common
-    gram is either uncapped-after-g* (≤ the suffix allowance) or capped
+    so the bound CREDITS the cap explicitly, in two stages.  Stage 1
+    (no extra join): each doc carries its count of capped-out grams
+    c = n_grams − kept, and any unmatched common gram is either
+    uncapped-after-g* (≤ the suffix allowance) or capped
     (≤ min(c_a, c_b)), giving
         |A∩B| ≤ shared + min(na − max_rn_a, nb − max_rn_b) + min(c_a, c_b).
+    Stage 2 tightens the blanket min(c_a, c_b) to the EXACT per-pair
+    count of capped common grams: a gram is capped iff its GLOBAL df
+    exceeds the cap, so the distinct capped-gram universe is small
+    (≤ total gram occurrences / cap) and each doc's capped grams fit a
+    small sorted array; two hash joins on the already-bounded stage-1
+    candidate set compute |capped_a ∩ capped_b| exactly — never a join
+    ON the capped grams themselves, which is precisely the skew join
+    the cap exists to avoid.  The exact credit is the true value of the
+    quantity stage 1 bounded, so stage 2 is lossless by construction
+    and strictly tighter:
+        |A∩B| = shared + unmatched_uncapped + |capped_a ∩ capped_b|
+              ≤ shared + min(na − max_rn_a, nb − max_rn_b)
+                       + |capped_a ∩ capped_b|.
     With the credit the positional filter is lossless EVEN under a df
     cap — its only recall exposure is the prefix index's own, already
     audited by :func:`ngram_df_cap_report` — and with the cap disabled
     the credit is zero and the pipeline is exactly lossless (hypothesis
     brute-force equality on random adversarial corpora,
-    tests/test_dedup_property.py::test_containment_pairs_match_bruteforce_on_random_corpora).
+    tests/test_dedup_property.py::test_containment_pairs_match_bruteforce_on_random_corpora;
+    the capped regime has its own subset-and-exact-scores property
+    test).
     Scores are computed exactly on the full gram sets (``gram_sets``),
     so pruning affects candidate recall only through the proven bound
     and the audited df cap, never a reported score."""
@@ -341,16 +357,15 @@ def containment_pairs(
             F.when(ix_lt, F.col("p_capped")).otherwise(F.col("n_capped")).alias("cb"),
         )
     )
-    # |A∩B| ≤ matched + uncapped-unmatched (suffix window) + capped
-    # common grams (≤ min of the per-doc capped-out counts) — see the
-    # docstring's losslessness argument; with no cap active both
-    # credits are zero and this is the plain PPJoin-suffix bound
-    overlap_bound = (
-        F.col("shared")
-        + F.least(F.col("na") - F.col("max_rn_a"), F.col("nb") - F.col("max_rn_b"))
-        + F.least(F.col("ca"), F.col("cb"))
+    # stage 1: |A∩B| ≤ matched + uncapped-unmatched (suffix window) +
+    # capped common grams (≤ min of the per-doc capped-out counts) —
+    # see the docstring's losslessness argument; with no cap active
+    # both credits are zero and this is the plain PPJoin-suffix bound
+    suffix_allow = F.least(
+        F.col("na") - F.col("max_rn_a"), F.col("nb") - F.col("max_rn_b")
     )
-    cand = (
+    overlap_bound = F.col("shared") + suffix_allow + F.least(F.col("ca"), F.col("cb"))
+    cand1 = (
         m.groupBy("doc_a", "doc_b")
         .agg(
             F.count("*").alias("shared"),
@@ -362,6 +377,43 @@ def containment_pairs(
             F.first("cb").alias("cb"),
         )
         .filter(overlap_bound >= F.lit(t) * F.least(F.col("na"), F.col("nb")))
+    )
+
+    # stage 2: tighten the blanket min(ca, cb) to the EXACT per-pair
+    # capped-common count.  A gram is capped iff its global df exceeds
+    # the cap, so each doc's capped grams form a small sorted array
+    # (distinct capped grams ≤ total occurrences / cap globally); two
+    # doc-keyed hash joins on the stage-1 survivors — candidate-sized,
+    # never keyed on the high-df grams themselves — make the credit
+    # exact before the expensive full-gram-set scoring join ships any
+    # arrays.  Exact value of the bounded quantity ⇒ lossless.
+    capped_sets = (
+        ranked_capped.filter(F.col("df") > cap_col)
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_set("gram")).alias("cg"))
+    )
+    exact_credit = F.when(
+        F.col("cg_a").isNull() | F.col("cg_b").isNull(), F.lit(0)
+    ).otherwise(F.size(F.array_intersect("cg_a", "cg_b")))
+    cand = (
+        cand1.join(
+            capped_sets.select(
+                F.col("doc_id").alias("doc_a"), F.col("cg").alias("cg_a")
+            ),
+            "doc_a",
+            "left",
+        )
+        .join(
+            capped_sets.select(
+                F.col("doc_id").alias("doc_b"), F.col("cg").alias("cg_b")
+            ),
+            "doc_b",
+            "left",
+        )
+        .filter(
+            F.col("shared") + suffix_allow + exact_credit
+            >= F.lit(t) * F.least(F.col("na"), F.col("nb"))
+        )
         .select("doc_a", "doc_b")
     )
 

@@ -106,6 +106,45 @@ def test_containment_pairs_match_bruteforce_on_random_corpora(spark, texts):
 
 
 @settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=corpus)
+def test_containment_pairs_capped_regime_subset_and_exact_scores(spark, texts):
+    """With an aggressive df cap ACTIVE, the prefix index may lose
+    candidates (the audited recall budget) but must never invent or
+    mis-score a pair: got ⊆ brute-force, every reported score exact.
+    This exercises the exact capped-common credit path (stage 2 of
+    the positional bound, operators/dedup.py:containment_pairs) —
+    on this 12-word vocabulary most grams blow through the cap, so
+    the credit joins are live, not vacuous."""
+    from chronicle_sniffer_spark.operators.dedup import containment_pairs
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in containment_pairs(docs, n=N, threshold=0.8, max_df=2).collect()
+    }
+    gsets = _gram_sets(texts)
+    expect = {}
+    ids = sorted(gsets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(gsets[a] & gsets[b])
+            if not inter:
+                continue
+            c = round(inter / min(len(gsets[a]), len(gsets[b])), 6)
+            if c >= 0.8:
+                expect[(a, b)] = c
+    assert set(got) <= set(expect)
+    for pair, score in got.items():
+        assert score == expect[pair]
+
+
+@settings(
     max_examples=8,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],

@@ -320,7 +320,7 @@ def main() -> None:
             "l2_ngram_jaccard": "round 8: pairs+labels now materialized ONCE per session (shared_pairs_and_labels) and this entry reads the parquet back — the Omega(output) pair-generation cost (was ~35s sf1) is paid once in the session's first warm run, then amortized across all three consumers; candidate volume itself is unchanged and linear-in-corpus by design",
             "l6_leakage_safe_split": "reads the shared materialized cluster labels (was 68.7s sf1 recomputing pairs+closure; now a parquet scan + hash split)",
             "l2_dedup_clusters": "reads the shared materialized labels (was 64.5s sf1; the one-time build carries the pair generation + component closure)",
-            "l2_ngram_containment": "r9 added the containment-safe positional filter (PPJoin suffix bound) AND min-side-only candidate generation (match rows 45.2M->22.9M at sf1, countDistinct->map-side count), 21.7s->17.8s sf1; the remaining volume is the inverted-index floor on the 40-word synthetic vocabulary (every 'rare' 3-gram appears in ~40 docs, so each prefix entry fans out ~40 probe matches) - on Zipfian text the prefix df collapses and the join is output-sized; scores stay exact on full gram sets",
+            "l2_ngram_containment": "r9 added the containment-safe positional filter (PPJoin suffix bound) AND min-side-only candidate generation (match rows 45.2M->22.9M at sf1, countDistinct->map-side count), 21.7s->17.8s sf1; the remaining volume is the inverted-index floor on the 40-word synthetic vocabulary (every 'rare' 3-gram appears in ~40 docs, so each prefix entry fans out ~40 probe matches) - on Zipfian text the prefix df collapses and the join is output-sized; scores stay exact on full gram sets. r11 probed the r10 soak move (5.51x->7.48x) as machine drift: the df cap NEVER fires on this corpus (max gram df 25 vs cap 1000 at sf0.1, both scale 10x to sf1), so the r10 credit could not change the candidate set; interleaved fresh-session A/B of r10 vs r11 code measured identical medians (~20.6s vs ~20.4s). r11 also tightened the blanket min(ca,cb) credit to the EXACT per-pair capped-common count (stage 2, two candidate-sized joins; free on uncapped corpora via exchange reuse)",
             "l2_semantic_dedup": "fixed K=16 cells for the oracle entry; the scale configuration grows n_centroids with the corpus (BASELINE.md: 3.0s at sf1 with K=160)",
             "j14_bucketed_range_join": "the scale replicas multiply orders 10x over the SAME date span, so overlapping pairs grow ~100x (7.86M at sf0.1 -> ~786M at sf1); 13.9x wall for ~100x output is sub-linear in output (>40M pairs/s through the bucket join); real workloads grow the time span with the data, keeping pair density (and the ratio) linear",
             "s18_gzip_json_scan": "STRUCTURAL, and the entry's point: gzip is not byte-range splittable, so the decompress is ONE serial task that grows linearly with the file (7.8x for 10x bytes is the codec, not the plan); spread() right after the scan parallelizes everything downstream - at 100 TB the fix is splittable codecs or many files, exactly what the docstring prescribes",
