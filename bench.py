@@ -254,6 +254,9 @@ HEADLINE = (
     "ml16_ols_normal_eq",
     "dq14_ri_orphan_audit",
     "j19_asof_tolerance",
+    # round-11 additions
+    "l4_html_extract",
+    "l4_html_blocks",
 )
 
 # Entries with documented ±18% round-over-round drift on identical code

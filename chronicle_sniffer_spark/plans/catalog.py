@@ -79,6 +79,7 @@ _SUBMODULES = (
     "chronicle_sniffer_spark.plans.round8e",
     "chronicle_sniffer_spark.plans.round9",
     "chronicle_sniffer_spark.plans.round10",
+    "chronicle_sniffer_spark.plans.round11",
 )
 
 

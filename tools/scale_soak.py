@@ -254,6 +254,9 @@ QUERIES = (
     "dq14_ri_orphan_audit",
     "j19_asof_tolerance",
     "l2_embedding_near_dup",
+    # round-11 additions
+    "l4_html_extract",
+    "l4_html_blocks",
 )
 
 
