@@ -12,37 +12,35 @@ MERGE entry (plans/quality.py s8_merge_upsert), generalizing the
 reference's per-file counter accumulation (R23/R26) to a keyed,
 restart-safe table.
 
-Storage & merge shape (the 100 TB design, all distributed — no driver
-collect anywhere on the merge path): the table is hash-bucketed on
-user_id into ``bucket=NN`` parquet partitions; each micro-batch
+Storage & merge shape (the 100 TB design; the data path is fully
+distributed): the table is hash-bucketed on user_id; each micro-batch
 full-outer-merges its partials into ONLY the buckets its keys hash
-into and rewrites those buckets via dynamic-partition overwrite (the
-s8c technique).  Untouched buckets' files are physically never
+into, stages them as WRITE-ONCE files under ``data/commit=E/
+bucket=NN``, and publishes with ONE atomic manifest flip
+(streaming/manifest.py) — no delete+rename window anywhere, so a
+crash at any point leaves readers on the previous manifest seeing a
+consistent cross-bucket snapshot.  Untouched buckets' files are never
 rewritten, so per-batch write cost tracks the batch's key spread, not
 the table size.
 
-Exactly-once: the applied epoch is a COLUMN of the data — every row
-written for micro-batch E carries epoch=E, so the epoch marker commits
-in the same artifact as the merge (no separate marker-file write to
-crash between).  On redelivery, buckets whose stored epoch already
-reached E are skipped; buckets a crashed attempt never replaced are
-merged exactly once.  Granularity is the bucket directory (partition
-replacement is the committer's delete+rename at job commit — the
-window every Hive-style table has); production swaps the parquet
-overwrite for a Delta/Iceberg MERGE whose commit is one atomic log
-append, same plan.  Values accumulate through exact DECIMAL(18,4) so
-association order across micro-batches can never matter.
+Exactly-once: the manifest records each bucket's applied epoch and
+commits atomically with the bucket paths.  On redelivery, buckets
+whose manifest epoch already reached E are skipped; staged-but-never-
+published residue is discarded and merged exactly once.  Values
+accumulate through exact DECIMAL(18,4) so association order across
+micro-batches can never matter.  Driver-side actions are
+control-plane only (affected-bucket ids + the manifest file) — the
+same metadata a Delta/Iceberg commit writes.
 """
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from chronicle_sniffer_spark.streaming import manifest as mf
+
 TABLE_SCHEMA = "user_id bigint, n_events bigint, total_value decimal(18,4)"
-_FULL_SCHEMA = TABLE_SCHEMA + ", epoch bigint, bucket int"
 N_BUCKETS = 32
 
 
@@ -50,20 +48,30 @@ def _bucket_of(col: str = "user_id"):
     return F.pmod(F.xxhash64(col), F.lit(N_BUCKETS)).cast("int")
 
 
-def _read_table(spark: SparkSession, table_dir: str) -> DataFrame:
-    # dynamic-partition-overwrite commits do not leave a root _SUCCESS
-    # marker; existence = at least one committed bucket directory
-    if os.path.isdir(table_dir) and any(
-        name.startswith("bucket=") for name in os.listdir(table_dir)
-    ):
-        return spark.read.parquet(table_dir)
-    return spark.createDataFrame([], _FULL_SCHEMA)
+def _read_table(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """Resolve through ONE manifest version (default latest): a frozen,
+    consistent cross-bucket snapshot (time travel via ``version``)."""
+    m = mf.read_manifest(table_dir, version)
+    paths = mf.bucket_paths(table_dir, m)
+    if not paths:
+        return spark.createDataFrame([], TABLE_SCHEMA)
+    return spark.read.schema(TABLE_SCHEMA).parquet(*paths)
 
 
-def merge_batch(spark: SparkSession, table_dir: str, batch_df: DataFrame, epoch_id: int) -> None:
+def merge_batch(
+    spark: SparkSession,
+    table_dir: str,
+    batch_df: DataFrame,
+    epoch_id: int,
+    fail_before_commit: bool = False,
+) -> None:
     """MERGE one micro-batch's partial aggregates into the table,
-    idempotently — only affected buckets whose stored epoch has not
-    yet reached ``epoch_id`` are merged and rewritten."""
+    idempotently — only affected buckets whose manifest epoch has not
+    yet reached ``epoch_id`` are merged, staged write-once, and
+    published by one atomic manifest flip.  ``fail_before_commit``
+    injects a crash between the data write and the flip (tests)."""
     part = (
         batch_df.groupBy("user_id")
         .agg(
@@ -72,18 +80,22 @@ def merge_batch(spark: SparkSession, table_dir: str, batch_df: DataFrame, epoch_
         )
         .withColumn("bucket", _bucket_of())
     )
-    cur = _read_table(spark, table_dir)
-    done = cur.filter(F.col("epoch") >= F.lit(int(epoch_id))).select("bucket").distinct()
-    todo = part.join(done, "bucket", "left_anti").drop("bucket")
-    if todo.isEmpty():
+    m = mf.read_manifest(table_dir)
+    done = [b for b, e in mf.bucket_epochs(m).items() if e >= int(epoch_id)]
+    todo = part.filter(~F.col("bucket").isin(done)) if done else part
+    affected = sorted(r["bucket"] for r in todo.select("bucket").distinct().collect())
+    if not affected:
         return  # fully-applied replay (or empty batch): no-op
-    affected = todo.select(_bucket_of().alias("bucket")).distinct()
-    # a rewritten bucket carries ALL its keys forward: untouched keys
-    # in an affected bucket flow through the full-outer join unchanged
-    stored = cur.join(affected, cur["bucket"] == affected["bucket"], "left_semi").select(
-        "user_id", "n_events", "total_value"
+    # a rewritten bucket carries ALL its keys forward: read the
+    # affected buckets by exact manifest path (untouched keys in an
+    # affected bucket flow through the full-outer join unchanged)
+    stored_paths = mf.bucket_paths(table_dir, m, set(affected))
+    stored = (
+        spark.read.schema(TABLE_SCHEMA).parquet(*stored_paths)
+        if stored_paths
+        else spark.createDataFrame([], TABLE_SCHEMA)
     )
-    merged = stored.join(todo, "user_id", "full_outer").select(
+    merged = stored.join(todo.drop("bucket"), "user_id", "full_outer").select(
         "user_id",
         (F.coalesce("n_events", F.lit(0)) + F.coalesce("d_n", F.lit(0)))
         .cast("bigint")
@@ -94,19 +106,13 @@ def merge_batch(spark: SparkSession, table_dir: str, batch_df: DataFrame, epoch_
         )
         .cast("decimal(18,4)")
         .alias("total_value"),
-        F.lit(int(epoch_id)).cast("bigint").alias("epoch"),
         _bucket_of().alias("bucket"),
     )
-    # localCheckpoint materializes the merge BEFORE the overwrite job,
-    # cutting lineage to the very files being replaced; on a multi-node
-    # cluster swap for reliable checkpoint(dir) — same call shape
-    merged = merged.localCheckpoint()
-    (
-        merged.write.partitionBy("bucket")
-        .option("partitionOverwriteMode", "dynamic")
-        .mode("overwrite")
-        .parquet(table_dir)
-    )
+    staging = mf.staging_dir(table_dir, epoch_id)
+    merged.write.partitionBy("bucket").parquet(staging)
+    if fail_before_commit:
+        raise RuntimeError("injected crash before manifest commit")
+    mf.commit(table_dir, int(epoch_id), affected)
 
 
 def maintain_rollup(events_stream: DataFrame, table_dir: str, checkpoint_dir: str):

@@ -633,18 +633,56 @@ def test_incremental_rollup_equals_batch(spark, tmp_path):
     want = sorted(tuple(r) for r in batch.collect())
     assert got == want and got
 
-    # redelivery: re-applying epoch 0 must change nothing (the stored
-    # table carries internal epoch/bucket columns — compare the
-    # logical ones)
+    # redelivery: re-applying epoch 0 must change nothing (resolve
+    # through the manifest — the store's only read path)
+    from chronicle_sniffer_spark.streaming.incremental import _read_table
+
     some = spark.read.parquet(staged).limit(50)
     merge_batch(spark, table, some, 0)
     again = sorted(
         tuple(r)
-        for r in spark.read.parquet(table)
+        for r in _read_table(spark, table)
         .select("user_id", "n_events", "total_value")
         .collect()
     )
     assert again == want
+
+    # crash injection: a failed flip exposes NOTHING (atomic manifest)
+    from chronicle_sniffer_spark.streaming import manifest as mf
+    import pytest as _pt
+
+    v = mf.latest_version(table)
+    delta = spark.read.parquet(staged).limit(80)
+    with _pt.raises(RuntimeError, match="injected crash"):
+        merge_batch(spark, table, delta, 99, fail_before_commit=True)
+    assert mf.latest_version(table) == v
+    still = sorted(
+        tuple(r)
+        for r in _read_table(spark, table)
+        .select("user_id", "n_events", "total_value")
+        .collect()
+    )
+    assert still == want
+    # redelivery completes exactly once: totals grow by delta exactly
+    merge_batch(spark, table, delta, 99)
+    grown = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in _read_table(spark, table).collect()
+    }
+    dd = {
+        r["user_id"]: (r["n"], r["t"])
+        for r in delta.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("t"),
+        )
+        .collect()
+    }
+    base = {r[0]: (r[1], r[2]) for r in want}
+    for uid, (n, t) in grown.items():
+        bn, bt = base.get(uid, (0, 0))
+        dn, dt = dd.get(uid, (0, 0))
+        assert n == bn + dn and t == bt + dt
 
 
 # ---------------------------------------------------------------------------

@@ -648,18 +648,17 @@ def test_t11_stream_maintained_sessions_equal_batch(spark, staged):
     assert _rows(_read_table(spark, table_dir), *cols) == before
 
 
-def test_t11_crash_recovery_partial_bucket_commit(spark, tmp_path):
-    """The advisor's round-9 finding: the old design wrote the table
-    and a separate _epoch marker non-atomically, so a crash between
-    the two re-merged an applied batch and double-counted n.  The
-    epoch now rides IN the committed bucket data, so recovery is
-    per-bucket: simulate a crash that replaced only SOME buckets of
-    epoch 1 (roll the others back to their epoch-0 files), replay
-    epoch 1, and require exact equality with the uninterrupted run —
-    already-committed buckets skipped, stale ones merged exactly
-    once."""
-    import shutil
-
+def test_t11_crash_never_exposes_mixed_epochs(spark, tmp_path):
+    """Round-10 verdict item 4: the old dynamic-partition-overwrite
+    protocol delegated bucket replacement to the file committer, so a
+    crash MID-JOB could leave some buckets at epoch E and others at
+    E-1 (each bucket consistent, the cross-bucket read NOT a
+    snapshot).  The manifest protocol (streaming/manifest.py) stages
+    write-once files and publishes with ONE atomic rename — inject a
+    crash BETWEEN the data write and the manifest flip and prove a
+    reader sees exactly the pre-crash snapshot (never a mix), then
+    that redelivery completes the merge exactly once."""
+    from chronicle_sniffer_spark.streaming import manifest as mf
     from chronicle_sniffer_spark.streaming.sessions import (
         _read_table,
         merge_session_batch,
@@ -678,27 +677,63 @@ def test_t11_crash_recovery_partial_bucket_commit(spark, tmp_path):
 
     crash_dir = str(tmp_path / "crash")
     merge_session_batch(spark, crash_dir, b0, 0, gap_us)
-    backup = str(tmp_path / "backup")
-    shutil.copytree(crash_dir, backup)
-    merge_session_batch(spark, crash_dir, b1, 1, gap_us)
-    # crash simulation: half the buckets epoch-1 attempt touched are
-    # rolled back to their epoch-0 content (or removed if new)
-    rolled = 0
-    for name in sorted(os.listdir(crash_dir)):
-        if not name.startswith("bucket=") or int(name.split("=")[1]) % 2:
-            continue
-        shutil.rmtree(os.path.join(crash_dir, name))
-        if os.path.isdir(os.path.join(backup, name)):
-            shutil.copytree(
-                os.path.join(backup, name), os.path.join(crash_dir, name)
-            )
-        rolled += 1
-    assert rolled > 0
-    partial = _rows(_read_table(spark, crash_dir), *cols)
-    assert partial != want  # the crash left the table genuinely torn
+    v0 = mf.latest_version(crash_dir)
+    before = _rows(_read_table(spark, crash_dir), *cols)
+    # epoch 1 writes ALL its staged bucket files, then crashes before
+    # the manifest flip — the worst case for the old protocol
+    import pytest as _pt
+
+    with _pt.raises(RuntimeError, match="injected crash"):
+        merge_session_batch(
+            spark, crash_dir, b1, 1, gap_us, fail_before_commit=True
+        )
+    # the staged (unpublished) epoch-1 data exists on disk...
+    assert os.path.isdir(os.path.join(crash_dir, "data", "commit=1"))
+    # ...but the manifest never flipped: a reader resolves the
+    # IDENTICAL pre-crash snapshot — zero mixed-epoch exposure
+    assert mf.latest_version(crash_dir) == v0
+    assert _rows(_read_table(spark, crash_dir), *cols) == before
+    epochs = set(mf.bucket_epochs(mf.read_manifest(crash_dir)).values())
+    assert epochs == {0}
+
     # at-least-once redelivery of epoch 1 completes the merge exactly
     merge_session_batch(spark, crash_dir, b1, 1, gap_us)
     assert _rows(_read_table(spark, crash_dir), *cols) == want
-    # and a THIRD delivery is a pure no-op
+    # and a THIRD delivery is a pure no-op (manifest version frozen)
+    v2 = mf.latest_version(crash_dir)
     merge_session_batch(spark, crash_dir, b1, 1, gap_us)
+    assert mf.latest_version(crash_dir) == v2
     assert _rows(_read_table(spark, crash_dir), *cols) == want
+
+
+def test_t11_snapshot_isolation_and_prune(spark, tmp_path):
+    """A reader that resolved manifest version k keeps a frozen
+    consistent view while later commits land (time travel), and
+    prune() removes only data unreferenced by the retained manifest
+    tail — never a path a retained version can resolve."""
+    from chronicle_sniffer_spark.streaming import manifest as mf
+    from chronicle_sniffer_spark.streaming.sessions import (
+        _read_table,
+        merge_session_batch,
+    )
+
+    gap_us = 60 * 60 * 1000000
+    ev = load_table(spark, SF_SMOKE, "events")
+    cols = ("user_id", "s", "e", "n")
+    table = str(tmp_path / "t")
+    merge_session_batch(spark, table, ev.filter(F.col("event_id") % 3 == 0), 0, gap_us)
+    v0 = mf.latest_version(table)
+    at_v0 = _rows(_read_table(spark, table, version=v0), *cols)
+    merge_session_batch(spark, table, ev.filter(F.col("event_id") % 3 == 1), 1, gap_us)
+    merge_session_batch(spark, table, ev.filter(F.col("event_id") % 3 == 2), 2, gap_us)
+    # time travel: version v0 still reads byte-identically
+    assert _rows(_read_table(spark, table, version=v0), *cols) == at_v0
+    latest = _rows(_read_table(spark, table), *cols)
+    assert latest != at_v0
+    # prune to the last 2 versions: v0 drops, latest survives intact
+    removed = mf.prune(table, keep_last=2)
+    assert any(r.startswith("manifest/") for r in removed)
+    assert _rows(_read_table(spark, table), *cols) == latest
+    # every retained version still resolves (no referenced dir lost)
+    for v in (mf.latest_version(table) - 1, mf.latest_version(table)):
+        _read_table(spark, table, version=v).count()
