@@ -209,11 +209,28 @@ def robust_sigma_threshold(sims: DataFrame, c: float = NEAR_DUP_SIGMA) -> DataFr
     0.063 under the sf0.01 noise ceiling and the ceiling rises with
     scale: max noise sim 0.48 → 0.51 → 0.60 across the shipped SFs); a
     c-sigma cutoff rides the distribution instead.  Deterministic and
-    engine-portable: DuckDB re-derives the identical value from the
-    same 6-dp rounded sims (float-order noise in the moments is ~1e-12,
-    far inside the 6-dp rounding), so the driver hash-compare is exact."""
-    return sims.agg(
-        F.round(F.avg("sim") + F.lit(c) * F.stddev_pop("sim"), 6).alias("thr")
+    engine-portable: sims are exact 1e-6 multiples, so the moments
+    accumulate as exact integer micro-units (association-order-free)
+    and the threshold algebra makes ONE exact integer→double
+    conversion per term — the same integer-exact formulation as
+    :func:`cosine_pairs_adaptive`'s in-worker moment pass, so the two
+    stay in lockstep to the last bit."""
+    mic = F.round(F.col("sim") * F.lit(1e6)).cast("bigint")
+    mom = sims.agg(
+        F.count("*").alias("n"),
+        F.sum(mic).alias("s"),
+        F.sum((mic * mic).cast("decimal(22,0)")).alias("s2"),
+    )
+    n_d = F.col("n").cast("decimal(10,0)")
+    s_d = F.col("s").cast("decimal(18,0)")
+    s2_d = F.col("s2").cast("decimal(22,0)")
+    num = (n_d * s2_d - s_d * s_d).cast("double")
+    mean_mic = F.col("s").cast("double") / F.col("n").cast("double")
+    sd_mic = F.sqrt(
+        F.greatest(num, F.lit(0.0)) / (F.col("n") * F.col("n")).cast("double")
+    )
+    return mom.select(
+        F.round(mean_mic / F.lit(1e6) + F.lit(c) * sd_mic / F.lit(1e6), 6).alias("thr")
     )
 
 
@@ -235,9 +252,18 @@ def cosine_pairs_adaptive(embeddings: DataFrame) -> DataFrame:
     invocation — measured 1.6–5.9 s swings within one session (GC/
     storage churn) where this form holds ~1.3 s; redoing the matmul
     (~0.2 s of BLAS) is far cheaper than materializing its output.
-    Threshold parity with the DuckDB oracle is unchanged: both engines
-    compute moments of the SAME 6-dp-rounded sims, and their ~1e-12
-    association-order noise sits far inside the 6-dp rounding."""
+    Threshold parity with the DuckDB oracle is INTEGER-EXACT: sims are
+    exact multiples of 1e-6 after rounding, so the moments accumulate
+    as int64/decimal micro-units (n, Σ sim_mic, Σ sim_mic²) — the same
+    integer values in both engines regardless of association order —
+    and the threshold algebra runs on one exact integer→double
+    conversion per term (round-11 advisor fix: the earlier float
+    moments carried a ~1e-12 association-order residual that could in
+    principle flip the 6-dp-rounded thr on a boundary, the same
+    cross-engine class as the l6_moore_lewis flake).  Σ sim_mic² can
+    exceed int64 (1e12 per pair × up to n_max²/2 pairs), so batches
+    reduce in int64 CHUNKS sized to be overflow-safe and emit the
+    exact total as DECIMAL(22,0); the final sum is an exact decimal."""
     import numpy as np
     import pandas as pd
     from typing import Iterator
@@ -270,33 +296,50 @@ def cosine_pairs_adaptive(embeddings: DataFrame) -> DataFrame:
         return bids, sims, mask
 
     def moments(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from decimal import Decimal
+
         all_ids, m = bc.value
         for pdf in batches:
             _, sims, mask = _batch_sims(pdf, all_ids, m)
-            vals = sims[mask]
+            # sims are exact 1e-6 multiples — recover the integers
+            vals_mic = np.rint(sims[mask] * 1e6).astype(np.int64)
+            # Σ mic² in overflow-safe int64 chunks (≤4e6 elems × 1e12
+            # per term < 2^62), totalled in arbitrary-precision Python
+            s2 = 0
+            for lo in range(0, vals_mic.size, 4_000_000):
+                c = vals_mic[lo : lo + 4_000_000]
+                s2 += int(np.sum(c * c, dtype=np.int64))
             yield pd.DataFrame(
                 {
-                    "n": [int(vals.size)],
-                    "s": [float(vals.sum())],
-                    "s2": [float((vals * vals).sum())],
+                    "n": [int(vals_mic.size)],
+                    "s": [int(vals_mic.sum())],
+                    "s2": [Decimal(s2)],
                 }
             )
 
     # spread() both passes: one scan task would serialize the matmul
-    mom = spread(slim).mapInPandas(moments, "n bigint, s double, s2 double").agg(
+    mom = spread(slim).mapInPandas(moments, "n bigint, s bigint, s2 decimal(22,0)").agg(
         F.sum("n").alias("n"), F.sum("s").alias("s"), F.sum("s2").alias("s2")
+    )
+    # integer-exact variance algebra: num = n·Σmic² − (Σmic)² computed
+    # in non-demoting decimal widths (10,0)x(32,0)→(38,0) and
+    # (18,0)²→(37,0); ONE exact integer→double conversion per term,
+    # then identical IEEE ops in both engines.  num ≥ 0 exactly
+    # (Cauchy–Schwarz on integers); greatest() is belt-and-braces.
+    n_d = F.col("n").cast("decimal(10,0)")
+    s_d = F.col("s").cast("decimal(18,0)")
+    # Spark types sum(decimal(22,0)) as (32,0); the value still fits
+    # (22,0) (Σmic² ≤ n·1e12 ≤ 2.1e21), so re-narrow to keep the
+    # product at (10,0)×(22,0)→(33,0) — no precision demotion anywhere
+    s2_d = F.col("s2").cast("decimal(22,0)")
+    num = (n_d * s2_d - s_d * s_d).cast("double")
+    mean_mic = F.col("s").cast("double") / F.col("n").cast("double")
+    sd_mic = F.sqrt(
+        F.greatest(num, F.lit(0.0)) / (F.col("n") * F.col("n")).cast("double")
     )
     thr = mom.select(
         F.round(
-            F.col("s") / F.col("n")
-            + F.lit(NEAR_DUP_SIGMA)
-            * F.sqrt(
-                F.greatest(
-                    F.col("s2") / F.col("n") - F.pow(F.col("s") / F.col("n"), 2),
-                    F.lit(0.0),
-                )
-            ),
-            6,
+            mean_mic / F.lit(1e6) + F.lit(NEAR_DUP_SIGMA) * sd_mic / F.lit(1e6), 6
         ).alias("thr")
     )
 

@@ -264,7 +264,24 @@ def l2_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
              round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim
       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
     ),
-    thr AS (SELECT round(avg(sim) + 3.5 * stddev_pop(sim), 6) AS t FROM sims)
+    -- integer-exact moments of the 1e-6-grid sims (round-11 advisor
+    -- fix): identical integers to Spark's chunked int64/decimal
+    -- accumulation regardless of association order, then ONE exact
+    -- integer->double conversion per term and the same IEEE algebra
+    mom AS (
+      SELECT count(*) AS n,
+             sum(CAST(round(sim * 1e6) AS BIGINT)) AS s,
+             sum(CAST(round(sim * 1e6) AS BIGINT) * CAST(round(sim * 1e6) AS BIGINT)) AS s2
+      FROM sims
+    ),
+    thr AS (
+      SELECT round(
+               (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / 1e6
+               + 3.5 * sqrt(greatest(CAST(n * s2 - s * s AS DOUBLE), 0.0)
+                            / CAST(n * n AS DOUBLE)) / 1e6,
+               6) AS t
+      FROM mom
+    )
     SELECT s.vec_a, s.vec_b, s.sim FROM sims s, thr WHERE s.sim >= thr.t
     """,
 )

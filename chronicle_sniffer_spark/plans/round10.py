@@ -380,9 +380,14 @@ def dq13_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT o.o_orderkey,
            o.o_orderpriority,
+           -- integer half-away rounding (round-11 advisor fix): the
+           -- leave-one-out sum is exact cents, so enc's 6-dp rounding
+           -- runs as (2*num + den) // (2*den) on integers — no
+           -- double round() boundary can diverge across engines
            CASE WHEN g.n > 1
-                THEN round(CAST(g.s - CAST(o.o_totalprice AS DECIMAL(18,2))
-                                AS DOUBLE) / (g.n - 1), 6)
+                THEN CAST((2 * (CAST((g.s - CAST(o.o_totalprice AS DECIMAL(18,2)))
+                                     * 100 AS BIGINT) * 10000)
+                           + (g.n - 1)) // (2 * (g.n - 1)) AS DOUBLE) / 1e6
                 END AS enc
     FROM orders o JOIN g USING (o_orderpriority)
     """,
@@ -400,7 +405,13 @@ def ml21_target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side join + two arithmetic ops per row, no second shuffle.
     The category sums accumulate in exact DECIMAL (the catalog's money
     rule) so the broadcast model is bit-identical across engines, and
-    the final division is one double op on identical inputs.
+    the per-row 6-dp rounding runs as the repo's integer half-away
+    idiom — (Σ−y) in exact cents, enc_mic = (2·cents·10⁴ + (n−1)) div
+    (2·(n−1)), one exact integer→double conversion at the end — so no
+    round(double, 6) boundary exists for the engines to disagree on
+    (round-11 advisor fix; the l6_moore_lewis class).  Decimal widths
+    are chosen to never demote: cents (20,0) × 10⁴ (5,0) → (26,0),
+    ×2 (1,0) → (28,0), + (11,0) → (29,0).
     Singleton categories yield NULL (no peer evidence) rather than a
     leaked self-mean."""
     o = _t(spark, sf_dir, "orders")
@@ -408,20 +419,20 @@ def ml21_target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("s"),
         F.count("*").alias("n"),
     )
+    enc_mic = F.expr(
+        "(CAST(2 AS DECIMAL(1,0))"
+        " * (CAST((s - CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS DECIMAL(20,0))"
+        "    * CAST(10000 AS DECIMAL(5,0)))"
+        " + CAST(n - 1 AS DECIMAL(11,0)))"
+        " div (2 * (n - 1))"
+    )
     return (
         o.join(F.broadcast(g), "o_orderpriority")
         .select(
             "o_orderkey",
             "o_orderpriority",
             F.when(
-                F.col("n") > 1,
-                F.round(
-                    (F.col("s") - F.col("o_totalprice").cast("decimal(18,2)")).cast(
-                        "double"
-                    )
-                    / (F.col("n") - 1),
-                    6,
-                ),
+                F.col("n") > 1, enc_mic.cast("double") / F.lit(1e6)
             ).alias("enc"),
         )
     )
@@ -609,10 +620,18 @@ def g9_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges gives you anyway).
 
     Spark shapes per round: one edge⋈label equi-join (labels are
-    node-sized → broadcast), one (node, label) partial-agg count, one
+    node-sized; the join strategy is LEFT TO CATALYST/AQE — on this
+    graph it picks broadcast, and at 100 TB node counts it falls back
+    to a shuffle join, the same policy pagerank documents — an
+    unconditional broadcast hint would pin a node-sized table into
+    every executor regardless of scale), one (node, label)
+    partial-agg count, one
     per-node argmax via min(struct(-cnt, lbl)) — the same mode idiom
     as a18.  Labels cache per round (node-sized) so round i never
-    re-executes rounds 1..i-1."""
+    re-executes rounds 1..i-1; each round unpersists its predecessor
+    once materialized, and the edge cache is released before
+    returning, so repeated invocations in one session do not
+    accumulate storage memory (round-11 advisor fix)."""
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     edges = (
@@ -629,9 +648,10 @@ def g9_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = und.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("lbl")
     )
+    prev = None
     for _ in range(LPA_ROUNDS):
         counted = (
-            und.join(F.broadcast(labels), und.src == labels.node)
+            und.join(labels, und.src == labels.node)
             .groupBy(F.col("dst").alias("n2"), "lbl")
             .agg(F.count("*").alias("cnt"))
         )
@@ -645,9 +665,21 @@ def g9_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("n2").alias("node"), "lbl")
             .cache()
         )
-    return labels.groupBy(F.col("lbl").alias("community")).agg(
+        # materialize THIS round, then release the previous round's
+        # cache — peak storage is two node-sized tables, not LPA_ROUNDS
+        labels.count()
+        if prev is not None:
+            prev.unpersist()
+        prev = labels
+    out = labels.groupBy(F.col("lbl").alias("community")).agg(
         F.count("*").alias("size"), F.min("node").alias("min_node")
     )
+    # the final agg is the labels cache's only remaining consumer:
+    # localCheckpoint the result and release both caches eagerly
+    out = out.localCheckpoint()
+    labels.unpersist()
+    und.unpersist()
+    return out
 
 
 g9_label_propagation.__doc__ = g9_label_propagation.__doc__.format(r=LPA_ROUNDS)
