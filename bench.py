@@ -257,6 +257,11 @@ HEADLINE = (
     # round-11 additions
     "l4_html_extract",
     "l4_html_blocks",
+    "ml22_kfold_target_encode",
+    "ts22_holt_winters",
+    "a24_kmv_distinct",
+    "g12_bounded_cheapest_path",
+    "l4_markdown_extract",
 )
 
 # Entries with documented ±18% round-over-round drift on identical code

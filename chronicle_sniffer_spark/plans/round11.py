@@ -192,3 +192,464 @@ def l4_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     TEXT survives when the block is low-density); nav/related/footer
     pin the drop side (n_dropped ≥ 3 on every row)."""
     return html_extract(_pages(spark, sf_dir), max_density_pct=_DENSITY_PCT)
+
+
+# ---------------------------------------------------------------------------
+# ML22: k-fold (out-of-fold) target encoding
+# ---------------------------------------------------------------------------
+
+KFOLD_K = 5
+_LEHMER_A, _LEHMER_M = 48271, 2147483647
+
+_ML22_ORACLE = f"""
+    WITH r AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST((o_orderkey * {_LEHMER_A}) % {_LEHMER_M} % {KFOLD_K} AS INTEGER)
+               AS fold,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS y
+      FROM orders
+    ),
+    gf AS (
+      SELECT o_orderpriority, fold,
+             sum(y) AS s_f, CAST(count(*) AS BIGINT) AS n_f
+      FROM r GROUP BY o_orderpriority, fold
+    ),
+    g AS (
+      SELECT o_orderpriority,
+             sum(s_f) AS s_c, CAST(sum(n_f) AS BIGINT) AS n_c
+      FROM gf GROUP BY o_orderpriority
+    )
+    SELECT r.o_orderkey, r.o_orderpriority, r.fold,
+           CASE WHEN g.n_c > gf.n_f
+                THEN CAST((2 * (CAST((g.s_c - gf.s_f) * 100 AS BIGINT) * 10000)
+                           + (g.n_c - gf.n_f)) // (2 * (g.n_c - gf.n_f))
+                     AS DOUBLE) / 1e6
+                END AS enc
+    FROM r
+    JOIN gf ON gf.o_orderpriority = r.o_orderpriority AND gf.fold = r.fold
+    JOIN g  ON g.o_orderpriority = r.o_orderpriority
+"""
+
+
+@query("ml22_kfold_target_encode", section="ML", oracle=_ML22_ORACLE)
+def ml22_kfold_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-fold (out-of-fold) target encoding — the production variant
+    of ml21's leave-one-out: rows are assigned to one of K folds by a
+    seed-free Lehmer hash of the key, and each row's category is
+    encoded with the mean target of the OTHER folds,
+    (Σ_c y − Σ_fold y) / (n_c − n_fold).  Out-of-fold encoding is what
+    gradient-boosting pipelines actually ship (LOO has higher variance
+    and leaks through the n−1 denominator on small categories); the
+    fold hash is deterministic so train/serve skew is impossible.
+
+    Spark shapes: one (category, fold) partial-agg groupBy — K×|cats|
+    rows — re-aggregated to the category model in-plan (no second
+    scan), both broadcast back onto the fact table; encode is
+    map-side.  Sums stay in exact DECIMAL cents and the 6-dp rounding
+    is the integer half-away idiom ((2·cents·10⁴ + den) div (2·den)),
+    so there is no cross-engine rounding channel anywhere.  Folds with
+    the whole category (n_c = n_f) encode NULL rather than leak."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.expr(
+            f"CAST((o_orderkey * {_LEHMER_A}) % {_LEHMER_M} % {KFOLD_K} AS INT)"
+        ).alias("fold"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("y"),
+    )
+    gf = o.groupBy("o_orderpriority", "fold").agg(
+        F.sum("y").alias("s_f"), F.count("*").alias("n_f")
+    )
+    g = gf.groupBy("o_orderpriority").agg(
+        F.sum("s_f").alias("s_c"), F.sum("n_f").alias("n_c")
+    )
+    enc_mic = F.expr(
+        "(CAST(2 AS DECIMAL(1,0))"
+        " * (CAST((s_c - s_f) * 100 AS DECIMAL(20,0)) * CAST(10000 AS DECIMAL(5,0)))"
+        " + CAST(n_c - n_f AS DECIMAL(11,0)))"
+        " div (2 * (n_c - n_f))"
+    )
+    return (
+        o.join(F.broadcast(gf), ["o_orderpriority", "fold"])
+        .join(F.broadcast(g), "o_orderpriority")
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            "fold",
+            F.when(F.col("n_c") > F.col("n_f"), enc_mic.cast("double") / F.lit(1e6))
+            .alias("enc"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TS22: additive Holt-Winters (level + trend + m=7 seasonal) forecast
+# ---------------------------------------------------------------------------
+
+# binary-exact smoothing constants: 0.5/0.25 are dyadic, so (1-a) etc.
+# are EXACT doubles in both engines and the recursions' multiply-add
+# streams are bit-identical before the final 6-dp rounding
+HW_ALPHA, HW_BETA, HW_GAMMA, HW_M, HW_H = 0.5, 0.25, 0.25, 7, 7
+
+_TS22_LNEW = (
+    f"{HW_ALPHA} * (r.value - w.seas[1]) + {1 - HW_ALPHA} * (w.l + w.b)"
+)
+
+_TS22_ORACLE = f"""
+    WITH RECURSIVE ranked AS (
+      SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    w(user_id, rn, l, b, seas) AS (
+      SELECT user_id, rn, value, CAST(0.0 AS DOUBLE),
+             CAST([0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0] AS DOUBLE[])
+      FROM ranked WHERE rn = 1
+      UNION ALL
+      SELECT r.user_id, r.rn,
+             {_TS22_LNEW},
+             {HW_BETA} * (({_TS22_LNEW}) - w.l) + {1 - HW_BETA} * w.b,
+             list_concat(
+               w.seas[2:{HW_M}],
+               [{HW_GAMMA} * (r.value - ({_TS22_LNEW}))
+                + {1 - HW_GAMMA} * w.seas[1]])
+      FROM ranked r JOIN w ON r.user_id = w.user_id AND r.rn = w.rn + 1
+    ),
+    last AS (SELECT user_id, max(rn) AS n FROM ranked GROUP BY user_id),
+    fin AS (
+      SELECT w.user_id, w.l, w.b, w.seas, CAST(l2.n AS BIGINT) AS n_events
+      FROM last l2 JOIN w ON w.user_id = l2.user_id AND w.rn = l2.n
+    )
+    SELECT user_id, n_events, CAST(h AS INTEGER) AS h,
+           round(l + h * b + seas[h], 6) AS forecast
+    FROM fin, (SELECT unnest(generate_series(1, {HW_H})) AS h)
+"""
+
+
+@query("ts22_holt_winters", section="TS", oracle=_TS22_ORACLE)
+def ts22_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt–Winters per key: the three-state seasonal
+    extension of ts9's Holt linear — level/trend plus an m=7
+    position-based seasonal vector, with an h=1..7 forecast fan.
+    Update (standard additive form, init l=x₁, b=0, seas=0⃗ at t=1):
+
+        l_t = α(x_t − s_{{t−m}}) + (1−α)(l_{{t−1}} + b_{{t−1}})
+        b_t = β(l_t − l_{{t−1}}) + (1−β)b_{{t−1}}
+        s_t = γ(x_t − l_t) + (1−γ)s_{{t−m}}
+        ŷ_{{n+h}} = l_n + h·b_n + s_{{n+h−m}}
+
+    Distributed shape: ONE user_id shuffle; keys run in parallel and
+    the within-key loop is the O(n) recursion it mathematically is
+    (the grouped-map + recursive-CTE-oracle pattern of ts9, extended
+    to vector state — the oracle carries the seasonal vector as a
+    LIST column through the recursion).  Smoothing constants are
+    dyadic (0.5/0.25) so both engines' multiply-add streams are
+    bit-identical; rounding happens once, at the forecast."""
+    import pandas as pd
+
+    def _hw(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        xs = pdf["value"].to_numpy()
+        l, b = xs[0], 0.0
+        seas = [0.0] * HW_M
+        for x in xs[1:]:
+            s_old = seas[0]
+            l_new = HW_ALPHA * (x - s_old) + (1 - HW_ALPHA) * (l + b)
+            b = HW_BETA * (l_new - l) + (1 - HW_BETA) * b
+            s_new = HW_GAMMA * (x - l_new) + (1 - HW_GAMMA) * s_old
+            seas = seas[1:] + [s_new]
+            l = l_new
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]] * HW_H,
+                "n_events": [len(pdf)] * HW_H,
+                "h": list(range(1, HW_H + 1)),
+                "forecast": [
+                    round(l + h * b + seas[h - 1], 6) for h in range(1, HW_H + 1)
+                ],
+            }
+        )
+
+    return (
+        _t(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandas(
+            _hw, "user_id bigint, n_events bigint, h int, forecast double"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A24: KMV (k-minimum-values) distinct-count sketch
+# ---------------------------------------------------------------------------
+
+KMV_K = 64
+
+_A24_ORACLE = f"""
+    WITH d AS (
+      SELECT DISTINCT o_orderpriority,
+             (o_custkey * {_LEHMER_A}) % {_LEHMER_M} AS h
+      FROM orders
+    ),
+    ranked AS (
+      SELECT o_orderpriority, h,
+             row_number() OVER (PARTITION BY o_orderpriority ORDER BY h) AS rn
+      FROM d
+    ),
+    ex AS (
+      SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_exact
+      FROM d GROUP BY o_orderpriority
+    )
+    SELECT ex.o_orderpriority, ex.n_exact,
+           CAST(r.h AS BIGINT) AS kth_min,
+           round(CASE WHEN r.h IS NULL THEN CAST(ex.n_exact AS DOUBLE)
+                      ELSE ({KMV_K} - 1) * CAST({_LEHMER_M} AS DOUBLE)
+                           / CAST(r.h AS DOUBLE) END, 6) AS kmv_est
+    FROM ex LEFT JOIN (SELECT * FROM ranked WHERE rn = {KMV_K}) r
+      USING (o_orderpriority)
+"""
+
+
+@query("a24_kmv_distinct", section="A3", oracle=_A24_ORACLE)
+def a24_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values, Bar-Yossef et al.) distinct-count sketch
+    per group: keep the K smallest distinct hash values; the K-th
+    minimum h₍ₖ₎ estimates NDV ≈ (K−1)·M/h₍ₖ₎.  The sketch the
+    repo's HLL entries (a3b) complement: KMV supports EXACT set
+    algebra on the sketches themselves (intersection via the common
+    K-minima) and is trivially mergeable — the union's K-minima are
+    the K smallest of the parts' K-minima, proven by the pytest
+    merge-equivalence property (tests/test_round11.py).
+
+    Determinism: the hash is the seed-free Lehmer bijection on the
+    key (v·48271 mod 2³¹−1), so distinct keys ↔ distinct hashes and
+    both engines rank the identical integers; the estimator is one
+    exact-int→double division.  Groups with fewer than K distinct
+    keys report their exact count (the sketch is exact below K by
+    construction).
+
+    Spark shapes: distinct (partial-aggregated) → per-group window
+    rank on the hash → rn = K row joined to the group counts; at
+    100 TB the window input is already collapsed to distinct hashes
+    (≤ NDV rows), and a production variant would cap it with a
+    per-partition top-K before the shuffle (the sketch's whole
+    point), which the merge test demonstrates."""
+    d = (
+        _t(spark, sf_dir, "orders")
+        .select(
+            "o_orderpriority",
+            ((F.col("o_custkey") * _LEHMER_A) % _LEHMER_M).alias("h"),
+        )
+        .distinct()
+    )
+    from pyspark.sql import Window
+
+    ranked = d.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("o_orderpriority").orderBy("h"))
+    )
+    ex = d.groupBy("o_orderpriority").agg(F.count("*").alias("n_exact"))
+    kth = ranked.filter(F.col("rn") == KMV_K).select(
+        "o_orderpriority", F.col("h").alias("kth_min")
+    )
+    return ex.join(kth, "o_orderpriority", "left").select(
+        "o_orderpriority",
+        "n_exact",
+        F.col("kth_min").cast("bigint").alias("kth_min"),
+        F.round(
+            F.when(
+                F.col("kth_min").isNull(), F.col("n_exact").cast("double")
+            ).otherwise(
+                F.lit(KMV_K - 1)
+                * F.lit(float(_LEHMER_M))
+                / F.col("kth_min").cast("double")
+            ),
+            6,
+        ).alias("kmv_est"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# G12: bounded-hop cheapest path (min-plus relaxation rounds)
+# ---------------------------------------------------------------------------
+
+G12_SRC_CUST = 1
+G12_ROUNDS = 4
+
+
+def _g12_oracle() -> str:
+    rounds = []
+    prev = "d0"
+    for i in range(1, G12_ROUNDS + 1):
+        rounds.append(
+            f"""d{i} AS (
+      SELECT node, min(dist) AS dist FROM (
+        SELECT node, dist FROM {prev}
+        UNION ALL
+        SELECT und.v AS node, {prev}.dist + und.w AS dist
+        FROM {prev} JOIN und ON und.u = {prev}.node
+      ) GROUP BY node
+    )"""
+        )
+        prev = f"d{i}"
+    return f"""
+    WITH e AS (
+      SELECT 2 * o.o_custkey AS u, 2 * l.l_suppkey + 1 AS v,
+             CAST(min(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS w
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      GROUP BY 1, 2
+    ),
+    und AS (SELECT u, v, w FROM e UNION ALL SELECT v AS u, u AS v, w FROM e),
+    d0 AS (SELECT CAST({2 * G12_SRC_CUST} AS BIGINT) AS node,
+                  CAST(0 AS BIGINT) AS dist),
+    {",".join(rounds)}
+    SELECT node, dist AS dist_cents FROM d{G12_ROUNDS}
+    """
+
+
+@query("g12_bounded_cheapest_path", section="G", oracle=_g12_oracle())
+def g12_bounded_cheapest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-hop cheapest path: {r} min-plus relaxation rounds from
+    one source over the weighted customer–supplier bipartite graph
+    (edge weight = cheapest line item between the pair, exact cents) —
+    distributed Bellman-Ford with a fixed hop horizon, the weighted
+    generalization of g5's BFS.  A fixed horizon keeps the plan
+    declarative AND is what fraud/supply-chain reachability queries
+    actually ask ("cheapest exposure within 4 relationships").
+
+    Spark shapes per round: one dist⋈edges equi-join + one grouped
+    min — the same shuffle pair as a label-propagation round; min-plus
+    sums stay in exact BIGINT cents so relaxation order can never
+    matter.  The frontier caches per round and unpersists its
+    predecessor (the g9 policy); join strategy is Catalyst's (the
+    dist table starts 1-row — broadcast — and grows with
+    reachability, where AQE flips it to shuffle)."""
+    li, o = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders")
+    e = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            (2 * F.col("o_custkey")).alias("u"),
+            (2 * F.col("l_suppkey") + 1).alias("v"),
+        )
+        .agg(
+            F.min(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias("w")
+        )
+    )
+    und = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")).cache()
+    spark_ = und.sparkSession
+    dist = spark_.createDataFrame(
+        [(2 * G12_SRC_CUST, 0)], "node bigint, dist bigint"
+    )
+    prev = None
+    for _ in range(G12_ROUNDS):
+        relaxed = dist.join(und, dist.node == und.u).select(
+            F.col("v").alias("node"), (F.col("dist") + F.col("w")).alias("dist")
+        )
+        dist = (
+            dist.unionByName(relaxed).groupBy("node").agg(F.min("dist").alias("dist")).cache()
+        )
+        dist.count()
+        if prev is not None:
+            prev.unpersist()
+        prev = dist
+    out = dist.select("node", F.col("dist").alias("dist_cents")).localCheckpoint()
+    dist.unpersist()
+    und.unpersist()
+    return out
+
+
+g12_bounded_cheapest_path.__doc__ = g12_bounded_cheapest_path.__doc__.format(
+    r=G12_ROUNDS
+)
+
+
+# ---------------------------------------------------------------------------
+# L4: markdown → text extraction
+# ---------------------------------------------------------------------------
+
+# Deterministic markdown page, shared VERBATIM between engines (the
+# html-entry technique).  chr(10) builds real line structure; every
+# extraction rule is exercised: an H1 title + H2 section, bold/emph,
+# an inline link and inline code, a fenced code block whose content
+# must NOT leak, bullets, a blockquote, and the document body.
+MD_PAGE_SQL = (
+    "'# Doc ' || CAST(doc_id AS STRING) || ': ' || lang || ' notes' || chr(10)"
+    " || 'Some **bold** and *emphasis* over ' || substr(text, 1, 60) || chr(10)"
+    " || '## Usage' || chr(10)"
+    " || 'Install via [the guide](https://example.com/g' || CAST(doc_id AS STRING)"
+    " || ') then run `cmd --id ' || CAST(doc_id AS STRING) || '`.' || chr(10)"
+    " || '```' || chr(10) || 'secret_code(' || CAST(doc_id AS STRING) || ')'"
+    " || chr(10) || 'x = doc * 2' || chr(10) || '```' || chr(10)"
+    " || '- item one' || chr(10) || '- item ' || lang || chr(10)"
+    " || '> quoted wisdom here' || chr(10)"
+    " || text"
+)
+
+_MD_DECODE_DUCK = """
+    trim(regexp_replace(
+      replace(replace(replace(replace(replace(replace(
+        regexp_replace(
+          regexp_replace(md, '```[^`]*```', ' ', 'g'),
+          '\\[([^\\]]*)\\]\\(([^)]*)\\)', '\\1', 'g'),
+        '`', ''), '*', ''), '_', ''), '#', ''),
+        chr(10) || '> ', chr(10)), chr(10) || '- ', chr(10)),
+      '[\n ]+', ' ', 'g'))
+"""
+
+
+@query(
+    "l4_markdown_extract",
+    section="L4",
+    oracle=f"""
+    WITH pages AS (
+      SELECT doc_id, {MD_PAGE_SQL} AS md FROM documents
+    )
+    SELECT doc_id,
+           trim(regexp_extract(md, '(^|\n)#+ *([^\n]*)', 2)) AS title,
+           CAST((length(md) - length(replace(md, '```', ''))) / 3 / 2 AS INTEGER)
+             AS n_code_blocks,
+           CAST((length(chr(10) || md)
+                 - length(replace(chr(10) || md, chr(10) || '#', ''))) / 2
+                AS INTEGER) AS n_headings,
+           CAST((length(md) - length(replace(md, '](', ''))) / 2 AS INTEGER)
+             AS n_links,
+           md5({_MD_DECODE_DUCK}) AS text_md5,
+           CAST(length({_MD_DECODE_DUCK}) AS INTEGER) AS n_chars
+    FROM pages
+    """,
+)
+def l4_markdown_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markdown → training text (operators/markdown.py): fenced code
+    content removed, links unwrapped to anchor text, inline-code/
+    emphasis/heading markers stripped, blockquote and bullet prefixes
+    dropped, whitespace normalized — plus the structural counts a
+    curation pipeline filters on (code-block/heading/link counts, the
+    standard "too much code / link farm" signals) and the H1 title.
+
+    Same engine-portability contract as l4_html_extract: regexes in
+    the Java∩RE2 subset, counts via replace-length arithmetic, the
+    page fixture one expression string shared verbatim; the only
+    dialect split is capture-group replacement ($1 vs \\\\1), stated in
+    the operator module.  Narrow per-row map, no shuffle; spread()
+    ahead of the regex work (the single-file-scan rule)."""
+    from chronicle_sniffer_spark.operators.markdown import (
+        md_counts,
+        md_text,
+        md_title,
+    )
+
+    docs = spread(
+        _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    ).select("doc_id", F.expr(MD_PAGE_SQL).alias("md"))
+    md = F.col("md")
+    counts = md_counts(md)
+    txt = md_text(md)
+    return docs.select(
+        "doc_id",
+        md_title(md).alias("title"),
+        counts["n_code_blocks"].alias("n_code_blocks"),
+        counts["n_headings"].alias("n_headings"),
+        counts["n_links"].alias("n_links"),
+        F.md5(txt.cast("binary")).alias("text_md5"),
+        F.length(txt).cast("int").alias("n_chars"),
+    )
