@@ -262,6 +262,7 @@ HEADLINE = (
     "a24_kmv_distinct",
     "g12_bounded_cheapest_path",
     "l4_markdown_extract",
+    "s19_manifest_store_scan",
 )
 
 # Entries with documented ±18% round-over-round drift on identical code

@@ -653,3 +653,84 @@ def l4_markdown_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(txt.cast("binary")).alias("text_md5"),
         F.length(txt).cast("int").alias("n_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# S19: manifest-committed table — snapshot scan + time travel
+# ---------------------------------------------------------------------------
+
+_MSTORE_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _manifest_store(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per session+sf) a manifest-committed rollup table
+    from three deterministic event slices — three epochs through the
+    SAME merge path the streaming sink uses (streaming/incremental.py),
+    so the batch entry exercises the production write protocol:
+    write-once bucket files + one atomic manifest flip per epoch."""
+    import hashlib as _h
+    import os
+    from urllib.parse import urlparse
+
+    from chronicle_sniffer_spark.streaming import manifest as mf
+    from chronicle_sniffer_spark.streaming.incremental import merge_batch
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _MSTORE_CACHE:
+        suf = _h.md5(sf_dir.encode()).hexdigest()[:8]
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path or "/tmp"
+        table = os.path.join(wh, f"css_mstore_{suf}")
+        if (mf.latest_version(table) or -1) < 2:
+            ev = _t(spark, sf_dir, "events")
+            for epoch in range(3):
+                merge_batch(
+                    spark, table, ev.filter(F.col("event_id") % 3 == epoch), epoch
+                )
+        _MSTORE_CACHE[key] = table
+    return _MSTORE_CACHE[key]
+
+
+_S19_ORACLE = """
+    SELECT CAST(0 AS INTEGER) AS snap,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events WHERE event_id % 3 = 0
+    UNION ALL
+    SELECT CAST(2 AS INTEGER) AS snap,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events
+"""
+
+
+@query("s19_manifest_store_scan", section="S8", oracle=_S19_ORACLE)
+def s19_manifest_store_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan a manifest-committed bucket store at two snapshot versions
+    — the read half of the round-11 atomic-manifest protocol
+    (streaming/manifest.py), driven through the oracle gate: version 0
+    must serve EXACTLY the epoch-0 merge's state (time travel) and the
+    latest version the fully-merged state, each resolved through one
+    atomic manifest file (a reader can never see buckets from two
+    different commits — the crash-injection pytests prove the write
+    side, this entry hash-checks the read side against the raw data).
+
+    Scale shape: the store is written once per session by the same
+    distributed merge the streaming sink uses; reads list O(buckets)
+    paths from O(1) manifest metadata and scan only those files —
+    every pushdown property of a plain parquet scan is preserved."""
+    from chronicle_sniffer_spark.streaming.incremental import _read_table
+
+    table = _manifest_store(spark, sf_dir)
+
+    def rollup(df: DataFrame, snap: int) -> DataFrame:
+        return df.agg(
+            F.count("*").cast("bigint").alias("n_users"),
+            F.sum("n_events").cast("bigint").alias("n_events"),
+            F.sum("total_value").cast("double").alias("total_value"),
+        ).select(F.lit(snap).cast("int").alias("snap"), "*")
+
+    v0 = rollup(_read_table(spark, table, version=0), 0)
+    latest = rollup(_read_table(spark, table), 2)
+    return v0.unionByName(latest)

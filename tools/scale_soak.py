@@ -262,6 +262,7 @@ QUERIES = (
     "a24_kmv_distinct",
     "g12_bounded_cheapest_path",
     "l4_markdown_extract",
+    "s19_manifest_store_scan",
 )
 
 
