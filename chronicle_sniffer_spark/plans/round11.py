@@ -734,3 +734,229 @@ def s19_manifest_store_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     v0 = rollup(_read_table(spark, table, version=0), 0)
     latest = rollup(_read_table(spark, table), 2)
     return v0.unionByName(latest)
+
+
+# ---------------------------------------------------------------------------
+# ML23: bucketed precision-recall curve
+# ---------------------------------------------------------------------------
+
+PR_BUCKETS = 512
+
+
+def _ml23_oracle() -> str:
+    return f"""
+    WITH scored AS (
+      SELECT CAST(o_totalprice * 100 AS BIGINT) AS score_c,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      FROM orders
+    ),
+    rng AS (SELECT min(score_c) AS lo, max(score_c) AS hi FROM scored),
+    b AS (
+      SELECT CAST(CASE WHEN hi = lo THEN 0
+                       ELSE ((score_c - lo) * {PR_BUCKETS - 1}) // (hi - lo)
+                  END AS INTEGER) AS bucket,
+             y
+      FROM scored, rng
+    ),
+    per AS (
+      SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS pos
+      FROM b GROUP BY bucket
+    ),
+    cum AS (
+      SELECT bucket, n, pos,
+             CAST(sum(n)   OVER w AS BIGINT) AS cn,
+             CAST(sum(pos) OVER w AS BIGINT) AS cpos,
+             CAST(sum(pos) OVER () AS BIGINT) AS tot_pos
+      FROM per
+      WINDOW w AS (ORDER BY bucket DESC ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT bucket, n, pos,
+           round(CAST(cpos AS DOUBLE) / CAST(cn AS DOUBLE), 6) AS precision_at,
+           round(CAST(cpos AS DOUBLE) / CAST(tot_pos AS DOUBLE), 6) AS recall_at
+    FROM cum
+    """
+
+
+@query("ml23_pr_curve", section="ML3", oracle=_ml23_oracle())
+def ml23_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed precision-recall curve: scores (order value, exact
+    cents) land in {b} equi-width integer buckets; descending
+    cumulative positives/totals over the bucket axis give
+    precision@threshold and recall@threshold per bucket — the curve a
+    model dashboard renders (complements ml8's exact AUC and ml7's
+    calibration bins).
+
+    Scale shape: one groupBy collapses N rows to ≤{b} bucket rows
+    (map-side partial agg), so the global cumulative window runs over
+    a LITERALLY bounded relation — the audit-accepted pattern — and
+    bucket assignment is pure integer arithmetic ((x−lo)·({b}−1)
+    div (hi−lo)) on a broadcast 1-row range, so no float boundary can
+    move a row across engines."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("score_c"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+    )
+    rng = o.agg(F.min("score_c").alias("lo"), F.max("score_c").alias("hi"))
+    # bucket index in pure INTEGER division: CAST(double AS INT)
+    # truncates on Spark but rounds on DuckDB, so a float quotient can
+    # never be allowed to reach the cast
+    b = o.crossJoin(F.broadcast(rng)).select(
+        F.when(F.col("hi") == F.col("lo"), F.lit(0))
+        .otherwise(
+            F.expr(f"(score_c - lo) * {PR_BUCKETS - 1} div (hi - lo)")
+        )
+        .cast("int")
+        .alias("bucket"),
+        "y",
+    )
+    per = b.groupBy("bucket").agg(
+        F.count("*").alias("n"), F.sum("y").cast("bigint").alias("pos")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("bucket").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy()
+    return per.select(
+        "bucket",
+        "n",
+        "pos",
+        F.round(
+            F.sum("pos").over(w).cast("double") / F.sum("n").over(w).cast("double"), 6
+        ).alias("precision_at"),
+        F.round(
+            F.sum("pos").over(w).cast("double")
+            / F.sum("pos").over(wall).cast("double"),
+            6,
+        ).alias("recall_at"),
+    )
+
+
+ml23_pr_curve.__doc__ = ml23_pr_curve.__doc__.format(b=PR_BUCKETS)
+
+
+# ---------------------------------------------------------------------------
+# A25: Gini coefficient of token mass per source
+# ---------------------------------------------------------------------------
+
+_A25_ORACLE = """
+    WITH sig AS (
+      SELECT source, doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS x
+      FROM documents
+    ),
+    ranked AS (
+      SELECT source, x,
+             row_number() OVER (PARTITION BY source ORDER BY x, doc_id) AS i,
+             CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n,
+             CAST(sum(x) OVER (PARTITION BY source) AS BIGINT) AS sx
+      FROM sig
+    )
+    SELECT source,
+           CAST(max(n) AS BIGINT) AS n_docs,
+           CAST(max(sx) AS BIGINT) AS total_tokens,
+           round(CAST(2 * sum(i * x) - (max(n) + 1) * max(sx) AS DOUBLE)
+                 / CAST(max(n) * max(sx) AS DOUBLE), 6) AS gini
+    FROM ranked GROUP BY source
+"""
+
+
+@query("a25_gini_token_inequality", section="A1", oracle=_A25_ORACLE)
+def a25_gini_token_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-document token mass within each source
+    — the inequality metric data-mixing work reads before setting
+    sampling weights (a source whose token mass concentrates in a few
+    giant documents behaves very differently under doc-level sampling
+    than its doc count suggests).  Exact rank formula on sorted
+    values: G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx).
+
+    Scale shape: one per-source rank window (parallel across sources)
+    + one grouped aggregate; every term is exact BIGINT (ranks are
+    deterministic with the (x, doc_id) tie-break), so the single
+    double division at the end sees identical integers in both
+    engines."""
+    sig = _t(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("x"),
+    )
+    from pyspark.sql import Window
+
+    wp = Window.partitionBy("source")
+    ranked = sig.select(
+        "source",
+        "x",
+        F.row_number().over(wp.orderBy("x", "doc_id")).alias("i"),
+        F.count("*").over(wp).alias("n"),
+        F.sum("x").over(wp).alias("sx"),
+    )
+    return ranked.groupBy("source").agg(
+        F.max("n").cast("bigint").alias("n_docs"),
+        F.max("sx").cast("bigint").alias("total_tokens"),
+        F.round(
+            (
+                2 * F.sum(F.col("i") * F.col("x"))
+                - (F.max("n") + 1) * F.max("sx")
+            ).cast("double")
+            / (F.max("n") * F.max("sx")).cast("double"),
+            6,
+        ).alias("gini"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# L1: exact dedup keeping the best representative per group
+# ---------------------------------------------------------------------------
+
+_L1B_ORACLE = """
+    WITH sig AS (
+      SELECT doc_id, source, md5(text) AS h,
+             CAST(length(regexp_replace(text, ' ', '', 'g')) AS BIGINT) AS quality
+      FROM documents
+    ),
+    pick AS (
+      SELECT h,
+             CAST(count(*) AS BIGINT) AS n_copies,
+             (max({'q': quality, 'neg': -doc_id})).neg AS neg_pick
+      FROM sig GROUP BY h
+    )
+    SELECT s.doc_id, s.source, p.n_copies,
+           s.doc_id = -p.neg_pick AS kept
+    FROM sig s JOIN pick p ON p.h = s.h
+"""
+
+
+@query("l1_dedup_keep_best", section="L1", oracle=_L1B_ORACLE)
+def l1_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup with a KEEP-BEST policy: hash groups pick one
+    surviving representative by (quality desc, doc_id asc) — the
+    production refinement of l1_exact_dedup's dropDuplicates, which
+    keeps an ARBITRARY row; curation pipelines keep the highest-
+    quality copy and audit the rest (kept=false rows carry their
+    group size for the removal report).
+
+    Scale shape: one hash groupBy building a broadcast-sized pick
+    table (one row per distinct hash... itself corpus-sized, so the
+    join back is hash-keyed, NOT broadcast — Catalyst decides), the
+    deterministic argmax is the lexicographic struct-max idiom
+    (max(struct(quality, -doc_id))), map-side combinable."""
+    sig = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.md5(F.col("text").cast("binary")).alias("h"),
+        F.length(F.regexp_replace("text", " ", "")).cast("bigint").alias("quality"),
+    )
+    pick = sig.groupBy("h").agg(
+        F.count("*").alias("n_copies"),
+        F.max(F.struct(F.col("quality").alias("q"), (-F.col("doc_id")).alias("neg")))
+        .getField("neg")
+        .alias("neg_pick"),
+    )
+    return sig.join(pick, "h").select(
+        "doc_id",
+        "source",
+        "n_copies",
+        (F.col("doc_id") == -F.col("neg_pick")).alias("kept"),
+    )

@@ -263,6 +263,9 @@ QUERIES = (
     "g12_bounded_cheapest_path",
     "l4_markdown_extract",
     "s19_manifest_store_scan",
+    "ml23_pr_curve",
+    "a25_gini_token_inequality",
+    "l1_dedup_keep_best",
 )
 
 
