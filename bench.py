@@ -266,6 +266,7 @@ HEADLINE = (
     "ml23_pr_curve",
     "a25_gini_token_inequality",
     "l1_dedup_keep_best",
+    "j21_nearest_value_join",
 )
 
 # Entries with documented ±18% round-over-round drift on identical code

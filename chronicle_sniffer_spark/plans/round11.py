@@ -960,3 +960,107 @@ def l1_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_copies",
         (F.col("doc_id") == -F.col("neg_pick")).alias("kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# J21: nearest-value join (as-of generalized to a non-time axis)
+# ---------------------------------------------------------------------------
+
+_J21_ORACLE = """
+    WITH p AS (
+      SELECT event_id, user_id, value FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT DISTINCT user_id, value AS c_value
+      FROM events WHERE event_type = 'click'
+    ),
+    below AS (
+      SELECT p.event_id, c.c_value AS below_value
+      FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.value >= c.c_value
+    ),
+    above AS (
+      SELECT p.event_id, c.c_value AS above_value
+      FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.value <= c.c_value
+    )
+    SELECT p.event_id, p.user_id, p.value AS p_value,
+           b.below_value, a.above_value,
+           CASE WHEN b.below_value IS NULL THEN a.above_value
+                WHEN a.above_value IS NULL THEN b.below_value
+                WHEN (p.value - b.below_value) <= (a.above_value - p.value)
+                  THEN b.below_value
+                ELSE a.above_value END AS matched_value
+    FROM p JOIN below b USING (event_id) JOIN above a USING (event_id)
+"""
+
+
+@query("j21_nearest_value_join", section="J8", oracle=_J21_ORACLE)
+def j21_nearest_value_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-VALUE join: for each purchase, the click (same user)
+    with the closest value — the as-of idiom generalized off the time
+    axis (amount-matching: transactions↔quotes, payments↔invoices).
+    Nearest below and nearest above come from the SAME tagged-union
+    one-window-per-direction shape as j8/j18 (one user_id shuffle,
+    two ordered passes, no range probe, no candidate join), then one
+    row-local pick: closer side wins, exact ties take the lower value.
+    The DuckDB oracle uses native ASOF twice (>= and <=) — equality
+    with it proves the union-window formulation IS the nearest-match
+    semantics in both directions."""
+    e = _t(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "value"
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .select("user_id", F.col("value").alias("c_value"))
+        .distinct()
+    )
+    tagged = p.select(
+        "user_id",
+        F.col("value").alias("v"),
+        F.lit(1).alias("tag"),
+        "event_id",
+        F.lit(None).cast("double").alias("cv"),
+    ).unionByName(
+        c.select(
+            "user_id",
+            F.col("c_value").alias("v"),
+            F.lit(0).alias("tag"),
+            F.lit(None).cast("long").alias("event_id"),
+            F.col("c_value").alias("cv"),
+        )
+    )
+    from pyspark.sql import Window
+
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("v", "tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wa = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("v").desc(), "tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    both = (
+        tagged.withColumn("below_value", F.last("cv", ignorenulls=True).over(wb))
+        .withColumn("above_value", F.last("cv", ignorenulls=True).over(wa))
+        .filter(F.col("tag") == 1)
+    )
+    x = F.col("v")
+    matched = (
+        F.when(F.col("below_value").isNull(), F.col("above_value"))
+        .when(F.col("above_value").isNull(), F.col("below_value"))
+        .when(
+            (x - F.col("below_value")) <= (F.col("above_value") - x),
+            F.col("below_value"),
+        )
+        .otherwise(F.col("above_value"))
+    )
+    return both.select(
+        "event_id",
+        "user_id",
+        x.alias("p_value"),
+        "below_value",
+        "above_value",
+        matched.alias("matched_value"),
+    )

@@ -266,6 +266,7 @@ QUERIES = (
     "ml23_pr_curve",
     "a25_gini_token_inequality",
     "l1_dedup_keep_best",
+    "j21_nearest_value_join",
 )
 
 
