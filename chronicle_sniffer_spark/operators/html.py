@@ -47,22 +47,26 @@ ENTITIES = (
     ("&amp;", "&"),
 )
 
-_ANCHOR_RE = "<a[^>]*>(.*?)</a>"
+_ANCHOR_RE = "(?s)<a[^>]*>(.*?)</a>"
 
 
 def extract_title(html: Column) -> Column:
-    """Entity-decoded <title> content ('' when absent)."""
-    return decode_entities(F.regexp_extract(html, "<title>(.*?)</title>", 1))
+    """Entity-decoded, whitespace-normalized <title> content
+    ('' when absent)."""
+    return normalize_ws(
+        decode_entities(F.regexp_extract(html, "(?s)<title>(.*?)</title>", 1))
+    )
 
 
 def extract_body(html: Column) -> Column:
     """Content between <body…> and </body>; the whole document when
     no body element exists (fragment input).  Presence is tested with
     rlike, not ''-equality — an EMPTY <body></body> legitimately
-    extracts to ''."""
+    extracts to ''.  (?s) makes . cross newlines (real pages are
+    multi-line; the flag is in the Java∩RE2 common subset)."""
     return F.when(
-        html.rlike("<body[^>]*>.*</body>"),
-        F.regexp_extract(html, "<body[^>]*>(.*)</body>", 1),
+        html.rlike("(?s)<body[^>]*>.*</body>"),
+        F.regexp_extract(html, "(?s)<body[^>]*>(.*)</body>", 1),
     ).otherwise(html)
 
 
@@ -71,8 +75,8 @@ def strip_invisible(col: Column) -> Column:
     tag-stripping alone would leak code into extracted text.  Two
     passes (one per element) because RE2 has no backreferences to
     pair open/close tags in one alternation."""
-    out = F.regexp_replace(col, "<script[^>]*>.*?</script>", " ")
-    return F.regexp_replace(out, "<style[^>]*>.*?</style>", " ")
+    out = F.regexp_replace(col, "(?s)<script[^>]*>.*?</script>", " ")
+    return F.regexp_replace(out, "(?s)<style[^>]*>.*?</style>", " ")
 
 
 def strip_tags(col: Column) -> Column:
@@ -88,7 +92,7 @@ def decode_entities(col: Column) -> Column:
 
 
 def normalize_ws(col: Column) -> Column:
-    return F.trim(F.regexp_replace(col, " +", " "))
+    return F.trim(F.regexp_replace(col, "[\n ]+", " "))
 
 
 def block_text(block: Column) -> Column:

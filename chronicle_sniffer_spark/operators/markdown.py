@@ -42,10 +42,13 @@ def count_by_replace(col: Column, token: str) -> Column:
 
 
 def md_counts(md: Column) -> dict[str, Column]:
-    """(n_code_blocks, n_headings, n_links) BEFORE any stripping."""
+    """(n_code_blocks, n_headings, n_links) BEFORE any stripping.
+    Fence count halves with floor(), never a float→int CAST: an odd
+    fence-token count (unterminated fence) would make the quotient .5,
+    and CAST(double AS INT) truncates on Spark but ROUNDS on DuckDB."""
     nl_md = F.concat(F.lit("\n"), md)
     return {
-        "n_code_blocks": (count_by_replace(md, "```") / 2).cast("int"),
+        "n_code_blocks": F.floor(count_by_replace(md, "```") / 2).cast("int"),
         "n_headings": count_by_replace(nl_md, "\n#"),
         "n_links": count_by_replace(md, "]("),
     }

@@ -202,6 +202,28 @@ def cosine_pairs(embeddings: DataFrame, threshold: float) -> DataFrame:
 NEAR_DUP_SIGMA = 3.5
 
 
+def _sigma_thr_from_moments(mom: DataFrame, c: float) -> DataFrame:
+    """round(mean + c·σ_pop, 6) from integer micro-unit moments
+    (n BIGINT, s BIGINT, s2 DECIMAL) — THE one shared threshold
+    algebra, so robust_sigma_threshold and cosine_pairs_adaptive can
+    never drift apart: num = n·Σmic² − (Σmic)² in non-demoting
+    decimal widths ((10,0)×(22,0)→(33,0), (18,0)²→(37,0)), one exact
+    integer→double conversion per term, then identical IEEE ops in
+    both engines.  num ≥ 0 exactly (Cauchy–Schwarz on integers);
+    greatest() is belt-and-braces."""
+    n_d = F.col("n").cast("decimal(10,0)")
+    s_d = F.col("s").cast("decimal(18,0)")
+    s2_d = F.col("s2").cast("decimal(22,0)")
+    num = (n_d * s2_d - s_d * s_d).cast("double")
+    mean_mic = F.col("s").cast("double") / F.col("n").cast("double")
+    sd_mic = F.sqrt(
+        F.greatest(num, F.lit(0.0)) / (F.col("n") * F.col("n")).cast("double")
+    )
+    return mom.select(
+        F.round(mean_mic / F.lit(1e6) + F.lit(c) * sd_mic / F.lit(1e6), 6).alias("thr")
+    )
+
+
 def robust_sigma_threshold(sims: DataFrame, c: float = NEAR_DUP_SIGMA) -> DataFrame:
     """One-row DataFrame [thr]: ``round(mean + c * stddev_pop, 6)`` of
     the pair-sim distribution — the corpus-DERIVED near-duplicate
@@ -221,17 +243,7 @@ def robust_sigma_threshold(sims: DataFrame, c: float = NEAR_DUP_SIGMA) -> DataFr
         F.sum(mic).alias("s"),
         F.sum((mic * mic).cast("decimal(22,0)")).alias("s2"),
     )
-    n_d = F.col("n").cast("decimal(10,0)")
-    s_d = F.col("s").cast("decimal(18,0)")
-    s2_d = F.col("s2").cast("decimal(22,0)")
-    num = (n_d * s2_d - s_d * s_d).cast("double")
-    mean_mic = F.col("s").cast("double") / F.col("n").cast("double")
-    sd_mic = F.sqrt(
-        F.greatest(num, F.lit(0.0)) / (F.col("n") * F.col("n")).cast("double")
-    )
-    return mom.select(
-        F.round(mean_mic / F.lit(1e6) + F.lit(c) * sd_mic / F.lit(1e6), 6).alias("thr")
-    )
+    return _sigma_thr_from_moments(mom, c)
 
 
 def cosine_pairs_adaptive(embeddings: DataFrame) -> DataFrame:
@@ -321,27 +333,9 @@ def cosine_pairs_adaptive(embeddings: DataFrame) -> DataFrame:
     mom = spread(slim).mapInPandas(moments, "n bigint, s bigint, s2 decimal(22,0)").agg(
         F.sum("n").alias("n"), F.sum("s").alias("s"), F.sum("s2").alias("s2")
     )
-    # integer-exact variance algebra: num = n·Σmic² − (Σmic)² computed
-    # in non-demoting decimal widths (10,0)x(32,0)→(38,0) and
-    # (18,0)²→(37,0); ONE exact integer→double conversion per term,
-    # then identical IEEE ops in both engines.  num ≥ 0 exactly
-    # (Cauchy–Schwarz on integers); greatest() is belt-and-braces.
-    n_d = F.col("n").cast("decimal(10,0)")
-    s_d = F.col("s").cast("decimal(18,0)")
-    # Spark types sum(decimal(22,0)) as (32,0); the value still fits
-    # (22,0) (Σmic² ≤ n·1e12 ≤ 2.1e21), so re-narrow to keep the
-    # product at (10,0)×(22,0)→(33,0) — no precision demotion anywhere
-    s2_d = F.col("s2").cast("decimal(22,0)")
-    num = (n_d * s2_d - s_d * s_d).cast("double")
-    mean_mic = F.col("s").cast("double") / F.col("n").cast("double")
-    sd_mic = F.sqrt(
-        F.greatest(num, F.lit(0.0)) / (F.col("n") * F.col("n")).cast("double")
-    )
-    thr = mom.select(
-        F.round(
-            mean_mic / F.lit(1e6) + F.lit(NEAR_DUP_SIGMA) * sd_mic / F.lit(1e6), 6
-        ).alias("thr")
-    )
+    # Spark types sum(decimal(22,0)) as (32,0); _sigma_thr_from_moments
+    # re-narrows to (22,0) — the value fits (Σmic² ≤ n·1e12 ≤ 2.1e21)
+    thr = _sigma_thr_from_moments(mom, NEAR_DUP_SIGMA)
 
     def filtered(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         all_ids, m = bc.value

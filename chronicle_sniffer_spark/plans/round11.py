@@ -91,7 +91,7 @@ def _block_cte() -> str:
     txt = (
         "trim(regexp_replace("
         + _DECODE.format(x=strip_tags)
-        + ", ' +', ' ', 'g'))"
+        + ", '[\n ]+', ' ', 'g'))"
     )
     return f"""
     WITH pages AS (
@@ -99,13 +99,15 @@ def _block_cte() -> str:
     ),
     clean AS (
       SELECT doc_id,
-             {_DECODE.format(x="regexp_extract(html, '<title>(.*?)</title>', 1)")} AS title,
+             trim(regexp_replace(
+               {_DECODE.format(x="regexp_extract(html, '(?s)<title>(.*?)</title>', 1)")},
+               '[\n ]+', ' ', 'g')) AS title,
              regexp_replace(regexp_replace(
-               CASE WHEN regexp_matches(html, '<body[^>]*>.*</body>')
-                    THEN regexp_extract(html, '<body[^>]*>(.*)</body>', 1)
+               CASE WHEN regexp_matches(html, '(?s)<body[^>]*>.*</body>')
+                    THEN regexp_extract(html, '(?s)<body[^>]*>(.*)</body>', 1)
                     ELSE html END,
-               '<script[^>]*>.*?</script>', ' ', 'g'),
-               '<style[^>]*>.*?</style>', ' ', 'g') AS body
+               '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+               '(?s)<style[^>]*>.*?</style>', ' ', 'g') AS body
       FROM pages
     ),
     split_parts AS (
@@ -124,7 +126,7 @@ def _block_cte() -> str:
              {txt} AS text,
              CAST(length({txt}) AS INTEGER) AS text_len,
              CAST(coalesce(length(array_to_string(
-               regexp_extract_all(block, '<a[^>]*>(.*?)</a>', 1), '')), 0) AS INTEGER)
+               regexp_extract_all(block, '(?s)<a[^>]*>(.*?)</a>', 1), '')), 0) AS INTEGER)
                AS anchor_len
       FROM blocks
     ),
@@ -359,13 +361,21 @@ def ts22_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
             s_new = HW_GAMMA * (x - l_new) + (1 - HW_GAMMA) * s_old
             seas = seas[1:] + [s_new]
             l = l_new
+        def r6(x: float) -> float:
+            # half-AWAY-from-zero, matching Spark/DuckDB round(): the
+            # dyadic smoothing constants make exact 6-dp ties
+            # representable, where Python round()'s half-even differs
+            import math
+
+            return math.copysign(math.floor(abs(x) * 1e6 + 0.5), x) / 1e6
+
         return pd.DataFrame(
             {
                 "user_id": [pdf["user_id"].iloc[0]] * HW_H,
                 "n_events": [len(pdf)] * HW_H,
                 "h": list(range(1, HW_H + 1)),
                 "forecast": [
-                    round(l + h * b + seas[h - 1], 6) for h in range(1, HW_H + 1)
+                    r6(l + h * b + seas[h - 1]) for h in range(1, HW_H + 1)
                 ],
             }
         )
@@ -606,8 +616,8 @@ _MD_DECODE_DUCK = """
     )
     SELECT doc_id,
            trim(regexp_extract(md, '(^|\n)#+ *([^\n]*)', 2)) AS title,
-           CAST((length(md) - length(replace(md, '```', ''))) / 3 / 2 AS INTEGER)
-             AS n_code_blocks,
+           CAST(floor((length(md) - length(replace(md, '```', ''))) / 3 / 2)
+                AS INTEGER) AS n_code_blocks,
            CAST((length(chr(10) || md)
                  - length(replace(chr(10) || md, chr(10) || '#', ''))) / 2
                 AS INTEGER) AS n_headings,
@@ -681,11 +691,25 @@ def _manifest_store(spark: SparkSession, sf_dir: str) -> str:
         wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path or "/tmp"
         table = os.path.join(wh, f"css_mstore_{suf}")
         if (mf.latest_version(table) or -1) < 2:
+            # cross-process safety (two sessions sharing a warehouse
+            # dir — bench + gate, parallel pytest workers): build into
+            # a process-private dir, then publish the WHOLE table with
+            # one atomic rename; a losing racer keeps the winner's
+            # table (round-11 review finding — two builders sharing
+            # the staging path could rmtree each other's in-flight
+            # files)
+            build = f"{table}.build.{os.getpid()}"
             ev = _t(spark, sf_dir, "events")
             for epoch in range(3):
                 merge_batch(
-                    spark, table, ev.filter(F.col("event_id") % 3 == epoch), epoch
+                    spark, build, ev.filter(F.col("event_id") % 3 == epoch), epoch
                 )
+            try:
+                os.rename(build, table)
+            except OSError:
+                import shutil
+
+                shutil.rmtree(build, ignore_errors=True)  # lost the race
         _MSTORE_CACHE[key] = table
     return _MSTORE_CACHE[key]
 
@@ -968,11 +992,12 @@ def l1_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _J21_ORACLE = """
     WITH p AS (
-      SELECT event_id, user_id, value FROM events WHERE event_type = 'purchase'
+      SELECT event_id, user_id, value FROM events
+      WHERE event_type = 'purchase' AND value IS NOT NULL
     ),
     c AS (
       SELECT DISTINCT user_id, value AS c_value
-      FROM events WHERE event_type = 'click'
+      FROM events WHERE event_type = 'click' AND value IS NOT NULL
     ),
     below AS (
       SELECT p.event_id, c.c_value AS below_value
@@ -1005,12 +1030,16 @@ def j21_nearest_value_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     The DuckDB oracle uses native ASOF twice (>= and <=) — equality
     with it proves the union-window formulation IS the nearest-match
     semantics in both directions."""
+    # NULL-valued rows are excluded on BOTH sides and engines: a NULL
+    # has no position on the value axis (the descending window would
+    # otherwise sort a NULL purchase last and hand it the user's
+    # minimum click — the round-11 review finding)
     e = _t(spark, sf_dir, "events")
-    p = e.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "value"
-    )
+    p = e.filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    ).select("event_id", "user_id", "value")
     c = (
-        e.filter(F.col("event_type") == "click")
+        e.filter((F.col("event_type") == "click") & F.col("value").isNotNull())
         .select("user_id", F.col("value").alias("c_value"))
         .distinct()
     )

@@ -132,6 +132,15 @@ def commit(table_dir: str, epoch_id: int, rewritten_buckets: list[int]) -> int:
     # the flip: atomic on POSIX; HDFS rename / object-store
     # conditional put on a real cluster
     os.replace(tmp, os.path.join(mdir, f"v{version}.json"))
+    # fsync the DIRECTORY too: the rename itself lives in the dir
+    # entry, and a power loss after replace-but-before-dir-flush would
+    # lose a version the caller's checkpoint already considers
+    # committed (the round-11 review finding)
+    dfd = os.open(mdir, os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
     return version
 
 

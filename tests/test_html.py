@@ -37,25 +37,29 @@ def _ref_decode(s: str) -> str:
 def _ref_block_text(block: str) -> str:
     s = re.sub(r"<[^>]*>", " ", block)
     s = _ref_decode(s)
-    return re.sub(r" +", " ", s).strip()
+    return re.sub(r"[\n ]+", " ", s).strip()
 
 
 def _ref_extract(html: str, max_density_pct: int = 40):
     """Reference: list of (pos, text, text_len, anchor_len, kept) for
     non-empty blocks, plus (title, joined_kept_text)."""
-    title = _ref_decode(
-        (re.search(r"<title>(.*?)</title>", html) or [None, ""])[1]
-    )
-    m = re.search(r"<body[^>]*>(.*)</body>", html)
+    title = re.sub(
+        r"[\n ]+",
+        " ",
+        _ref_decode(
+            (re.search(r"<title>(.*?)</title>", html, re.S) or [None, ""])[1]
+        ),
+    ).strip()
+    m = re.search(r"<body[^>]*>(.*)</body>", html, re.S)
     body = m.group(1) if m else html
-    body = re.sub(r"<script[^>]*>.*?</script>", " ", body)
-    body = re.sub(r"<style[^>]*>.*?</style>", " ", body)
+    body = re.sub(r"<script[^>]*>.*?</script>", " ", body, flags=re.S)
+    body = re.sub(r"<style[^>]*>.*?</style>", " ", body, flags=re.S)
     rows = []
     for pos, block in enumerate(re.split("</(?:%s)>" % "|".join(BLOCK_TAGS), body)):
         text = _ref_block_text(block)
         if not text:
             continue
-        a_len = len("".join(re.findall(r"<a[^>]*>(.*?)</a>", block)))
+        a_len = len("".join(re.findall(r"<a[^>]*>(.*?)</a>", block, re.S)))
         kept = 100 * a_len <= max_density_pct * len(text)
         rows.append((pos, text, len(text), a_len, kept))
     joined = " ".join(t for _, t, _, _, k in rows if k)
@@ -103,6 +107,30 @@ def test_fixed_page_blocks(spark):
     assert texts["prose with one inline link kept whole"] is True
     assert texts["a b"] is False                # link-only div dropped
     assert "ignored" not in full[1][1]
+
+
+def test_multiline_page_script_content_does_not_leak(spark):
+    """Real pages are multi-line: (?s) regexes must strip script/style
+    CONTENT across newlines and body extraction must not fall back to
+    the whole document (the round-11 review finding)."""
+    html = (
+        "<html>\n<head>\n<title>Multi\nline</title>\n"
+        "<style>\np { x: 1; }\n</style>\n</head>\n<body>\n"
+        "<script>\nvar secret = 1;\n</script>\n"
+        "<p>line one\nline two</p>\n"
+        '<nav><a href="/">Home</a>\n<a href="/b">B</a></nav>\n'
+        "</body>\n</html>"
+    )
+    blocks, full = _run(spark, [(1, html)])
+    title, joined, rows = _ref_extract(html)
+    assert full[1][0] == "Multi line" == title
+    assert "secret" not in full[1][1] and "x: 1" not in full[1][1]
+    assert "head" not in full[1][1].lower()  # body fallback did not fire
+    assert full[1][1] == joined == "line one line two"
+    got_rows = sorted(
+        (pos, v[0], v[1], v[2], v[3]) for (_, pos), v in blocks.items()
+    )
+    assert got_rows == rows
 
 
 def test_fragment_without_body_and_empty_doc(spark):

@@ -120,7 +120,12 @@ def test_holt_winters_pinned_series(spark):
         b = HW_BETA * (l_new - l) + (1 - HW_BETA) * b
         seas = seas[1:] + [HW_GAMMA * (x - l_new) + (1 - HW_GAMMA) * s_old]
         l = l_new
-    want = {h: round(l + h * b + seas[h - 1], 6) for h in range(1, HW_H + 1)}
+    import math
+
+    def r6(x):  # half-away-from-zero, the engines' round()
+        return math.copysign(math.floor(abs(x) * 1e6 + 0.5), x) / 1e6
+
+    want = {h: r6(l + h * b + seas[h - 1]) for h in range(1, HW_H + 1)}
     assert got == want
 
 
