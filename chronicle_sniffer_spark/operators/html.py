@@ -92,7 +92,11 @@ def decode_entities(col: Column) -> Column:
 
 
 def normalize_ws(col: Column) -> Column:
-    return F.trim(F.regexp_replace(col, "[\n ]+", " "))
+    # explicit class, NOT \s: Java's \s includes \x0B where RE2's does
+    # not, and real crawl pages carry \r (CRLF) and \t that the earlier
+    # '[\n ]+' let through into text_len / link-density (round-11
+    # advisor finding) — the explicit chars are the Java∩RE2 subset
+    return F.trim(F.regexp_replace(col, "[ \t\n\r\f]+", " "))
 
 
 def block_text(block: Column) -> Column:

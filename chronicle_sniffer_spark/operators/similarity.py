@@ -207,18 +207,22 @@ def _sigma_thr_from_moments(mom: DataFrame, c: float) -> DataFrame:
     (n BIGINT, s BIGINT, s2 DECIMAL) — THE one shared threshold
     algebra, so robust_sigma_threshold and cosine_pairs_adaptive can
     never drift apart: num = n·Σmic² − (Σmic)² in non-demoting
-    decimal widths ((10,0)×(22,0)→(33,0), (18,0)²→(37,0)), one exact
+    decimal widths (scale-0 products cap at (38,0) with ZERO scale
+    loss — exact while the VALUE fits 38 digits, i.e. n ≤ 1e13 pairs,
+    three decades past any brute-force scope), one exact
     integer→double conversion per term, then identical IEEE ops in
     both engines.  num ≥ 0 exactly (Cauchy–Schwarz on integers);
-    greatest() is belt-and-braces."""
-    n_d = F.col("n").cast("decimal(10,0)")
-    s_d = F.col("s").cast("decimal(18,0)")
-    s2_d = F.col("s2").cast("decimal(22,0)")
+    greatest() is belt-and-braces.  The earlier (10,0)/(22,0) casts
+    silently NULLed the threshold past ~1e10 pairs (round-11 advisor
+    finding); the (19,0)/(38,0) widths below are free and push the
+    ceiling to the 38-digit value cap.  n² runs in decimal too — a
+    bigint n·n would wrap silently past n ≈ 3e9."""
+    n_d = F.col("n").cast("decimal(19,0)")
+    s_d = F.col("s").cast("decimal(19,0)")
+    s2_d = F.col("s2").cast("decimal(38,0)")
     num = (n_d * s2_d - s_d * s_d).cast("double")
     mean_mic = F.col("s").cast("double") / F.col("n").cast("double")
-    sd_mic = F.sqrt(
-        F.greatest(num, F.lit(0.0)) / (F.col("n") * F.col("n")).cast("double")
-    )
+    sd_mic = F.sqrt(F.greatest(num, F.lit(0.0)) / (n_d * n_d).cast("double"))
     return mom.select(
         F.round(mean_mic / F.lit(1e6) + F.lit(c) * sd_mic / F.lit(1e6), 6).alias("thr")
     )
@@ -241,7 +245,7 @@ def robust_sigma_threshold(sims: DataFrame, c: float = NEAR_DUP_SIGMA) -> DataFr
     mom = sims.agg(
         F.count("*").alias("n"),
         F.sum(mic).alias("s"),
-        F.sum((mic * mic).cast("decimal(22,0)")).alias("s2"),
+        F.sum((mic * mic).cast("decimal(28,0)")).alias("s2"),
     )
     return _sigma_thr_from_moments(mom, c)
 
@@ -275,7 +279,7 @@ def cosine_pairs_adaptive(embeddings: DataFrame) -> DataFrame:
     cross-engine class as the l6_moore_lewis flake).  Σ sim_mic² can
     exceed int64 (1e12 per pair × up to n_max²/2 pairs), so batches
     reduce in int64 CHUNKS sized to be overflow-safe and emit the
-    exact total as DECIMAL(22,0); the final sum is an exact decimal."""
+    exact total as DECIMAL(28,0); the final sum is an exact decimal."""
     import numpy as np
     import pandas as pd
     from typing import Iterator
@@ -330,11 +334,11 @@ def cosine_pairs_adaptive(embeddings: DataFrame) -> DataFrame:
             )
 
     # spread() both passes: one scan task would serialize the matmul
-    mom = spread(slim).mapInPandas(moments, "n bigint, s bigint, s2 decimal(22,0)").agg(
+    mom = spread(slim).mapInPandas(moments, "n bigint, s bigint, s2 decimal(28,0)").agg(
         F.sum("n").alias("n"), F.sum("s").alias("s"), F.sum("s2").alias("s2")
     )
-    # Spark types sum(decimal(22,0)) as (32,0); _sigma_thr_from_moments
-    # re-narrows to (22,0) — the value fits (Σmic² ≤ n·1e12 ≤ 2.1e21)
+    # Spark types sum(decimal(28,0)) as (38,0); _sigma_thr_from_moments
+    # consumes it at (38,0) — no narrowing anywhere on the path
     thr = _sigma_thr_from_moments(mom, NEAR_DUP_SIGMA)
 
     def filtered(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -91,7 +91,7 @@ def _block_cte() -> str:
     txt = (
         "trim(regexp_replace("
         + _DECODE.format(x=strip_tags)
-        + ", '[\n ]+', ' ', 'g'))"
+        + ", '[ \t\n\r\f]+', ' ', 'g'))"
     )
     return f"""
     WITH pages AS (
@@ -101,7 +101,7 @@ def _block_cte() -> str:
       SELECT doc_id,
              trim(regexp_replace(
                {_DECODE.format(x="regexp_extract(html, '(?s)<title>(.*?)</title>', 1)")},
-               '[\n ]+', ' ', 'g')) AS title,
+               '[ \t\n\r\f]+', ' ', 'g')) AS title,
              regexp_replace(regexp_replace(
                CASE WHEN regexp_matches(html, '(?s)<body[^>]*>.*</body>')
                     THEN regexp_extract(html, '(?s)<body[^>]*>(.*)</body>', 1)
@@ -439,26 +439,43 @@ def a24_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys report their exact count (the sketch is exact below K by
     construction).
 
-    Spark shapes: distinct (partial-aggregated) → per-group window
-    rank on the hash → rn = K row joined to the group counts; at
-    100 TB the window input is already collapsed to distinct hashes
-    (≤ NDV rows), and a production variant would cap it with a
-    per-partition top-K before the shuffle (the sketch's whole
-    point), which the merge test demonstrates."""
-    d = (
-        _t(spark, sf_dir, "orders")
-        .select(
-            "o_orderpriority",
-            ((F.col("o_custkey") * _LEHMER_A) % _LEHMER_M).alias("h"),
-        )
-        .distinct()
+    Spark shapes — the round-12 production path: the sketch branch
+    caps each Arrow batch to its per-group K smallest DISTINCT hashes
+    *before any exchange* (mapInPandas at the scan edge — the
+    sketch's raison d'être: what crosses the shuffle is ≤ K rows per
+    (group, batch), never the raw key stream).  Correct by the same
+    merge invariant the pytest proves: every global K-minimum is a
+    K-minimum of whichever batch holds it, so the union of per-batch
+    caps contains the global K-minima exactly.  The capped rows —
+    sketch-sized — then dedup + window-rank to h₍ₖ₎.  The exact
+    branch (n_exact is part of the declared output) is a plain
+    count(distinct h): partial-aggregated map-side, the volume the
+    oracle gate pays anyway."""
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        ((F.col("o_custkey") * _LEHMER_A) % _LEHMER_M).alias("h"),
     )
+
+    def _kmv_partial(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            yield (
+                pdf.drop_duplicates()
+                .sort_values("h", kind="mergesort")
+                .groupby("o_orderpriority", sort=False)
+                .head(KMV_K)
+            )
+
+    capped = base.mapInPandas(_kmv_partial, "o_orderpriority string, h bigint")
     from pyspark.sql import Window
 
-    ranked = d.withColumn(
+    ranked = capped.distinct().withColumn(
         "rn", F.row_number().over(Window.partitionBy("o_orderpriority").orderBy("h"))
     )
-    ex = d.groupBy("o_orderpriority").agg(F.count("*").alias("n_exact"))
+    ex = base.groupBy("o_orderpriority").agg(
+        F.count_distinct(F.col("h")).alias("n_exact")
+    )
     kth = ranked.filter(F.col("rn") == KMV_K).select(
         "o_orderpriority", F.col("h").alias("kth_min")
     )
@@ -485,6 +502,9 @@ def a24_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 G12_SRC_CUST = 1
 G12_ROUNDS = 4
+# broadcast the frontier only while its upper bound (the static node
+# count) is measurably small — the g9 size-gated policy
+G12_BROADCAST_MAX_NODES = 2_000_000
 
 
 def _g12_oracle() -> str:
@@ -527,43 +547,82 @@ def g12_bounded_cheapest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     declarative AND is what fraud/supply-chain reachability queries
     actually ask ("cheapest exposure within 4 relationships").
 
-    Spark shapes per round: one dist⋈edges equi-join + one grouped
-    min — the same shuffle pair as a label-propagation round; min-plus
-    sums stay in exact BIGINT cents so relaxation order can never
-    matter.  The frontier caches per round and unpersists its
-    predecessor (the g9 policy); join strategy is Catalyst's (the
-    dist table starts 1-row — broadcast — and grows with
-    reachability, where AQE flips it to shuffle)."""
+    Spark shapes — the g9 round-12 rework applied to min-plus: the
+    weighted undirected edge table is built ONCE, hash-partitioned by
+    the relax TARGET (``repartition("v")`` before the per-pair
+    min-weight agg, whose clustering {{v,u}} ⊇ {{v}} the partitioning
+    already satisfies — the weight dedup rides the one build shuffle)
+    and cached.  Per round the frontier side carries the g9
+    SIZE-GATED broadcast hint (its upper bound — the static node
+    count — is measured once; past the gate the join reverts to
+    shuffle, the 100 TB path), so the edge-sized relax join AND the
+    edge-sized min(v) reduction are ONE map-only stage over the
+    cache; only the frontier∪reduction union — node-sized — pays a
+    shuffle, and min(min(relaxed), dist) ≡ min(dist ∪ relaxed) by
+    associativity.  Min-plus sums stay in exact BIGINT cents so
+    relaxation order can never matter.  Each round ends in one eager
+    localCheckpoint (materialize + lineage truncation in a single
+    job; the earlier cache()+count() pair ran two jobs per round)."""
     li, o = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders")
-    e = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .groupBy(
-            (2 * F.col("o_custkey")).alias("u"),
-            (2 * F.col("l_suppkey") + 1).alias("v"),
-        )
-        .agg(
-            F.min(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias("w")
-        )
+    pair = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        (2 * F.col("o_custkey")).alias("u"),
+        (2 * F.col("l_suppkey") + 1).alias("v"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("w"),
     )
-    und = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")).cache()
+    und = (
+        pair.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("u"), F.col("v"), F.col("w")),
+                    F.struct(
+                        F.col("v").alias("u"), F.col("u").alias("v"), F.col("w")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v", "e.w")
+        .repartition("v")
+        .groupBy("v", "u")
+        .agg(F.min("w").alias("w"))
+        .cache()
+    )
     spark_ = und.sparkSession
     dist = spark_.createDataFrame(
         [(2 * G12_SRC_CUST, 0)], "node bigint, dist bigint"
     )
-    prev = None
+    # the frontier is bounded by the node count, which is static: one
+    # measured count gates the per-round broadcast hint (g9 policy —
+    # a checkpointed frontier is a LogicalRDD with unknown stats, so
+    # an ungated plan falls to shuffle joins even while dist is tiny);
+    # v ranges over ALL nodes (und is symmetric), so distinct(v) is
+    # the node set and needs no exchange on the v-partitioned cache
+    n_nodes = und.select("v").distinct().count()
+    small = n_nodes <= G12_BROADCAST_MAX_NODES
     for _ in range(G12_ROUNDS):
-        relaxed = dist.join(und, dist.node == und.u).select(
-            F.col("v").alias("node"), (F.col("dist") + F.col("w")).alias("dist")
+        dist_side = F.broadcast(dist) if small else dist
+        relaxed = dist_side.join(und, dist_side.node == und.u).select(
+            "v", (F.col("dist") + F.col("w")).alias("dist")
         )
-        dist = (
-            dist.unionByName(relaxed).groupBy("node").agg(F.min("dist").alias("dist")).cache()
+        # exchange-free on the v-partitioned cache: reduce the
+        # edge-sized relaxation BEFORE the union, so the only shuffle
+        # per round is node-sized
+        relaxed_min = (
+            relaxed.groupBy("v")
+            .agg(F.min("dist").alias("dist"))
+            .select(F.col("v").alias("node"), "dist")
         )
-        dist.count()
-        if prev is not None:
-            prev.unpersist()
-        prev = dist
-    out = dist.select("node", F.col("dist").alias("dist_cents")).localCheckpoint()
-    dist.unpersist()
+        dist = dist.unionByName(relaxed_min).groupBy("node").agg(
+            F.min("dist").alias("dist")
+        )
+        if small:
+            # under the broadcast gate the frontier is node-sized by
+            # the same measurement — one partition makes the next
+            # round's broadcast collect a single-task job
+            dist = dist.coalesce(1)
+        # ONE job per round: materialize + truncate lineage (g9
+        # policy); blocks free on GC via the ContextCleaner
+        dist = dist.localCheckpoint(eager=True)
+    out = dist.select("node", F.col("dist").alias("dist_cents"))
     und.unpersist()
     return out
 
@@ -603,7 +662,7 @@ _MD_DECODE_DUCK = """
           '\\[([^\\]]*)\\]\\(([^)]*)\\)', '\\1', 'g'),
         '`', ''), '*', ''), '_', ''), '#', ''),
         chr(10) || '> ', chr(10)), chr(10) || '- ', chr(10)),
-      '[\n ]+', ' ', 'g'))
+      '[ \t\n\r\f]+', ' ', 'g'))
 """
 
 
@@ -690,7 +749,8 @@ def _manifest_store(spark: SparkSession, sf_dir: str) -> str:
         suf = _h.md5(sf_dir.encode()).hexdigest()[:8]
         wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path or "/tmp"
         table = os.path.join(wh, f"css_mstore_{suf}")
-        if (mf.latest_version(table) or -1) < 2:
+        _v = mf.latest_version(table)
+        if _v is None or _v < 2:  # explicit None check: version 0 is falsy
             # cross-process safety (two sessions sharing a warehouse
             # dir — bench + gate, parallel pytest workers): build into
             # a process-private dir, then publish the WHOLE table with

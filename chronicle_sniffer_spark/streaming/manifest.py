@@ -75,8 +75,17 @@ def read_manifest(table_dir: str, version: int | None = None) -> dict | None:
         version = latest_version(table_dir)
     if version is None:
         return None
-    with open(os.path.join(_manifest_dir(table_dir), f"v{version}.json")) as f:
-        return json.load(f)
+    try:
+        with open(os.path.join(_manifest_dir(table_dir), f"v{version}.json")) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        # an explicitly-requested version that an earlier prune() with
+        # a smaller keep_last already dropped: the retained range is
+        # not necessarily contiguous from latest-keep_last+1, so a
+        # later prune (or a time-travel read) may name a version that
+        # no longer exists — that is "no manifest", not a crash
+        # (round-11 advisor finding)
+        return None
 
 
 def bucket_epochs(manifest: dict | None) -> dict[int, int]:
@@ -109,13 +118,23 @@ def staging_dir(table_dir: str, epoch_id: int) -> str:
     return d
 
 
-def commit(table_dir: str, epoch_id: int, rewritten_buckets: list[int]) -> int:
+def commit(
+    table_dir: str,
+    epoch_id: int,
+    rewritten_buckets: list[int],
+    dropped_buckets: list[int] = (),
+) -> int:
     """Atomically publish epoch ``epoch_id``'s staged buckets: merge
     the bucket→path map of the previous manifest with the rewritten
-    buckets and flip one new manifest version into place.  Returns the
-    committed version number."""
+    buckets, remove ``dropped_buckets`` (buckets the commit drained to
+    zero rows — they leave the map in the SAME flip, so no reader can
+    ever resolve a stale path for them; their old data dirs become
+    unreferenced and prune() reclaims them), and flip one new manifest
+    version into place.  Returns the committed version number."""
     prev = read_manifest(table_dir)
     buckets = dict(prev["buckets"]) if prev else {}
+    for b in dropped_buckets:
+        buckets.pop(str(int(b)), None)
     rel = os.path.join(DATA_DIR, f"commit={int(epoch_id)}")
     for b in rewritten_buckets:
         buckets[str(int(b))] = {"path": rel, "epoch": int(epoch_id)}

@@ -37,14 +37,14 @@ def _ref_decode(s: str) -> str:
 def _ref_block_text(block: str) -> str:
     s = re.sub(r"<[^>]*>", " ", block)
     s = _ref_decode(s)
-    return re.sub(r"[\n ]+", " ", s).strip()
+    return re.sub(r"[ \t\n\r\f]+", " ", s).strip()
 
 
 def _ref_extract(html: str, max_density_pct: int = 40):
     """Reference: list of (pos, text, text_len, anchor_len, kept) for
     non-empty blocks, plus (title, joined_kept_text)."""
     title = re.sub(
-        r"[\n ]+",
+        r"[ \t\n\r\f]+",
         " ",
         _ref_decode(
             (re.search(r"<title>(.*?)</title>", html, re.S) or [None, ""])[1]
@@ -195,3 +195,29 @@ def test_random_pages_match_reference(spark, htmls):
         assert got_rows == rows, html
         n_kept = sum(1 for r in rows if r[4])
         assert full[doc_id] == (title, joined, n_kept, len(rows) - n_kept), html
+
+
+def test_crlf_and_tab_pages_collapse_to_single_spaces(spark):
+    """CRLF line endings and tab indentation — the shape real crawl
+    pages actually have — must collapse in normalize_ws exactly like
+    plain spaces, so text_len and the link-density verdict cannot be
+    inflated by invisible characters (round-11 advisor finding: the
+    earlier '[\\n ]+' class let \\r and \\t through)."""
+    crlf_page = (
+        "<html><head><title>\tT\r\n1</title></head><body>"
+        "<p>line one\r\nline two\tand\tthree</p>"
+        "<nav>\r\n\t<a href='/x'>x</a>\r\n</nav>"
+        "</body></html>"
+    )
+    blocks, full = _run(spark, [(1, crlf_page)])
+    title, joined, rows = _ref_extract(crlf_page)
+    assert title == "T 1"
+    assert full[1][0] == title
+    assert full[1][1] == joined == "line one line two and three"
+    got_rows = sorted(
+        (pos, v[0], v[1], v[2], v[3]) for (d, pos), v in blocks.items() if d == 1
+    )
+    assert got_rows == rows
+    # the nav block is pure anchor: its text_len counts NO stray \r\t,
+    # so density math sees 100*1 > pct*1 and drops it
+    assert full[1][3] == 1

@@ -183,7 +183,9 @@ def test_upsert_index_equals_full_assignment(emb, tmp_path):
     touched = ivf_index_upsert(spark, idx, delta)
     assert touched, "delta landed in no cell"
 
-    merged = spark.read.parquet(f"{idx}/cells")
+    from chronicle_sniffer_spark.operators.ivf import ivf_read_cells
+
+    merged = ivf_read_cells(spark, idx)
     cent = spark.read.parquet(f"{idx}/centroids")
     vecs = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
     full = _assign(vecs, cent)
@@ -201,6 +203,9 @@ def test_upsert_touches_only_assigned_partitions(emb, tmp_path):
         ivf_index_write,
     )
 
+    from chronicle_sniffer_spark.operators.ivf import ivf_read_cells
+    from chronicle_sniffer_spark.streaming import manifest as mf
+
     spark = emb.sparkSession
     idx = str(tmp_path / "index")
     ivf_index_write(emb, idx)
@@ -208,25 +213,28 @@ def test_upsert_touches_only_assigned_partitions(emb, tmp_path):
     # existing cell's vector, so they land in exactly that cell (a
     # uniform 20% delta would touch all 16 cells at this corpus size
     # and leave nothing to assert)
-    seed = spark.read.parquet(f"{idx}/cells").orderBy("vec_id").first()
+    seed = ivf_read_cells(spark, idx).orderBy("vec_id").first()
     max_id = emb.agg(F.max("vec_id")).collect()[0][0]
     delta = spark.createDataFrame(
         [(max_id + 1 + i, list(seed.v)) for i in range(3)],
         "vec_id bigint, embedding array<double>",
     )
-    before = _cell_files(f"{idx}/cells")
+    before = _cell_files(f"{idx}/data")
+    map_before = dict(mf.read_manifest(idx)["buckets"])
     touched = ivf_index_upsert(spark, idx, delta)
     assert touched == [seed.cid]
-    after = _cell_files(f"{idx}/cells")
+    after = _cell_files(f"{idx}/data")
+    map_after = dict(mf.read_manifest(idx)["buckets"])
 
-    untouched_before = {
-        p: v
-        for p, v in before.items()
-        if not any(f"cid={c}/" in p for c in touched)
-    }
-    assert untouched_before, "every cell was touched — test not meaningful"
-    for p, v in untouched_before.items():
-        assert after.get(p) == v, f"untouched cell file changed: {p}"
+    # untouched cells keep serving from their ORIGINAL paths (the
+    # write-once protocol: nothing they reference was rewritten) ...
+    for b, entry in map_before.items():
+        if int(b) not in touched:
+            assert map_after[b] == entry, f"untouched cell {b} remapped"
+    assert map_after[str(seed.cid)] != map_before[str(seed.cid)]
+    # ... and every pre-existing data file is byte-identical
+    for p, v in before.items():
+        assert after.get(p) == v, f"write-once violated: {p}"
 
 
 def test_upsert_replaces_changed_vector_and_moves_cells(emb, tmp_path):
@@ -239,10 +247,12 @@ def test_upsert_replaces_changed_vector_and_moves_cells(emb, tmp_path):
         ivf_index_write,
     )
 
+    from chronicle_sniffer_spark.operators.ivf import ivf_read_cells
+
     spark = emb.sparkSession
     idx = str(tmp_path / "index")
     ivf_index_write(emb, idx)
-    cells = spark.read.parquet(f"{idx}/cells")
+    cells = ivf_read_cells(spark, idx)
     victim = cells.orderBy("vec_id").first()
     # replace the victim's vector with another cell's centroid-ish
     # vector: any OTHER existing vector guarantees a valid embedding
@@ -252,7 +262,7 @@ def test_upsert_replaces_changed_vector_and_moves_cells(emb, tmp_path):
     )
     touched = ivf_index_upsert(spark, idx, changed)
     assert victim.cid in touched, "old cell not rewritten"
-    merged = spark.read.parquet(f"{idx}/cells")
+    merged = ivf_read_cells(spark, idx)
     rows = merged.filter(F.col("vec_id") == victim.vec_id).collect()
     assert len(rows) == 1, "upsert duplicated an existing vec_id"
     assert list(rows[0].v) == list(donor.v)
@@ -265,21 +275,23 @@ def test_upsert_replaces_changed_vector_and_moves_cells(emb, tmp_path):
 
 def test_upsert_drained_cell_is_deleted(emb, tmp_path):
     """When an upsert moves EVERY row out of a cell and no delta lands
-    there, the drained cell's partition directory must be removed —
-    dynamic overwrite alone never rewrites an absent partition, so
-    without the explicit delete the stale rows would keep serving and
-    the moved vec_ids would exist in two cells at once."""
-    import os
-
+    there, the drained cell must leave the bucket map IN THE SAME
+    manifest flip that publishes the rewrite — no reader can ever
+    resolve a path to its stale rows, and a moved vec_id can never
+    serve from two cells at once (the round-11 layout deleted the
+    directory AFTER a separate overwrite commit, leaving exactly that
+    window)."""
     from chronicle_sniffer_spark.operators.ivf import (
         ivf_index_upsert,
         ivf_index_write,
+        ivf_read_cells,
     )
+    from chronicle_sniffer_spark.streaming import manifest as mf
 
     spark = emb.sparkSession
     idx = str(tmp_path / "index")
     ivf_index_write(emb, idx)
-    cells = spark.read.parquet(f"{idx}/cells")
+    cells = ivf_read_cells(spark, idx)
     # pick the smallest cell and move ALL its vectors to another
     # cell's vector — the source cell drains completely
     sizes = cells.groupBy("cid").count().orderBy("count", "cid").collect()
@@ -292,10 +304,10 @@ def test_upsert_drained_cell_is_deleted(emb, tmp_path):
     )
     touched = ivf_index_upsert(spark, idx, delta)
     assert victim_cid in touched, "drained cell not in touched set"
-    assert not os.path.exists(
-        f"{idx}/cells/cid={victim_cid}"
-    ), "drained cell partition directory survived the upsert"
-    merged = spark.read.parquet(f"{idx}/cells")
+    assert victim_cid not in mf.bucket_epochs(
+        mf.read_manifest(idx)
+    ), "drained cell still mapped in the published manifest"
+    merged = ivf_read_cells(spark, idx)
     assert merged.filter(F.col("cid") == victim_cid).count() == 0
     dupes = (
         merged.groupBy("vec_id").count().filter(F.col("count") > 1).count()
@@ -307,3 +319,72 @@ def test_upsert_drained_cell_is_deleted(emb, tmp_path):
     ).collect()
     assert len(moved) == len(movers)
     assert all(r.cid == donor.cid and list(r.v) == list(donor.v) for r in moved)
+    # the stale directory may remain on disk (commit=0 is still
+    # referenced by untouched cells; prune() reclaims whole commit
+    # dirs once nothing references them) — what matters is that NO
+    # manifest path resolves to it
+    m = mf.read_manifest(idx)
+    paths = mf.bucket_paths(idx, m)
+    assert all(f"bucket={victim_cid}" not in p for p in paths)
+    # prune keeps every referenced dir: the store still reads whole
+    mf.prune(idx, keep_last=1)
+    assert ivf_read_cells(spark, idx).count() == merged.count()
+
+
+def test_upsert_crash_before_commit_serves_old_snapshot(emb, tmp_path):
+    """Crash injection between the epoch-dir data write and the
+    manifest flip (the window the round-11 dynamic-overwrite layout
+    could NOT close): readers must keep seeing the exact pre-upsert
+    snapshot, and a retry must complete the upsert exactly once."""
+    from chronicle_sniffer_spark.operators.ivf import (
+        _assign,
+        ivf_index_upsert,
+        ivf_index_write,
+        ivf_read_cells,
+    )
+
+    spark = emb.sparkSession
+    idx = str(tmp_path / "index")
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    delta = emb.filter(F.col("vec_id") % 5 == 0)
+    ivf_index_write(base, idx)
+    key = lambda r: (r.vec_id, r.cid, tuple(r.v))  # noqa: E731
+    before = sorted(map(key, ivf_read_cells(spark, idx).collect()))
+    with pytest.raises(RuntimeError, match="injected crash"):
+        ivf_index_upsert(spark, idx, delta, fail_before_commit=True)
+    # the staged-but-unpublished epoch dir is invisible to readers
+    assert sorted(map(key, ivf_read_cells(spark, idx).collect())) == before
+    # retry completes: merged index equals full assignment to the
+    # base-trained centroids (the staged residue is discarded cleanly)
+    ivf_index_upsert(spark, idx, delta)
+    cent = spark.read.parquet(f"{idx}/centroids")
+    vecs = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    full = _assign(vecs, cent)
+    assert sorted(map(key, ivf_read_cells(spark, idx).collect())) == sorted(
+        map(key, full.collect())
+    )
+
+
+def test_served_probe_reads_only_probed_cells(emb, tmp_path):
+    """Manifest path resolution IS the probe's pruning: the served
+    query's scan must list exactly the probed cells' directories —
+    unprobed cells' files never appear in the scan's input."""
+    from chronicle_sniffer_spark.operators.ivf import (
+        N_PROBE,
+        ivf_index_write,
+        ivf_topk_from_index,
+    )
+    from chronicle_sniffer_spark.streaming import manifest as mf
+
+    spark = emb.sparkSession
+    idx = str(tmp_path / "index")
+    ivf_index_write(emb, idx)
+    n_cells = len(mf.bucket_epochs(mf.read_manifest(idx)))
+    assert n_cells > N_PROBE, "corpus too small for pruning to mean anything"
+    vecs = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    qv = list(vecs.filter(F.col("vec_id") == QUERY).collect()[0].v)
+    served = ivf_topk_from_index(spark, idx, qv, K)
+    files = served.inputFiles()
+    probed_dirs = {f.rsplit("/", 1)[0] for f in files}
+    assert len(probed_dirs) == N_PROBE, probed_dirs
+    assert all("bucket=" in d for d in probed_dirs)

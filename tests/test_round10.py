@@ -102,3 +102,33 @@ def test_bpe_encode_counts_match_python_reference(spark):
     for doc_id, text in docs.items():
         want = sum(len(_true_bpe(w)) for w in text.split(" ") if w)
         assert got[doc_id] == want, doc_id
+
+
+def test_g9_round_is_broadcast_and_exchange_free(spark):
+    """The round-12 g9 contract: with the size-gated broadcast hint in
+    effect and a dst-partitioned edge cache, one LPA round plans as a
+    broadcast-hash join with ZERO shuffle exchanges — the (dst,lbl)
+    count and the per-dst argmax both reuse the cache's partitioning
+    (the a10b-style plan assert the round-11 verdict asked for)."""
+    from chronicle_sniffer_spark.plans.round10 import _lpa_edges, _lpa_round
+
+    from tests.conftest import SF_SMOKE
+
+    und = _lpa_edges(spark, SF_SMOKE).cache()
+    labels = (
+        und.select(F.col("dst").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("lbl"))
+        .localCheckpoint(eager=True)
+    )
+    r = _lpa_round(und, F.broadcast(labels))
+    rows = r.collect()  # finalize the adaptive plan
+    assert rows, "a round must relabel every node"
+    plan = r._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    # the only shuffle anywhere in the printout may be the edge
+    # cache's own explicit REPARTITION_BY_COL (its definition is
+    # echoed inside the InMemoryRelation); the round itself must add
+    # NO requirement-driven exchange
+    assert "ENSURE_REQUIREMENTS" not in plan, plan
+    und.unpersist()

@@ -181,7 +181,7 @@ def _md_ref(md: str):
         s = s.replace(tok, "")
     for p in ("\n> ", "\n- "):
         s = s.replace(p, "\n")
-    s = re.sub(r"[\n ]+", " ", s).strip()
+    s = re.sub(r"[ \t\n\r\f]+", " ", s).strip()
     return title, n_code, n_head, n_links, s
 
 
@@ -224,3 +224,54 @@ def test_markdown_extract_reference(spark):
     assert out[1][1] == 1 and out[1][3] == 1
     assert out[2] == ("", 0, 0, 0, "no markdown at all, plain prose")
     assert out[3][1] == 2 and out[3][3] == 2
+
+
+def test_a24_caps_sketch_before_the_shuffle(spark):
+    """The round-12 production path: the KMV sketch branch's
+    per-batch K-minima cap (MapInPandas) must sit BELOW every shuffle
+    exchange in the plan — what crosses the wire is sketch-sized, not
+    the raw key stream.  Also re-checks the capped path's result
+    equals the uncapped reference."""
+    from chronicle_sniffer_spark.plans.round11 import (
+        KMV_K,
+        _LEHMER_A,
+        _LEHMER_M,
+        a24_kmv_distinct,
+    )
+
+    df = a24_kmv_distinct(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan, plan
+    first_exchange = plan.index("Exchange")
+    assert plan.index("MapInPandas") > first_exchange or (
+        "Exchange" not in plan[: plan.index("MapInPandas")]
+    ), plan
+    # parents print above children: every Exchange on the MapInPandas
+    # branch must appear BEFORE (above) the MapInPandas line
+    tail = plan[plan.index("MapInPandas"):]
+    assert "Exchange hashpartitioning" not in tail, tail
+    # value check vs the uncapped formulation
+    d = (
+        load_table(spark, SF_SMOKE, "orders")
+        .select(
+            "o_orderpriority",
+            ((F.col("o_custkey") * _LEHMER_A) % _LEHMER_M).alias("h"),
+        )
+        .distinct()
+    )
+    from pyspark.sql import Window
+
+    ref_kth = {
+        r.o_orderpriority: r.h
+        for r in d.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("o_orderpriority").orderBy("h")
+            ),
+        )
+        .filter(F.col("rn") == KMV_K)
+        .collect()
+    }
+    got = {r.o_orderpriority: r.kth_min for r in df.collect()}
+    for k, v in got.items():
+        assert v == ref_kth.get(k), (k, v, ref_kth.get(k))

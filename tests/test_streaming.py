@@ -737,3 +737,27 @@ def test_t11_snapshot_isolation_and_prune(spark, tmp_path):
     # every retained version still resolves (no referenced dir lost)
     for v in (mf.latest_version(table) - 1, mf.latest_version(table)):
         _read_table(spark, table, version=v).count()
+
+
+def test_manifest_prune_survives_noncontiguous_retained_range(tmp_path):
+    """prune() after an earlier, more aggressive prune: the retained
+    version range spans versions that no longer exist on disk, and the
+    loop must skip them instead of crashing on a missing v{N}.json
+    (round-11 advisor finding); read_manifest() of an explicitly-named
+    pruned version returns None, same as an empty store."""
+    import os
+
+    from chronicle_sniffer_spark.streaming import manifest as mf
+
+    table = str(tmp_path / "t")
+    for epoch in range(4):
+        d = mf.staging_dir(table, epoch)
+        os.makedirs(os.path.join(d, f"bucket={epoch % 2}"))
+        mf.commit(table, epoch, [epoch % 2])
+    mf.prune(table, keep_last=1)  # drops v0..v2
+    assert mf.read_manifest(table, 1) is None  # explicit pruned version
+    # the wider re-prune's keep range {1,2,3} includes deleted versions
+    removed = mf.prune(table, keep_last=3)
+    assert mf.latest_version(table) == 3
+    assert mf.read_manifest(table, 3) is not None
+    assert all(not r.endswith("v3.json") for r in removed)
