@@ -80,6 +80,7 @@ _SUBMODULES = (
     "chronicle_sniffer_spark.plans.round9",
     "chronicle_sniffer_spark.plans.round10",
     "chronicle_sniffer_spark.plans.round11",
+    "chronicle_sniffer_spark.plans.round12",
 )
 
 

@@ -1,0 +1,182 @@
+"""WARC (Web ARChive, ISO 28500) crawl-container source — the stage
+UPSTREAM of the HTML → text extractor: 100 TB crawl corpora arrive as
+``.warc.gz`` container files, not as a parquet column of pages.
+
+Format facts used here (public spec + Common Crawl practice):
+
+- a ``.warc.gz`` is a CONCATENATION of gzip members, ONE WARC record
+  per member — so records decompress independently once member
+  boundaries are known (the property Common Crawl's CDX offset
+  indexes exploit);
+- each record is ``WARC/1.0\\r\\n`` + named headers + blank line +
+  a content block of exactly ``Content-Length`` bytes + ``\\r\\n\\r\\n``;
+- a ``WARC-Type: response`` record's content block is a full HTTP
+  response (status line + headers + blank line + payload).
+
+Scale shape — the s18 gzip lesson generalized: gzip members within
+ONE file parse sequentially (each member's end is only known by
+decompressing it), so the decode stage parallelizes ACROSS files —
+exactly how a crawl arrives (Common Crawl ships ~64k WARC files per
+snapshot, each ~1 GB, natural task granularity).  The decode itself
+is cheap zlib inflation + header splits; the expensive per-record CPU
+(HTML extraction, quality scoring) runs AFTER a spread(), fully
+row-parallel.  A production deploy with CDX offset indexes would map
+(file, offset, length) triples straight to member reads — same
+operator, finer tasks.
+
+Reference analogue: R9 "container bytes → records" decode
+(reference processor/processor_app.py:150-155 — pcap-side, same
+shape crawl-side).  Fixture WARCs are synthesized deterministically
+(gzip mtime=0, sorted members) from the documents table — testdata
+ships no crawl containers.
+"""
+
+from __future__ import annotations
+
+import gzip
+import os
+import zlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+WARC_DATE = "2026-01-01T00:00:00Z"
+
+WARC_SCHEMA = (
+    "file string, member_idx int, warc_type string, record_id string,"
+    " target_uri string, content_length bigint, http_status int,"
+    " payload binary"
+)
+
+
+def warc_member(doc_id: int, html: str) -> bytes:
+    """One deterministic response record, as one gzip member."""
+    payload = html.encode("utf-8")
+    http = (
+        b"HTTP/1.1 200 OK\r\n"
+        b"Content-Type: text/html; charset=utf-8\r\n"
+        b"Content-Length: " + str(len(payload)).encode() + b"\r\n\r\n" + payload
+    )
+    headers = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        b"WARC-Record-ID: <urn:uuid:doc-" + str(int(doc_id)).encode() + b">\r\n"
+        b"WARC-Date: " + WARC_DATE.encode() + b"\r\n"
+        b"WARC-Target-URI: https://example.org/doc/"
+        + str(int(doc_id)).encode()
+        + b"\r\n"
+        b"Content-Type: application/http;msgtype=response\r\n"
+        b"Content-Length: " + str(len(http)).encode() + b"\r\n\r\n"
+    )
+    return gzip.compress(headers + http + b"\r\n\r\n", mtime=0)
+
+
+def write_warc(pages: DataFrame, out_dir: str, n_files: int = 8) -> list[str]:
+    """Distributed fixture writer: hash the page table into
+    ``n_files`` partitions, each task writing ONE ``.warc.gz`` of its
+    docs (sorted by doc_id inside the file, gzip mtime pinned — the
+    fixture is byte-deterministic).  Returns the written paths."""
+    import pyarrow  # noqa: F401 — mapInPandas prerequisite
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def _write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        rows: list[tuple[int, str]] = []
+        for pdf in batches:
+            rows.extend(zip(pdf["doc_id"], pdf["html"]))
+        if not rows:
+            yield pd.DataFrame({"file": [], "n_records": []})
+            return
+        rows.sort()
+        pid = TaskContext.get().partitionId()
+        path = os.path.join(out_dir, f"part-{pid:05d}.warc.gz")
+        with open(path, "wb") as f:
+            for doc_id, html in rows:
+                f.write(warc_member(int(doc_id), html))
+        yield pd.DataFrame({"file": [path], "n_records": [len(rows)]})
+
+    manifest = (
+        pages.select("doc_id", "html")
+        .repartition(n_files, "doc_id")
+        .mapInPandas(_write, "file string, n_records bigint")
+        .collect()
+    )
+    return sorted(r.file for r in manifest if r.file)
+
+
+def _parse_record(raw: bytes) -> dict:
+    """One decompressed WARC record → header fields + HTTP payload."""
+    head, _, rest = raw.partition(b"\r\n\r\n")
+    lines = head.split(b"\r\n")
+    hdr = {}
+    for ln in lines[1:]:
+        k, _, v = ln.partition(b":")
+        hdr[k.strip().lower()] = v.strip()
+    clen = int(hdr.get(b"content-length", b"0"))
+    content = rest[:clen]
+    out = {
+        "warc_type": hdr.get(b"warc-type", b"").decode(),
+        "record_id": hdr.get(b"warc-record-id", b"").decode(),
+        "target_uri": hdr.get(b"warc-target-uri", b"").decode(),
+        "content_length": clen,
+        "http_status": None,
+        "payload": b"",
+    }
+    if out["warc_type"] == "response" and content.startswith(b"HTTP/"):
+        hhead, _, payload = content.partition(b"\r\n\r\n")
+        status_line = hhead.split(b"\r\n", 1)[0].split(b" ")
+        out["http_status"] = int(status_line[1]) if len(status_line) > 1 else None
+        out["payload"] = payload
+    else:
+        out["payload"] = content
+    return out
+
+
+def read_warc(spark: SparkSession, path_glob: str) -> DataFrame:
+    """Crawl-container scan: binaryFile source → per-file member split
+    (sequential zlib walk per file — the only order gzip admits —
+    parallel ACROSS files) → parsed records.  Unknown/truncated bytes
+    in a member boundary raise loudly rather than silently skipping
+    records (a crawl pipeline must account for every record)."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: list[dict] = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                data = bytes(content)
+                off, idx = 0, 0
+                while off < len(data):
+                    d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+                    rec = d.decompress(data[off:]) + d.flush()
+                    consumed = (len(data) - off) - len(d.unused_data)
+                    if consumed <= 0:
+                        raise ValueError(f"corrupt gzip member at {path}:{off}")
+                    parsed = _parse_record(rec)
+                    parsed.update(file=path, member_idx=idx)
+                    out.append(parsed)
+                    off += consumed
+                    idx += 1
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "file",
+                    "member_idx",
+                    "warc_type",
+                    "record_id",
+                    "target_uri",
+                    "content_length",
+                    "http_status",
+                    "payload",
+                ],
+            )
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.warc.gz")
+        .load(path_glob)
+        .select("path", "content")
+    )
+    return files.mapInPandas(_decode, WARC_SCHEMA)

@@ -95,7 +95,23 @@ def _replicate_sql(con, src: str, out: str, table: str, replicas: int) -> None:
     )
 
 
-def _replicate_documents(src: str, out: str, replicas: int) -> None:
+ZIPF_VOCAB = 30_000
+ZIPF_EXPONENT = 1.05
+ZIPF_NEAR_DUP_EVERY = 50  # every 50th doc ~90%-overlaps its predecessor
+
+
+def _zipf_words() -> tuple[np.ndarray, np.ndarray]:
+    """Rank-indexed synthetic vocabulary + Zipf pmf (computed once)."""
+    ranks = np.arange(1, ZIPF_VOCAB + 1, dtype=np.float64)
+    p = 1.0 / ranks**ZIPF_EXPONENT
+    p /= p.sum()
+    words = np.array([f"w{r}" for r in range(1, ZIPF_VOCAB + 1)], dtype=object)
+    return words, p
+
+
+def _replicate_documents(
+    src: str, out: str, replicas: int, text_mode: str = "shuffle"
+) -> None:
     t = pq.read_table(os.path.join(src, "documents.parquet"))
     n = t.num_rows
     doc_ids = t.column("doc_id").to_pylist()
@@ -104,10 +120,35 @@ def _replicate_documents(src: str, out: str, replicas: int) -> None:
     sources = t.column("source").to_pylist()
     stride = max(doc_ids) + 1
     out_ids, out_txt, out_lang, out_src, out_n = [], [], [], [], []
+    zwords, zp = _zipf_words() if text_mode == "zipf" else (None, None)
+    prev_words: list[str] | None = None
     for i in range(replicas):
         for j in range(n):
             did = doc_ids[j] + i * stride
-            if i == 0:
+            if text_mode == "zipf":
+                # round-12: Zipfian text mode.  The driver corpus is a
+                # 40-word vocabulary — every shingle/prefix-gram is
+                # common, the adversarial regime for inverted-index
+                # operators.  Real text is Zipfian: most grams are
+                # rare and posting lists collapse.  Regenerate each
+                # doc from a 30k-word Zipf(1.05) vocabulary (seeded by
+                # doc id; same word COUNT as the source doc), with
+                # every 50th doc a ~90%-overlap edit of its
+                # predecessor so near-dup joins keep real positives.
+                n_words = len(texts[j].split(" "))
+                rng = np.random.default_rng(did)
+                if prev_words is not None and did % ZIPF_NEAR_DUP_EVERY == 0:
+                    words = list(prev_words[:n_words])
+                    n_edit = max(1, len(words) // 10)
+                    pos = rng.choice(len(words), size=n_edit, replace=False)
+                    repl = zwords[rng.choice(ZIPF_VOCAB, size=n_edit, p=zp)]
+                    for k, w in zip(pos, repl):
+                        words[k] = w
+                else:
+                    words = list(zwords[rng.choice(ZIPF_VOCAB, size=n_words, p=zp)])
+                prev_words = words
+                txt = " ".join(words)
+            elif i == 0:
                 txt = texts[j]
             else:
                 words = texts[j].split(" ")
@@ -171,6 +212,7 @@ def make_scale_data(
     out: str = "/tmp/css_scale/sf1",
     src: str = "/root/testdata/sf0.1",
     replicas: int = 10,
+    text_mode: str = "shuffle",
 ) -> str:
     if os.path.exists(os.path.join(out, "_DONE")):
         return out
@@ -180,10 +222,10 @@ def make_scale_data(
         shutil.copy(os.path.join(src, f"{table}.parquet"), out)
     for table in SHIFTS:
         _replicate_sql(con, src, out, table, replicas)
-    _replicate_documents(src, out, replicas)
+    _replicate_documents(src, out, replicas, text_mode)
     _replicate_embeddings(src, out, replicas)
     with open(os.path.join(out, "_DONE"), "w") as fh:
-        fh.write(f"src={src} replicas={replicas}\n")
+        fh.write(f"src={src} replicas={replicas} text_mode={text_mode}\n")
     return out
 
 
@@ -191,4 +233,5 @@ if __name__ == "__main__":
     out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/css_scale/sf1"
     src = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     replicas = int(sys.argv[3]) if len(sys.argv) > 3 else 10
-    print(make_scale_data(out, src, replicas))
+    text_mode = sys.argv[4] if len(sys.argv) > 4 else "shuffle"
+    print(make_scale_data(out, src, replicas, text_mode))

@@ -267,6 +267,9 @@ QUERIES = (
     "a25_gini_token_inequality",
     "l1_dedup_keep_best",
     "j21_nearest_value_join",
+    # round-12 additions
+    "s20_warc_scan",
+    "s20_warc_html_pipeline",
 )
 
 
