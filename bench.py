@@ -270,6 +270,16 @@ HEADLINE = (
     # round-12 additions
     "s20_warc_scan",
     "s20_warc_html_pipeline",
+    "l4_url_canonicalize",
+    "ts23_acf",
+    "ml24_welch_ttest",
+    "g13_common_neighbors",
+    "l5_image_resize",
+    "s21_manifest_compaction",
+    "ml25_brier_decomposition",
+    "l2_cdc_chunk_dedup",
+    "j22_interval_anti_join",
+    "u17_cogrouped_map",
 )
 
 # Entries with documented ±18% round-over-round drift on identical code
@@ -286,6 +296,15 @@ _SMALL = {
     "l3_ann_lsh_topk",
     "a8_exp_histogram",
     "a10_salted_skew_agg",
+    # round-12 additions (tiny results; collect() is the real consumption)
+    "ts23_acf",
+    "ml24_welch_ttest",
+    "g13_common_neighbors",
+    "s21_manifest_compaction",
+    "ml25_brier_decomposition",
+    "l2_cdc_chunk_dedup",
+    "j22_interval_anti_join",
+    "u17_cogrouped_map",
 }
 
 

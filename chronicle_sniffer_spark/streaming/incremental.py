@@ -129,3 +129,47 @@ def maintain_rollup(events_stream: DataFrame, table_dir: str, checkpoint_dir: st
     )
     q.awaitTermination()
     return _read_table(spark, table_dir).select("user_id", "n_events", "total_value")
+
+
+def compact_table(
+    spark: SparkSession, table_dir: str, fail_before_commit: bool = False
+) -> int:
+    """Small-file compaction through the SAME atomic protocol as the
+    merges (round-12): a long-lived stream-maintained table accretes
+    one commit directory per epoch — every bucket's live file sits in
+    whichever epoch last rewrote it, so a full read touches O(epochs)
+    directories and the file count grows without bound.  Compaction
+    reads the CURRENT snapshot through one manifest, rewrites every
+    live bucket into ONE new write-once epoch directory (one file per
+    bucket — ``repartition(bucket)`` before ``partitionBy``), and
+    publishes with one manifest flip; buckets that vanished (none in
+    practice — compaction preserves data) leave the map in the same
+    flip.  Readers never see a half-compacted table: they hold either
+    the old manifest (all old paths, still on disk — write-once) or
+    the new one; prune() then reclaims the dead epoch directories.
+    This is exactly Delta OPTIMIZE / Iceberg rewrite_data_files
+    re-expressed on the self-contained manifest store.  Returns the
+    committed manifest version."""
+    m = mf.read_manifest(table_dir)
+    if m is None:
+        raise ValueError(f"nothing to compact at {table_dir}")
+    cur = _read_table(spark, table_dir)
+    epoch = int(m["epoch"]) + 1
+    staging = mf.staging_dir(table_dir, epoch)
+    (
+        cur.withColumn("bucket", _bucket_of())
+        .repartition("bucket")
+        .write.partitionBy("bucket")
+        .parquet(staging)
+    )
+    import os
+
+    written = sorted(
+        int(name.split("=", 1)[1])
+        for name in os.listdir(staging)
+        if name.startswith("bucket=")
+    )
+    if fail_before_commit:
+        raise RuntimeError("injected crash before manifest commit")
+    dropped = [b for b in mf.bucket_epochs(m) if b not in set(written)]
+    return mf.commit(table_dir, epoch, written, dropped_buckets=dropped)

@@ -101,3 +101,57 @@ def test_write_is_deterministic_across_runs(spark, tmp_path):
     for pa, pb in zip(fa, fb):
         with open(pa, "rb") as f1, open(pb, "rb") as f2:
             assert f1.read() == f2.read(), (pa, pb)
+
+
+def test_compaction_preserves_data_and_collapses_dirs(spark, tmp_path):
+    """compact_table: same rows before/after, one live commit dir
+    after, time travel to the pre-compaction version intact, crash
+    before the flip leaves readers on the old snapshot, and prune()
+    reclaims the dead epoch dirs afterwards."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from chronicle_sniffer_spark.streaming import manifest as mf
+    from chronicle_sniffer_spark.streaming.incremental import (
+        _read_table,
+        compact_table,
+        merge_batch,
+    )
+
+    table = str(tmp_path / "t")
+    ev = load_table(spark, SF_SMOKE, "events")
+    # later epochs touch only a few users (→ few buckets), so live
+    # bucket paths really spread across multiple commit dirs
+    merge_batch(spark, table, ev.filter(F.col("event_id") % 3 == 0), 0)
+    merge_batch(spark, table, ev.filter(F.col("user_id") < 5), 1)
+    merge_batch(spark, table, ev.filter(F.col("user_id").between(5, 9)), 2)
+    rows = lambda df: sorted(  # noqa: E731
+        (r.user_id, r.n_events, str(r.total_value)) for r in df.collect()
+    )
+    before = rows(_read_table(spark, table))
+    v_before = mf.latest_version(table)
+    dirs_before = len({e["path"] for e in mf.read_manifest(table)["buckets"].values()})
+    assert dirs_before > 1, "fixture built only one commit dir — nothing to compact"
+
+    # crash injection: the staged rewrite is invisible
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="injected crash"):
+        compact_table(spark, table, fail_before_commit=True)
+    assert mf.latest_version(table) == v_before
+    assert rows(_read_table(spark, table)) == before
+
+    v_new = compact_table(spark, table)
+    assert v_new == v_before + 1
+    after_m = mf.read_manifest(table)
+    assert len({e["path"] for e in after_m["buckets"].values()}) == 1
+    assert rows(_read_table(spark, table)) == before
+    # time travel: the pre-compaction version still reads identically
+    assert rows(_read_table(spark, table, version=v_before)) == before
+    # prune to the compacted tail: dead epoch dirs reclaimed, data intact
+    removed = mf.prune(table, keep_last=1)
+    assert any(r.startswith("data/commit=") for r in removed)
+    assert rows(_read_table(spark, table)) == before
+    live = {e["path"] for e in mf.read_manifest(table)["buckets"].values()}
+    assert all(os.path.isdir(os.path.join(table, p)) for p in live)

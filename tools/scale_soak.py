@@ -270,6 +270,16 @@ QUERIES = (
     # round-12 additions
     "s20_warc_scan",
     "s20_warc_html_pipeline",
+    "l4_url_canonicalize",
+    "ts23_acf",
+    "ml24_welch_ttest",
+    "g13_common_neighbors",
+    "l5_image_resize",
+    "s21_manifest_compaction",
+    "ml25_brier_decomposition",
+    "l2_cdc_chunk_dedup",
+    "j22_interval_anti_join",
+    "u17_cogrouped_map",
 )
 
 
