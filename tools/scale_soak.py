@@ -349,6 +349,10 @@ def main() -> None:
             "l2_ngram_containment": "r9 added the containment-safe positional filter (PPJoin suffix bound) AND min-side-only candidate generation (match rows 45.2M->22.9M at sf1, countDistinct->map-side count), 21.7s->17.8s sf1; the remaining volume is the inverted-index floor on the 40-word synthetic vocabulary (every 'rare' 3-gram appears in ~40 docs, so each prefix entry fans out ~40 probe matches) - on Zipfian text the prefix df collapses and the join is output-sized; scores stay exact on full gram sets. r11 probed the r10 soak move (5.51x->7.48x) as machine drift: the df cap NEVER fires on this corpus (max gram df 25 vs cap 1000 at sf0.1, both scale 10x to sf1), so the r10 credit could not change the candidate set; interleaved fresh-session A/B of r10 vs r11 code measured identical medians (~20.6s vs ~20.4s). r11 also tightened the blanket min(ca,cb) credit to the EXACT per-pair capped-common count (stage 2, two candidate-sized joins; free on uncapped corpora via exchange reuse)",
             "l2_semantic_dedup": "fixed K=16 cells for the oracle entry; the scale configuration grows n_centroids with the corpus (BASELINE.md: 3.0s at sf1 with K=160)",
             "j14_bucketed_range_join": "the scale replicas multiply orders 10x over the SAME date span, so overlapping pairs grow ~100x (7.86M at sf0.1 -> ~786M at sf1); 13.9x wall for ~100x output is sub-linear in output (>40M pairs/s through the bucket join); real workloads grow the time span with the data, keeping pair density (and the ratio) linear",
+            "l2_ngram_containment_zipf": "round 12 MEASURED the Zipfian claim: tools/zipf_scale_probe.py on a 30k-word Zipf(1.05) regeneration of the corpus runs containment at 2.45x for 10x data with output-linear matches (sf1 wall 7.95s vs 21.6s on the 40-word corpus) - the synthetic-vocabulary floor is the fixture, not the plan (BASELINE.md round-12 table)",
+            "g13_common_neighbors": "wedge-join volume is sum over customers of deg^2 (the posting-list class); replicas keep per-customer degree fixed so work scales linearly with customers - the soak ratio reflects compute volume at fixed cores, and the docstring names the degree cap/salting guard for power-law graphs",
+            "l2_cdc_chunk_dedup": "per-position boundary scan is linear in corpus chars at fixed cores (~5x for 10x chars); chunk array and its consumption build in ONE aggregate fold - the posexplode+element_at draft re-ran the scan per chunk row via CollapseProject inlining (46s, caught in-round)",
+            "u17_cogrouped_map": "cogrouped applyInPandas pays one Arrow call per key pair - linear in keys at fixed cores, the declared per-key-Python class (u14 precedent); volume work belongs in the SQL twin the oracle runs",
             "s18_gzip_json_scan": "STRUCTURAL, and the entry's point: gzip is not byte-range splittable, so the decompress is ONE serial task that grows linearly with the file (7.8x for 10x bytes is the codec, not the plan); spread() right after the scan parallelizes everything downstream - at 100 TB the fix is splittable codecs or many files, exactly what the docstring prescribes",
             "ml13_poisson_bootstrap_ci": "compile-dominated, not data-dominated: ~10s of Catalyst+Janino per REBUILT plan (600 exprs) vs 0.32s of executed work at sf0.1 - the B1a fixed-cost class; ratio 1.6x reflects the sf1 marginal work riding the same fixed cost",
             "u14_pandas_window_udaf": "bounded-frame pandas UDAF pays one Arrow evaluation per ROW - Python work is inherently linear in rows (3.7x wall for 10x purchases on 32 cores is the parallel floor, not a plan defect); full-volume work belongs on the pure-SQL frame (w5)",
