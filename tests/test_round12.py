@@ -155,3 +155,172 @@ def test_compaction_preserves_data_and_collapses_dirs(spark, tmp_path):
     assert rows(_read_table(spark, table)) == before
     live = {e["path"] for e in mf.read_manifest(table)["buckets"].values()}
     assert all(os.path.isdir(os.path.join(table, p)) for p in live)
+
+
+def test_canonical_url_edge_cases(spark):
+    """canonical_url rules pinned on hand-written URLs: default-port
+    strip is scheme-aware, non-default ports survive, root/empty paths
+    and all-utm queries collapse cleanly, fragments vanish, params
+    sort."""
+    from chronicle_sniffer_spark.plans.round12 import canonical_url
+
+    cases = [
+        ("https://Example.COM:443/", "https://example.com"),
+        ("http://a.b:80/x", "http://a.b/x"),
+        ("http://a.b:8080/x", "http://a.b:8080/x"),  # non-default kept
+        ("https://a.b:80/x", "https://a.b:80/x"),  # 80 is not https default
+        ("https://a.b", "https://a.b"),
+        ("https://a.b/?utm_source=x&utm_medium=y", "https://a.b"),
+        ("https://a.b/p?z=1&a=2#frag", "https://a.b/p?a=2&z=1"),
+        ("https://a.b//x///y/", "https://a.b/x/y"),
+        ("https://a.b/p?a=2&&b=1", "https://a.b/p?a=2&b=1"),  # empty param
+    ]
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(cases, "u string, want string").select(
+        "u", "want", canonical_url(F.col("u")).alias("got")
+    )
+    for r in df.collect():
+        assert r.got == r.want, (r.u, r.got, r.want)
+
+
+def test_acf_matches_numpy_reference(spark):
+    """ts23_acf vs an independent numpy Pearson over the same daily
+    series (exact same pairing: lag-k on the rn-ordered sequence)."""
+    import numpy as np
+
+    from chronicle_sniffer_spark.plans.round12 import (
+        ACF_MAX_LAG,
+        ACF_MIN_PAIRS,
+        ts23_acf,
+    )
+
+    got = {
+        (r.user_id, r.lag): (r.n, r.acf)
+        for r in ts23_acf(spark, SF_SMOKE).collect()
+    }
+    daily = (
+        load_table(spark, SF_SMOKE, "events")
+        .groupBy("user_id", F.date_trunc("day", "ts").alias("d"))
+        .agg(F.count("*").alias("x"))
+        .orderBy("user_id", "d")
+        .collect()
+    )
+    series: dict[int, list[int]] = {}
+    for r in daily:
+        series.setdefault(r.user_id, []).append(r.x)
+    want = {}
+    for uid, xs in series.items():
+        xs = np.array(xs, dtype=np.float64)
+        for k in range(1, ACF_MAX_LAG + 1):
+            if len(xs) <= k:
+                continue
+            a, b = xs[:-k], xs[k:]
+            n = len(a)
+            if n < ACF_MIN_PAIRS or a.std() == 0 or b.std() == 0:
+                continue
+            want[(uid, k)] = (n, float(np.corrcoef(a, b)[0, 1]))
+    assert set(got) == set(want)
+    for key in want:
+        assert got[key][0] == want[key][0]
+        assert abs(got[key][1] - want[key][1]) < 1e-9, (key, got[key], want[key])
+
+
+def test_g13_matches_bruteforce_sets(spark):
+    """g13 top-k vs exact python set arithmetic over the bipartite
+    edge list."""
+    from itertools import combinations
+
+    from chronicle_sniffer_spark.plans.round12 import (
+        G13_TOPK,
+        g13_common_neighbors,
+    )
+
+    li = load_table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, SF_SMOKE, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("l_suppkey").alias("s"), F.col("o_custkey").alias("c"))
+        .distinct()
+        .collect()
+    )
+    nbrs: dict[int, set] = {}
+    for r in edges:
+        nbrs.setdefault(r.s, set()).add(r.c)
+    scored = []
+    for s1, s2 in combinations(sorted(nbrs), 2):
+        common = len(nbrs[s1] & nbrs[s2])
+        if common:
+            scored.append(
+                (common / len(nbrs[s1] | nbrs[s2]), s1, s2, common)
+            )
+    scored.sort(key=lambda t: (-t[0], t[1], t[2]))
+    want = [(s1, s2, c, j) for j, s1, s2, c in scored[:G13_TOPK]]
+    got = [
+        (r.s1, r.s2, r.common, r.jaccard)
+        for r in g13_common_neighbors(spark, SF_SMOKE).collect()
+    ]
+    assert [(a, b, c) for a, b, c, _ in got] == [(a, b, c) for a, b, c, _ in want]
+    for g, w in zip(got, want):
+        assert abs(g[3] - w[3]) < 1e-12
+
+
+def test_brier_murphy_identity(spark):
+    """The decomposition must satisfy Murphy's identity
+    brier = reliability − resolution + uncertainty (exact here because
+    every sample in a bucket shares the identical forecast; the pico
+    flooring bounds the residual at ~2·101/1e12/N)."""
+    from chronicle_sniffer_spark.plans.round12 import ml25_brier_decomposition
+
+    r = ml25_brier_decomposition(spark, SF_SMOKE).collect()[0]
+    assert abs(r.brier - (r.reliability - r.resolution + r.uncertainty)) < 1e-6
+    assert 0 <= r.uncertainty <= 0.25
+    assert r.reliability >= 0 and r.resolution >= 0
+
+
+def test_cdc_chunks_are_lossless_and_shift_resistant(spark):
+    """The two properties that make CDC worth its name: (1) chunks
+    concatenate back to the document exactly (a partition, not a
+    sample); (2) after editing a PREFIX of the text, every chunk
+    beyond the first boundary past the edit is byte-identical — a
+    fixed-size chunker would shift every downstream block."""
+    from chronicle_sniffer_spark.plans.round12 import CDC_MOD, CDC_TARGET
+
+    def chunks_of(text: str) -> list[str]:
+        n = len(text)
+        cs = [
+            i
+            for i in range(4, n + 1)
+            if (
+                ord(text[i - 1]) + ord(text[i - 2]) + ord(text[i - 3])
+                + ord(text[i - 4])
+            ) % CDC_MOD == CDC_TARGET
+        ]
+        if not cs or cs[-1] != n:
+            cs.append(n)
+        out, prev = [], 0
+        for c in cs:
+            out.append(text[prev:c])
+            prev = c
+        return out
+
+    doc = load_table(spark, SF_SMOKE, "documents").orderBy("doc_id").first().text
+    parts = chunks_of(doc)
+    assert "".join(parts) == doc
+    assert len(parts) > 3, "doc too short for the property to mean anything"
+    edited = "zq" + doc[1:]  # prefix edit, same length class
+    parts2 = chunks_of(edited)
+    # tail stability: chunks strictly after the edit's containing
+    # chunk (+ window slack) coincide
+    tail1 = parts[2:]
+    assert any(
+        parts2[i:] == tail1 for i in range(min(4, len(parts2)))
+    ), (parts[:3], parts2[:3])
+    # and the Spark pipeline agrees with this reference chunker on
+    # total chunk count for the smoke corpus
+    from chronicle_sniffer_spark.plans.round12 import l2_cdc_chunk_dedup
+
+    got = l2_cdc_chunk_dedup(spark, SF_SMOKE).collect()[0]
+    docs = load_table(spark, SF_SMOKE, "documents").collect()
+    want_chunks = sum(len(chunks_of(d.text)) for d in docs if len(d.text) >= 4)
+    assert got.n_chunks == want_chunks
