@@ -147,17 +147,40 @@ def read_warc(spark: SparkSession, path_glob: str) -> DataFrame:
             out: list[dict] = []
             for path, content in zip(pdf["path"], pdf["content"]):
                 data = bytes(content)
-                off, idx = 0, 0
-                while off < len(data):
+                # Bounded-chunk member walk.  EVERY whole-tail
+                # formulation is O(members × file bytes) on a
+                # many-tiny-member file, because zlib materializes the
+                # unconsumed input as ``unused_data`` — including
+                # Python's own ``gzip.decompress`` (measured: 18.5 s
+                # for ONE 9.5 MB / 15.6k-member file; the sf10 spot
+                # read 16–63× wall for 10× data across three
+                # formulations).  Feeding the decompressor zero-copy
+                # memoryview slices with an exponential ramp (8 KB
+                # first, ×8 up to 1 MB while a member continues)
+                # bounds the per-member overshoot copy at the first
+                # chunk size for tiny members while still streaming
+                # large ones — total copy volume is O(file bytes).
+                mv = memoryview(data)
+                n = len(data)
+                pos, idx = 0, 0
+                while pos < n:
                     d = zlib.decompressobj(16 + zlib.MAX_WBITS)
-                    rec = d.decompress(data[off:]) + d.flush()
-                    consumed = (len(data) - off) - len(d.unused_data)
+                    parts = []
+                    feed, step = pos, 8192
+                    while not d.eof and feed < n:
+                        parts.append(d.decompress(mv[feed : feed + step]))
+                        feed = min(feed + step, n)
+                        step = min(step * 8, 1 << 20)
+                    if not d.eof:
+                        raise ValueError(f"corrupt gzip member at {path}:{pos}")
+                    rec = b"".join(parts) + d.flush()
+                    consumed = (feed - pos) - len(d.unused_data)
                     if consumed <= 0:
-                        raise ValueError(f"corrupt gzip member at {path}:{off}")
+                        raise ValueError(f"corrupt gzip member at {path}:{pos}")
                     parsed = _parse_record(rec)
                     parsed.update(file=path, member_idx=idx)
                     out.append(parsed)
-                    off += consumed
+                    pos += consumed
                     idx += 1
             yield pd.DataFrame(
                 out,
