@@ -225,14 +225,18 @@ def canonical_url(u):
     path = F.regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
     path = F.regexp_replace(F.regexp_replace(path, "/{2,}", "/"), "/+$", "")
     q = F.regexp_extract(u, r"\?([^#]*)", 1)
-    params = F.array_sort(
-        F.filter(
-            F.split(q, "&"),
-            lambda p: (p != "") & ~p.startswith("utm_"),
-        )
-    )
+    # drop utm_*/empty params and sort the survivors WITHOUT a
+    # higher-order-function lambda (filter/array_sort lambdas are
+    # CodegenFallback — the round-12 audit regression): pad with '&',
+    # regex-strip '&utm_…' params, collapse the empty slots, then
+    # sort_array (SortArray, whole-stage codegen) the split
+    padded = F.concat(F.lit("&"), q, F.lit("&"))
+    cleaned = F.regexp_replace(padded, "&utm_[^&]*", "&")
+    cleaned = F.regexp_replace(cleaned, "&{2,}", "&")
+    cleaned = F.regexp_replace(cleaned, "^&|&$", "")
+    params = F.sort_array(F.split(cleaned, "&"))
     qs = F.when(
-        F.size(params) > 0, F.concat(F.lit("?"), F.array_join(params, "&"))
+        cleaned != "", F.concat(F.lit("?"), F.array_join(params, "&"))
     ).otherwise(F.lit(""))
     return F.concat(scheme, F.lit("://"), host, port_part, path, qs)
 
@@ -913,41 +917,22 @@ def l2_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ({M} chars) — min/max clamps are the production FastCDC add-on
     and would compose as extra terms in the same filter.
 
-    Spark shapes: the per-position boundary scan runs as codegen
-    array HOFs (sequence → filter) behind spread(); one explode +
-    two hash-keyed partial aggs; nothing touches Python."""
+    Spark shapes: the per-character boundary scan is a vectorized
+    numpy pass over Arrow batches (operators/chunking.py) — the
+    expression form (filter(sequence(...)) lambda feeding an
+    aggregate() fold) is CodegenFallback and evaluates INTERPRETED,
+    the round-12 audit regression: measured at sf1, 2.6 s interpreted
+    vs 0.5 s Arrow for the identical (doc_id, chunk) multiset
+    (exceptAll-verified both directions).  Downstream stays JVM-side:
+    one explode + two hash-keyed partial aggs."""
     t = (
         spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
         .filter(F.length("text") >= 4)
-        .withColumn("n", F.length("text"))
     )
-    # ONE expression builds the chunk array: the boundary list feeds a
-    # single aggregate() fold that carries (prev_cut, chunks) — the cut
-    # list is referenced exactly ONCE, because CollapseProject inlines
-    # a projected array into every downstream reference and a
-    # posexplode + element_at formulation re-ran the whole
-    # per-position boundary scan PER CHUNK ROW (measured 46 s at sf1
-    # vs 3.7 s for the scan itself; this form restores the 1× cost)
-    chunks = t.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"""aggregate(
-                      array_sort(array_distinct(array_append(
-                        filter(sequence(4, n),
-                          i -> (ascii(substr(text, i, 1)) + ascii(substr(text, i - 1, 1))
-                                + ascii(substr(text, i - 2, 1)) + ascii(substr(text, i - 3, 1)))
-                               % {CDC_MOD} = {CDC_TARGET}),
-                        n))),
-                      named_struct('prev', 0, 'out', CAST(array() AS array<string>)),
-                      (acc, c) -> named_struct(
-                        'prev', c,
-                        'out', array_append(acc.out,
-                                 substr(text, acc.prev + 1, c - acc.prev))),
-                      acc -> acc.out)"""
-            )
-        ).alias("chunk"),
-    )
+    from chronicle_sniffer_spark.operators.chunking import make_cdc_chunker
+
+    chunker = make_cdc_chunker(CDC_MOD, CDC_TARGET, CDC_W)
+    chunks = t.select("doc_id", F.explode(chunker(F.col("text"))).alias("chunk"))
     hashed = chunks.select(
         F.md5("chunk").alias("h"), F.length("chunk").alias("bytes")
     )

@@ -324,3 +324,42 @@ def test_cdc_chunks_are_lossless_and_shift_resistant(spark):
     docs = load_table(spark, SF_SMOKE, "documents").collect()
     want_chunks = sum(len(chunks_of(d.text)) for d in docs if len(d.text) >= 4)
     assert got.n_chunks == want_chunks
+
+
+def test_cdc_chunker_non_ascii_codepoints(spark):
+    """The numpy chunker's boundary codes are CODEPOINTS (utf-32
+    decode — what Spark ascii()/Python ord return), not utf-8 bytes:
+    a non-ASCII document must chunk identically to the pure-Python
+    ord() reference, and the chunks must partition the text."""
+    from chronicle_sniffer_spark.operators.chunking import make_cdc_chunker
+    from chronicle_sniffer_spark.plans.round12 import CDC_MOD, CDC_TARGET
+
+    text = ("naïve café résumé ✓ " * 40) + ("日本語テキストの境界も動く " * 20)
+
+    def chunks_of(t: str) -> list[str]:
+        n = len(t)
+        cs = [
+            i
+            for i in range(4, n + 1)
+            if (ord(t[i - 1]) + ord(t[i - 2]) + ord(t[i - 3]) + ord(t[i - 4]))
+            % CDC_MOD
+            == CDC_TARGET
+        ]
+        if not cs or cs[-1] != n:
+            cs.append(n)
+        out, prev = [], 0
+        for c in cs:
+            out.append(t[prev:c])
+            prev = c
+        return out
+
+    want = chunks_of(text)
+    assert len(want) > 5, "fixture text too short to exercise boundaries"
+    df = spark.createDataFrame([(text,)], "text string")
+    got = (
+        df.select(make_cdc_chunker(CDC_MOD, CDC_TARGET)(F.col("text")).alias("c"))
+        .first()
+        .c
+    )
+    assert list(got) == want
+    assert "".join(got) == text
