@@ -167,19 +167,63 @@ def _staged_buckets(staging: str) -> list[int]:
     )
 
 
-def ivf_read_cells(spark, index_dir: str, cids=None, version: int | None = None):
+def ivf_read_cells(
+    spark, index_dir: str, cids=None, version: int | None = None, manifest=None
+):
     """Read the inverted file through ONE manifest version (default
     latest) — a frozen, consistent cross-cell snapshot.  ``cids``
     restricts the read to the probed cells: path resolution through
     the manifest IS the partition pruning (only those cells' files
-    are ever listed or read)."""
+    are ever listed or read).  Callers holding a resolved manifest
+    pass it via ``manifest`` so centroid + cell reads pin the SAME
+    snapshot (and per-query resolution cost is paid once)."""
     from chronicle_sniffer_spark.streaming import manifest as mf
 
-    m = mf.read_manifest(index_dir, version)
+    m = manifest if manifest is not None else mf.read_manifest(index_dir, version)
     paths = mf.bucket_paths(index_dir, m, set(cids) if cids is not None else None)
     if not paths:
         return spark.createDataFrame([], CELL_SCHEMA)
     return spark.read.schema(CELL_SCHEMA).parquet(*paths)
+
+
+# (index_dir, manifest version) -> [(cid, [cvec...])]: the trained
+# model is O(n_centroids * dim) — KB-sized — and immutable once a
+# manifest version is published (write-once epoch dirs), so caching
+# its collect() per snapshot is exact; a rebuild/upsert bumps the
+# version and misses the cache.  Keyed per SparkSession id so a
+# stopped session's JVM handles are never reused.
+_CENTROID_CACHE: dict[tuple[str, str, int], list] = {}
+
+
+def _cached_centroids(spark, index_dir: str, manifest: dict | None) -> list:
+    if manifest is None:
+        raise FileNotFoundError(f"no committed manifest under {index_dir}")
+    key = (
+        spark.sparkContext.applicationId,
+        index_dir,
+        int(manifest["version"]),
+    )
+    hit = _CENTROID_CACHE.get(key)
+    if hit is None:
+        hit = [
+            (r.cid, list(r.cvec))
+            for r in spark.read.parquet(
+                _centroids_path(index_dir, manifest)
+            ).collect()
+        ]
+        _CENTROID_CACHE[key] = hit
+    return hit
+
+
+def _centroids_path(index_dir: str, manifest: dict | None) -> str:
+    """Centroid table path resolved through the manifest snapshot —
+    epoch-versioned stores record it under the ``centroids`` key; the
+    legacy flat layout falls back to ``index_dir/centroids``."""
+    import os
+
+    if manifest and manifest.get("centroids"):
+        return os.path.join(index_dir, manifest["centroids"])
+    return f"{index_dir}/centroids"
 
 
 def ivf_index_write(
@@ -189,32 +233,60 @@ def ivf_index_write(
     n_iter: int = N_ITER,
 ) -> list[tuple[int, list[float]]]:
     """Materialize the inverted file as a MANIFEST-COMMITTED per-cell
-    layout (``index_dir/data/commit=0/bucket=<cid>/...`` +
-    ``index_dir/manifest/v0.json`` + ``index_dir/centroids``, the
-    streaming/manifest.py protocol with bucket ≡ cell id): data files
-    are write-once and publication is one atomic manifest flip, so a
-    reader either sees the whole index or none of it.  The probe's
-    cell restriction becomes manifest PATH RESOLUTION — only the
-    probed cells' directories are ever listed or read (asserted by
-    tests/test_ivf.py::test_served_probe_reads_only_probed_cells).
+    layout (``index_dir/data/commit=E/bucket=<cid>/...`` +
+    ``index_dir/centroids/commit=E`` + ``index_dir/manifest/vN.json``,
+    the streaming/manifest.py protocol with bucket ≡ cell id): data
+    and centroid files are write-once and publication is one atomic
+    manifest flip, so a reader either sees the whole index or none of
+    it.  The probe's cell restriction becomes manifest PATH RESOLUTION
+    — only the probed cells' directories are ever listed or read
+    (asserted by tests/test_ivf.py::test_served_probe_reads_only_probed_cells).
+
+    REBUILD over a live index is a normal commit, not an overwrite
+    (round-12 advisor finding: the epoch-0 form rmtree'd the data dir
+    the live manifest still referenced, and the bucket-map merge kept
+    cells absent from the new assignment serving stale vectors — a
+    rebuilt index could serve one vec_id from two cells): the rebuild
+    stages at epoch ``prev+1``, every previous bucket not re-staged is
+    dropped IN THE SAME FLIP, and the retrained centroids land in
+    their own epoch dir recorded in the same manifest — readers on the
+    old version keep a fully consistent (old centroids, old cells)
+    snapshot until prune() reclaims it.
+
     At 100 TB the index is written once and served many times; each
     query then reads ``n_probe/n_centroids`` of the corpus bytes."""
     spark = embeddings.sparkSession
     from chronicle_sniffer_spark.streaming import manifest as mf
 
+    prev = mf.read_manifest(index_dir)
+    epoch = (prev["epoch"] + 1) if prev else 0
     centroids = train_centroids(embeddings, n_centroids, n_iter)
     vecs = embeddings.select("vec_id", as_double(F.col("embedding")).alias("v"))
     assigned = _assign(vecs, _centroid_df(spark, centroids)).select(
         "vec_id", "v", "cid"
     )
-    _centroid_df(spark, centroids).write.mode("overwrite").parquet(
-        f"{index_dir}/centroids"
-    )
-    staging = mf.staging_dir(index_dir, 0)
+    cent_rel = f"centroids/commit={epoch}"
+    # a dir here is the residue of a CRASHED attempt (same reasoning
+    # as manifest.staging_dir): unpublished, unreachable — remove it
+    import os as _os
+    import shutil as _shutil
+
+    if _os.path.isdir(f"{index_dir}/{cent_rel}"):
+        _shutil.rmtree(f"{index_dir}/{cent_rel}")
+    _centroid_df(spark, centroids).write.parquet(f"{index_dir}/{cent_rel}")
+    staging = mf.staging_dir(index_dir, epoch)
     assigned.withColumn("bucket", F.col("cid")).write.partitionBy("bucket").parquet(
         staging
     )
-    mf.commit(index_dir, 0, _staged_buckets(staging))
+    written = _staged_buckets(staging)
+    stale = (
+        [int(b) for b in prev["buckets"] if int(b) not in set(written)]
+        if prev
+        else []
+    )
+    mf.commit(
+        index_dir, epoch, written, dropped_buckets=stale, extra={"centroids": cent_rel}
+    )
     return centroids
 
 
@@ -262,10 +334,10 @@ def ivf_index_upsert(
     """
     from chronicle_sniffer_spark.streaming import manifest as mf
 
-    cent = spark.read.parquet(f"{index_dir}/centroids")
+    m = mf.read_manifest(index_dir)
+    cent = spark.read.parquet(_centroids_path(index_dir, m))
     vecs = new_embeddings.select("vec_id", as_double(F.col("embedding")).alias("v"))
     assigned = _assign(vecs, cent).select("vec_id", "v", "cid")
-    m = mf.read_manifest(index_dir)
     cells = ivf_read_cells(spark, index_dir)
     old_locs = cells.join(assigned.select("vec_id"), "vec_id", "semi").select("cid")
     touched = sorted(
@@ -304,17 +376,25 @@ def ivf_topk_from_index(
     data paths through the manifest — the pruning is path resolution,
     so unprobed cells' files are never listed, let alone read.
     ``exclude_vec_id`` drops the query's own row when the query vector
-    comes from the corpus (the :func:`ivf_topk` semantics)."""
-    centroids = [
-        (r.cid, list(r.cvec)) for r in spark.read.parquet(f"{index_dir}/centroids").collect()
-    ]
+    comes from the corpus (the :func:`ivf_topk` semantics).
+
+    One manifest snapshot pins BOTH the centroid table and the cell
+    reads (a rebuild between the two would otherwise probe new
+    centroids against old cells), and the centroid collect — a Spark
+    job — is cached per (index_dir, manifest version): serving many
+    queries against an unchanged index pays the model read once, not
+    per query (round-12 verdict, l3_ann_ivf_topk read-path probe)."""
+    from chronicle_sniffer_spark.streaming import manifest as mf
+
+    m = mf.read_manifest(index_dir)
+    centroids = _cached_centroids(spark, index_dir, m)
 
     def d2(a: list[float], b: list[float]) -> float:
         return sum((x - y) * (x - y) for x, y in zip(a, b))
 
     probe = [cid for cid, c in sorted(centroids, key=lambda c: (d2(c[1], query_vec), c[0]))[:n_probe]]
     qcol = F.array(*[F.lit(x) for x in query_vec])
-    cells = ivf_read_cells(spark, index_dir, cids=probe)
+    cells = ivf_read_cells(spark, index_dir, cids=probe, manifest=m)
     if exclude_vec_id is not None:
         cells = cells.filter(F.col("vec_id") != exclude_vec_id)
     scored = cells.select("vec_id", F.round(cosine(F.col("v"), qcol), 6).alias("sim"))

@@ -64,12 +64,23 @@ def latest_version(table_dir: str) -> int | None:
     return max(versions) if versions else None
 
 
-def read_manifest(table_dir: str, version: int | None = None) -> dict | None:
+def read_manifest(
+    table_dir: str, version: int | None = None, *, missing_ok: bool = False
+) -> dict | None:
     """The manifest dict at ``version`` (default: latest), or None for
     an empty store.  Shape::
 
         {"version": N, "epoch": E,
          "buckets": {"7": {"path": "data/commit=E", "epoch": E}, ...}}
+
+    An EXPLICITLY requested version that does not exist on disk raises
+    ``FileNotFoundError``: a time-travel read of a pruned snapshot must
+    fail loudly, not silently serve an empty table (a pruned IVF index
+    would otherwise return zero neighbors with no error — round-12
+    advisor finding).  Only :func:`prune` passes ``missing_ok=True``,
+    because its retained range is not necessarily contiguous after an
+    earlier, more aggressive prune (round-11 advisor finding) — there a
+    missing version is "nothing to retain", not an error.
     """
     if version is None:
         version = latest_version(table_dir)
@@ -79,13 +90,13 @@ def read_manifest(table_dir: str, version: int | None = None) -> dict | None:
         with open(os.path.join(_manifest_dir(table_dir), f"v{version}.json")) as f:
             return json.load(f)
     except FileNotFoundError:
-        # an explicitly-requested version that an earlier prune() with
-        # a smaller keep_last already dropped: the retained range is
-        # not necessarily contiguous from latest-keep_last+1, so a
-        # later prune (or a time-travel read) may name a version that
-        # no longer exists — that is "no manifest", not a crash
-        # (round-11 advisor finding)
-        return None
+        if missing_ok:
+            return None
+        raise FileNotFoundError(
+            f"manifest version {version} of {table_dir} does not exist "
+            "(pruned or never committed); latest is "
+            f"{latest_version(table_dir)}"
+        ) from None
 
 
 def bucket_epochs(manifest: dict | None) -> dict[int, int]:
@@ -123,6 +134,7 @@ def commit(
     epoch_id: int,
     rewritten_buckets: list[int],
     dropped_buckets: list[int] = (),
+    extra: dict | None = None,
 ) -> int:
     """Atomically publish epoch ``epoch_id``'s staged buckets: merge
     the bucket→path map of the previous manifest with the rewritten
@@ -130,7 +142,12 @@ def commit(
     zero rows — they leave the map in the SAME flip, so no reader can
     ever resolve a stale path for them; their old data dirs become
     unreferenced and prune() reclaims them), and flip one new manifest
-    version into place.  Returns the committed version number."""
+    version into place.  Returns the committed version number.
+
+    ``extra`` carries store-specific snapshot metadata (e.g. the IVF
+    centroid table's epoch path) INSIDE the same atomic flip; previous
+    extras are carried forward unchanged when not overridden, so a
+    bucket-only commit (upsert) keeps pointing at its model."""
     prev = read_manifest(table_dir)
     buckets = dict(prev["buckets"]) if prev else {}
     for b in dropped_buckets:
@@ -139,13 +156,18 @@ def commit(
     for b in rewritten_buckets:
         buckets[str(int(b))] = {"path": rel, "epoch": int(epoch_id)}
     version = (prev["version"] + 1) if prev else 0
+    doc = {
+        k: v
+        for k, v in (prev or {}).items()
+        if k not in ("version", "epoch", "buckets")
+    }
+    doc.update(extra or {})
+    doc.update({"version": version, "epoch": int(epoch_id), "buckets": buckets})
     mdir = _manifest_dir(table_dir)
     os.makedirs(mdir, exist_ok=True)
     tmp = os.path.join(mdir, f"v{version}.json.tmp")
     with open(tmp, "w") as f:
-        json.dump(
-            {"version": version, "epoch": int(epoch_id), "buckets": buckets}, f
-        )
+        json.dump(doc, f)
         f.flush()
         os.fsync(f.fileno())
     # the flip: atomic on POSIX; HDFS rename / object-store
@@ -174,9 +196,11 @@ def prune(table_dir: str, keep_last: int = 2) -> list[str]:
     keep_versions = {v for v in range(max(0, latest - keep_last + 1), latest + 1)}
     referenced: set[str] = set()
     for v in keep_versions:
-        m = read_manifest(table_dir, v)
+        m = read_manifest(table_dir, v, missing_ok=True)
         if m:
             referenced.update(e["path"] for e in m["buckets"].values())
+            if m.get("centroids"):
+                referenced.add(m["centroids"])
     removed = []
     ddir = os.path.join(table_dir, DATA_DIR)
     if os.path.isdir(ddir):
@@ -184,6 +208,18 @@ def prune(table_dir: str, keep_last: int = 2) -> list[str]:
             rel = os.path.join(DATA_DIR, name)
             if rel not in referenced:
                 shutil.rmtree(os.path.join(ddir, name))
+                removed.append(rel)
+    # epoch-versioned model dirs (IVF centroids) age out the same way;
+    # a legacy flat centroids/ layout has no commit= children and is
+    # left untouched
+    cdir = os.path.join(table_dir, "centroids")
+    if os.path.isdir(cdir):
+        for name in sorted(os.listdir(cdir)):
+            if not name.startswith("commit="):
+                continue
+            rel = os.path.join("centroids", name)
+            if rel not in referenced:
+                shutil.rmtree(os.path.join(cdir, name))
                 removed.append(rel)
     mdir = _manifest_dir(table_dir)
     for name in sorted(os.listdir(mdir)):

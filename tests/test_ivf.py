@@ -388,3 +388,68 @@ def test_served_probe_reads_only_probed_cells(emb, tmp_path):
     probed_dirs = {f.rsplit("/", 1)[0] for f in files}
     assert len(probed_dirs) == N_PROBE, probed_dirs
     assert all("bucket=" in d for d in probed_dirs)
+
+
+def test_rebuild_over_live_index_is_atomic_and_complete(emb, tmp_path):
+    """ivf_index_write over an ALREADY-materialized index is a normal
+    manifest commit, not an overwrite (round-12 advisor finding: the
+    epoch-0 rewrite rmtree'd data the live manifest referenced, and
+    the bucket-map merge let cells absent from the new assignment
+    keep serving stale vectors).  Contract: (a) the new read serves
+    exactly the rebuild corpus — every vec_id once, none stale;
+    (b) the PREVIOUS manifest version still resolves the complete
+    pre-rebuild snapshot (old centroids + old cells) until pruned;
+    (c) the post-rebuild probe runs against the new model."""
+    from chronicle_sniffer_spark.operators.ivf import (
+        _centroids_path,
+        ivf_index_write,
+        ivf_read_cells,
+        ivf_topk_from_index,
+    )
+    from chronicle_sniffer_spark.streaming import manifest as mf
+
+    spark = emb.sparkSession
+    idx = str(tmp_path / "index")
+    ivf_index_write(emb, idx)
+    m0 = mf.read_manifest(idx)
+    before = {
+        (r.vec_id, tuple(r.v)) for r in ivf_read_cells(spark, idx).collect()
+    }
+    # rebuild on a strict SUBSET (every other vec_id): dropped rows
+    # must disappear, and with 8 centroids over half the corpus some
+    # cell layout changes are guaranteed
+    sub = emb.filter(F.col("vec_id") % 2 == 0)
+    ivf_index_write(sub, idx, n_centroids=8, n_iter=2)
+    m1 = mf.read_manifest(idx)
+    assert m1["version"] == m0["version"] + 1
+    assert m1["epoch"] == m0["epoch"] + 1
+    assert m1["centroids"] != m0.get("centroids")
+    after = ivf_read_cells(spark, idx)
+    want_ids = {r.vec_id for r in sub.select("vec_id").collect()}
+    got_ids = [r.vec_id for r in after.select("vec_id").collect()]
+    assert sorted(got_ids) == sorted(want_ids), "rebuilt index is not exactly the rebuild corpus"
+    dupes = after.groupBy("vec_id").count().filter(F.col("count") > 1).count()
+    assert dupes == 0, "a vec_id serves from two cells after rebuild"
+    # (b) time travel: the previous version still reads the full
+    # pre-rebuild snapshot, including its own centroid table
+    old = {
+        (r.vec_id, tuple(r.v))
+        for r in ivf_read_cells(spark, idx, version=m0["version"]).collect()
+    }
+    assert old == before
+    assert spark.read.parquet(_centroids_path(idx, m0)).count() > 0
+    # (c) the probe path serves from the new snapshot
+    qv = list(
+        emb.filter(F.col("vec_id") == 0)
+        .select(as_double(F.col("embedding")).alias("v"))
+        .collect()[0]
+        .v
+    )
+    served = ivf_topk_from_index(spark, idx, qv, 5)
+    assert served.count() == 5
+    assert all(r.vec_id in want_ids for r in served.collect())
+    # prune to the latest version: the old epoch's data AND centroid
+    # dirs become unreferenced and are reclaimed
+    removed = mf.prune(idx, keep_last=1)
+    assert any(r.startswith("centroids/commit=") for r in removed)
+    assert ivf_read_cells(spark, idx).count() == len(want_ids)

@@ -744,8 +744,12 @@ def test_manifest_prune_survives_noncontiguous_retained_range(tmp_path):
     version range spans versions that no longer exist on disk, and the
     loop must skip them instead of crashing on a missing v{N}.json
     (round-11 advisor finding); read_manifest() of an explicitly-named
-    pruned version returns None, same as an empty store."""
+    pruned version RAISES — a time-travel read of a pruned snapshot
+    must fail loudly, never silently serve an empty table (round-12
+    advisor finding)."""
     import os
+
+    import pytest as _pytest
 
     from chronicle_sniffer_spark.streaming import manifest as mf
 
@@ -755,7 +759,9 @@ def test_manifest_prune_survives_noncontiguous_retained_range(tmp_path):
         os.makedirs(os.path.join(d, f"bucket={epoch % 2}"))
         mf.commit(table, epoch, [epoch % 2])
     mf.prune(table, keep_last=1)  # drops v0..v2
-    assert mf.read_manifest(table, 1) is None  # explicit pruned version
+    with _pytest.raises(FileNotFoundError, match="version 1"):
+        mf.read_manifest(table, 1)  # explicit pruned version
+    assert mf.read_manifest(table, 1, missing_ok=True) is None  # prune's view
     # the wider re-prune's keep range {1,2,3} includes deleted versions
     removed = mf.prune(table, keep_last=3)
     assert mf.latest_version(table) == 3
