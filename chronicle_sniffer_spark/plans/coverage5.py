@@ -40,7 +40,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from chronicle_sniffer_spark.plans.catalog import query
-from chronicle_sniffer_spark.tables import load_table
+from chronicle_sniffer_spark.tables import load_table, session_tmpdir
 
 _t = load_table
 
@@ -218,13 +218,12 @@ _IVFPQ_INDEX_CACHE: dict[tuple[str, str], str] = {}
 
 
 def _ivfpq_index_dir(spark: SparkSession, sf_dir: str) -> str:
-    import tempfile
 
     from chronicle_sniffer_spark.operators.pq import ivfpq_index_write
 
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _IVFPQ_INDEX_CACHE:
-        out = tempfile.mkdtemp(prefix="css_ivfpq_index_")
+        out = session_tmpdir("css_ivfpq_index_")
         ivfpq_index_write(_t(spark, sf_dir, "embeddings"), out)
         _IVFPQ_INDEX_CACHE[key] = out
     return _IVFPQ_INDEX_CACHE[key]

@@ -19,7 +19,7 @@ from chronicle_sniffer_spark.operators.similarity import (
     oracle_bucket_keys_sql,
 )
 from chronicle_sniffer_spark.plans.catalog import query
-from chronicle_sniffer_spark.tables import load_table
+from chronicle_sniffer_spark.tables import load_table, session_tmpdir
 
 NGRAM_N = 3
 JACCARD_THRESHOLD = 0.5
@@ -351,13 +351,12 @@ _IVF_INDEX_CACHE: dict[tuple[str, str], str] = {}
 
 
 def _ivf_index_dir(spark: SparkSession, sf_dir: str) -> str:
-    import tempfile
 
     from chronicle_sniffer_spark.operators.ivf import ivf_index_write
 
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _IVF_INDEX_CACHE:
-        out = tempfile.mkdtemp(prefix="css_ivf_index_")
+        out = session_tmpdir("css_ivf_index_")
         ivf_index_write(_t(spark, sf_dir, "embeddings"), out)
         _IVF_INDEX_CACHE[key] = out
     return _IVF_INDEX_CACHE[key]
@@ -407,13 +406,12 @@ _IVF_UPSERT_CACHE: dict[tuple[str, str], str] = {}
 
 
 def _ivf_upserted_index_dir(spark: SparkSession, sf_dir: str) -> str:
-    import tempfile
 
     from chronicle_sniffer_spark.operators.ivf import ivf_index_upsert, ivf_index_write
 
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _IVF_UPSERT_CACHE:
-        out = tempfile.mkdtemp(prefix="css_ivf_upsert_")
+        out = session_tmpdir("css_ivf_upsert_")
         emb = _t(spark, sf_dir, "embeddings")
         ivf_index_write(emb.filter(F.expr(_IVF_UPSERT_BASE)), out)
         ivf_index_upsert(spark, out, emb.filter(~F.expr(_IVF_UPSERT_BASE)))

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from chronicle_sniffer_spark.plans.catalog import query
-from chronicle_sniffer_spark.tables import load_table
+from chronicle_sniffer_spark.tables import load_table, session_tmpdir
 
 
 @query(
@@ -66,7 +66,7 @@ def s4_pcap_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from chronicle_sniffer_spark.udm import project_udm
 
-    d = tempfile.mkdtemp(prefix="css_s4_")
+    d = session_tmpdir("css_s4_")
     with open(os.path.join(d, "capture_1.pcap"), "wb") as f:
         f.write(pcap_bytes(example_packets()))
     with open(os.path.join(d, "capture_2.pcapng"), "wb") as f:

@@ -615,10 +615,14 @@ def g12_bounded_cheapest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("dist").alias("dist")
         )
         if small:
-            # under the broadcast gate the frontier is node-sized by
-            # the same measurement — one partition makes the next
-            # round's broadcast collect a single-task job
-            dist = dist.coalesce(1)
+            # under the broadcast gate the frontier is node-sized —
+            # collapse to a HANDFUL of partitions so the next round's
+            # broadcast collect stays a small job.  Not coalesce(1):
+            # coalesce propagates into the shuffle read, and one
+            # partition would serialize the node-sized groupBy reduce
+            # for every graph up to the 2M-node gate (round-12
+            # advisor finding — a wall-clock cliff near the boundary)
+            dist = dist.coalesce(4)
         # ONE job per round: materialize + truncate lineage (g9
         # policy); blocks free on GC via the ContextCleaner
         dist = dist.localCheckpoint(eager=True)

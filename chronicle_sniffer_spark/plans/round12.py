@@ -22,7 +22,7 @@ from chronicle_sniffer_spark.plans.round11 import (
     HTML_PAGE_SQL,
 )
 from chronicle_sniffer_spark.operators.html import html_extract
-from chronicle_sniffer_spark.tables import load_table, spread
+from chronicle_sniffer_spark.tables import load_table, session_tmpdir, spread
 
 _t = load_table
 
@@ -40,13 +40,11 @@ def _warc_dir(spark: SparkSession, sf_dir: str) -> str:
     ``.warc.gz`` container files by the DISTRIBUTED writer (one gzip
     member per record, one file per partition — the Common Crawl
     layout at miniature scale)."""
-    import tempfile
-
     from chronicle_sniffer_spark.sources.warc import write_warc
 
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _WARC_CACHE:
-        out = tempfile.mkdtemp(prefix="css_warc_")
+        out = session_tmpdir("css_warc_")
         # one container file per core: gzip members decode sequentially
         # WITHIN a file, so the file count IS the decode parallelism —
         # a real crawl ships tens of thousands of ~1 GB files for the
@@ -724,7 +722,11 @@ def s21_manifest_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     if key not in _S21_CACHE:
         suf = _h.md5(sf_dir.encode()).hexdigest()[:8]
         wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path or "/tmp"
-        table = os.path.join(wh, f"css_s21_{suf}.build.{os.getpid()}")
+        from chronicle_sniffer_spark.tables import cleanup_at_exit
+
+        table = cleanup_at_exit(
+            os.path.join(wh, f"css_s21_{suf}.build.{os.getpid()}")
+        )
         ev = _t(spark, sf_dir, "events")
         for epoch in range(3):
             merge_batch(spark, table, ev.filter(F.col("event_id") % 3 == epoch), epoch)

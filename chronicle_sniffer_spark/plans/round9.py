@@ -44,13 +44,12 @@ House determinism rules (plans/catalog.py) apply.
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from chronicle_sniffer_spark.plans.catalog import dsum, o_dsum, query
-from chronicle_sniffer_spark.tables import load_table, spread
+from chronicle_sniffer_spark.tables import load_table, session_tmpdir, spread
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -544,7 +543,7 @@ def _s18_stage(spark: SparkSession, sf_dir: str) -> str:
     shippers deliver)."""
     key = f"{spark.sparkContext.applicationId}|{sf_dir}"
     if key not in _S18_CACHE:
-        out = tempfile.mkdtemp(prefix="css_s18_gzip_")
+        out = session_tmpdir("css_s18_gzip_")
         (
             _t(spark, sf_dir, "orders")
             .select("o_orderkey", "o_orderpriority", "o_totalprice")

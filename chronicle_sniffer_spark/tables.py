@@ -48,6 +48,33 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def session_tmpdir(prefix: str) -> str:
+    """``mkdtemp`` that does not outlive the process: per-session
+    fixture/staging directories (the WARC corpus, IVF index layouts,
+    gzip fixtures, per-pid build tables) are registered for atexit
+    removal — round-12 advisor finding: bare mkdtemp dirs accumulated
+    across sessions and pytest workers with nothing ever reclaiming
+    them.  ``ignore_errors`` because a hard-killed JVM may still hold
+    a file handle; leftover cleanup is best-effort by design."""
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
+def cleanup_at_exit(path: str) -> str:
+    """Register an existing directory for atexit removal (the per-pid
+    warehouse build tables); returns the path for chaining."""
+    import atexit
+    import shutil
+
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
+
+
 def spread(df: DataFrame) -> DataFrame:
     """Conditionally repartition a narrow scan to the session's core
     count, for operators whose per-row map-side CPU (per-token md5,
