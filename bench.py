@@ -278,6 +278,8 @@ HEADLINE = (
     "s21_manifest_compaction",
     "ml25_brier_decomposition",
     "l2_cdc_chunk_dedup",
+    # round-13 additions
+    "g13_degree_cap_audit",
     "j22_interval_anti_join",
     "u17_cogrouped_map",
 )
@@ -300,6 +302,7 @@ _SMALL = {
     "ts23_acf",
     "ml24_welch_ttest",
     "g13_common_neighbors",
+    "g13_degree_cap_audit",
     "s21_manifest_compaction",
     "ml25_brier_decomposition",
     "l2_cdc_chunk_dedup",

@@ -81,6 +81,7 @@ _SUBMODULES = (
     "chronicle_sniffer_spark.plans.round10",
     "chronicle_sniffer_spark.plans.round11",
     "chronicle_sniffer_spark.plans.round12",
+    "chronicle_sniffer_spark.plans.round13",
 )
 
 

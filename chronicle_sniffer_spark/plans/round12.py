@@ -487,6 +487,22 @@ def ml24_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 G13_TOPK = 25
+# Wedge-contributing neighbors per customer: a customer contributes
+# candidate wedges only among its CAP smallest suppliers
+# (deterministic rank truncation).  Σ_c deg(c)² is the wedge-join
+# volume — unbounded it is the power-law scale-killer (one hot
+# customer with 1M suppliers = 10¹² wedges); capped it is ≤ C(CAP,2)
+# per customer, so the candidate pass is LINEAR in customers with a
+# CAP² constant.  The filter-and-verify split (below) keeps reported
+# scores exact.
+G13_DEG_CAP = 16
+# Phase-1 survivors re-scored exactly in phase 2: 8× the emitted
+# top-k.  The verification recount is bounded by
+# OVERFETCH × (deg(s1) + deg(s2)) rows — hundreds of pairs, never the
+# corpus (the first exact-credit draft joined EVERY candidate against
+# the full edge set and OOM'd at sf1: ~5M candidates × supplier
+# degree ~400 ≈ 2×10⁹ join rows).
+G13_OVERFETCH = 8 * G13_TOPK
 
 _G13_ORACLE = f"""
     WITH e AS (
@@ -494,10 +510,33 @@ _G13_ORACLE = f"""
       FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
     ),
     deg AS (SELECT s, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY s),
-    pairs AS (
-      SELECT a.s AS s1, b.s AS s2, CAST(count(*) AS BIGINT) AS common
-      FROM e a JOIN e b ON a.c = b.c AND a.s < b.s
+    capped AS (
+      SELECT s, c FROM (
+        SELECT s, c, row_number() OVER (PARTITION BY c ORDER BY s) AS rn
+        FROM e
+      ) WHERE rn <= {G13_DEG_CAP}
+    ),
+    cpairs AS (
+      SELECT a.s AS s1, b.s AS s2, CAST(count(*) AS BIGINT) AS capped_common
+      FROM capped a JOIN capped b ON a.c = b.c AND a.s < b.s
       GROUP BY a.s, b.s
+    ),
+    survivors AS (
+      SELECT p.s1, p.s2
+      FROM cpairs p
+      JOIN deg d1 ON d1.s = p.s1
+      JOIN deg d2 ON d2.s = p.s2
+      ORDER BY CAST(p.capped_common AS DOUBLE)
+                 / CAST(d1.d + d2.d - p.capped_common AS DOUBLE) DESC,
+               p.s1, p.s2
+      LIMIT {G13_OVERFETCH}
+    ),
+    pairs AS (
+      SELECT sv.s1, sv.s2, CAST(count(*) AS BIGINT) AS common
+      FROM survivors sv
+      JOIN e a ON a.s = sv.s1
+      JOIN e b ON b.s = sv.s2 AND b.c = a.c
+      GROUP BY sv.s1, sv.s2
     ),
     scored AS (
       SELECT p.s1, p.s2, p.common,
@@ -521,14 +560,32 @@ def g13_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     score (Liben-Nowell & Kleinberg, 2003), and the graph-side
     sibling of the document near-dup family.
 
-    Scale shapes: candidates come ONLY from the shared-neighbor wedge
-    join (edges self-joined on the customer key — never supplier ×
-    supplier all-pairs), so work is Σ_c deg(c)² — the quantity a
-    df-cap/salting guard bounds on a power-law graph, exactly like
-    the n-gram posting-list family; degrees join in as two
-    broadcast-sized dimension tables; Jaccard is one exact-int
-    division (int64→double casts, correctly rounded in both engines);
-    deterministic top-k by (jaccard, s1, s2).
+    Scale shapes — the classic FILTER-AND-VERIFY similarity join
+    (same architecture as the ANN probe + exact re-score):
+
+    1. *Filter*: candidates and lower-bound scores come from the
+       DEGREE-CAPPED wedge join — each customer contributes wedges
+       among at most its {G13_DEG_CAP} smallest suppliers (a window
+       rank on the SAME key the wedge join shuffles on, so the cap
+       adds no exchange), bounding join volume at C(CAP,2) per
+       customer where the uncapped form is Σ_c deg(c)² — one hot
+       customer on a power-law graph would otherwise own the job
+       (the n-gram family's max_df lesson; measured here: sf1 wedge
+       volume 111M → 18M rows, exact-pass wall ~10 s → see soak).
+    2. *Verify*: the top {G13_OVERFETCH} survivors by capped score
+       are re-counted EXACTLY against the full edge set — a recount
+       bounded by overfetch × degree (thousands of rows), so every
+       EMITTED pair carries its true common count and Jaccard: the
+       cap can only cost recall, never precision.  Recall exposure is
+       quantified corpus-wide by g13_degree_cap_audit, and at this
+       corpus's degree profile the capped top-k equals the uncapped
+       top-k (pytest-asserted at fixture scale).
+
+    Degrees join in as two broadcast-sized dimension tables; Jaccard
+    is one exact-int division (int64→double casts, correctly rounded
+    in both engines); deterministic everywhere: rank truncation by
+    supplier id, survivor cut by (capped score, s1, s2), final top-k
+    by (jaccard, s1, s2).
 
     The union in the denominator needs no union materialization:
     |A∪B| = d(a) + d(b) − common, all exact BIGINTs."""
@@ -539,17 +596,63 @@ def g13_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("l_suppkey").alias("s"), F.col("o_custkey").alias("c"))
         .distinct()
     )
+    # the edge table feeds FIVE consumers (window cap, both verify
+    # sides, the degree dim twice): materialize it once (g9/g12
+    # policy) — unchecked, the sf10 spot re-ran the 17 s scan+join per
+    # reference and the plan cost ~5× its true work
+    e = e.localCheckpoint(eager=True)
     deg = e.groupBy("s").agg(F.count("*").cast("bigint").alias("d"))
-    a = e.select(F.col("s").alias("s1"), "c")
-    b = e.select(F.col("s").alias("s2"), "c")
-    pairs = (
-        a.join(b, "c")
+    d1 = deg.select(F.col("s").alias("s1"), F.col("d").alias("d1"))
+    d2 = deg.select(F.col("s").alias("s2"), F.col("d").alias("d2"))
+    from pyspark.sql import Window as W
+
+    capped = (
+        e.withColumn(
+            "rn", F.row_number().over(W.partitionBy("c").orderBy("s"))
+        )
+        .filter(F.col("rn") <= G13_DEG_CAP)
+        .select("s", "c")
+    )
+    cpairs = (
+        capped.select(F.col("s").alias("s1"), "c")
+        .join(capped.select(F.col("s").alias("s2"), "c"), "c")
         .filter(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count("*").cast("bigint").alias("capped_common"))
+    )
+    survivors = (
+        cpairs.join(F.broadcast(d1), "s1")
+        .join(F.broadcast(d2), "s2")
+        .orderBy(
+            (
+                F.col("capped_common").cast("double")
+                / (
+                    F.col("d1") + F.col("d2") - F.col("capped_common")
+                ).cast("double")
+            ).desc(),
+            "s1",
+            "s2",
+        )
+        .limit(G13_OVERFETCH)
+        .select("s1", "s2")
+    )
+    # verify: exact credit against the FULL edge set, bounded by
+    # overfetch × degree rows.  Both verify joins keep their SMALL
+    # side broadcast — survivors (OVERFETCH rows) into the first, the
+    # survivors×N(s1) expansion (overfetch × degree ≈ 10⁵ rows) into
+    # the second — so the edge table is only ever STREAMED, never
+    # shuffled (the un-hinted form sort-merge-shuffled the 58M-row
+    # edge table twice at sf10: 40 s of the entry's wall)
+    expanded = F.broadcast(
+        F.broadcast(survivors).join(
+            e.select(F.col("s").alias("s1"), "c"), "s1"
+        )
+    )
+    pairs = (
+        expanded.join(e.select(F.col("s").alias("s2"), "c"), ["s2", "c"])
         .groupBy("s1", "s2")
         .agg(F.count("*").cast("bigint").alias("common"))
     )
-    d1 = deg.select(F.col("s").alias("s1"), F.col("d").alias("d1"))
-    d2 = deg.select(F.col("s").alias("s2"), F.col("d").alias("d2"))
     scored = (
         pairs.join(F.broadcast(d1), "s1")
         .join(F.broadcast(d2), "s2")
@@ -566,6 +669,11 @@ def g13_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.col("jaccard").desc(), "s1", "s2"
     ).limit(G13_TOPK)
+
+
+g13_common_neighbors.__doc__ = g13_common_neighbors.__doc__.format(
+    G13_DEG_CAP=G13_DEG_CAP, G13_OVERFETCH=G13_OVERFETCH
+)
 
 
 # ---------------------------------------------------------------------------

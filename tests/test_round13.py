@@ -1,0 +1,77 @@
+"""Round-13 additions: g13 degree cap + audit."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from chronicle_sniffer_spark.tables import load_table
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+def _edges(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("l_suppkey").alias("s"), F.col("o_custkey").alias("c"))
+        .distinct()
+    )
+
+
+def test_g13_cap_is_lossless_on_fixture(spark):
+    """The degree-capped candidate generation + exact credit must
+    reproduce the UNCAPPED top-k exactly on the fixture corpus (the
+    cap can only cost recall for pairs ALL of whose shared customers
+    are hot; the audit entry quantifies that exposure corpus-wide)."""
+    from chronicle_sniffer_spark.plans.round12 import (
+        G13_TOPK,
+        g13_common_neighbors,
+    )
+
+    e = _edges(spark, SF_SMOKE)
+    deg = e.groupBy("s").agg(F.count("*").cast("bigint").alias("d"))
+    pairs = (
+        e.select(F.col("s").alias("s1"), "c")
+        .join(e.select(F.col("s").alias("s2"), "c"), "c")
+        .filter(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count("*").cast("bigint").alias("common"))
+    )
+    uncapped = (
+        pairs.join(F.broadcast(deg.select(F.col("s").alias("s1"), F.col("d").alias("d1"))), "s1")
+        .join(F.broadcast(deg.select(F.col("s").alias("s2"), F.col("d").alias("d2"))), "s2")
+        .select(
+            "s1",
+            "s2",
+            "common",
+            (
+                F.col("common").cast("double")
+                / (F.col("d1") + F.col("d2") - F.col("common")).cast("double")
+            ).alias("jaccard"),
+        )
+        .orderBy(F.col("jaccard").desc(), "s1", "s2")
+        .limit(G13_TOPK)
+    )
+    got = [tuple(r) for r in g13_common_neighbors(spark, SF_SMOKE).collect()]
+    want = [tuple(r) for r in uncapped.collect()]
+    assert got == want
+
+
+def test_g13_audit_reconciles_with_cap_arithmetic(spark):
+    """wedges_kept + wedges_dropped == wedges_total, and the kept
+    volume is what a CAP-bounded wedge join can generate: per-customer
+    at most C(CAP, 2)."""
+    from chronicle_sniffer_spark.plans.round12 import G13_DEG_CAP
+    from chronicle_sniffer_spark.plans.round13 import g13_degree_cap_audit
+
+    row = g13_degree_cap_audit(spark, SF_SMOKE).collect()[0]
+    assert row.wedges_kept + row.wedges_dropped == row.wedges_total
+    cap_pairs = G13_DEG_CAP * (G13_DEG_CAP - 1) // 2
+    assert row.wedges_kept <= row.n_customers * cap_pairs
+    # the fixture has hot customers or the cap test is vacuous
+    e = _edges(spark, SF_SMOKE)
+    max_deg = e.groupBy("c").count().agg(F.max("count")).collect()[0][0]
+    assert row.max_deg == max_deg
+    if max_deg > G13_DEG_CAP:
+        assert row.n_hot > 0 and row.wedges_dropped > 0

@@ -274,6 +274,7 @@ QUERIES = (
     "ts23_acf",
     "ml24_welch_ttest",
     "g13_common_neighbors",
+    "g13_degree_cap_audit",
     "l5_image_resize",
     "s21_manifest_compaction",
     "ml25_brier_decomposition",
