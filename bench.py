@@ -280,6 +280,7 @@ HEADLINE = (
     "l2_cdc_chunk_dedup",
     # round-13 additions
     "g13_degree_cap_audit",
+    "s20_warc_record_mix",
     "j22_interval_anti_join",
     "u17_cogrouped_map",
 )
@@ -303,6 +304,7 @@ _SMALL = {
     "ml24_welch_ttest",
     "g13_common_neighbors",
     "g13_degree_cap_audit",
+    "s20_warc_record_mix",
     "s21_manifest_compaction",
     "ml25_brier_decomposition",
     "l2_cdc_chunk_dedup",

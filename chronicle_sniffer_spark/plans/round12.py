@@ -83,19 +83,32 @@ def s20_warc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     the documents table alone — the container round-trips losslessly
     or the hash catches it.
 
+    The fixture carries the full realism mix (request/metadata/revisit
+    records, chunked transfer-encoding on the CHUNKED_MOD grid,
+    correctly- and MIS-declared latin-1 responses — sources/warc.py);
+    this entry filters to the main document responses, so the oracle
+    stays derivable from the documents table alone — and the chunked
+    docs pass through the de-chunker invisibly: their payload md5 must
+    still equal md5(html).  payload_len counts CHARACTERS of the
+    charset-decoded text on both sides (round-12 advisor finding: byte
+    length vs char length agreed only because the corpus was ASCII).
+
     Spark shapes: binaryFile scan → one Arrow-batched decode pass
-    (mapInPandas at the DAG edge) → narrow column extraction; ZERO
-    shuffles."""
+    (mapInPandas at the DAG edge, yielding per FILE) → narrow column
+    extraction; ZERO shuffles."""
     from chronicle_sniffer_spark.sources.warc import read_warc
 
     recs = read_warc(spark, _warc_dir(spark, sf_dir))
-    return recs.select(
+    return recs.filter(
+        (F.col("warc_type") == "response")
+        & F.col("target_uri").rlike(r"/doc/\d+$")
+    ).select(
         F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
         .cast("bigint")
         .alias("doc_id"),
         "target_uri",
         F.col("http_status").cast("int").alias("http_status"),
-        F.length("payload").cast("bigint").alias("payload_len"),
+        F.length("text").cast("bigint").alias("payload_len"),
         F.md5("payload").alias("payload_md5"),
     )
 
@@ -130,17 +143,23 @@ def s20_warc_html_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Spark shapes: per-file member decode (parallel across files) →
     spread() → the extractor's pure-codegen regex pipeline → one
-    posexplode + one doc_id shuffle (inherited from l4_html_extract);
-    the payload bytes→string decode is the only non-codegen step."""
+    posexplode + one doc_id shuffle (inherited from l4_html_extract).
+    The html comes from the source's CHARSET-AWARE ``text`` column
+    (decoded per the declared Content-Type charset with counted
+    replacements), not a blind utf-8 cast — the round-12 advisor's
+    silent-mangling channel for non-UTF-8 crawls."""
     from chronicle_sniffer_spark.sources.warc import read_warc
 
     recs = read_warc(spark, _warc_dir(spark, sf_dir))
     pages = spread(
-        recs.select(
+        recs.filter(
+            (F.col("warc_type") == "response")
+            & F.col("target_uri").rlike(r"/doc/\d+$")
+        ).select(
             F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
             .cast("bigint")
             .alias("doc_id"),
-            F.col("payload").cast("string").alias("html"),
+            F.col("text").alias("html"),
         )
     )
     return html_extract(pages, max_density_pct=_DENSITY_PCT)

@@ -89,3 +89,81 @@ def g13_degree_cap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 g13_degree_cap_audit.__doc__ = g13_degree_cap_audit.__doc__.format(
     CAP=G13_DEG_CAP
 )
+
+
+# ---------------------------------------------------------------------------
+# S20: WARC record-type / charset-damage accounting
+# ---------------------------------------------------------------------------
+
+
+def _s20mix_oracle() -> str:
+    from chronicle_sniffer_spark.sources.warc import (
+        LATIN1_MOD,
+        METADATA_MOD,
+        MISDECLARED_ERRORS,
+        MISDECLARED_MOD,
+        REQUEST_MOD,
+        REVISIT_MOD,
+    )
+
+    return f"""
+    WITH d AS (SELECT doc_id FROM documents)
+    SELECT 'metadata' AS warc_type,
+           CAST((SELECT count(*) FROM d WHERE doc_id % {METADATA_MOD} = 0)
+             AS BIGINT) AS n_records,
+           CAST(0 AS BIGINT) AS n_http_200,
+           CAST(0 AS BIGINT) AS decode_errors_total
+    UNION ALL
+    SELECT 'request',
+           CAST((SELECT count(*) FROM d WHERE doc_id % {REQUEST_MOD} = 0)
+             AS BIGINT),
+           CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+    UNION ALL
+    SELECT 'response',
+           CAST((SELECT count(*) FROM d)
+              + (SELECT count(*) FROM d WHERE doc_id % {LATIN1_MOD} = 0)
+              + (SELECT count(*) FROM d WHERE doc_id % {MISDECLARED_MOD} = 0)
+             AS BIGINT),
+           CAST((SELECT count(*) FROM d)
+              + (SELECT count(*) FROM d WHERE doc_id % {LATIN1_MOD} = 0)
+              + (SELECT count(*) FROM d WHERE doc_id % {MISDECLARED_MOD} = 0)
+             AS BIGINT),
+           CAST({MISDECLARED_ERRORS}
+              * (SELECT count(*) FROM d WHERE doc_id % {MISDECLARED_MOD} = 0)
+             AS BIGINT)
+    UNION ALL
+    SELECT 'revisit',
+           CAST((SELECT count(*) FROM d WHERE doc_id % {REVISIT_MOD} = 0)
+             AS BIGINT),
+           CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+    """
+
+
+@query("s20_warc_record_mix", section="S2", oracle=_s20mix_oracle())
+def s20_warc_record_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-type + decode-damage accounting over the FULL container
+    scan — the bookkeeping a 100 TB ingest runs before anything else:
+    how many records of each WARC type arrived, how many carried an
+    HTTP 200, and how much charset damage the decode absorbed.  The
+    fixture interleaves request/metadata/revisit records with the
+    responses on deterministic doc_id grids, ships a correctly-declared
+    latin-1 page class AND a latin-1-bytes-declared-utf-8 class
+    (sources/warc.py) — the oracle re-derives every count from the
+    documents table and pins ``decode_errors_total`` to exactly
+    MISDECLARED_ERRORS × |mis-declared class|: a decoder that
+    silently mangles (or silently heals) non-UTF-8 bytes hash-fails
+    here.
+
+    Spark shapes: the per-file member decode → one warc_type-keyed
+    partial agg; nothing else."""
+    from chronicle_sniffer_spark.plans.round12 import _warc_dir
+    from chronicle_sniffer_spark.sources.warc import read_warc
+
+    recs = read_warc(spark, _warc_dir(spark, sf_dir))
+    return recs.groupBy("warc_type").agg(
+        F.count("*").cast("bigint").alias("n_records"),
+        F.sum(F.when(F.col("http_status") == 200, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_http_200"),
+        F.sum("decode_errors").cast("bigint").alias("decode_errors_total"),
+    )

@@ -11,7 +11,18 @@ Format facts used here (public spec + Common Crawl practice):
 - each record is ``WARC/1.0\\r\\n`` + named headers + blank line +
   a content block of exactly ``Content-Length`` bytes + ``\\r\\n\\r\\n``;
 - a ``WARC-Type: response`` record's content block is a full HTTP
-  response (status line + headers + blank line + payload).
+  response (status line + headers + blank line + payload); real
+  archives also carry ``request``, ``metadata``, and ``revisit``
+  records, and responses may arrive ``Transfer-Encoding: chunked``;
+- several percent of a real crawl is NOT UTF-8 (latin-1, shift-jis,
+  gbk, ...): the HTTP ``Content-Type`` charset parameter is the
+  declared encoding, and it is sometimes WRONG.  Mis-decoding is a
+  silent-corruption channel at 100 TB, so the decode here follows the
+  p16 philosophy — absorb failures WITH counts, never silently: the
+  ``text`` column is decoded per the declared charset and
+  ``decode_errors`` counts every replacement event the decoder
+  inserted (0 = clean decode; >0 = that many damaged spots feeding
+  any downstream training-text consumer).
 
 Scale shape — the s18 gzip lesson generalized: gzip members within
 ONE file parse sequentially (each member's end is only known by
@@ -20,9 +31,22 @@ exactly how a crawl arrives (Common Crawl ships ~64k WARC files per
 snapshot, each ~1 GB, natural task granularity).  The decode itself
 is cheap zlib inflation + header splits; the expensive per-record CPU
 (HTML extraction, quality scoring) runs AFTER a spread(), fully
-row-parallel.  A production deploy with CDX offset indexes would map
-(file, offset, length) triples straight to member reads — same
-operator, finer tasks.
+row-parallel.
+
+Memory bounds, stated explicitly:
+
+- ``binaryFile`` materializes ONE WHOLE container file per row, and
+  Spark's binary column ceiling is 2 GiB — a ~1 GB Common Crawl file
+  fits, but this read path cannot exceed that, and it holds one
+  inflated file's records (a ~1 GB file inflates ~3-4×) per task at
+  a time: the decoder yields ONE batch per FILE, never buffering a
+  multi-file Arrow batch.
+- the PRODUCTION read path for targeted access is the CDX offset
+  index: (file, offset, length) triples map straight to independent
+  member reads (every member is its own gzip stream), giving
+  arbitrarily fine tasks and no whole-file materialization — same
+  parse code, different slicing; this repo's testdata ships no CDX
+  fixture, so that variant is documented rather than exercised.
 
 Reference analogue: R9 "container bytes → records" decode
 (reference processor/processor_app.py:150-155 — pcap-side, same
@@ -33,8 +57,10 @@ ships no crawl containers.
 
 from __future__ import annotations
 
+import codecs
 import gzip
 import os
+import re
 import zlib
 from typing import Iterator
 
@@ -46,37 +72,198 @@ WARC_DATE = "2026-01-01T00:00:00Z"
 WARC_SCHEMA = (
     "file string, member_idx int, warc_type string, record_id string,"
     " target_uri string, content_length bigint, http_status int,"
-    " payload binary"
+    " content_type string, charset string, payload binary,"
+    " text string, decode_errors bigint"
 )
+
+# --- counted-replacement decode (the p16 philosophy) -----------------
+
+_ERR_COUNT = [0]
+
+
+def _count_replace(exc: UnicodeError):
+    _ERR_COUNT[0] += 1
+    return ("�", exc.end)
+
+
+codecs.register_error("warc_count_replace", _count_replace)
+
+_CHARSET_RE = re.compile(r"charset=[\"']?([A-Za-z0-9_.:-]+)", re.IGNORECASE)
+
+
+def parse_charset(content_type: str | None) -> str | None:
+    """Declared charset from an HTTP Content-Type value, or None."""
+    if not content_type:
+        return None
+    m = _CHARSET_RE.search(content_type)
+    return m.group(1).lower() if m else None
+
+
+def decode_payload(payload: bytes, charset: str | None) -> tuple[str, int]:
+    """Decode ``payload`` per the DECLARED charset (UTF-8 when absent
+    or unknown — the HTML5 default for the crawl domain), returning
+    (text, n_replacements).  Every undecodable span becomes ONE
+    U+FFFD and ONE count — a mis-declared or binary-in-text payload
+    is absorbed WITH an audit number, never silently."""
+    cs = charset or "utf-8"
+    try:
+        codecs.lookup(cs)
+    except LookupError:
+        cs = "utf-8"
+    _ERR_COUNT[0] = 0
+    text = payload.decode(cs, "warc_count_replace")
+    return text, _ERR_COUNT[0]
+
+
+# --- fixture writer ---------------------------------------------------
+
+# Deterministic fixture mix (doc_id predicates shared with the oracle
+# side): real archives interleave request/metadata/revisit records
+# with responses, deliver some responses chunked, and carry non-UTF-8
+# payloads — correctly declared or not.
+REQUEST_MOD = 50  # doc_id % 50 == 0 → a request record precedes the response
+METADATA_MOD = 70  # … → a metadata record follows it
+REVISIT_MOD = 90  # … → a revisit record follows it
+CHUNKED_MOD = 60  # … → the MAIN response arrives Transfer-Encoding: chunked
+LATIN1_MOD = 40  # … → extra /l1/ response: latin-1 bytes, correctly declared
+MISDECLARED_MOD = 110  # … → extra /bad/ response: latin-1 bytes declared utf-8
+
+# Non-ASCII latin-1 content for the extra records.  Decoded with the
+# DECLARED iso-8859-1 it reads back exactly; decoded as utf-8 (the
+# mis-declared class) it produces exactly MISDECLARED_ERRORS
+# replacement events per record — derived at import from the same
+# decoder that counts at read time, so the constant can never drift
+# from the implementation (and the em dash, being outside latin-1's
+# repertoire, would be dropped — every char here is latin-1).
+L1_PREFIX = "café »déjà« ¡sección 7½! "
+
+
+def _count_utf8_replacements(data: bytes) -> int:
+    _ERR_COUNT[0] = 0
+    data.decode("utf-8", "warc_count_replace")
+    return _ERR_COUNT[0]
+
+
+MISDECLARED_ERRORS = _count_utf8_replacements(L1_PREFIX.encode("latin-1"))
+
+
+def _http_response(
+    payload: bytes,
+    content_type: str = "text/html; charset=utf-8",
+    chunked: bool = False,
+) -> bytes:
+    if chunked:
+        body = _chunk_encode(payload)
+        head = (
+            b"HTTP/1.1 200 OK\r\n"
+            b"Content-Type: " + content_type.encode("latin-1") + b"\r\n"
+            b"Transfer-Encoding: chunked\r\n\r\n"
+        )
+        return head + body
+    return (
+        b"HTTP/1.1 200 OK\r\n"
+        b"Content-Type: " + content_type.encode("latin-1") + b"\r\n"
+        b"Content-Length: " + str(len(payload)).encode() + b"\r\n\r\n" + payload
+    )
+
+
+def _chunk_encode(payload: bytes, size: int = 512) -> bytes:
+    out = bytearray()
+    for i in range(0, len(payload), size):
+        part = payload[i : i + size]
+        out += format(len(part), "x").encode() + b"\r\n" + part + b"\r\n"
+    out += b"0\r\n\r\n"
+    return bytes(out)
+
+
+def _record(
+    warc_type: str, record_id: str, target_uri: str, content: bytes
+) -> bytes:
+    headers = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: " + warc_type.encode() + b"\r\n"
+        b"WARC-Record-ID: <" + record_id.encode() + b">\r\n"
+        b"WARC-Date: " + WARC_DATE.encode() + b"\r\n"
+        b"WARC-Target-URI: " + target_uri.encode() + b"\r\n"
+        b"Content-Type: application/http;msgtype=response\r\n"
+        b"Content-Length: " + str(len(content)).encode() + b"\r\n\r\n"
+    )
+    return gzip.compress(headers + content + b"\r\n\r\n", mtime=0)
 
 
 def warc_member(doc_id: int, html: str) -> bytes:
-    """One deterministic response record, as one gzip member."""
+    """The doc's main response record, as one gzip member.  Docs on
+    the CHUNKED_MOD grid ship Transfer-Encoding: chunked — the
+    DE-CHUNKED payload is byte-identical to the plain form, so the
+    payload-md5 oracle exercises the de-chunker without knowing it."""
     payload = html.encode("utf-8")
-    http = (
-        b"HTTP/1.1 200 OK\r\n"
-        b"Content-Type: text/html; charset=utf-8\r\n"
-        b"Content-Length: " + str(len(payload)).encode() + b"\r\n\r\n" + payload
+    http = _http_response(payload, chunked=int(doc_id) % CHUNKED_MOD == 0)
+    return _record(
+        "response",
+        f"urn:uuid:doc-{int(doc_id)}",
+        f"https://example.org/doc/{int(doc_id)}",
+        http,
     )
-    headers = (
-        b"WARC/1.0\r\n"
-        b"WARC-Type: response\r\n"
-        b"WARC-Record-ID: <urn:uuid:doc-" + str(int(doc_id)).encode() + b">\r\n"
-        b"WARC-Date: " + WARC_DATE.encode() + b"\r\n"
-        b"WARC-Target-URI: https://example.org/doc/"
-        + str(int(doc_id)).encode()
-        + b"\r\n"
-        b"Content-Type: application/http;msgtype=response\r\n"
-        b"Content-Length: " + str(len(http)).encode() + b"\r\n\r\n"
-    )
-    return gzip.compress(headers + http + b"\r\n\r\n", mtime=0)
+
+
+def _extra_members(doc_id: int, html: str) -> list[bytes]:
+    """The realism mix around a doc's main response (deterministic
+    doc_id grids; see the *_MOD constants)."""
+    d = int(doc_id)
+    out: list[bytes] = []
+    if d % REQUEST_MOD == 0:
+        req = (
+            b"GET /doc/" + str(d).encode() + b" HTTP/1.1\r\n"
+            b"Host: example.org\r\nUser-Agent: cs-crawler/1.0\r\n\r\n"
+        )
+        out.append(
+            _record(
+                "request", f"urn:uuid:req-{d}", f"https://example.org/doc/{d}", req
+            )
+        )
+    if d % METADATA_MOD == 0:
+        meta = b"fetchTimeMs: 12\r\ncharset-detected: utf-8\r\n"
+        out.append(
+            _record(
+                "metadata", f"urn:uuid:meta-{d}", f"https://example.org/doc/{d}", meta
+            )
+        )
+    if d % REVISIT_MOD == 0:
+        out.append(
+            _record(
+                "revisit", f"urn:uuid:rev-{d}", f"https://example.org/doc/{d}", b""
+            )
+        )
+    if d % LATIN1_MOD == 0:
+        body = (L1_PREFIX + html).encode("latin-1", "ignore")
+        out.append(
+            _record(
+                "response",
+                f"urn:uuid:l1-{d}",
+                f"https://example.org/l1/{d}",
+                _http_response(body, "text/html; charset=iso-8859-1"),
+            )
+        )
+    if d % MISDECLARED_MOD == 0:
+        body = (L1_PREFIX + html).encode("latin-1", "ignore")
+        out.append(
+            _record(
+                "response",
+                f"urn:uuid:bad-{d}",
+                f"https://example.org/bad/{d}",
+                _http_response(body, "text/html; charset=utf-8"),
+            )
+        )
+    return out
 
 
 def write_warc(pages: DataFrame, out_dir: str, n_files: int = 8) -> list[str]:
     """Distributed fixture writer: hash the page table into
     ``n_files`` partitions, each task writing ONE ``.warc.gz`` of its
     docs (sorted by doc_id inside the file, gzip mtime pinned — the
-    fixture is byte-deterministic).  Returns the written paths."""
+    fixture is byte-deterministic).  Per doc: [request?] response
+    [metadata?] [revisit?] [latin-1 extra?] [mis-declared extra?] in
+    that order.  Returns the written paths."""
     import pyarrow  # noqa: F401 — mapInPandas prerequisite
 
     os.makedirs(out_dir, exist_ok=True)
@@ -93,10 +280,21 @@ def write_warc(pages: DataFrame, out_dir: str, n_files: int = 8) -> list[str]:
         rows.sort()
         pid = TaskContext.get().partitionId()
         path = os.path.join(out_dir, f"part-{pid:05d}.warc.gz")
+        n = 0
         with open(path, "wb") as f:
             for doc_id, html in rows:
-                f.write(warc_member(int(doc_id), html))
-        yield pd.DataFrame({"file": [path], "n_records": [len(rows)]})
+                d = int(doc_id)
+                members = _extra_members(d, html)
+                # request precedes the response; the rest follow it
+                pre = members[:1] if d % REQUEST_MOD == 0 else []
+                post = members[1:] if d % REQUEST_MOD == 0 else members
+                for m in pre:
+                    f.write(m)
+                f.write(warc_member(d, html))
+                for m in post:
+                    f.write(m)
+                n += 1 + len(members)
+        yield pd.DataFrame({"file": [path], "n_records": [n]})
 
     manifest = (
         pages.select("doc_id", "html")
@@ -107,8 +305,30 @@ def write_warc(pages: DataFrame, out_dir: str, n_files: int = 8) -> list[str]:
     return sorted(r.file for r in manifest if r.file)
 
 
+# --- reader -----------------------------------------------------------
+
+
+def _dechunk(body: bytes) -> bytes:
+    """Decode an HTTP chunked transfer-encoded body.  Raises on a
+    malformed chunk frame — truncation must be loud, not a silently
+    short payload."""
+    out, pos = [], 0
+    while True:
+        j = body.index(b"\r\n", pos)
+        size = int(body[pos:j].split(b";")[0], 16)
+        pos = j + 2
+        if size == 0:
+            break
+        out.append(body[pos : pos + size])
+        if len(out[-1]) != size:
+            raise ValueError("truncated chunk in chunked body")
+        pos += size + 2
+    return b"".join(out)
+
+
 def _parse_record(raw: bytes) -> dict:
-    """One decompressed WARC record → header fields + HTTP payload."""
+    """One decompressed WARC record → header fields + HTTP payload +
+    charset-decoded text with a replacement count."""
     head, _, rest = raw.partition(b"\r\n\r\n")
     lines = head.split(b"\r\n")
     hdr = {}
@@ -123,16 +343,49 @@ def _parse_record(raw: bytes) -> dict:
         "target_uri": hdr.get(b"warc-target-uri", b"").decode(),
         "content_length": clen,
         "http_status": None,
+        "content_type": None,
+        "charset": None,
         "payload": b"",
+        "text": None,
+        "decode_errors": 0,
     }
     if out["warc_type"] == "response" and content.startswith(b"HTTP/"):
-        hhead, _, payload = content.partition(b"\r\n\r\n")
-        status_line = hhead.split(b"\r\n", 1)[0].split(b" ")
+        hhead, _, body = content.partition(b"\r\n\r\n")
+        hlines = hhead.split(b"\r\n")
+        status_line = hlines[0].split(b" ")
         out["http_status"] = int(status_line[1]) if len(status_line) > 1 else None
+        hh = {}
+        for ln in hlines[1:]:
+            k, _, v = ln.partition(b":")
+            hh[k.strip().lower()] = v.strip()
+        ctype = hh.get(b"content-type")
+        out["content_type"] = ctype.decode("latin-1") if ctype else None
+        out["charset"] = parse_charset(out["content_type"])
+        te = hh.get(b"transfer-encoding", b"").decode("latin-1").lower()
+        payload = _dechunk(body) if "chunked" in te else body
         out["payload"] = payload
+        out["text"], out["decode_errors"] = decode_payload(
+            payload, out["charset"]
+        )
     else:
         out["payload"] = content
     return out
+
+
+_COLUMNS = [
+    "file",
+    "member_idx",
+    "warc_type",
+    "record_id",
+    "target_uri",
+    "content_length",
+    "http_status",
+    "content_type",
+    "charset",
+    "payload",
+    "text",
+    "decode_errors",
+]
 
 
 def read_warc(spark: SparkSession, path_glob: str) -> DataFrame:
@@ -140,13 +393,15 @@ def read_warc(spark: SparkSession, path_glob: str) -> DataFrame:
     (sequential zlib walk per file — the only order gzip admits —
     parallel ACROSS files) → parsed records.  Unknown/truncated bytes
     in a member boundary raise loudly rather than silently skipping
-    records (a crawl pipeline must account for every record)."""
+    records (a crawl pipeline must account for every record).  Yields
+    ONE Arrow batch per FILE so decode memory is bounded by one
+    inflated container, not a whole multi-file input batch."""
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out: list[dict] = []
             for path, content in zip(pdf["path"], pdf["content"]):
                 data = bytes(content)
+                out: list[dict] = []
                 # Bounded-chunk member walk.  EVERY whole-tail
                 # formulation is O(members × file bytes) on a
                 # many-tiny-member file, because zlib materializes the
@@ -182,19 +437,7 @@ def read_warc(spark: SparkSession, path_glob: str) -> DataFrame:
                     out.append(parsed)
                     pos += consumed
                     idx += 1
-            yield pd.DataFrame(
-                out,
-                columns=[
-                    "file",
-                    "member_idx",
-                    "warc_type",
-                    "record_id",
-                    "target_uri",
-                    "content_length",
-                    "http_status",
-                    "payload",
-                ],
-            )
+                yield pd.DataFrame(out, columns=_COLUMNS)
 
     files = (
         spark.read.format("binaryFile")

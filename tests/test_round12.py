@@ -48,33 +48,85 @@ def test_member_is_standalone_gzip_and_spec_shaped():
 
 
 def test_roundtrip_through_container(spark, tmp_path):
-    """write_warc → read_warc round-trips every doc: ids, URIs,
-    payload bytes, member counts per file agree with the source
-    table."""
+    """write_warc → read_warc round-trips every doc (ids, URIs,
+    payload bytes, charset-decoded text) THROUGH the realism mix:
+    request/metadata/revisit records interleaved, chunked
+    transfer-encoding on the CHUNKED_MOD grid, correctly-declared
+    latin-1 and MIS-declared extra responses — with exact
+    decode-damage counts."""
+    from chronicle_sniffer_spark.sources.warc import (
+        CHUNKED_MOD,
+        L1_PREFIX,
+        LATIN1_MOD,
+        METADATA_MOD,
+        MISDECLARED_ERRORS,
+        MISDECLARED_MOD,
+        REQUEST_MOD,
+        REVISIT_MOD,
+    )
+
     docs = load_table(spark, SF_SMOKE, "documents").select(
         "doc_id", F.concat(F.lit("<p>"), "text", F.lit("</p>")).alias("html")
     )
     out = str(tmp_path / "crawl")
     files = write_warc(docs, out, n_files=4)
     assert len(files) == 4 and all(f.endswith(".warc.gz") for f in files)
-    recs = read_warc(spark, out)
+    rows = read_warc(spark, out).collect()
+    want = {r.doc_id: r.html for r in docs.collect()}
+
+    # main doc responses: payload bytes AND decoded text round-trip,
+    # including the chunked-transfer docs (invisible after de-chunk)
+    main = [
+        r
+        for r in rows
+        if r.warc_type == "response" and "/doc/" in r.target_uri
+    ]
     got = {
         int(r.target_uri.rsplit("/", 1)[1]): bytes(r.payload).decode()
-        for r in recs.collect()
+        for r in main
     }
-    want = {r.doc_id: r.html for r in docs.collect()}
     assert got == want
-    meta = recs.select("warc_type", "http_status").distinct().collect()
-    assert [(r.warc_type, r.http_status) for r in meta] == [("response", 200)]
-    # member indexes are contiguous per file from zero
-    per_file = (
-        recs.groupBy("file")
-        .agg(F.count("*").alias("n"), F.min("member_idx").alias("lo"),
-             F.max("member_idx").alias("hi"))
-        .collect()
+    assert all(r.text == bytes(r.payload).decode() for r in main)
+    assert all(r.decode_errors == 0 and r.http_status == 200 for r in main)
+    assert any(int(r.target_uri.rsplit("/", 1)[1]) % CHUNKED_MOD == 0 for r in main)
+
+    # the realism mix is present on its deterministic grids
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.warc_type, []).append(r)
+    n_grid = lambda m: sum(1 for d in want if d % m == 0)  # noqa: E731
+    assert len(by_type.get("request", [])) == n_grid(REQUEST_MOD)
+    assert len(by_type.get("metadata", [])) == n_grid(METADATA_MOD)
+    assert len(by_type.get("revisit", [])) == n_grid(REVISIT_MOD)
+    assert all(r.http_status is None for r in by_type.get("request", []))
+
+    # correctly-declared latin-1: exact text back, zero damage
+    l1 = [r for r in rows if "/l1/" in r.target_uri]
+    assert len(l1) == n_grid(LATIN1_MOD) and len(l1) > 0
+    for r in l1:
+        d = int(r.target_uri.rsplit("/", 1)[1])
+        assert r.charset == "iso-8859-1"
+        assert r.text == L1_PREFIX + want[d]
+        assert r.decode_errors == 0
+    # MIS-declared latin-1-as-utf-8: damage absorbed WITH the count
+    bad = [r for r in rows if "/bad/" in r.target_uri]
+    assert len(bad) == n_grid(MISDECLARED_MOD) and len(bad) > 0
+    for r in bad:
+        assert r.charset == "utf-8"
+        assert r.decode_errors == MISDECLARED_ERRORS
+        assert "�" in r.text
+
+    # member indexes are contiguous per file from zero, over ALL
+    # record types
+    per_file = {}
+    for r in rows:
+        per_file.setdefault(r.file, []).append(r.member_idx)
+    for idxs in per_file.values():
+        assert sorted(idxs) == list(range(len(idxs)))
+    n_extras = sum(
+        n_grid(m) for m in (REQUEST_MOD, METADATA_MOD, REVISIT_MOD, LATIN1_MOD, MISDECLARED_MOD)
     )
-    assert all(r.lo == 0 and r.hi == r.n - 1 for r in per_file)
-    assert sum(r.n for r in per_file) == len(want)
+    assert len(rows) == len(want) + n_extras
 
 
 def test_corrupt_member_raises_loudly(spark, tmp_path):

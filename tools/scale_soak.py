@@ -275,6 +275,7 @@ QUERIES = (
     "ml24_welch_ttest",
     "g13_common_neighbors",
     "g13_degree_cap_audit",
+    "s20_warc_record_mix",
     "l5_image_resize",
     "s21_manifest_compaction",
     "ml25_brier_decomposition",
