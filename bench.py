@@ -281,6 +281,7 @@ HEADLINE = (
     # round-13 additions
     "g13_degree_cap_audit",
     "s20_warc_record_mix",
+    "a24b_kmv_production",
     "j22_interval_anti_join",
     "u17_cogrouped_map",
 )
@@ -305,6 +306,7 @@ _SMALL = {
     "g13_common_neighbors",
     "g13_degree_cap_audit",
     "s20_warc_record_mix",
+    "a24b_kmv_production",
     "s21_manifest_compaction",
     "ml25_brier_decomposition",
     "l2_cdc_chunk_dedup",

@@ -421,6 +421,35 @@ _A24_ORACLE = f"""
 """
 
 
+def _kmv_ranked(spark: SparkSession, sf_dir: str):
+    """Shared KMV sketch pipeline: hashed keys → per-batch pre-shuffle
+    K-minima cap (mapInPandas at the scan edge) → dedup →
+    window-ranked minima.  Returns (hashed base, ranked minima)."""
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        ((F.col("o_custkey") * _LEHMER_A) % _LEHMER_M).alias("h"),
+    )
+
+    def _kmv_partial(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            yield (
+                pdf.drop_duplicates()
+                .sort_values("h", kind="mergesort")
+                .groupby("o_orderpriority", sort=False)
+                .head(KMV_K)
+            )
+
+    capped = base.mapInPandas(_kmv_partial, "o_orderpriority string, h bigint")
+    from pyspark.sql import Window
+
+    ranked = capped.distinct().withColumn(
+        "rn", F.row_number().over(Window.partitionBy("o_orderpriority").orderBy("h"))
+    )
+    return base, ranked
+
+
 @query("a24_kmv_distinct", section="A3", oracle=_A24_ORACLE)
 def a24_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV (k-minimum-values, Bar-Yossef et al.) distinct-count sketch
@@ -450,29 +479,9 @@ def a24_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch-sized — then dedup + window-rank to h₍ₖ₎.  The exact
     branch (n_exact is part of the declared output) is a plain
     count(distinct h): partial-aggregated map-side, the volume the
-    oracle gate pays anyway."""
-    base = _t(spark, sf_dir, "orders").select(
-        "o_orderpriority",
-        ((F.col("o_custkey") * _LEHMER_A) % _LEHMER_M).alias("h"),
-    )
-
-    def _kmv_partial(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            yield (
-                pdf.drop_duplicates()
-                .sort_values("h", kind="mergesort")
-                .groupby("o_orderpriority", sort=False)
-                .head(KMV_K)
-            )
-
-    capped = base.mapInPandas(_kmv_partial, "o_orderpriority string, h bigint")
-    from pyspark.sql import Window
-
-    ranked = capped.distinct().withColumn(
-        "rn", F.row_number().over(Window.partitionBy("o_orderpriority").orderBy("h"))
-    )
+    oracle gate pays anyway — a24b_kmv_production is the same sketch
+    WITHOUT that branch (what a real 100 TB job runs)."""
+    base, ranked = _kmv_ranked(spark, sf_dir)
     ex = base.groupBy("o_orderpriority").agg(
         F.count_distinct(F.col("h")).alias("n_exact")
     )

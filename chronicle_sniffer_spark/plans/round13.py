@@ -167,3 +167,75 @@ def s20_warc_record_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_http_200"),
         F.sum("decode_errors").cast("bigint").alias("decode_errors_total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A24b: KMV distinct sketch, production (sketch-only) variant
+# ---------------------------------------------------------------------------
+
+
+def _a24b_oracle() -> str:
+    from chronicle_sniffer_spark.plans.round11 import _LEHMER_A, _LEHMER_M, KMV_K
+
+    return f"""
+    WITH d AS (
+      SELECT DISTINCT o_orderpriority,
+             (o_custkey * {_LEHMER_A}) % {_LEHMER_M} AS h
+      FROM orders
+    ),
+    ranked AS (
+      SELECT o_orderpriority, h,
+             row_number() OVER (PARTITION BY o_orderpriority ORDER BY h) AS rn
+      FROM d
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_sketch,
+           CAST(max(CASE WHEN rn = {KMV_K} THEN h END) AS BIGINT) AS kth_min,
+           round(CASE WHEN count(*) < {KMV_K} THEN CAST(count(*) AS DOUBLE)
+                      ELSE ({KMV_K} - 1) * CAST({_LEHMER_M} AS DOUBLE)
+                           / CAST(max(CASE WHEN rn = {KMV_K} THEN h END)
+                                  AS DOUBLE) END, 6) AS kmv_est
+    FROM ranked WHERE rn <= {KMV_K}
+    GROUP BY o_orderpriority
+    """
+
+
+@query("a24b_kmv_production", section="A3", oracle=_a24b_oracle())
+def a24b_kmv_production(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The KMV sketch as a 100 TB job actually runs it — SKETCH ONLY:
+    a24_kmv_distinct declares n_exact in its output for the oracle's
+    benefit, and the round-12 sf10 spot showed exactly that branch
+    (count distinct over 15M orders) dominating its wall at 5.64×.
+    This variant drops it: per-batch pre-shuffle K-minima caps
+    (nothing bigger than K rows per (group, batch) ever crosses the
+    exchange), dedup, window-rank, ONE sketch-sized agg.  Groups with
+    fewer than K distinct keys report their sketch size as the exact
+    count (KMV is exact below K by construction: n_sketch < K means
+    the sketch IS the distinct set).  The a24 merge-equivalence
+    pytest remains the correctness anchor for the cap; the oracle
+    here recomputes the same K-minima from scratch — the GATE pays
+    the exact-distinct cost, the production plan never does."""
+    from chronicle_sniffer_spark.plans.round11 import _LEHMER_M, KMV_K, _kmv_ranked
+
+    _, ranked = _kmv_ranked(spark, sf_dir)
+    sk = ranked.filter(F.col("rn") <= KMV_K)
+    return sk.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n_sketch"),
+        F.max(F.when(F.col("rn") == KMV_K, F.col("h")))
+        .cast("bigint")
+        .alias("kth_min"),
+    ).select(
+        "o_orderpriority",
+        "n_sketch",
+        "kth_min",
+        F.round(
+            F.when(
+                F.col("n_sketch") < KMV_K, F.col("n_sketch").cast("double")
+            ).otherwise(
+                F.lit(KMV_K - 1)
+                * F.lit(float(_LEHMER_M))
+                / F.col("kth_min").cast("double")
+            ),
+            6,
+        ).alias("kmv_est"),
+    )

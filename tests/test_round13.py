@@ -75,3 +75,20 @@ def test_g13_audit_reconciles_with_cap_arithmetic(spark):
     assert row.max_deg == max_deg
     if max_deg > G13_DEG_CAP:
         assert row.n_hot > 0 and row.wedges_dropped > 0
+
+
+def test_a24b_production_matches_full_entry_sketch_columns(spark):
+    """The production (sketch-only) variant must report the same
+    kth_min and estimate as a24_kmv_distinct's sketch columns, and
+    its n_sketch must equal min(K, n_exact) — KMV is exact below K."""
+    from chronicle_sniffer_spark.plans.round11 import KMV_K, a24_kmv_distinct
+    from chronicle_sniffer_spark.plans.round13 import a24b_kmv_production
+
+    full = {r.o_orderpriority: r for r in a24_kmv_distinct(spark, SF_SMOKE).collect()}
+    prod = {r.o_orderpriority: r for r in a24b_kmv_production(spark, SF_SMOKE).collect()}
+    assert set(full) == set(prod)
+    for k, p in prod.items():
+        f = full[k]
+        assert p.kth_min == f.kth_min
+        assert p.kmv_est == f.kmv_est
+        assert p.n_sketch == min(KMV_K, f.n_exact)
