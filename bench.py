@@ -282,6 +282,7 @@ HEADLINE = (
     "g13_degree_cap_audit",
     "s20_warc_record_mix",
     "a24b_kmv_production",
+    "l6_crawl_funnel",
     "j22_interval_anti_join",
     "u17_cogrouped_map",
 )
@@ -307,6 +308,7 @@ _SMALL = {
     "g13_degree_cap_audit",
     "s20_warc_record_mix",
     "a24b_kmv_production",
+    "l6_crawl_funnel",
     "s21_manifest_compaction",
     "ml25_brier_decomposition",
     "l2_cdc_chunk_dedup",

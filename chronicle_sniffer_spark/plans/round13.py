@@ -239,3 +239,210 @@ def a24b_kmv_production(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("kmv_est"),
     )
+
+
+# ---------------------------------------------------------------------------
+# L6: the full crawl funnel, composed from container bytes
+# ---------------------------------------------------------------------------
+
+CRAWL_MIX_A, CRAWL_MIX_M = 16807, 2147483647  # l6_hash_split's Lehmer
+CRAWL_TRAIN_PCT = 80
+
+
+def _crawl_funnel_oracle() -> str:
+    from chronicle_sniffer_spark.plans.dedup_sim import (
+        _ORACLE_GRAMS_CTE,
+        JACCARD_THRESHOLD,
+    )
+    from chronicle_sniffer_spark.plans.quality import (
+        MAX_SYMBOL_RATIO,
+        MEAN_WL_HI,
+        MEAN_WL_LO,
+        MIN_WORDS,
+    )
+    from chronicle_sniffer_spark.plans.round11 import _block_cte
+
+    block = _block_cte().replace("WITH pages", "pages", 1)
+    return f"""
+    WITH RECURSIVE {block},
+    agg AS (
+      SELECT doc_id,
+             string_agg(CASE WHEN kept THEN text END, ' ' ORDER BY pos) AS text
+      FROM nonempty GROUP BY doc_id
+    ),
+    ext AS (
+      SELECT c.doc_id, coalesce(a.text, '') AS text
+      FROM clean c LEFT JOIN agg a ON a.doc_id = c.doc_id
+    ),
+    {_ORACLE_GRAMS_CTE},
+    dpairs AS (
+      SELECT i.doc_a, i.doc_b
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.doc_a
+      JOIN sizes sb ON sb.doc_id = i.doc_b
+      WHERE round(i.n_inter * 1.0 / (sa.n_grams + sb.n_grams - i.n_inter), 6)
+            >= {JACCARD_THRESHOLD}
+    ),
+    e2 AS (SELECT doc_a AS s, doc_b AS t FROM dpairs
+           UNION SELECT doc_b, doc_a FROM dpairs),
+    reach(s, t) AS (
+      SELECT s, s FROM (SELECT DISTINCT s FROM e2)
+      UNION
+      SELECT r.s, e.t FROM reach r JOIN e2 e ON r.t = e.s
+    ),
+    labels AS (SELECT s AS doc_id, min(t) AS label FROM reach GROUP BY s),
+    cont AS (
+      SELECT doc_id,
+             CAST(len(string_split(html, ' ')) AS BIGINT) AS n_tokens
+      FROM pages
+    ),
+    sig AS (
+      SELECT doc_id, text,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             len(string_split(text, ' ')) AS n_words,
+             round(length(regexp_replace(text, ' ', '', 'g')) * 1.0
+                   / len(string_split(text, ' ')), 6) AS mean_word_len,
+             round(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) * 1.0
+                   / length(text), 6) AS symbol_ratio
+      FROM ext
+    ),
+    s2 AS (SELECT * FROM sig
+           WHERE n_words >= {MIN_WORDS}
+             AND mean_word_len BETWEEN {MEAN_WL_LO} AND {MEAN_WL_HI}
+             AND symbol_ratio < {MAX_SYMBOL_RATIO}),
+    s3 AS (SELECT s2.* FROM s2
+           JOIN (SELECT min(doc_id) AS doc_id FROM s2 GROUP BY md5(text)) k
+             ON k.doc_id = s2.doc_id),
+    s4 AS (SELECT s3.* FROM s3 LEFT JOIN labels l ON l.doc_id = s3.doc_id
+           WHERE l.doc_id IS NULL OR l.label = s3.doc_id),
+    s5 AS (SELECT * FROM s4
+           WHERE (doc_id * {CRAWL_MIX_A}) % {CRAWL_MIX_M} % 100
+                 < {CRAWL_TRAIN_PCT})
+    SELECT * FROM (
+      SELECT '0_container' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS n_tokens FROM cont
+      UNION ALL
+      SELECT '1_html_extract', CAST(count(*) AS BIGINT),
+             CAST(sum(n_tokens) AS BIGINT) FROM sig
+      UNION ALL
+      SELECT '2_c4_gate', CAST(count(*) AS BIGINT),
+             CAST(sum(n_tokens) AS BIGINT) FROM s2
+      UNION ALL
+      SELECT '3_exact_dedup', CAST(count(*) AS BIGINT),
+             CAST(sum(n_tokens) AS BIGINT) FROM s3
+      UNION ALL
+      SELECT '4_near_dedup', CAST(count(*) AS BIGINT),
+             CAST(sum(n_tokens) AS BIGINT) FROM s4
+      UNION ALL
+      SELECT '5_train_mix', CAST(count(*) AS BIGINT),
+             CAST(sum(n_tokens) AS BIGINT) FROM s5
+    )
+    """
+
+
+@query("l6_crawl_funnel", section="L6", oracle=_crawl_funnel_oracle())
+def l6_crawl_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB crawl pipeline END-TO-END from container bytes, as
+    ONE composed plan with per-stage doc/token accounting — the demo
+    the repo has been building toward: every stage below exists as a
+    standalone oracle-checked entry, and this entry is their literal
+    composition (the reconciliation pytest recomputes each stage from
+    the standalone operators):
+
+      0_container    WARC members → records, charset-decoded (s20)
+      1_html_extract boilerplate-dropped training text (l4_html_extract)
+      2_c4_gate      C4 quality gate ON THE EXTRACTED TEXT (l4_c4)
+      3_exact_dedup  md5 keep-min within the gated set (l1_exact_dedup)
+      4_near_dedup   n-gram Jaccard CC canonical filter — reads the
+                     session-materialized cluster table
+                     (l2_dedup_clusters' shared_pairs_and_labels, the
+                     production shape: dedup once, many consumers)
+      5_train_mix    deterministic Lehmer hash split, train slice
+                     (l6_hash_split)
+
+    No silent shrinkage: every stage's doc and token cost is a row.
+    The oracle nests the WHOLE chain — HTML block extraction, C4
+    signals, hash dedup, the recursive-CTE near-dup closure, and the
+    split arithmetic — in one DuckDB query.
+
+    Spark shapes: binaryFile → per-file member decode → spread() →
+    codegen regex extraction → per-row gate expressions → two
+    hash-keyed dedups (one semi-join against the keep-min set, one
+    anti-join against the broadcast-small non-canonical label set) →
+    one 6-row union of partial aggs."""
+    from chronicle_sniffer_spark.operators.html import html_extract
+    from chronicle_sniffer_spark.plans.dedup_sim import shared_pairs_and_labels
+    from chronicle_sniffer_spark.plans.quality import (
+        MAX_SYMBOL_RATIO,
+        MEAN_WL_HI,
+        MEAN_WL_LO,
+        MIN_WORDS,
+    )
+    from chronicle_sniffer_spark.plans.round11 import _DENSITY_PCT
+    from chronicle_sniffer_spark.plans.round12 import _warc_dir
+    from chronicle_sniffer_spark.sources.warc import read_warc
+    from chronicle_sniffer_spark.tables import spread
+
+    recs = read_warc(spark, _warc_dir(spark, sf_dir))
+    main = recs.filter(
+        (F.col("warc_type") == "response")
+        & F.col("target_uri").rlike(r"/doc/\d+$")
+    ).select(
+        F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        F.col("text").alias("html"),
+    )
+    cont = main.select(
+        "doc_id", F.size(F.split("html", " ")).cast("bigint").alias("n_tokens")
+    )
+    ext = html_extract(spread(main), max_density_pct=_DENSITY_PCT).select(
+        "doc_id", "text"
+    )
+    n_words = F.size(F.split("text", " "))
+    sig = ext.select(
+        "doc_id",
+        "text",
+        n_words.cast("bigint").alias("n_tokens"),
+        n_words.alias("n_words"),
+        F.round(
+            F.length(F.regexp_replace("text", " ", "")) * 1.0 / n_words, 6
+        ).alias("mean_word_len"),
+        F.round(
+            F.length(F.regexp_replace("text", "[A-Za-z0-9 ]", "")) * 1.0
+            / F.length("text"),
+            6,
+        ).alias("symbol_ratio"),
+    )
+    s2 = sig.filter(
+        (F.col("n_words") >= MIN_WORDS)
+        & F.col("mean_word_len").between(MEAN_WL_LO, MEAN_WL_HI)
+        & (F.col("symbol_ratio") < MAX_SYMBOL_RATIO)
+    )
+    keep = s2.groupBy(F.md5(F.col("text").cast("binary"))).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    s3 = s2.join(keep.select("doc_id"), "doc_id", "left_semi")
+    _, labels = shared_pairs_and_labels(spark, sf_dir)
+    noncanon = labels.filter(F.col("node") != F.col("label")).select(
+        F.col("node").alias("doc_id")
+    )
+    s4 = s3.join(F.broadcast(noncanon), "doc_id", "left_anti")
+    s5 = s4.filter(
+        (F.col("doc_id") * CRAWL_MIX_A) % CRAWL_MIX_M % 100 < CRAWL_TRAIN_PCT
+    )
+
+    def report(df: DataFrame, stage: str) -> DataFrame:
+        return df.agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        ).select(F.lit(stage).alias("stage"), "n_docs", "n_tokens")
+
+    return (
+        report(cont, "0_container")
+        .unionByName(report(sig, "1_html_extract"))
+        .unionByName(report(s2, "2_c4_gate"))
+        .unionByName(report(s3, "3_exact_dedup"))
+        .unionByName(report(s4, "4_near_dedup"))
+        .unionByName(report(s5, "5_train_mix"))
+    )

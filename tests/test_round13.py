@@ -92,3 +92,86 @@ def test_a24b_production_matches_full_entry_sketch_columns(spark):
         assert p.kth_min == f.kth_min
         assert p.kmv_est == f.kmv_est
         assert p.n_sketch == min(KMV_K, f.n_exact)
+
+
+def test_crawl_funnel_reconciles_with_standalone_stages(spark):
+    """The composed funnel's per-stage counts must equal an
+    independent recompute from the STANDALONE building blocks: the
+    s20 pipeline's extracted text, quality.py's C4 constants, md5
+    keep-min dedup, the shared near-dup label table, and the
+    l6_hash_split Lehmer arithmetic."""
+    import hashlib
+
+    from chronicle_sniffer_spark.plans.dedup_sim import shared_pairs_and_labels
+    from chronicle_sniffer_spark.plans.quality import (
+        MAX_SYMBOL_RATIO,
+        MEAN_WL_HI,
+        MEAN_WL_LO,
+        MIN_WORDS,
+    )
+    from chronicle_sniffer_spark.plans.round12 import s20_warc_html_pipeline
+    from chronicle_sniffer_spark.plans.round13 import (
+        CRAWL_MIX_A,
+        CRAWL_MIX_M,
+        CRAWL_TRAIN_PCT,
+        l6_crawl_funnel,
+    )
+
+    rows = {r.stage: r for r in l6_crawl_funnel(spark, SF_SMOKE).collect()}
+    order = [
+        "0_container",
+        "1_html_extract",
+        "2_c4_gate",
+        "3_exact_dedup",
+        "4_near_dedup",
+        "5_train_mix",
+    ]
+    assert set(rows) == set(order)
+    docs = [rows[s].n_docs for s in order]
+    assert docs == sorted(docs, reverse=True), "funnel doc counts must be non-increasing"
+    n_raw = load_table(spark, SF_SMOKE, "documents").count()
+    assert rows["0_container"].n_docs == n_raw
+    assert rows["1_html_extract"].n_docs == n_raw
+
+    # independent recompute from the standalone extractor output
+    ext = {
+        r.doc_id: r.text
+        for r in s20_warc_html_pipeline(spark, SF_SMOKE).collect()
+    }
+    assert len(ext) == n_raw
+    tok = {d: len(t.split(" ")) for d, t in ext.items()}
+    assert rows["1_html_extract"].n_tokens == sum(tok.values())
+
+    def c4_keep(t: str) -> bool:
+        words = t.split(" ")
+        nw = len(words)
+        if nw < MIN_WORDS:
+            return False
+        mwl = round(len(t.replace(" ", "")) / nw, 6)
+        import re as _re
+
+        sym = round(len(_re.sub("[A-Za-z0-9 ]", "", t)) / len(t), 6)
+        return MEAN_WL_LO <= mwl <= MEAN_WL_HI and sym < MAX_SYMBOL_RATIO
+
+    s2 = {d for d, t in ext.items() if c4_keep(t)}
+    assert rows["2_c4_gate"].n_docs == len(s2)
+    assert rows["2_c4_gate"].n_tokens == sum(tok[d] for d in s2)
+
+    best: dict[str, int] = {}
+    for d in sorted(s2):
+        h = hashlib.md5(ext[d].encode()).hexdigest()
+        best.setdefault(h, d)
+    s3 = set(best.values())
+    assert rows["3_exact_dedup"].n_docs == len(s3)
+
+    _, labels = shared_pairs_and_labels(spark, SF_SMOKE)
+    noncanon = {
+        r.node for r in labels.filter(F.col("node") != F.col("label")).collect()
+    }
+    s4 = s3 - noncanon
+    assert rows["4_near_dedup"].n_docs == len(s4)
+    assert rows["4_near_dedup"].n_tokens == sum(tok[d] for d in s4)
+
+    s5 = {d for d in s4 if (d * CRAWL_MIX_A) % CRAWL_MIX_M % 100 < CRAWL_TRAIN_PCT}
+    assert rows["5_train_mix"].n_docs == len(s5)
+    assert rows["5_train_mix"].n_tokens == sum(tok[d] for d in s5)

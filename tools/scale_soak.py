@@ -277,6 +277,7 @@ QUERIES = (
     "g13_degree_cap_audit",
     "s20_warc_record_mix",
     "a24b_kmv_production",
+    "l6_crawl_funnel",
     "l5_image_resize",
     "s21_manifest_compaction",
     "ml25_brier_decomposition",
