@@ -283,6 +283,7 @@ HEADLINE = (
     "s20_warc_record_mix",
     "a24b_kmv_production",
     "l6_crawl_funnel",
+    "s22_cdx_offset_read",
     "j22_interval_anti_join",
     "u17_cogrouped_map",
 )

@@ -446,3 +446,88 @@ def l6_crawl_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(report(s4, "4_near_dedup"))
         .unionByName(report(s5, "5_train_mix"))
     )
+
+
+# ---------------------------------------------------------------------------
+# S22: CDX offset read — the targeted-access production path
+# ---------------------------------------------------------------------------
+
+S22_PICK_MOD = 13  # read only doc_id % 13 == 0 through the offset index
+
+# (applicationId, sf_dir) -> materialized CDX parquet path: the index
+# is derived ONCE per session (production: written at crawl time) and
+# every targeted read after that is a parquet scan + ranged member
+# fetches.
+_CDX_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _cdx_path(spark: SparkSession, sf_dir: str) -> str:
+    from chronicle_sniffer_spark.plans.round12 import _warc_dir
+    from chronicle_sniffer_spark.sources.warc import build_cdx
+    from chronicle_sniffer_spark.tables import session_tmpdir
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _CDX_CACHE:
+        out = session_tmpdir("css_cdx_")
+        build_cdx(spark, _warc_dir(spark, sf_dir)).write.mode("overwrite").parquet(
+            out
+        )
+        _CDX_CACHE[key] = out
+    return _CDX_CACHE[key]
+
+
+def _s22_oracle() -> str:
+    from chronicle_sniffer_spark.plans.round11 import HTML_PAGE_SQL
+
+    return f"""
+    WITH pages AS (
+      SELECT doc_id, {HTML_PAGE_SQL} AS html FROM documents
+      WHERE doc_id % {S22_PICK_MOD} = 0
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(200 AS INTEGER) AS http_status,
+           CAST(length(html) AS BIGINT) AS payload_len,
+           md5(html) AS payload_md5
+    FROM pages
+"""
+
+
+@query("s22_cdx_offset_read", section="S2", oracle=_s22_oracle())
+def s22_cdx_offset_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Targeted crawl access through the CDX offset index — how a
+    consumer fetches SPECIFIC pages from a 100 TB snapshot without
+    scanning it: filter the (file, offset, length) index frame (this
+    filter IS the member pruning — Catalyst prunes the parquet scan,
+    and the fetch stage's input bytes are exactly Σ selected lengths),
+    then seek/read/decompress each selected member independently
+    (every member is its own gzip stream; no whole-file
+    materialization, so the binaryFile 2 GiB ceiling never applies).
+    The oracle rebuilds the same subset straight from the documents
+    table: an offset that is even one byte off fails the member walk
+    or the md5.
+
+    The index itself is derived once per session by build_cdx (one
+    sequential walk per container, parallel across files) and
+    parquet-materialized — the production equivalent is the cdx-*.gz
+    a crawler publishes next to its containers."""
+    from chronicle_sniffer_spark.sources.warc import read_warc_cdx
+
+    cdx = spark.read.parquet(_cdx_path(spark, sf_dir))
+    picked = cdx.filter(
+        (F.col("warc_type") == "response")
+        & F.col("target_uri").rlike(r"/doc/\d+$")
+        & (
+            F.regexp_extract("target_uri", r"/doc/(\d+)$", 1).cast("bigint")
+            % S22_PICK_MOD
+            == 0
+        )
+    )
+    recs = read_warc_cdx(picked)
+    return recs.select(
+        F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        F.col("http_status").cast("int").alias("http_status"),
+        F.length("text").cast("bigint").alias("payload_len"),
+        F.md5("payload").alias("payload_md5"),
+    )

@@ -45,8 +45,11 @@ Memory bounds, stated explicitly:
   index: (file, offset, length) triples map straight to independent
   member reads (every member is its own gzip stream), giving
   arbitrarily fine tasks and no whole-file materialization — same
-  parse code, different slicing; this repo's testdata ships no CDX
-  fixture, so that variant is documented rather than exercised.
+  parse code, different slicing.  IMPLEMENTED here as
+  :func:`build_cdx` (derive the index once, one walk per file) +
+  :func:`read_warc_cdx` (seek/read ONLY the requested ranges;
+  task input bytes = Σ requested lengths), exercised by the
+  ``s22_cdx_offset_read`` catalog entry.
 
 Reference analogue: R9 "container bytes → records" decode
 (reference processor/processor_app.py:150-155 — pcap-side, same
@@ -308,6 +311,43 @@ def write_warc(pages: DataFrame, out_dir: str, n_files: int = 8) -> list[str]:
 # --- reader -----------------------------------------------------------
 
 
+def iter_members(data: bytes, path: str = "<buf>"):
+    """Sequential gzip-member walk over a container's bytes, yielding
+    ``(offset, consumed, decompressed_record)`` per member.
+
+    Bounded-chunk feed: EVERY whole-tail formulation is
+    O(members × file bytes) on a many-tiny-member file, because zlib
+    materializes the unconsumed input as ``unused_data`` — including
+    Python's own ``gzip.decompress`` (measured: 18.5 s for ONE
+    9.5 MB / 15.6k-member file; the round-12 sf10 spot read 16–63×
+    wall for 10× data across three formulations).  Feeding the
+    decompressor zero-copy memoryview slices with an exponential ramp
+    (8 KB first, ×8 up to 1 MB while a member continues) bounds the
+    per-member overshoot copy at the first chunk size for tiny
+    members while still streaming large ones — total copy volume is
+    O(file bytes).  Unknown/truncated bytes raise loudly rather than
+    silently skipping records."""
+    mv = memoryview(data)
+    n = len(data)
+    pos = 0
+    while pos < n:
+        d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+        parts = []
+        feed, step = pos, 8192
+        while not d.eof and feed < n:
+            parts.append(d.decompress(mv[feed : feed + step]))
+            feed = min(feed + step, n)
+            step = min(step * 8, 1 << 20)
+        if not d.eof:
+            raise ValueError(f"corrupt gzip member at {path}:{pos}")
+        rec = b"".join(parts) + d.flush()
+        consumed = (feed - pos) - len(d.unused_data)
+        if consumed <= 0:
+            raise ValueError(f"corrupt gzip member at {path}:{pos}")
+        yield pos, consumed, rec
+        pos += consumed
+
+
 def _dechunk(body: bytes) -> bytes:
     """Decode an HTTP chunked transfer-encoded body.  Raises on a
     malformed chunk frame — truncation must be loud, not a silently
@@ -400,43 +440,13 @@ def read_warc(spark: SparkSession, path_glob: str) -> DataFrame:
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for path, content in zip(pdf["path"], pdf["content"]):
-                data = bytes(content)
                 out: list[dict] = []
-                # Bounded-chunk member walk.  EVERY whole-tail
-                # formulation is O(members × file bytes) on a
-                # many-tiny-member file, because zlib materializes the
-                # unconsumed input as ``unused_data`` — including
-                # Python's own ``gzip.decompress`` (measured: 18.5 s
-                # for ONE 9.5 MB / 15.6k-member file; the sf10 spot
-                # read 16–63× wall for 10× data across three
-                # formulations).  Feeding the decompressor zero-copy
-                # memoryview slices with an exponential ramp (8 KB
-                # first, ×8 up to 1 MB while a member continues)
-                # bounds the per-member overshoot copy at the first
-                # chunk size for tiny members while still streaming
-                # large ones — total copy volume is O(file bytes).
-                mv = memoryview(data)
-                n = len(data)
-                pos, idx = 0, 0
-                while pos < n:
-                    d = zlib.decompressobj(16 + zlib.MAX_WBITS)
-                    parts = []
-                    feed, step = pos, 8192
-                    while not d.eof and feed < n:
-                        parts.append(d.decompress(mv[feed : feed + step]))
-                        feed = min(feed + step, n)
-                        step = min(step * 8, 1 << 20)
-                    if not d.eof:
-                        raise ValueError(f"corrupt gzip member at {path}:{pos}")
-                    rec = b"".join(parts) + d.flush()
-                    consumed = (feed - pos) - len(d.unused_data)
-                    if consumed <= 0:
-                        raise ValueError(f"corrupt gzip member at {path}:{pos}")
+                for idx, (pos, _consumed, rec) in enumerate(
+                    iter_members(bytes(content), path)
+                ):
                     parsed = _parse_record(rec)
                     parsed.update(file=path, member_idx=idx)
                     out.append(parsed)
-                    pos += consumed
-                    idx += 1
                 yield pd.DataFrame(out, columns=_COLUMNS)
 
     files = (
@@ -446,3 +456,100 @@ def read_warc(spark: SparkSession, path_glob: str) -> DataFrame:
         .select("path", "content")
     )
     return files.mapInPandas(_decode, WARC_SCHEMA)
+
+
+CDX_SCHEMA = (
+    "file string, member_idx int, offset bigint, length bigint,"
+    " warc_type string, target_uri string"
+)
+
+
+def build_cdx(spark: SparkSession, path_glob: str) -> DataFrame:
+    """Derive the CDX offset index — (file, offset, length) per
+    member, plus the type/URI lookup keys — from the containers
+    themselves (one sequential walk per file, parallel across files).
+    A production crawler writes this alongside each container at
+    crawl time (Common Crawl publishes cdx-*.gz exactly so); deriving
+    it here once per fixture is the offline equivalent.  Only WARC
+    headers are parsed for the keys; payloads are never decoded."""
+
+    def _index(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for path, content in zip(pdf["path"], pdf["content"]):
+                rows = []
+                for idx, (pos, consumed, rec) in enumerate(
+                    iter_members(bytes(content), path)
+                ):
+                    head = rec.split(b"\r\n\r\n", 1)[0]
+                    hdr = {}
+                    for ln in head.split(b"\r\n")[1:]:
+                        k, _, v = ln.partition(b":")
+                        hdr[k.strip().lower()] = v.strip()
+                    rows.append(
+                        {
+                            "file": path,
+                            "member_idx": idx,
+                            "offset": pos,
+                            "length": consumed,
+                            "warc_type": hdr.get(b"warc-type", b"").decode(),
+                            "target_uri": hdr.get(b"warc-target-uri", b"").decode(),
+                        }
+                    )
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "file",
+                        "member_idx",
+                        "offset",
+                        "length",
+                        "warc_type",
+                        "target_uri",
+                    ],
+                )
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.warc.gz")
+        .load(path_glob)
+        .select("path", "content")
+    )
+    return files.mapInPandas(_index, CDX_SCHEMA)
+
+
+def read_warc_cdx(cdx: DataFrame) -> DataFrame:
+    """The PRODUCTION targeted read path: given CDX rows (file,
+    offset, length, ...), read ONLY those byte ranges — every member
+    is its own gzip stream, so (offset, length) slices decompress
+    independently.  No whole-file materialization (the binaryFile
+    2 GiB ceiling never applies), no scan of unrequested members:
+    task input bytes = Σ requested lengths.  Filters on the CDX frame
+    ARE the member pruning — exactly how Common Crawl consumers fetch
+    single pages from a 100 TB snapshot.  Local ``open()`` here; on a
+    real cluster the same seek/read runs through the Hadoop FS client
+    (or an object store's ranged GET)."""
+
+    def _fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: list[dict] = []
+            # group by file so each file opens once, reads sorted ranges
+            for path, grp in pdf.groupby("file", sort=False):
+                from urllib.parse import unquote, urlparse
+
+                parsed_url = urlparse(str(path))
+                local = unquote(parsed_url.path) if parsed_url.scheme else str(path)
+                with open(local, "rb") as f:
+                    for _, row in grp.sort_values("offset").iterrows():
+                        f.seek(int(row["offset"]))
+                        blob = f.read(int(row["length"]))
+                        walked = list(iter_members(blob, path))
+                        if len(walked) != 1:
+                            raise ValueError(
+                                f"CDX range at {path}:{row['offset']} holds "
+                                f"{len(walked)} members, expected 1"
+                            )
+                        parsed = _parse_record(walked[0][2])
+                        parsed.update(file=path, member_idx=int(row["member_idx"]))
+                        out.append(parsed)
+            yield pd.DataFrame(out, columns=_COLUMNS)
+
+    return cdx.mapInPandas(_fetch, WARC_SCHEMA)

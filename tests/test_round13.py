@@ -175,3 +175,59 @@ def test_crawl_funnel_reconciles_with_standalone_stages(spark):
     s5 = {d for d in s4 if (d * CRAWL_MIX_A) % CRAWL_MIX_M % 100 < CRAWL_TRAIN_PCT}
     assert rows["5_train_mix"].n_docs == len(s5)
     assert rows["5_train_mix"].n_tokens == sum(tok[d] for d in s5)
+
+
+def test_cdx_index_partitions_files_and_targeted_read_matches_scan(spark, tmp_path):
+    """The CDX index must PARTITION each container (offsets contiguous
+    from 0, lengths summing to the file size — one byte off and a
+    ranged read lands mid-member), and a targeted read through it
+    must return byte-identical records to filtering the full scan."""
+    import os
+
+    from chronicle_sniffer_spark.sources.warc import (
+        build_cdx,
+        read_warc,
+        read_warc_cdx,
+        write_warc,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", F.concat(F.lit("<p>"), "text", F.lit("</p>")).alias("html")
+    )
+    out = str(tmp_path / "crawl")
+    write_warc(docs, out, n_files=3)
+    cdx = build_cdx(spark, out)
+    rows = cdx.collect()
+    by_file: dict[str, list] = {}
+    for r in rows:
+        by_file.setdefault(r.file, []).append(r)
+    assert len(by_file) == 3
+    for path, members in by_file.items():
+        members.sort(key=lambda r: r.offset)
+        pos = 0
+        for m in members:
+            assert m.offset == pos, "offsets must be contiguous"
+            pos += m.length
+        local = path[len("file:"):] if path.startswith("file:") else path
+        assert pos == os.path.getsize(local), "lengths must sum to file size"
+    # targeted read of every 7th doc == the full scan filtered
+    picked = cdx.filter(
+        (F.col("warc_type") == "response")
+        & F.col("target_uri").rlike(r"/doc/\d+$")
+        & (
+            F.regexp_extract("target_uri", r"/doc/(\d+)$", 1).cast("bigint") % 7
+            == 0
+        )
+    )
+    via_cdx = {
+        (r.target_uri, bytes(r.payload), r.text, r.decode_errors)
+        for r in read_warc_cdx(picked).collect()
+    }
+    via_scan = {
+        (r.target_uri, bytes(r.payload), r.text, r.decode_errors)
+        for r in read_warc(spark, out).collect()
+        if r.warc_type == "response"
+        and "/doc/" in r.target_uri
+        and int(r.target_uri.rsplit("/", 1)[1]) % 7 == 0
+    }
+    assert via_cdx == via_scan and len(via_cdx) > 0

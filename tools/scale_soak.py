@@ -278,6 +278,7 @@ QUERIES = (
     "s20_warc_record_mix",
     "a24b_kmv_production",
     "l6_crawl_funnel",
+    "s22_cdx_offset_read",
     "l5_image_resize",
     "s21_manifest_compaction",
     "ml25_brier_decomposition",
