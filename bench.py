@@ -284,6 +284,9 @@ HEADLINE = (
     "a24b_kmv_production",
     "l6_crawl_funnel",
     "s22_cdx_offset_read",
+    "ml26_isotonic_calibration",
+    "ml27_mann_whitney_u",
+    "ts25_sax_symbolize",
     "j22_interval_anti_join",
     "u17_cogrouped_map",
 )
@@ -310,6 +313,8 @@ _SMALL = {
     "s20_warc_record_mix",
     "a24b_kmv_production",
     "l6_crawl_funnel",
+    "ml26_isotonic_calibration",
+    "ml27_mann_whitney_u",
     "s21_manifest_compaction",
     "ml25_brier_decomposition",
     "l2_cdc_chunk_dedup",

@@ -531,3 +531,364 @@ def s22_cdx_offset_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").cast("bigint").alias("payload_len"),
         F.md5("payload").alias("payload_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ML26: isotonic calibration (pool-adjacent-violators via minimax)
+# ---------------------------------------------------------------------------
+
+ML26_BINS = 100
+
+_ML26_ORACLE = f"""
+    WITH scored AS (
+      SELECT (lang = 'en') AS label,
+             0.5 + 0.5 * ((n_chars - 300) / 80.0)
+                       / (1 + abs((n_chars - 300) / 80.0)) AS p
+      FROM documents
+    ),
+    bins AS (
+      SELECT CAST(least(floor(p * {ML26_BINS}), {ML26_BINS - 1}) AS INT) AS b,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS o
+      FROM scored GROUP BY 1
+    ),
+    pre AS (
+      SELECT b, n, o,
+             CAST(sum(n) OVER (ORDER BY b) AS BIGINT) AS cn,
+             CAST(sum(o) OVER (ORDER BY b) AS BIGINT) AS co
+      FROM bins
+    ),
+    seg AS (
+      SELECT i.b AS i, j.b AS j,
+             CAST(j.co - i.co + i.o AS DOUBLE)
+               / CAST(j.cn - i.cn + i.n AS DOUBLE) AS v
+      FROM pre i JOIN pre j ON j.b >= i.b
+    ),
+    mn AS (
+      SELECT seg.i, k.b AS k, min(seg.v) AS mv
+      FROM seg JOIN bins k ON seg.i <= k.b AND seg.j >= k.b
+      GROUP BY seg.i, k.b
+    ),
+    fit AS (SELECT k, max(mv) AS f FROM mn GROUP BY k)
+    SELECT bins.b AS bin, bins.n, bins.o,
+           round(CAST(bins.o AS DOUBLE) / CAST(bins.n AS DOUBLE), 6)
+             AS emp_rate,
+           round(fit.f, 6) AS isotonic_rate
+    FROM bins JOIN fit ON fit.k = bins.b
+"""
+
+
+@query("ml26_isotonic_calibration", section="ML3", oracle=_ML26_ORACLE)
+def ml26_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic calibration — the nonparametric step after ml7's
+    reliability diagram: fit the best MONOTONE step function to the
+    per-bin empirical positive rates (pool-adjacent-violators).  PAV's
+    sequential pooling has an exact closed form, the minimax identity
+    fitted(k) = max_{{i≤k}} min_{{j≥k}} avg(o, i..j) — which turns the
+    inherently sequential algorithm into three joins over the
+    BIN-level table: O(B²) segment averages from prefix sums, O(B³)
+    (i,k,j) membership (B = {B} bins → ≤10⁶ tiny rows, independent of
+    corpus size), a min and a max.  The corpus-sized work is ONE
+    bin-keyed partial agg; everything after operates on ≤B rows —
+    exactly how calibration runs at 100 TB (the model is small, the
+    data is not).
+
+    Determinism: ml7's rational-sigmoid scorer (every op a correctly
+    rounded IEEE primitive), segment averages are single int64→double
+    divisions, min/max are comparisons (no accumulation) — both
+    engines pick bit-identical values; round(…,6) only at output.
+    Monotonicity of the fit is pytest-asserted."""
+    d = _t(spark, sf_dir, "documents")
+    z = (F.col("n_chars") - 300) / 80.0
+    p = F.lit(0.5) + F.lit(0.5) * z / (F.lit(1) + F.abs(z))
+    scored = d.select((F.col("lang") == "en").alias("label"), p.alias("p"))
+    bins = (
+        scored.select(
+            F.least(F.floor(F.col("p") * ML26_BINS), F.lit(ML26_BINS - 1))
+            .cast("int")
+            .alias("b"),
+            "label",
+        )
+        .groupBy("b")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.when(F.col("label"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("o"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.orderBy("b").rowsBetween(W.unboundedPreceding, W.currentRow)
+    pre = bins.select(
+        "b",
+        "n",
+        "o",
+        F.sum("n").over(w).cast("bigint").alias("cn"),
+        F.sum("o").over(w).cast("bigint").alias("co"),
+    )
+    i = pre.select(
+        F.col("b").alias("i"),
+        F.col("n").alias("ni"),
+        F.col("o").alias("oi"),
+        F.col("cn").alias("cni"),
+        F.col("co").alias("coi"),
+    )
+    j = pre.select(
+        F.col("b").alias("j"), F.col("cn").alias("cnj"), F.col("co").alias("coj")
+    )
+    seg = i.join(F.broadcast(j), F.col("j") >= F.col("i")).select(
+        "i",
+        "j",
+        (
+            (F.col("coj") - F.col("coi") + F.col("oi")).cast("double")
+            / (F.col("cnj") - F.col("cni") + F.col("ni")).cast("double")
+        ).alias("v"),
+    )
+    k = bins.select(F.col("b").alias("k"))
+    mn = (
+        seg.join(
+            F.broadcast(k), (F.col("i") <= F.col("k")) & (F.col("j") >= F.col("k"))
+        )
+        .groupBy("i", "k")
+        .agg(F.min("v").alias("mv"))
+    )
+    fit = mn.groupBy("k").agg(F.max("mv").alias("f"))
+    return (
+        bins.join(fit, bins.b == fit.k)
+        .select(
+            F.col("b").alias("bin"),
+            "n",
+            "o",
+            F.round(F.col("o").cast("double") / F.col("n").cast("double"), 6).alias(
+                "emp_rate"
+            ),
+            F.round("f", 6).alias("isotonic_rate"),
+        )
+    )
+
+
+ml26_isotonic_calibration.__doc__ = ml26_isotonic_calibration.__doc__.format(
+    B=ML26_BINS
+)
+
+
+# ---------------------------------------------------------------------------
+# ML27: Mann–Whitney U (rank-sum test, tie-corrected)
+# ---------------------------------------------------------------------------
+
+ML27_A, ML27_B = "1-URGENT", "5-LOW"
+
+_ML27_ORACLE = f"""
+    WITH s AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+             CASE WHEN o_orderpriority = '{ML27_A}' THEN 1 ELSE 0 END AS ga
+      FROM orders
+      WHERE o_orderpriority IN ('{ML27_A}', '{ML27_B}')
+    ),
+    v AS (
+      SELECT cents,
+             CAST(sum(ga) AS BIGINT) AS ca,
+             CAST(count(*) AS BIGINT) AS t
+      FROM s GROUP BY cents
+    ),
+    cum AS (
+      SELECT cents, ca, t,
+             CAST(coalesce(sum(t) OVER (ORDER BY cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS before
+      FROM v
+    ),
+    agg AS (
+      SELECT CAST(sum(ca) AS BIGINT) AS n1,
+             CAST(sum(t - ca) AS BIGINT) AS n2,
+             CAST(sum(ca * (2 * (before + 1) + t - 1)) AS BIGINT) AS r2a,
+             CAST(sum(t * t * t - t) AS BIGINT) AS tie3
+      FROM cum
+    )
+    SELECT n1, n2,
+           CAST(r2a - n1 * (n1 + 1) AS BIGINT) AS u2_a,
+           round((CAST(r2a - n1 * (n1 + 1) AS DOUBLE) / 2
+                  - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2)
+                 / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0
+                        * (CAST(n1 + n2 + 1 AS DOUBLE)
+                           - CAST(tie3 AS DOUBLE)
+                             / (CAST(n1 + n2 AS DOUBLE)
+                                * CAST(n1 + n2 - 1 AS DOUBLE)))), 6) AS z
+    FROM agg
+"""
+
+
+@query("ml27_mann_whitney_u", section="ML3", oracle=_ML27_ORACLE)
+def ml27_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U — the nonparametric two-sample test next to
+    ml24's parametric Welch t: does one order-priority class
+    stochastically dominate another's prices?  Rank-sum with AVERAGE
+    ranks for ties and the tie-corrected normal approximation.
+
+    Exactness strategy (the int64 contract): ranks are never computed
+    per ROW — the distinct-value table (cents, counts) carries
+    everything (the a4c two-phase-histogram idea), and tied average
+    ranks are kept exact by working in HALF-RANK units: each member of
+    a tie group of size t starting after `before` rows contributes
+    2·avg_rank = 2·(before+1) + t − 1, an integer.  So r2a = 2·R_A and
+    u2_a = 2·U_A are exact BIGINTs the oracle hash-compares; only the
+    z-score touches doubles, with every factor cast from int64
+    (correctly rounded in BOTH engines — never HUGEINT) and the
+    expression written identically on both sides.
+
+    Spark shapes: one cents-keyed partial agg (the only corpus-sized
+    shuffle), one window cumsum over the DISTINCT-value table
+    (Aggregate-bounded, ~price-range-sized, not row-sized), one global
+    fold."""
+    s = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority").isin(ML27_A, ML27_B))
+        .select(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("cents"),
+            F.when(F.col("o_orderpriority") == ML27_A, 1)
+            .otherwise(0)
+            .alias("ga"),
+        )
+    )
+    v = s.groupBy("cents").agg(
+        F.sum("ga").cast("bigint").alias("ca"),
+        F.count("*").cast("bigint").alias("t"),
+    )
+    from pyspark.sql import Window as W
+
+    w = W.orderBy("cents").rowsBetween(W.unboundedPreceding, -1)
+    cum = v.select(
+        "ca",
+        "t",
+        F.coalesce(F.sum("t").over(w), F.lit(0)).cast("bigint").alias("before"),
+    )
+    agg = cum.agg(
+        F.sum("ca").cast("bigint").alias("n1"),
+        F.sum(F.col("t") - F.col("ca")).cast("bigint").alias("n2"),
+        F.sum(F.col("ca") * (2 * (F.col("before") + 1) + F.col("t") - 1))
+        .cast("bigint")
+        .alias("r2a"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("bigint")
+        .alias("tie3"),
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    nd = (F.col("n1") + F.col("n2")).cast("double")
+    u2 = (F.col("r2a") - F.col("n1") * (F.col("n1") + 1)).cast("bigint")
+    return agg.select(
+        "n1",
+        "n2",
+        u2.alias("u2_a"),
+        F.round(
+            (u2.cast("double") / 2 - n1d * n2d / 2)
+            / F.sqrt(
+                n1d
+                * n2d
+                / 12.0
+                * (
+                    (F.col("n1") + F.col("n2") + 1).cast("double")
+                    - F.col("tie3").cast("double")
+                    / (nd * (F.col("n1") + F.col("n2") - 1).cast("double"))
+                )
+            ),
+            6,
+        ).alias("z"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TS25: SAX symbolization (PAA + rank-quartile alphabet)
+# ---------------------------------------------------------------------------
+
+SAX_W = 4  # PAA window: 4 consecutive days per segment
+SAX_ALPHA = 4  # alphabet size (quartiles → 'a'..'d')
+
+_TS25_ORACLE = f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+      SELECT event_type, n,
+             row_number() OVER (PARTITION BY event_type ORDER BY d) - 1 AS i
+      FROM daily
+    ),
+    paa AS (
+      SELECT event_type, i // {SAX_W} AS win,
+             CAST(sum(n) AS DOUBLE) / count(*) AS paa,
+             CAST(count(*) AS BIGINT) AS n_days
+      FROM idx GROUP BY 1, 2
+    )
+    SELECT event_type, CAST(win AS BIGINT) AS win, round(paa, 6) AS paa,
+           n_days,
+           chr(CAST(96 + ntile({SAX_ALPHA})
+                 OVER (PARTITION BY event_type ORDER BY paa, win) AS INTEGER)) AS sym
+    FROM paa
+"""
+
+
+@query("ts25_sax_symbolize", section="TS", oracle=_TS25_ORACLE)
+def ts25_sax_symbolize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX (Symbolic Aggregate approXimation, Lin et al. 2003) over
+    the per-type daily event-count series: Piecewise Aggregate
+    Approximation ({W}-day segment means) then a {A}-letter alphabet —
+    the discretization that turns numeric series into strings, so the
+    repo's whole text toolbox (n-gram fingerprints, suffix/containment
+    dedup, phrase search) applies to TELEMETRY: motif discovery and
+    anomaly grep become substring problems.
+
+    One deliberate deviation from the textbook, for cross-engine
+    exactness: classic SAX cuts z-scores at Gaussian breakpoints —
+    mean/std doubles whose last-ulp differences could flip a boundary
+    symbol between engines.  Here the alphabet is RANK-quartile
+    (ntile over (paa, win) — a deterministic total order: PAA values
+    are exact int÷int doubles, identical bit patterns both engines,
+    and the win tiebreak removes ordering slack), which is also the
+    equi-probable-symbol property SAX's Gaussian breakpoints are
+    chasing, achieved exactly on the empirical distribution.
+
+    Spark shapes: one (type, day) partial agg, one per-type window
+    rank (partitioned — never global), one (type, win) agg, one
+    per-type ntile; every stage keyed, nothing corpus-sized crosses
+    unkeyed."""
+    from pyspark.sql import Window as W
+
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("d"))
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    idx = daily.select(
+        "event_type",
+        "n",
+        (
+            F.row_number().over(W.partitionBy("event_type").orderBy("d")) - 1
+        ).alias("i"),
+    )
+    paa = idx.groupBy(
+        "event_type", (F.col("i") / SAX_W).cast("int").alias("win")
+    ).agg(
+        (F.sum("n").cast("double") / F.count("*")).alias("paa"),
+        F.count("*").cast("bigint").alias("n_days"),
+    )
+    return paa.select(
+        "event_type",
+        F.col("win").cast("bigint").alias("win"),
+        F.round("paa", 6).alias("paa"),
+        "n_days",
+        F.chr(
+            96
+            + F.ntile(SAX_ALPHA).over(
+                W.partitionBy("event_type").orderBy("paa", "win")
+            )
+        ).alias("sym"),
+    )
+
+
+ts25_sax_symbolize.__doc__ = ts25_sax_symbolize.__doc__.format(
+    W=SAX_W, A=SAX_ALPHA
+)

@@ -231,3 +231,68 @@ def test_cdx_index_partitions_files_and_targeted_read_matches_scan(spark, tmp_pa
         and int(r.target_uri.rsplit("/", 1)[1]) % 7 == 0
     }
     assert via_cdx == via_scan and len(via_cdx) > 0
+
+
+def test_isotonic_fit_is_monotone_and_weighted_mean_preserving(spark):
+    """PAV's two defining properties: the fitted rates are
+    non-decreasing in the bin order, and the n-weighted mean of the
+    fit equals the n-weighted mean of the empirical rates (pooling
+    only averages, never shifts mass)."""
+    from chronicle_sniffer_spark.plans.round13 import ml26_isotonic_calibration
+
+    rows = sorted(
+        ml26_isotonic_calibration(spark, SF_SMOKE).collect(),
+        key=lambda r: r.bin,
+    )
+    fits = [r.isotonic_rate for r in rows]
+    assert all(a <= b + 1e-9 for a, b in zip(fits, fits[1:]))
+    wm_fit = sum(r.n * r.isotonic_rate for r in rows) / sum(r.n for r in rows)
+    wm_emp = sum(r.o for r in rows) / sum(r.n for r in rows)
+    assert abs(wm_fit - wm_emp) < 1e-5
+    # and the fit actually pooled something (violators exist)
+    emps = [r.emp_rate for r in rows]
+    assert any(a > b for a, b in zip(emps, emps[1:])), "fixture has no violators"
+    assert fits != emps
+
+
+def test_mann_whitney_matches_bruteforce_on_fixture(spark):
+    """u2_a must equal the brute-force pairwise count 2·(#wins) +
+    (#ties) over the two samples — the definitional U, computed in
+    O(n²) Python on the smoke corpus."""
+    from chronicle_sniffer_spark.plans.round13 import (
+        ML27_A,
+        ML27_B,
+        ml27_mann_whitney_u,
+    )
+
+    rows = load_table(spark, SF_SMOKE, "orders").collect()
+    a = [round(r.o_totalprice * 100) for r in rows if r.o_orderpriority == ML27_A]
+    b = [round(r.o_totalprice * 100) for r in rows if r.o_orderpriority == ML27_B]
+    u2 = sum(2 if x > y else (1 if x == y else 0) for x in a for y in b)
+    got = ml27_mann_whitney_u(spark, SF_SMOKE).collect()[0]
+    assert got.n1 == len(a) and got.n2 == len(b)
+    assert got.u2_a == u2
+
+
+def test_sax_symbols_are_equiprobable_quartiles(spark):
+    """Per event_type, the 4 symbols partition the windows into
+    ntile-sized groups (sizes differ by at most 1) and the symbol
+    order respects the PAA order."""
+    from chronicle_sniffer_spark.plans.round13 import ts25_sax_symbolize
+
+    rows = ts25_sax_symbolize(spark, SF_SMOKE).collect()
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    assert len(by_type) >= 3
+    for t, rs in by_type.items():
+        counts = {}
+        for r in rs:
+            counts[r.sym] = counts.get(r.sym, 0) + 1
+        assert set(counts) <= set("abcd")
+        if len(rs) >= 4:
+            assert max(counts.values()) - min(counts.values()) <= 1
+        # symbol order respects PAA order (ties broken by win)
+        ordered = sorted(rs, key=lambda r: (r.paa, r.win))
+        syms = [r.sym for r in ordered]
+        assert syms == sorted(syms)

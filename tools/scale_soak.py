@@ -279,6 +279,9 @@ QUERIES = (
     "a24b_kmv_production",
     "l6_crawl_funnel",
     "s22_cdx_offset_read",
+    "ml26_isotonic_calibration",
+    "ml27_mann_whitney_u",
+    "ts25_sax_symbolize",
     "l5_image_resize",
     "s21_manifest_compaction",
     "ml25_brier_decomposition",
