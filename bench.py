@@ -287,6 +287,7 @@ HEADLINE = (
     "ml26_isotonic_calibration",
     "ml27_mann_whitney_u",
     "ts25_sax_symbolize",
+    "l4_lang_id_trigram",
     "j22_interval_anti_join",
     "u17_cogrouped_map",
 )

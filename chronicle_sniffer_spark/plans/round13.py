@@ -892,3 +892,138 @@ def ts25_sax_symbolize(spark: SparkSession, sf_dir: str) -> DataFrame:
 ts25_sax_symbolize.__doc__ = ts25_sax_symbolize.__doc__.format(
     W=SAX_W, A=SAX_ALPHA
 )
+
+
+# ---------------------------------------------------------------------------
+# L4: character-trigram language identification
+# ---------------------------------------------------------------------------
+
+LID_TOPK = 200  # profile size: top trigrams per language
+LID_TEST_MOD = 5  # doc_id % 5 == 0 → test split; rest trains profiles
+
+_LID_ORACLE = f"""
+    WITH tri AS (
+      SELECT doc_id, lang, substr(text, i, 3) AS g
+      FROM documents,
+           unnest(generate_series(1, greatest(length(text) - 2, 0))) AS t(i)
+    ),
+    prof AS (
+      SELECT lang, g FROM (
+        SELECT lang, g, count(*) AS c,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY count(*) DESC, g) AS rn
+        FROM tri WHERE doc_id % {LID_TEST_MOD} <> 0
+        GROUP BY lang, g
+      ) WHERE rn <= {LID_TOPK}
+    ),
+    doc_tf AS (
+      SELECT doc_id, g, CAST(count(*) AS BIGINT) AS tf
+      FROM tri WHERE doc_id % {LID_TEST_MOD} = 0
+      GROUP BY doc_id, g
+    ),
+    scores AS (
+      SELECT d.doc_id, p.lang, CAST(sum(d.tf) AS BIGINT) AS score
+      FROM doc_tf d JOIN prof p ON p.g = d.g
+      GROUP BY d.doc_id, p.lang
+    ),
+    pred AS (
+      SELECT doc_id, lang AS pred_lang FROM (
+        SELECT doc_id, lang,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, lang) AS rn
+        FROM scores
+      ) WHERE rn = 1
+    )
+    SELECT t.lang AS true_lang,
+           coalesce(p.pred_lang, 'unk') AS pred_lang,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM (SELECT doc_id, lang FROM documents
+          WHERE doc_id % {LID_TEST_MOD} = 0) t
+    LEFT JOIN pred p ON p.doc_id = t.doc_id
+    GROUP BY 1, 2
+"""
+
+
+@query("l4_lang_id_trigram", section="L4", oracle=_LID_ORACLE)
+def l4_lang_id_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram language identification — the langid /
+    fastText-style heuristic every crawl pipeline runs before
+    lang-specific filtering: build per-language trigram PROFILES from
+    a train split (top {K} trigrams each — the model is KB-sized no
+    matter the corpus), classify the test split by summed
+    profile-trigram frequency, emit the confusion matrix.
+
+    Honesty note: this fixture's ``lang`` labels are synthetic — the
+    text is one shared vocabulary for every label — so accuracy here
+    is ≈ the train-split prior, BY CONSTRUCTION.  The operator is the
+    point: the oracle hash-checks the full mechanics (extraction,
+    deterministic top-K profile cut, scoring, argmax tie-break,
+    confusion rollup) exactly; on real multilingual text the same
+    plan is the standard n-gram LID.
+
+    Determinism: profiles cut by (count DESC, gram ASC) rank; argmax
+    by (score DESC, lang ASC); every score an exact int64 sum.
+
+    Spark shapes: trigram explode is a scan-edge Generate (sequence +
+    substr, no lambdas — codegen); doc-trigram counts are one
+    (doc, gram)-keyed partial agg; the profile is BROADCAST (≤ langs
+    × {K} rows) into the scoring join; per-doc argmax is a doc-keyed
+    window over the Aggregate-bounded score table.  At 100 TB: one
+    corpus scan + one corpus-sized keyed agg; the model never
+    shuffles the corpus."""
+    from pyspark.sql import Window as W
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    tri = d.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.length("text") - 2, F.lit(0)))
+        ).alias("i"),
+        "text",
+    ).select("doc_id", "lang", F.expr("substr(text, i, 3)").alias("g"))
+    train = tri.filter(F.col("doc_id") % LID_TEST_MOD != 0)
+    prof = (
+        train.groupBy("lang", "g")
+        .agg(F.count("*").alias("c"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("lang").orderBy(F.col("c").desc(), "g")
+            ),
+        )
+        .filter(F.col("rn") <= LID_TOPK)
+        .select("lang", "g")
+    )
+    doc_tf = (
+        tri.filter(F.col("doc_id") % LID_TEST_MOD == 0)
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    scores = (
+        doc_tf.join(F.broadcast(prof), "g")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum("tf").cast("bigint").alias("score"))
+    )
+    pred = (
+        scores.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("doc_id").orderBy(F.col("score").desc(), "lang")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("lang").alias("pred_lang"))
+    )
+    test = d.filter(F.col("doc_id") % LID_TEST_MOD == 0).select("doc_id", "lang")
+    return (
+        test.join(pred, "doc_id", "left")
+        .groupBy(
+            F.col("lang").alias("true_lang"),
+            F.coalesce("pred_lang", F.lit("unk")).alias("pred_lang"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+    )
+
+
+l4_lang_id_trigram.__doc__ = l4_lang_id_trigram.__doc__.format(K=LID_TOPK)

@@ -282,6 +282,7 @@ QUERIES = (
     "ml26_isotonic_calibration",
     "ml27_mann_whitney_u",
     "ts25_sax_symbolize",
+    "l4_lang_id_trigram",
     "l5_image_resize",
     "s21_manifest_compaction",
     "ml25_brier_decomposition",
