@@ -288,6 +288,7 @@ HEADLINE = (
     "ml27_mann_whitney_u",
     "ts25_sax_symbolize",
     "l4_lang_id_trigram",
+    "l5_audio_resample",
     "j22_interval_anti_join",
     "u17_cogrouped_map",
 )

@@ -1006,3 +1006,69 @@ def gif_anim_stats(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.filter(F.col("kind") == "image").mapInPandas(op, GIF_ANIM_DDL)
+
+
+AUDIO_RESAMPLE_DDL = (
+    "media_id bigint, in_rate int, out_rate int, n_in bigint,"
+    " n_out bigint, sum_abs2 bigint, n_zero bigint, rms double"
+)
+
+
+def audio_resample(media: DataFrame, out_rate: int) -> DataFrame:
+    """Real PCM-WAV linear resample → output-side statistics.
+
+    ``np.interp`` over sample positions j·in_rate/out_rate for
+    j = 0..⌊(n−1)·out_rate/in_rate⌋ — the standard piecewise-linear
+    interpolator (the production swap-in is a windowed-sinc filter;
+    linear is the exactness-checkable baseline).  For an integer
+    upsample ratio r the positions are exact dyadic rationals, so the
+    interpolated values are EXACT: the l5_audio_resample oracle
+    closed-forms every output of the ±A square corpus (inserted
+    midpoints are exactly 0), down to an integer absolute-sum
+    checksum in half-units (2|y| — exact for the ratio-2 midpoints).  Stats are computed output-side so the resampler's
+    actual samples are what the oracle hashes."""
+    import numpy as np
+    import pandas as pd
+
+    from chronicle_sniffer_spark.operators.codecs import decode_wav
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                k: []
+                for k in (
+                    "media_id",
+                    "in_rate",
+                    "out_rate",
+                    "n_in",
+                    "n_out",
+                    "sum_abs2",
+                    "n_zero",
+                    "rms",
+                )
+            }
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                s, rate = decode_wav(bytes(b))
+                n = int(s.shape[0])
+                n_out = (n - 1) * out_rate // rate + 1
+                pos = np.arange(n_out, dtype=np.float64) * (rate / out_rate)
+                y = np.interp(pos, np.arange(n, dtype=np.float64), s.astype("f8"))
+                out["media_id"].append(int(mid))
+                out["in_rate"].append(rate)
+                out["out_rate"].append(out_rate)
+                out["n_in"].append(n)
+                out["n_out"].append(int(n_out))
+                # checksum in HALF-units: for integer input at an
+                # integer upsample ratio every output is a multiple of
+                # 1/2, so 2|y| sums exactly in int64 (plain int
+                # truncation would silently eat .5 midpoints)
+                out["sum_abs2"].append(
+                    int(np.rint(np.abs(y) * 2).astype(np.int64).sum())
+                )
+                out["n_zero"].append(int((y == 0.0).sum()))
+                out["rms"].append(float(np.sqrt((y * y).sum() / n_out)))
+            yield pd.DataFrame(out)
+
+    return media.filter(F.col("kind") == "audio").mapInPandas(
+        op, AUDIO_RESAMPLE_DDL
+    )

@@ -1027,3 +1027,67 @@ def l4_lang_id_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 l4_lang_id_trigram.__doc__ = l4_lang_id_trigram.__doc__.format(K=LID_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# L5: audio linear resample (8 kHz → 16 kHz), exactness-checked
+# ---------------------------------------------------------------------------
+
+RESAMPLE_OUT_RATE = 16000
+
+_L5RS_ORACLE = f"""
+    WITH a AS (
+      SELECT doc_id,
+             CAST(800 + (doc_id % 5) * 400 AS BIGINT) AS n,
+             CAST(1000 + (doc_id % 20) * 100 AS BIGINT) AS amp
+      FROM documents WHERE doc_id % 3 = 1
+    )
+    SELECT doc_id AS media_id,
+           CAST(8000 AS INTEGER) AS in_rate,
+           CAST({RESAMPLE_OUT_RATE} AS INTEGER) AS out_rate,
+           n AS n_in,
+           CAST(2 * n - 1 AS BIGINT) AS n_out,
+           CAST(2 * n * amp AS BIGINT) AS sum_abs2,
+           CAST(n - 1 AS BIGINT) AS n_zero,
+           round(sqrt(CAST(n AS DOUBLE) * CAST(amp AS DOUBLE)
+                      * CAST(amp AS DOUBLE) / CAST(2 * n - 1 AS DOUBLE)), 6)
+             AS rms
+    FROM a
+"""
+
+
+@query("l5_audio_resample", section="L5", oracle=_L5RS_ORACLE)
+def l5_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio resample through bytes — the rate normalization
+    every speech corpus runs before training (mixed 8/16/44.1 kHz
+    sources → one model rate): PCM16 WAV square waves encode, decode,
+    and linearly upsample 8 kHz → 16 kHz in Arrow batches
+    (operators/multimodal.py::audio_resample, np.interp).  The ±A
+    alternating corpus makes every output sample CLOSED-FORM: original
+    samples pass through untouched, every inserted midpoint is exactly
+    (A + −A)/2 = 0, so the oracle pins n_out = 2n−1, an integer
+    half-unit absolute-sum checksum 2·n·A, the zero count n−1, and the RMS
+    A·√(n/(2n−1)) — a resampler that is off by one position, clips,
+    or filters instead of interpolating breaks the hash.
+
+    Spark shapes: scan pruned to doc_id → mapInPandas encode →
+    mapInPandas resample+stats; payload bytes never shuffle."""
+    from chronicle_sniffer_spark.operators.multimodal import (
+        audio_resample,
+        synthesize_media_encoded,
+    )
+
+    stats = audio_resample(
+        synthesize_media_encoded(_t(spark, sf_dir, "documents")),
+        RESAMPLE_OUT_RATE,
+    )
+    return stats.select(
+        "media_id",
+        "in_rate",
+        "out_rate",
+        "n_in",
+        "n_out",
+        "sum_abs2",
+        "n_zero",
+        F.round("rms", 6).alias("rms"),
+    )

@@ -296,3 +296,27 @@ def test_sax_symbols_are_equiprobable_quartiles(spark):
         ordered = sorted(rs, key=lambda r: (r.paa, r.win))
         syms = [r.sym for r in ordered]
         assert syms == sorted(syms)
+
+
+def test_audio_resample_is_exact_linear_interpolation(spark):
+    """Property check independent of the oracle's closed form: decode
+    one fixture WAV, resample, and compare EVERY output sample to a
+    hand-rolled midpoint interpolation."""
+    import numpy as np
+
+    from chronicle_sniffer_spark.operators.codecs import decode_wav, encode_wav
+    from chronicle_sniffer_spark.operators.multimodal import audio_resample
+
+    rng = [7, -3, 12, 0, -12, 5, 5, -8]  # NOT a square wave
+    wav = encode_wav(np.array(rng, dtype=np.int16), 8000)
+    media = spark.createDataFrame(
+        [(1, "audio", bytearray(wav))], "media_id bigint, kind string, payload binary"
+    )
+    row = audio_resample(media, 16000).collect()[0]
+    want = []
+    for k in range(len(rng) - 1):
+        want += [rng[k], (rng[k] + rng[k + 1]) / 2]
+    want.append(rng[-1])
+    assert row.n_out == len(want) == 2 * len(rng) - 1
+    assert row.sum_abs2 == int(round(sum(2 * abs(float(v)) for v in want)))
+    assert abs(row.rms - float(np.sqrt(np.mean(np.array(want, dtype=float) ** 2)))) < 1e-9

@@ -283,6 +283,7 @@ QUERIES = (
     "ml27_mann_whitney_u",
     "ts25_sax_symbolize",
     "l4_lang_id_trigram",
+    "l5_audio_resample",
     "l5_image_resize",
     "s21_manifest_compaction",
     "ml25_brier_decomposition",
