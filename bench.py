@@ -289,6 +289,7 @@ HEADLINE = (
     "ts25_sax_symbolize",
     "l4_lang_id_trigram",
     "l5_audio_resample",
+    "s23_schema_evolution_scan",
     "j22_interval_anti_join",
     "u17_cogrouped_map",
 )
@@ -317,6 +318,7 @@ _SMALL = {
     "l6_crawl_funnel",
     "ml26_isotonic_calibration",
     "ml27_mann_whitney_u",
+    "s23_schema_evolution_scan",
     "s21_manifest_compaction",
     "ml25_brier_decomposition",
     "l2_cdc_chunk_dedup",

@@ -1091,3 +1091,77 @@ def l5_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_zero",
         F.round("rms", 6).alias("rms"),
     )
+
+
+# ---------------------------------------------------------------------------
+# S23: schema-evolution scan (mergeSchema across epochs)
+# ---------------------------------------------------------------------------
+
+S23_SPLIT = 2  # epoch 0: o_orderkey % 2 == 0 (old schema); epoch 1: rest
+
+_S23_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _s23_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Two-epoch parquet layout with an EVOLVED schema: epoch 0 writes
+    (okey, cents), epoch 1 adds a priority column — the additive
+    column change every long-lived table accretes."""
+    from chronicle_sniffer_spark.tables import session_tmpdir
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _S23_CACHE:
+        out = session_tmpdir("css_s23_")
+        o = _t(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").alias("okey"),
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("cents"),
+            F.col("o_orderpriority").alias("prio"),
+        )
+        o.filter(F.col("okey") % S23_SPLIT == 0).select("okey", "cents").write.parquet(
+            f"{out}/epoch=0"
+        )
+        o.filter(F.col("okey") % S23_SPLIT != 0).write.parquet(f"{out}/epoch=1")
+        _S23_CACHE[key] = out
+    return _S23_CACHE[key]
+
+
+_S23_ORACLE = f"""
+    WITH t AS (
+      SELECT o_orderkey AS okey,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+             CASE WHEN o_orderkey % {S23_SPLIT} <> 0
+                  THEN o_orderpriority END AS prio
+      FROM orders
+    )
+    SELECT coalesce(prio, '<pre-evolution>') AS prio,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(cents) AS BIGINT) AS cents_total
+    FROM t GROUP BY 1
+"""
+
+
+@query("s23_schema_evolution_scan", section="S8", oracle=_S23_ORACLE)
+def s23_schema_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive schema evolution — the change every long-lived lake
+    table accretes: epoch 0 files carry (okey, cents), epoch 1 adds a
+    priority column.  One ``mergeSchema`` read reconciles both
+    footers into the superset schema (pre-evolution rows surface NULL
+    for the added column, bucketed here under '<pre-evolution>'), and
+    the rollup must equal a single-schema recompute from the source
+    table — files are never rewritten to evolve (the Delta/Iceberg
+    contract; at 100 TB a rewrite-to-evolve is the cost of the whole
+    table).
+
+    Spark shapes: footer-merged parallel scan → one partial agg.  The
+    per-file work is identical to a plain scan; schema merge is a
+    driver-side footer union, not a data pass."""
+    d = spark.read.option("mergeSchema", "true").parquet(
+        f"{_s23_dir(spark, sf_dir)}/epoch=0", f"{_s23_dir(spark, sf_dir)}/epoch=1"
+    )
+    return d.groupBy(
+        F.coalesce("prio", F.lit("<pre-evolution>")).alias("prio")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum("cents").cast("bigint").alias("cents_total"),
+    )

@@ -284,6 +284,7 @@ QUERIES = (
     "ts25_sax_symbolize",
     "l4_lang_id_trigram",
     "l5_audio_resample",
+    "s23_schema_evolution_scan",
     "l5_image_resize",
     "s21_manifest_compaction",
     "ml25_brier_decomposition",
