@@ -361,8 +361,10 @@ def main() -> None:
             "l2_semantic_dedup": "fixed K=16 cells for the oracle entry; the scale configuration grows n_centroids with the corpus (BASELINE.md: 3.0s at sf1 with K=160)",
             "j14_bucketed_range_join": "the scale replicas multiply orders 10x over the SAME date span, so overlapping pairs grow ~100x (7.86M at sf0.1 -> ~786M at sf1); 13.9x wall for ~100x output is sub-linear in output (>40M pairs/s through the bucket join); real workloads grow the time span with the data, keeping pair density (and the ratio) linear",
             "l2_ngram_containment_zipf": "round 12 MEASURED the Zipfian claim: tools/zipf_scale_probe.py on a 30k-word Zipf(1.05) regeneration of the corpus runs containment at 2.45x for 10x data with output-linear matches (sf1 wall 7.95s vs 21.6s on the 40-word corpus) - the synthetic-vocabulary floor is the fixture, not the plan (BASELINE.md round-12 table)",
-            "g13_common_neighbors": "wedge-join volume is sum over customers of deg^2 (the posting-list class); replicas keep per-customer degree fixed so work scales linearly with customers - the soak ratio reflects compute volume at fixed cores, and the docstring names the degree cap/salting guard for power-law graphs",
-            "l2_cdc_chunk_dedup": "per-position boundary scan is linear in corpus chars at fixed cores (~5x for 10x chars); chunk array and its consumption build in ONE aggregate fold - the posexplode+element_at draft re-ran the scan per chunk row via CollapseProject inlining (46s, caught in-round)",
+            "g13_common_neighbors": "round 13: FILTER-AND-VERIFY rewrite - degree-capped wedge candidates (<=C(16,2) per customer vs sum-of-deg^2) with the top-200 survivors re-counted EXACTLY on the full edge set; soak 4.17x -> 1.35x, sf10 176.6s -> 65.4s; capped top-k equals uncapped top-k at fixture scale (pytest)",
+            "l2_cdc_chunk_dedup": "round 13: the per-char boundary scan moved from the interpreted HOF expression (CodegenFallback, the r12 audit regression) to vectorized numpy over Arrow batches (utf-32 codepoints + one cumsum difference) - 2.6s -> 0.5s at sf1 for the exceptAll-identical chunk multiset",
+            "l4_lang_id_trigram": "trigram volume is 3x corpus chars through one (doc,gram) partial agg - char-linear at fixed cores (soak ~4x for 10x chars, sf10 spot 1.56x); the broadcast profile never shuffles the corpus",
+            "l6_crawl_funnel": "the near-dup stage reads the shared ngram cluster labels, so at sf10 it inherits the l2_ngram family's DOCUMENTED synthetic-vocabulary disk-intractability (every gram in ~40x more docs; BASELINE round-11 note, Zipf-measured output-linear on realistic text) - the sf10 spot for this entry is the Zipf corpus, not the 40-word fixture; sf1 steady state 1.53x",
             "u17_cogrouped_map": "cogrouped applyInPandas pays one Arrow call per key pair - linear in keys at fixed cores, the declared per-key-Python class (u14 precedent); volume work belongs in the SQL twin the oracle runs",
             "s18_gzip_json_scan": "STRUCTURAL, and the entry's point: gzip is not byte-range splittable, so the decompress is ONE serial task that grows linearly with the file (7.8x for 10x bytes is the codec, not the plan); spread() right after the scan parallelizes everything downstream - at 100 TB the fix is splittable codecs or many files, exactly what the docstring prescribes",
             "ml13_poisson_bootstrap_ci": "compile-dominated, not data-dominated: ~10s of Catalyst+Janino per REBUILT plan (600 exprs) vs 0.32s of executed work at sf0.1 - the B1a fixed-cost class; ratio 1.6x reflects the sf1 marginal work riding the same fixed cost",
