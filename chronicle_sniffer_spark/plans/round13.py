@@ -974,12 +974,17 @@ def l4_lang_id_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    # guard the <3-char case explicitly: Spark's sequence(1, len-2)
+    # infers step -1 when len-2 < 1 and yields a DESCENDING [1, 0]
+    # (two bogus partial trigrams) where DuckDB's generate_series(1,0)
+    # is EMPTY — explode-of-empty drops the row in both engines
+    positions = F.when(
+        F.length("text") >= 3, F.sequence(F.lit(1), F.length("text") - 2)
+    ).otherwise(F.array().cast("array<int>"))
     tri = d.select(
         "doc_id",
         "lang",
-        F.explode(
-            F.sequence(F.lit(1), F.greatest(F.length("text") - 2, F.lit(0)))
-        ).alias("i"),
+        F.explode(positions).alias("i"),
         "text",
     ).select("doc_id", "lang", F.expr("substr(text, i, 3)").alias("g"))
     train = tri.filter(F.col("doc_id") % LID_TEST_MOD != 0)

@@ -320,3 +320,26 @@ def test_audio_resample_is_exact_linear_interpolation(spark):
     assert row.n_out == len(want) == 2 * len(rng) - 1
     assert row.sum_abs2 == int(round(sum(2 * abs(float(v)) for v in want)))
     assert abs(row.rms - float(np.sqrt(np.mean(np.array(want, dtype=float) ** 2)))) < 1e-9
+
+
+def test_lang_id_trigram_extraction_drops_short_texts(spark):
+    """Documents shorter than 3 chars must yield ZERO trigrams — the
+    unguarded Spark sequence(1, len-2) infers step -1 for len < 3 and
+    yields a descending [1, 0] (two bogus partial trigrams) where
+    DuckDB's generate_series(1, 0) is empty; this pins the guarded
+    behavior on exactly those lengths."""
+    from pyspark.sql import functions as F2
+
+    df = spark.createDataFrame(
+        [(1, "en", ""), (2, "en", "a"), (3, "en", "ab"), (4, "en", "abc"),
+         (5, "en", "abcd")],
+        "doc_id bigint, lang string, text string",
+    )
+    positions = F2.when(
+        F2.length("text") >= 3, F2.sequence(F2.lit(1), F2.length("text") - 2)
+    ).otherwise(F2.array().cast("array<int>"))
+    tri = df.select(
+        "doc_id", F2.explode(positions).alias("i"), "text"
+    ).select("doc_id", F2.expr("substr(text, i, 3)").alias("g"))
+    got = sorted((r.doc_id, r.g) for r in tri.collect())
+    assert got == [(4, "abc"), (5, "abc"), (5, "bcd")]
