@@ -211,6 +211,20 @@ def _cached_centroids(spark, index_dir: str, manifest: dict | None) -> list:
                 _centroids_path(index_dir, manifest)
             ).collect()
         ]
+        # evict superseded snapshots of the SAME (app, index) on
+        # insert: a long-lived serving process that repeatedly
+        # rebuilds/upserts would otherwise leak one collected
+        # centroid list per published version (round-13 advisor
+        # finding).  Readers pinned to an older version simply
+        # re-collect on their next call — correctness is unchanged,
+        # the cache is only ever a cost saver.
+        stale = [
+            k
+            for k in _CENTROID_CACHE
+            if k[:2] == key[:2] and k[2] < key[2]
+        ]
+        for k in stale:
+            del _CENTROID_CACHE[k]
         _CENTROID_CACHE[key] = hit
     return hit
 
@@ -338,7 +352,12 @@ def ivf_index_upsert(
     cent = spark.read.parquet(_centroids_path(index_dir, m))
     vecs = new_embeddings.select("vec_id", as_double(F.col("embedding")).alias("v"))
     assigned = _assign(vecs, cent).select("vec_id", "v", "cid")
-    cells = ivf_read_cells(spark, index_dir)
+    # pin the SAME manifest snapshot the centroid/epoch math above
+    # uses — an unpinned read here re-resolves latest, so a commit
+    # landing between the two reads would merge against cells from a
+    # different version than the model (round-13 advisor finding; the
+    # probe path got the same pin last round)
+    cells = ivf_read_cells(spark, index_dir, manifest=m)
     old_locs = cells.join(assigned.select("vec_id"), "vec_id", "semi").select("cid")
     touched = sorted(
         r.cid

@@ -64,6 +64,7 @@ import codecs
 import gzip
 import os
 import re
+import threading
 import zlib
 from typing import Iterator
 
@@ -81,11 +82,15 @@ WARC_SCHEMA = (
 
 # --- counted-replacement decode (the p16 philosophy) -----------------
 
-_ERR_COUNT = [0]
+# Thread-local replacement counter: the registered error handler is
+# PROCESS-wide, so a shared mutable counter would misattribute or lose
+# counts under any concurrent caller (driver-side use, parallel
+# tests).  Each thread decodes against its own slot.
+_ERR_STATE = threading.local()
 
 
 def _count_replace(exc: UnicodeError):
-    _ERR_COUNT[0] += 1
+    _ERR_STATE.n = getattr(_ERR_STATE, "n", 0) + 1
     return ("�", exc.end)
 
 
@@ -107,15 +112,28 @@ def decode_payload(payload: bytes, charset: str | None) -> tuple[str, int]:
     or unknown — the HTML5 default for the crawl domain), returning
     (text, n_replacements).  Every undecodable span becomes ONE
     U+FFFD and ONE count — a mis-declared or binary-in-text payload
-    is absorbed WITH an audit number, never silently."""
+    is absorbed WITH an audit number, never silently.
+
+    The declared name must resolve to a TEXT encoding: codecs.lookup
+    also resolves byte-transform codecs (base64, hex, rot13, zlib —
+    all matched by parse_charset's token regex), and bytes.decode on
+    those raises LookupError('not a text encoding') — one adversarial
+    Content-Type header must not crash the file's scan task, so
+    non-text codecs fall back to utf-8 like unknown names do."""
     cs = charset or "utf-8"
     try:
-        codecs.lookup(cs)
+        info = codecs.lookup(cs)
+        if not getattr(info, "_is_text_encoding", True):
+            cs = "utf-8"
     except LookupError:
         cs = "utf-8"
-    _ERR_COUNT[0] = 0
-    text = payload.decode(cs, "warc_count_replace")
-    return text, _ERR_COUNT[0]
+    _ERR_STATE.n = 0
+    try:
+        text = payload.decode(cs, "warc_count_replace")
+    except LookupError:  # belt-and-braces: any residual non-text path
+        _ERR_STATE.n = 0
+        text = payload.decode("utf-8", "warc_count_replace")
+    return text, _ERR_STATE.n
 
 
 # --- fixture writer ---------------------------------------------------
@@ -142,9 +160,9 @@ L1_PREFIX = "café »déjà« ¡sección 7½! "
 
 
 def _count_utf8_replacements(data: bytes) -> int:
-    _ERR_COUNT[0] = 0
+    _ERR_STATE.n = 0
     data.decode("utf-8", "warc_count_replace")
-    return _ERR_COUNT[0]
+    return _ERR_STATE.n
 
 
 MISDECLARED_ERRORS = _count_utf8_replacements(L1_PREFIX.encode("latin-1"))
