@@ -522,6 +522,16 @@ G13_DEG_CAP = 16
 # the full edge set and OOM'd at sf1: ~5M candidates × supplier
 # degree ~400 ≈ 2×10⁹ join rows).
 G13_OVERFETCH = 8 * G13_TOPK
+# Broadcast ceiling for the verify expansion (survivors × N(s1) rows,
+# three int64 columns ≈ 24 B/row → ~120 MB at the cap).  An explicit
+# broadcast() hint OVERRIDES Spark's size checks, and on a power-law
+# graph one hub supplier (deg 10⁶⁺) in the survivor set would turn
+# the unconditional hint into a driver/executor OOM instead of a plan
+# choice (round-13 verdict) — so the hint is GATED on the exact
+# expansion size (Σ deg(s1) over survivors, computed from the already-
+# materialized degree dim; one O(1)-row driver fold), falling back to
+# a shuffle-hash hint above the ceiling.
+G13_BCAST_VERIFY_ROWS = 5_000_000
 
 _G13_ORACLE = f"""
     WITH e AS (
@@ -654,18 +664,34 @@ def g13_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(G13_OVERFETCH)
         .select("s1", "s2")
+        # OVERFETCH rows; materialized so the wedge join runs once —
+        # both the size gate below and the verify read this
+        .localCheckpoint(eager=True)
     )
     # verify: exact credit against the FULL edge set, bounded by
     # overfetch × degree rows.  Both verify joins keep their SMALL
     # side broadcast — survivors (OVERFETCH rows) into the first, the
-    # survivors×N(s1) expansion (overfetch × degree ≈ 10⁵ rows) into
-    # the second — so the edge table is only ever STREAMED, never
+    # survivors×N(s1) expansion (overfetch × degree ≈ 10⁵ rows here)
+    # into the second — so the edge table is only ever STREAMED, never
     # shuffled (the un-hinted form sort-merge-shuffled the 58M-row
-    # edge table twice at sf10: 40 s of the entry's wall)
-    expanded = F.broadcast(
-        F.broadcast(survivors).join(
-            e.select(F.col("s").alias("s1"), "c"), "s1"
-        )
+    # edge table twice at sf10: 40 s of the entry's wall).  The
+    # expansion hint is GATED on its exact row count Σ deg(s1):
+    # explicit broadcast() bypasses Spark's size checks, and a hub
+    # supplier surviving to the verify set must flip the plan to a
+    # shuffle-hash join, not OOM the driver (G13_BCAST_VERIFY_ROWS).
+    expansion_rows = (
+        survivors.join(F.broadcast(d1), "s1")
+        .agg(F.sum("d1").cast("bigint").alias("n"))
+        .collect()[0]["n"]
+        or 0
+    )
+    expanded = F.broadcast(survivors).join(
+        e.select(F.col("s").alias("s1"), "c"), "s1"
+    )
+    expanded = (
+        F.broadcast(expanded)
+        if expansion_rows <= G13_BCAST_VERIFY_ROWS
+        else expanded.hint("shuffle_hash")
     )
     pairs = (
         expanded.join(e.select(F.col("s").alias("s2"), "c"), ["s2", "c"])

@@ -58,6 +58,53 @@ def test_decode_payload_counts_are_thread_safe():
     assert not errors, errors
 
 
+def test_g13_verify_broadcast_is_gated_on_expansion_size(spark, monkeypatch):
+    """The verify expansion's broadcast hint must be conditional on
+    its EXACT row count (Σ deg(s1) over survivors): above the bound —
+    here forced to 0, the 'hub supplier survived' case — the plan
+    takes a shuffle-hash join instead of an unconditional broadcast
+    (which bypasses Spark's size checks and would OOM on a power-law
+    hub), and the emitted top-k is unchanged."""
+    import chronicle_sniffer_spark.plans.round12 as r12
+
+    sf = "/root/testdata/sf0.001"
+    df_default = r12.g13_common_neighbors(spark, sf)
+    plan_default = df_default._jdf.queryExecution().executedPlan().toString()
+    want = [tuple(r) for r in df_default.collect()]
+    assert "ShuffledHashJoin" not in plan_default
+
+    monkeypatch.setattr(r12, "G13_BCAST_VERIFY_ROWS", 0)
+    df_fb = r12.g13_common_neighbors(spark, sf)
+    plan_fb = df_fb._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan_fb
+    assert plan_fb.count("BroadcastHashJoin") == plan_default.count(
+        "BroadcastHashJoin"
+    ) - 1
+    assert [tuple(r) for r in df_fb.collect()] == want
+
+
+def test_lang_id_accuracy_beats_majority_prior(spark):
+    """With the per-language vocabulary injection the classifier must
+    carry real signal: accuracy strictly above the majority-class
+    prior (the shared-vocabulary fixture pinned it AT the prior by
+    construction — round-13 verdict #5).  On this fixture the margin
+    is wide (measured 1.0 at sf0.001); the assert keeps slack for
+    fixture regeneration."""
+    from collections import Counter
+
+    from chronicle_sniffer_spark.plans.round13 import l4_lang_id_trigram
+
+    rows = l4_lang_id_trigram(spark, "/root/testdata/sf0.001").collect()
+    total = sum(r.n_docs for r in rows)
+    diag = sum(r.n_docs for r in rows if r.true_lang == r.pred_lang)
+    truth = Counter()
+    for r in rows:
+        truth[r.true_lang] += r.n_docs
+    prior = max(truth.values()) / total
+    assert diag / total > prior
+    assert diag / total >= 0.9
+
+
 def test_centroid_cache_evicts_superseded_versions(spark, tmp_path):
     """Rebuild/upsert bumps the manifest version; the per-snapshot
     centroid cache must not retain one collected list per superseded
