@@ -292,6 +292,10 @@ HEADLINE = (
     "s23_schema_evolution_scan",
     "j22_interval_anti_join",
     "u17_cogrouped_map",
+    # round-14 additions
+    "s20_warc_image_decode",
+    "s20_warc_audio_decode",
+    "s24_crawl_stream_ingest",
 )
 
 # Entries with documented ±18% round-over-round drift on identical code
@@ -324,6 +328,8 @@ _SMALL = {
     "l2_cdc_chunk_dedup",
     "j22_interval_anti_join",
     "u17_cogrouped_map",
+    "s20_warc_image_decode",
+    "s20_warc_audio_decode",
 }
 
 

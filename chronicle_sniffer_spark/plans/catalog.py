@@ -82,6 +82,7 @@ _SUBMODULES = (
     "chronicle_sniffer_spark.plans.round11",
     "chronicle_sniffer_spark.plans.round12",
     "chronicle_sniffer_spark.plans.round13",
+    "chronicle_sniffer_spark.plans.round14",
 )
 
 

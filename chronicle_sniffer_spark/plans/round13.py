@@ -98,12 +98,14 @@ g13_degree_cap_audit.__doc__ = g13_degree_cap_audit.__doc__.format(
 
 def _s20mix_oracle() -> str:
     from chronicle_sniffer_spark.sources.warc import (
+        BMP_MOD,
         LATIN1_MOD,
         METADATA_MOD,
         MISDECLARED_ERRORS,
         MISDECLARED_MOD,
         REQUEST_MOD,
         REVISIT_MOD,
+        WAV_MOD,
     )
 
     return f"""
@@ -123,10 +125,14 @@ def _s20mix_oracle() -> str:
            CAST((SELECT count(*) FROM d)
               + (SELECT count(*) FROM d WHERE doc_id % {LATIN1_MOD} = 0)
               + (SELECT count(*) FROM d WHERE doc_id % {MISDECLARED_MOD} = 0)
+              + (SELECT count(*) FROM d WHERE doc_id % {BMP_MOD} = 0)
+              + (SELECT count(*) FROM d WHERE doc_id % {WAV_MOD} = 0)
              AS BIGINT),
            CAST((SELECT count(*) FROM d)
               + (SELECT count(*) FROM d WHERE doc_id % {LATIN1_MOD} = 0)
               + (SELECT count(*) FROM d WHERE doc_id % {MISDECLARED_MOD} = 0)
+              + (SELECT count(*) FROM d WHERE doc_id % {BMP_MOD} = 0)
+              + (SELECT count(*) FROM d WHERE doc_id % {WAV_MOD} = 0)
              AS BIGINT),
            CAST({MISDECLARED_ERRORS}
               * (SELECT count(*) FROM d WHERE doc_id % {MISDECLARED_MOD} = 0)

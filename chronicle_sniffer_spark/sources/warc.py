@@ -148,6 +148,13 @@ REVISIT_MOD = 90  # … → a revisit record follows it
 CHUNKED_MOD = 60  # … → the MAIN response arrives Transfer-Encoding: chunked
 LATIN1_MOD = 40  # … → extra /l1/ response: latin-1 bytes, correctly declared
 MISDECLARED_MOD = 110  # … → extra /bad/ response: latin-1 bytes declared utf-8
+# A real multimodal crawl serves images/audio out of the SAME
+# containers as the pages (round-13 verdict #4): these grids add
+# responses whose payloads are REAL encoded media — the exact bytes
+# operators/multimodal.synthesize_media_encoded derives from doc_id,
+# so decoded statistics stay closed-form for the DuckDB oracle.
+BMP_MOD = 35  # … → extra /img/ response: 24-bit BMP, image/bmp
+WAV_MOD = 55  # … → extra /aud/ response: PCM16 WAV square wave, audio/wav
 
 # Non-ASCII latin-1 content for the extra records.  Decoded with the
 # DECLARED iso-8859-1 it reads back exactly; decoded as utf-8 (the
@@ -275,7 +282,52 @@ def _extra_members(doc_id: int, html: str) -> list[bytes]:
                 _http_response(body, "text/html; charset=utf-8"),
             )
         )
+    if d % BMP_MOD == 0:
+        out.append(
+            _record(
+                "response",
+                f"urn:uuid:img-{d}",
+                f"https://example.org/img/{d}",
+                _http_response(_bmp_payload(d), "image/bmp"),
+            )
+        )
+    if d % WAV_MOD == 0:
+        out.append(
+            _record(
+                "response",
+                f"urn:uuid:aud-{d}",
+                f"https://example.org/aud/{d}",
+                _http_response(_wav_payload(d), "audio/wav"),
+            )
+        )
     return out
+
+
+def _bmp_payload(d: int) -> bytes:
+    """Solid-color 24-bit BMP, dims/color from doc_id — the
+    synthesize_media_encoded image formula verbatim, so channel means
+    stay closed-form for the oracle."""
+    import numpy as np
+
+    from chronicle_sniffer_spark.operators.codecs import encode_bmp
+
+    w, h = 16 + (d % 8) * 4, 16 + (d % 5) * 4
+    color = np.array([d % 256, (d * 7) % 256, (d * 13) % 256], dtype=np.uint8)
+    return encode_bmp(np.broadcast_to(color, (h, w, 3)).astype(np.uint8))
+
+
+def _wav_payload(d: int) -> bytes:
+    """PCM16 8 kHz square wave (alternating ±A) from doc_id — the
+    synthesize_media_encoded audio formula verbatim: RMS is exactly A
+    and mean exactly 0."""
+    import numpy as np
+
+    from chronicle_sniffer_spark.operators.codecs import encode_wav
+
+    n, amp = 800 + (d % 5) * 400, 1000 + (d % 20) * 100
+    s = np.empty(n, dtype=np.int16)
+    s[0::2], s[1::2] = amp, -amp
+    return encode_wav(s, 8000)
 
 
 def write_warc(pages: DataFrame, out_dir: str, n_files: int = 8) -> list[str]:
@@ -422,9 +474,17 @@ def _parse_record(raw: bytes) -> dict:
         te = hh.get(b"transfer-encoding", b"").decode("latin-1").lower()
         payload = _dechunk(body) if "chunked" in te else body
         out["payload"] = payload
-        out["text"], out["decode_errors"] = decode_payload(
-            payload, out["charset"]
-        )
+        # charset-decode TEXTUAL responses only (text/*, or no declared
+        # type — the HTML5 unknown default).  Running the replacement
+        # decoder over an image/audio/binary payload would be wasted
+        # per-byte CPU and meaningless mojibake with an enormous
+        # damage count; media bytes pass through as payload for the
+        # typed decoders downstream (s20_warc_image/audio_decode).
+        main_type = (out["content_type"] or "text/").split(";")[0].strip().lower()
+        if main_type.startswith("text/"):
+            out["text"], out["decode_errors"] = decode_payload(
+                payload, out["charset"]
+            )
     else:
         out["payload"] = content
     return out
@@ -446,13 +506,12 @@ _COLUMNS = [
 ]
 
 
-def read_warc(spark: SparkSession, path_glob: str) -> DataFrame:
-    """Crawl-container scan: binaryFile source → per-file member split
-    (sequential zlib walk per file — the only order gzip admits —
-    parallel ACROSS files) → parsed records.  Unknown/truncated bytes
-    in a member boundary raise loudly rather than silently skipping
-    records (a crawl pipeline must account for every record).  Yields
-    ONE Arrow batch per FILE so decode memory is bounded by one
+def decode_members(files: DataFrame) -> DataFrame:
+    """Container (path, content) rows → parsed WARC records: the
+    per-file member split + record parse shared by the batch scan
+    (:func:`read_warc`) and the streaming ingest
+    (streaming/crawl.py — each micro-batch is exactly such a frame).
+    Yields ONE Arrow batch per FILE so decode memory is bounded by one
     inflated container, not a whole multi-file input batch."""
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -467,13 +526,22 @@ def read_warc(spark: SparkSession, path_glob: str) -> DataFrame:
                     out.append(parsed)
                 yield pd.DataFrame(out, columns=_COLUMNS)
 
+    return files.select("path", "content").mapInPandas(_decode, WARC_SCHEMA)
+
+
+def read_warc(spark: SparkSession, path_glob: str) -> DataFrame:
+    """Crawl-container scan: binaryFile source → per-file member split
+    (sequential zlib walk per file — the only order gzip admits —
+    parallel ACROSS files) → parsed records.  Unknown/truncated bytes
+    in a member boundary raise loudly rather than silently skipping
+    records (a crawl pipeline must account for every record)."""
     files = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.warc.gz")
         .load(path_glob)
         .select("path", "content")
     )
-    return files.mapInPandas(_decode, WARC_SCHEMA)
+    return decode_members(files)
 
 
 CDX_SCHEMA = (

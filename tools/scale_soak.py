@@ -291,6 +291,9 @@ QUERIES = (
     "l2_cdc_chunk_dedup",
     "j22_interval_anti_join",
     "u17_cogrouped_map",
+    "s20_warc_image_decode",
+    "s20_warc_audio_decode",
+    "s24_crawl_stream_ingest",
 )
 
 
