@@ -296,6 +296,12 @@ HEADLINE = (
     "s20_warc_image_decode",
     "s20_warc_audio_decode",
     "s24_crawl_stream_ingest",
+    "ts26_time_weighted_avg",
+    "ml28_spearman_rho",
+    "ml29_ndcg_eval",
+    "ml30_cohens_kappa",
+    "s25_position_deletes",
+    "l5_video_scene_cut",
 )
 
 # Entries with documented ±18% round-over-round drift on identical code
@@ -330,6 +336,9 @@ _SMALL = {
     "u17_cogrouped_map",
     "s20_warc_image_decode",
     "s20_warc_audio_decode",
+    "ts26_time_weighted_avg",
+    "ml30_cohens_kappa",
+    "s25_position_deletes",
 }
 
 

@@ -697,6 +697,65 @@ def video_decode_stats(media: DataFrame) -> DataFrame:
     return media.filter(F.col("kind") == "video").mapInPandas(op, VIDEO_STATS_DDL)
 
 
+SCENE_CUT_DDL = (
+    "media_id bigint, n_frames int, n_cuts int,"
+    " max_diff bigint, sum_diff bigint"
+)
+
+
+def video_scene_cuts(media: DataFrame, threshold: int = 100) -> DataFrame:
+    """Shot-boundary (scene cut) detection over REAL decoded frames:
+    walk the MP4 sample table, baseline-JPEG-decode every frame
+    (operators/jpeg.py), and flag a cut wherever the mean-luma jump
+    between consecutive frames reaches ``threshold`` — the classic
+    frame-differencing segmenter a video curation pipeline runs before
+    sampling training frames (cutting mid-shot duplicates; sampling
+    once per shot).
+
+    Emits per video: frame count, cut count, and the max / sum of the
+    consecutive-frame |Δmean| — on the synthesized flat-frame corpus
+    the means are exact integers (lattice values decode bit-exactly),
+    so all four are closed-form from doc_id for the DuckDB oracle.
+
+    Arrow-batched map at the DAG edge: payload bytes never shuffle,
+    only five small columns leave the stage."""
+    import pandas as pd
+
+    from chronicle_sniffer_spark.operators.codecs import decode_mp4_samples
+    from chronicle_sniffer_spark.operators.jpeg import decode_jpeg_gray
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                k: []
+                for k in (
+                    "media_id", "n_frames", "n_cuts", "max_diff", "sum_diff"
+                )
+            }
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                parsed = decode_mp4_samples(bytes(b))
+                if parsed["format"] not in ("mjpg", "jpeg"):
+                    raise ValueError(
+                        f"unsupported video sample format {parsed['format']!r}"
+                    )
+                means = [
+                    float(decode_jpeg_gray(s).astype("f8").mean())
+                    for s in parsed["samples"]
+                ]
+                diffs = [
+                    int(round(abs(b_ - a_)))
+                    for a_, b_ in zip(means, means[1:])
+                ]
+                out["media_id"].append(int(mid))
+                out["n_frames"].append(len(means))
+                out["n_cuts"].append(sum(1 for d in diffs if d >= threshold))
+                out["max_diff"].append(max(diffs) if diffs else 0)
+                out["sum_diff"].append(sum(diffs))
+            yield pd.DataFrame(out)
+
+    return media.filter(F.col("kind") == "video").mapInPandas(op, SCENE_CUT_DDL)
+
+
 def jpeg420_stats(media: DataFrame) -> DataFrame:
     """Real 4:2:0 JPEG decode → per-plane means (YCbCr)."""
     import pandas as pd

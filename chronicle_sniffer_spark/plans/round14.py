@@ -245,3 +245,564 @@ def s20_warc_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "payload",
     )
     return audio_stats(auds)
+
+
+# ---------------------------------------------------------------------------
+# TS26: time-weighted average (LOCF) — the hypertable rollup for irregular
+# samples
+# ---------------------------------------------------------------------------
+
+_TS26_ORACLE = """
+WITH e AS (
+  SELECT event_type,
+         CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day,
+         CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS ts_us,
+         event_id,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+seg AS (
+  SELECT event_type, day, cents, ts_us,
+         lead(ts_us) OVER (PARTITION BY event_type, day
+                           ORDER BY ts_us, event_id) AS next_us
+  FROM e
+)
+SELECT event_type, day,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN next_us IS NOT NULL
+                     THEN cents * (next_us - ts_us) END) AS BIGINT)
+         AS num_cent_us,
+       CAST(sum(CASE WHEN next_us IS NOT NULL
+                     THEN next_us - ts_us END) AS BIGINT) AS den_us,
+       CASE WHEN sum(CASE WHEN next_us IS NOT NULL
+                          THEN next_us - ts_us END) > 0
+            THEN CAST(sum(CASE WHEN next_us IS NOT NULL
+                               THEN cents * (next_us - ts_us) END) AS DOUBLE)
+                 / CAST(sum(CASE WHEN next_us IS NOT NULL
+                                 THEN next_us - ts_us END) AS DOUBLE) / 100.0
+       END AS twa
+FROM seg GROUP BY 1, 2
+"""
+
+
+@query("ts26_time_weighted_avg", section="TS", oracle=_TS26_ORACLE)
+def ts26_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average over irregular samples (the TimescaleDB
+    ``time_weight('LOCF')`` hypertable rollup): within each
+    (series, day), each observation's value holds until the next one,
+    and the average weights every value by its holding duration —
+    the correct mean for irregularly-sampled gauges, where the plain
+    ``avg`` over-counts busy periods.
+
+    Exactness: values quantized to integer cents, durations in integer
+    microseconds; the weighted numerator Σ cents·Δt_us stays within
+    int64 (cents ≤ ~10⁵, Σ Δt_us ≤ 86.4e9 per day-partition), so both
+    engines sum exactly and the final division is one identical
+    int64→double op per group ([[cross-engine-float-gotchas]]).
+
+    Scale shape: one ``lead`` window per (event_type, day) partition —
+    high-cardinality key, partitions are day-sized regardless of total
+    volume — then one map-side-combinable hash aggregate.  No global
+    window, no driver state; survives 100× by adding partitions, not
+    partition depth."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.to_date("ts").cast("timestamp").alias("day"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type", "day").orderBy("ts_us", "event_id")
+    seg = e.select(
+        "event_type",
+        "day",
+        "cents",
+        "ts_us",
+        F.lead("ts_us").over(w).alias("next_us"),
+    )
+    dt = F.when(
+        F.col("next_us").isNotNull(), F.col("next_us") - F.col("ts_us")
+    )
+    num = F.sum(F.col("cents") * dt).cast("bigint")
+    den = F.sum(dt).cast("bigint")
+    return seg.groupBy("event_type", "day").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        num.alias("num_cent_us"),
+        den.alias("den_us"),
+        F.when(
+            den > 0,
+            num.cast("double") / den.cast("double") / 100.0,
+        ).alias("twa"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ML28: Spearman rank correlation (tie-corrected, per series-day)
+# ---------------------------------------------------------------------------
+
+_ML28_ORACLE = """
+WITH e AS (
+  SELECT event_type,
+         CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day,
+         CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS ts_us,
+         event_id,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+r AS (
+  SELECT event_type, day,
+         -- 2x the tie-averaged rank of the value: 2*min_rank + ties - 1
+         CAST(2 * rank() OVER (PARTITION BY event_type, day ORDER BY cents)
+              + count(*) OVER (PARTITION BY event_type, day, cents) - 1
+              AS BIGINT) AS x2,
+         -- time order is unique under (ts_us, event_id): 2*row_number
+         CAST(2 * row_number() OVER (PARTITION BY event_type, day
+                                     ORDER BY ts_us, event_id)
+              AS BIGINT) AS y2
+  FROM e
+),
+s AS (
+  SELECT event_type, day,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x2) AS BIGINT) AS sx,
+         CAST(sum(y2) AS BIGINT) AS sy,
+         CAST(sum(x2 * y2) AS BIGINT) AS sxy,
+         CAST(sum(x2 * x2) AS BIGINT) AS sxx,
+         CAST(sum(y2 * y2) AS BIGINT) AS syy
+  FROM r GROUP BY 1, 2
+)
+SELECT event_type, day, n,
+       CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+             AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+            THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 / sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+       END AS rho
+FROM s
+"""
+
+
+@query("ml28_spearman_rho", section="ML3", oracle=_ML28_ORACLE)
+def ml28_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-corrected Spearman rank correlation between value and time
+    order within each (series, day) — "is this gauge trending within
+    the day?" as a distribution-free statistic (Pearson on average
+    ranks, the exact textbook estimator under ties).
+
+    Exactness: ranks are doubled to keep tie-averages integral
+    (2·avg_rank = 2·min_rank + ties − 1), every moment sum (Σx², Σxy…)
+    is an exact int64 (x ≤ 2n with day-partition n), and the final ρ
+    is computed from those int64s through an IDENTICALLY-shaped double
+    expression in both engines — int64→double casts are correctly
+    rounded and the op sequence matches term for term, so the doubles
+    are bit-identical ([[cross-engine-float-gotchas]]).
+
+    Scale shape: two windows over the same high-cardinality
+    (event_type, day) partitioning (one rank, one row_number — a
+    single sort each, day-bounded partitions) and one hash aggregate.
+    The repo's ml27 lesson applied up front: no global or
+    near-global-cardinality window anywhere."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.to_date("ts").cast("timestamp").alias("day"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    wv = Window.partitionBy("event_type", "day").orderBy("cents")
+    wt = Window.partitionBy("event_type", "day", "cents")
+    wy = Window.partitionBy("event_type", "day").orderBy("ts_us", "event_id")
+    r = e.select(
+        "event_type",
+        "day",
+        (2 * F.rank().over(wv) + F.count("*").over(wt) - 1)
+        .cast("bigint")
+        .alias("x2"),
+        (2 * F.row_number().over(wy)).cast("bigint").alias("y2"),
+    )
+    s = r.groupBy("event_type", "day").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x2").cast("bigint").alias("sx"),
+        F.sum("y2").cast("bigint").alias("sy"),
+        F.sum(F.col("x2") * F.col("y2")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x2") * F.col("x2")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y2") * F.col("y2")).cast("bigint").alias("syy"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    varx = d("n") * d("sxx") - d("sx") * d("sx")
+    vary = d("n") * d("syy") - d("sy") * d("sy")
+    cov = d("n") * d("sxy") - d("sx") * d("sy")
+    return s.select(
+        "event_type",
+        "day",
+        "n",
+        F.when(
+            (varx > 0) & (vary > 0),
+            cov / F.sqrt(varx) / F.sqrt(vary),
+        ).alias("rho"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ML29: NDCG@10 ranking evaluation (graded relevance, per query group)
+# ---------------------------------------------------------------------------
+
+# Gain table in integer picos, precomputed once in Python and inlined as
+# LITERALS into BOTH engines: (2^rel − 1)/log2(pos+1) is a libm
+# expression, and log2's last ulp is NOT guaranteed identical across
+# the JVM and DuckDB's C runtime — baking the 40 possible (rel∈0..3,
+# pos∈1..10) values as int64 picos makes the discounted sums exact
+# integer arithmetic everywhere ([[cross-engine-float-gotchas]]).
+import math as _math
+
+_NDCG_K = 10
+_NDCG_GAIN_PICOS = [
+    _math.floor(((1 << r) - 1) / _math.log2(p + 1) * 1e12)
+    for r in range(4)
+    for p in range(1, _NDCG_K + 1)
+]
+
+
+def _ml29_oracle() -> str:
+    gains = ", ".join(str(g) for g in _NDCG_GAIN_PICOS)
+    return f"""
+    WITH e AS (
+      SELECT user_id, event_id, value,
+             CAST(event_id % 4 AS BIGINT) AS rel
+      FROM events
+    ),
+    r AS (
+      SELECT user_id, rel,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY value DESC, event_id) AS rn_d,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY rel DESC, event_id) AS rn_i
+      FROM e
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN rn_d <= {_NDCG_K}
+                 THEN [{gains}][CAST(rel * {_NDCG_K} + rn_d AS INTEGER)]
+                 ELSE 0 END) AS BIGINT) AS dcg_picos,
+           CAST(sum(CASE WHEN rn_i <= {_NDCG_K}
+                 THEN [{gains}][CAST(rel * {_NDCG_K} + rn_i AS INTEGER)]
+                 ELSE 0 END) AS BIGINT) AS idcg_picos,
+           CASE WHEN sum(CASE WHEN rn_i <= {_NDCG_K}
+                     THEN [{gains}][CAST(rel * {_NDCG_K} + rn_i AS INTEGER)]
+                     ELSE 0 END) > 0
+                THEN CAST(sum(CASE WHEN rn_d <= {_NDCG_K}
+                          THEN [{gains}][CAST(rel * {_NDCG_K} + rn_d AS INTEGER)]
+                          ELSE 0 END) AS DOUBLE)
+                     / CAST(sum(CASE WHEN rn_i <= {_NDCG_K}
+                            THEN [{gains}][CAST(rel * {_NDCG_K} + rn_i AS INTEGER)]
+                            ELSE 0 END) AS DOUBLE)
+           END AS ndcg
+    FROM r GROUP BY user_id
+"""
+
+
+@query("ml29_ndcg_eval", section="ML3", oracle=_ml29_oracle())
+def ml29_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 with graded relevance per query group (user): the
+    standard ranking-quality metric for retrieval / recommender eval —
+    discounted cumulative gain of the SCORE-ordered list against the
+    ideal RELEVANCE-ordered list.  Relevance grades are the
+    deterministic ``event_id % 4`` (0..3); scores are ``value``.
+
+    Exactness: the 40 possible discount terms are precomputed in
+    Python as int64 picos and inlined as literals into both engines
+    (see the module note — log2's last ulp is not a cross-engine
+    contract), so DCG/IDCG are exact integer sums and NDCG is one
+    identical int64→double division.
+
+    Scale shape: both rankings come from two window functions over the
+    SAME high-cardinality user_id partitioning — one shuffle, two
+    group-bounded sorts — then a single hash aggregate; gain
+    lookup is ``element_at`` on a 40-element literal array (pure
+    codegen, no lambda, no join).  Output is O(users)."""
+    from pyspark.sql import Window
+
+    gains = F.array(*[F.lit(g) for g in _NDCG_GAIN_PICOS])
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "value",
+        (F.col("event_id") % 4).cast("bigint").alias("rel"),
+    )
+    wd = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), "event_id"
+    )
+    wi = Window.partitionBy("user_id").orderBy(
+        F.col("rel").desc(), "event_id"
+    )
+    r = e.select(
+        "user_id",
+        "rel",
+        F.row_number().over(wd).alias("rn_d"),
+        F.row_number().over(wi).alias("rn_i"),
+    )
+    gain = lambda rn: F.when(  # noqa: E731
+        F.col(rn) <= _NDCG_K,
+        F.element_at(
+            gains, (F.col("rel") * _NDCG_K + F.col(rn)).cast("int")
+        ),
+    ).otherwise(F.lit(0))
+    dcg = F.sum(gain("rn_d")).cast("bigint")
+    idcg = F.sum(gain("rn_i")).cast("bigint")
+    return r.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        dcg.alias("dcg_picos"),
+        idcg.alias("idcg_picos"),
+        F.when(
+            idcg > 0, dcg.cast("double") / idcg.cast("double")
+        ).alias("ndcg"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ML30: Cohen's kappa — inter-annotator agreement (labeling QA)
+# ---------------------------------------------------------------------------
+
+_ML30_ORACLE = """
+WITH e AS (
+  SELECT event_type,
+         CAST((event_id * 7) % 3 AS BIGINT) AS a,
+         CAST(((event_id * 7) + CASE WHEN event_id % 5 = 0 THEN 1 ELSE 0 END)
+              % 3 AS BIGINT) AS b
+  FROM events
+),
+s AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT) AS agree,
+         CAST(sum(CASE WHEN a = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na0,
+         CAST(sum(CASE WHEN a = 1 THEN 1 ELSE 0 END) AS BIGINT) AS na1,
+         CAST(sum(CASE WHEN a = 2 THEN 1 ELSE 0 END) AS BIGINT) AS na2,
+         CAST(sum(CASE WHEN b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nb0,
+         CAST(sum(CASE WHEN b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb1,
+         CAST(sum(CASE WHEN b = 2 THEN 1 ELSE 0 END) AS BIGINT) AS nb2
+  FROM e GROUP BY 1
+)
+SELECT event_type, n, agree,
+       CAST(na0 * nb0 + na1 * nb1 + na2 * nb2 AS BIGINT) AS pe_num,
+       CASE WHEN n * n - (na0 * nb0 + na1 * nb1 + na2 * nb2) > 0
+            THEN CAST(n * agree - (na0 * nb0 + na1 * nb1 + na2 * nb2)
+                   AS DOUBLE)
+                 / CAST(n * n - (na0 * nb0 + na1 * nb1 + na2 * nb2)
+                   AS DOUBLE)
+       END AS kappa
+FROM s
+"""
+
+
+@query("ml30_cohens_kappa", section="ML3", oracle=_ML30_ORACLE)
+def ml30_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa — chance-corrected inter-annotator agreement, the
+    labeling-QA statistic every human-annotation pipeline reports
+    before labels feed training.  Two deterministic synthetic raters
+    over 3 classes (the second disagrees on every 5th item).
+
+    Exactness: κ = (n·agree − Σ_k na_k·nb_k) / (n² − Σ_k na_k·nb_k) is
+    computed entirely from int64 counts — numerator and denominator
+    are EXACT integers (n² fits int64 through sf100 per-type volumes),
+    and the only float op is the final division, identical in both
+    engines.
+
+    Scale shape: ONE map-side-combinable hash aggregate produces all
+    eight counts (agreement + both marginals via conditional sums — no
+    pivot, no self-join); κ is a projection over the group row.
+    O(series) output, a single shuffle of 8 longs per series."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        ((F.col("event_id") * 7) % 3).cast("bigint").alias("a"),
+        (
+            (
+                F.col("event_id") * 7
+                + F.when(F.col("event_id") % 5 == 0, 1).otherwise(0)
+            )
+            % 3
+        )
+        .cast("bigint")
+        .alias("b"),
+    )
+    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("bigint")  # noqa: E731
+    s = e.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        cnt(F.col("a") == F.col("b")).alias("agree"),
+        *[cnt(F.col("a") == k).alias(f"na{k}") for k in range(3)],
+        *[cnt(F.col("b") == k).alias(f"nb{k}") for k in range(3)],
+    )
+    pe = (
+        F.col("na0") * F.col("nb0")
+        + F.col("na1") * F.col("nb1")
+        + F.col("na2") * F.col("nb2")
+    )
+    den = F.col("n") * F.col("n") - pe
+    num = F.col("n") * F.col("agree") - pe
+    return s.select(
+        "event_type",
+        "n",
+        "agree",
+        pe.cast("bigint").alias("pe_num"),
+        F.when(den > 0, num.cast("double") / den.cast("double")).alias(
+            "kappa"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# S25: position-delete merge-on-read (the Iceberg v2 delete-vector shape)
+# ---------------------------------------------------------------------------
+
+# (applicationId, sf_dir) -> staged multi-file base table directory
+_S25_CACHE: dict[tuple[str, str], str] = {}
+_S25_FILES = 8
+_S25_DEL_MOD = 17  # rows with o_orderkey % 17 == 3 get position-deleted
+
+
+def _s25_base_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Stage (once per session+sf) orders as a MULTI-file parquet base
+    table — position deletes address (file, row_index), so the base
+    must actually have several files for the addressing to be
+    exercised."""
+    from chronicle_sniffer_spark.tables import session_tmpdir
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _S25_CACHE:
+        out = session_tmpdir("css_s25_base_")
+        (
+            _t(spark, sf_dir, "orders")
+            .repartition(_S25_FILES, "o_orderkey")
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+        _S25_CACHE[key] = out
+    return _S25_CACHE[key]
+
+
+_S25_ORACLE = f"""
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_live,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM orders
+WHERE NOT (o_orderkey % {_S25_DEL_MOD} = 3)
+GROUP BY 1
+"""
+
+
+@query("s25_position_deletes", section="S8", oracle=_S25_ORACLE)
+def s25_position_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-delete merge-on-read — the Iceberg v2 / Delta
+    deletion-vector shape, complementing the repo's key-based MOR
+    (`j16_merge_on_read`): deletes are addressed by PHYSICAL POSITION
+    ``(data_file, row_index)``, not by key, so a writer can delete
+    rows it never read the keys of (the engine-side output of a
+    MERGE/DELETE planning pass).
+
+    The entry stages orders as a real multi-file base table, derives a
+    delete vector for ``o_orderkey % 17 == 3`` rows AS (file_name,
+    row_index) pairs via the parquet scanner's ``_metadata.row_index``
+    column, then serves the table merge-on-read: base scan ⟶ anti-join
+    on the position pair ⟶ aggregate.  The oracle recomputes from the
+    LOGICAL predicate — if the scanner's row indexing, the file
+    attribution, or the anti-join drop the wrong physical rows, the
+    per-status counts and cent-exact sums hash-fail.
+
+    Scale shape: the delete vector is O(deleted rows) and groups by
+    the same file the scan task reads — at production scale it is a
+    per-file roaring bitmap applied INSIDE the scan (Iceberg's
+    ``_deleted`` metadata column); here the anti-join is left to AQE,
+    which broadcasts while the vector is small and shuffle-joins when
+    it is not (no unconditional broadcast hint — the g13 lesson).
+    Aggregation is one map-side-combinable hash agg."""
+    base_dir = _s25_base_dir(spark, sf_dir)
+    base = spark.read.parquet(base_dir).select(
+        F.col("_metadata.file_name").alias("dv_file"),
+        F.col("_metadata.row_index").alias("dv_pos"),
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+    )
+    dv = (
+        spark.read.parquet(base_dir)
+        .filter(F.col("o_orderkey") % _S25_DEL_MOD == 3)
+        .select(
+            F.col("_metadata.file_name").alias("dv_file"),
+            F.col("_metadata.row_index").alias("dv_pos"),
+        )
+    )
+    live = base.join(dv, ["dv_file", "dv_pos"], "left_anti")
+    return live.groupBy("o_orderstatus").agg(
+        F.count("*").cast("bigint").alias("n_live"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("sum_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# L5: scene-cut detection over real decoded video frames
+# ---------------------------------------------------------------------------
+
+_SCENE_CUT_T = 100  # mean-luma jump that counts as a shot boundary
+
+_L5SC_ORACLE = f"""
+WITH f AS (
+  SELECT doc_id,
+         unnest(generate_series(0, CAST(doc_id % 4 AS BIGINT))) AS f
+  FROM documents WHERE doc_id % 3 = 2
+),
+d AS (
+  SELECT doc_id,
+         abs(2 * ((doc_id * 7 + (f + 1) * 11) % 128)
+             - 2 * ((doc_id * 7 + f * 11) % 128)) AS diff
+  FROM f
+)
+SELECT doc_id AS media_id,
+       CAST(2 + doc_id % 4 AS INTEGER) AS n_frames,
+       CAST(sum(CASE WHEN diff >= {_SCENE_CUT_T} THEN 1 ELSE 0 END)
+         AS INTEGER) AS n_cuts,
+       CAST(max(diff) AS BIGINT) AS max_diff,
+       CAST(sum(diff) AS BIGINT) AS sum_diff
+FROM d GROUP BY doc_id
+"""
+
+
+@query("l5_video_scene_cut", section="L5", oracle=_L5SC_ORACLE)
+def l5_video_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut (shot boundary) detection, oracle-checked through
+    bytes: every frame of every Motion-JPEG video is REALLY decoded
+    (MP4 sample walk + baseline JPEG), consecutive-frame mean-luma
+    jumps ≥ {T} are cuts — the frame-differencing segmenter a video
+    curation pipeline runs so training frames are sampled per SHOT,
+    not per duplicate-heavy timestamp.  The synthesized frames step by
+    22 gray levels mod 256 except at the mod-128 wrap (|Δ| = 234), so
+    cut positions, max and sum of |Δ| are all closed-form from doc_id
+    — a decode that drops, reorders, or mis-decodes ANY frame
+    hash-fails.
+
+    Scale shape: same as every l5 codec — Arrow-batched decode at the
+    DAG edge after an id-spread, payloads never shuffle, O(videos)
+    output rows."""
+    from chronicle_sniffer_spark.operators.multimodal import (
+        synthesize_mjpeg_video_corpus,
+        video_scene_cuts,
+    )
+
+    return video_scene_cuts(
+        synthesize_mjpeg_video_corpus(_t(spark, sf_dir, "documents")),
+        threshold=_SCENE_CUT_T,
+    )
+
+
+l5_video_scene_cut.__doc__ = l5_video_scene_cut.__doc__.format(T=_SCENE_CUT_T)

@@ -312,3 +312,193 @@ def test_s24_redelivery_rewrites_not_appends(spark):
     assert kept == want
     m = mf.read_manifest(table)
     assert str(bucket) not in m["buckets"]
+
+
+def test_ts26_twa_weights_by_holding_time(spark):
+    """A value held 9× longer must dominate the LOCF average: two
+    samples 90 s apart then one 10 s later → TWA = (v1·90 + v2·10)/100,
+    NOT the plain mean."""
+    from chronicle_sniffer_spark.plans.catalog import registry
+
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 3, 1, 12, 0, 0)
+    rows = [
+        (1, t0, 7, "x", 10.0, "{}"),
+        (2, t0 + dt.timedelta(seconds=90), 7, "x", 20.0, "{}"),
+        (3, t0 + dt.timedelta(seconds=100), 7, "x", 99.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint,"
+        " event_type string, value double, props string"
+    )
+    import chronicle_sniffer_spark.plans.round14 as r14
+    from chronicle_sniffer_spark import tables
+
+    orig = tables.load_table
+    try:
+        r14._t = lambda s, d, n: ev
+        out = registry()["ts26_time_weighted_avg"].spark_fn(spark, "ignored").collect()
+    finally:
+        r14._t = orig
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_events == 3
+    # (1000 cents * 90e6 us + 2000 * 10e6) / 100e6 / 100
+    assert r.twa == (1000 * 90_000_000 + 2000 * 10_000_000) / 100_000_000 / 100
+    # the LAST value never contributes (no holding interval after it)
+    assert abs(r.twa - 11.0) < 1e-12
+
+
+def test_ml28_spearman_exact_on_known_rankings(spark):
+    """Monotone-increasing values over time must give ρ = +1; a
+    strictly decreasing day gives ρ = −1 (exact, not approximate)."""
+    from chronicle_sniffer_spark.plans.catalog import registry
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 3, 1, 0, 0, 0)
+    up = [
+        (i, t0 + dt.timedelta(minutes=i), 1, "up", float(i), "{}")
+        for i in range(10)
+    ]
+    down = [
+        (100 + i, t0 + dt.timedelta(days=1, minutes=i), 1, "down",
+         float(100 - i), "{}")
+        for i in range(10)
+    ]
+    ev = spark.createDataFrame(
+        up + down,
+        "event_id bigint, ts timestamp, user_id bigint,"
+        " event_type string, value double, props string",
+    )
+    import chronicle_sniffer_spark.plans.round14 as r14
+
+    orig = r14._t
+    try:
+        r14._t = lambda s, d, n: ev
+        out = {
+            r.event_type: r.rho
+            for r in registry()["ml28_spearman_rho"].spark_fn(spark, "x").collect()
+        }
+    finally:
+        r14._t = orig
+    assert out["up"] == 1.0
+    assert out["down"] == -1.0
+
+
+def test_ml29_ndcg_perfect_ranking_is_one(spark):
+    """When score order coincides with relevance order, DCG == IDCG
+    exactly (integer picos), so NDCG is exactly 1.0; a reversed
+    ranking is strictly below 1."""
+    from chronicle_sniffer_spark.plans.catalog import registry
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 3, 1)
+    # user 1: value descends WITH relevance (event_id % 4 descending)
+    perfect = [
+        (eid, t0, 1, "x", 100.0 - i, "{}")
+        for i, eid in enumerate([3, 2, 1, 0])  # rel = eid % 4 = eid
+    ]
+    # user 2: value order exactly reversed vs relevance
+    reverse = [
+        (eid, t0, 2, "x", float(i), "{}")
+        for i, eid in enumerate([7, 6, 5, 4])  # rel 3,2,1,0 — low value on high rel
+    ]
+    ev = spark.createDataFrame(
+        perfect + reverse,
+        "event_id bigint, ts timestamp, user_id bigint,"
+        " event_type string, value double, props string",
+    )
+    import chronicle_sniffer_spark.plans.round14 as r14
+
+    orig = r14._t
+    try:
+        r14._t = lambda s, d, n: ev
+        out = {
+            r.user_id: r
+            for r in registry()["ml29_ndcg_eval"].spark_fn(spark, "x").collect()
+        }
+    finally:
+        r14._t = orig
+    assert out[1].ndcg == 1.0
+    assert out[1].dcg_picos == out[1].idcg_picos > 0
+    assert out[2].ndcg < 1.0
+
+
+def test_ml30_kappa_closed_form():
+    """κ on the synthetic raters must equal the hand-derived closed
+    form from the agreement/marginal counts (checked at sf0.001 via
+    DuckDB so the test pins BOTH engines to the textbook formula)."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS FROM '/root/testdata/sf0.001/events.parquet'"
+    )
+    from chronicle_sniffer_spark.plans.catalog import registry
+
+    rows = con.execute(
+        registry()["ml30_cohens_kappa"].oracle
+    ).fetchall()
+    assert rows
+    for _etype, n, agree, pe_num, kappa in rows:
+        want = (n * agree - pe_num) / (n * n - pe_num)
+        assert kappa == want
+        # the synthetic raters agree exactly when event_id % 5 != 0
+        assert 0 < agree < n
+
+
+def test_s25_positions_delete_the_right_physical_rows(spark, tmp_path):
+    """Hand-built two-file base: deleting (file, pos) pairs must drop
+    exactly the addressed physical rows, not key-matched ones."""
+    from pyspark.sql import functions as F
+
+    base_dir = str(tmp_path / "base")
+    df = spark.createDataFrame(
+        [(i, f"r{i}") for i in range(100)], "k bigint, v string"
+    )
+    df.repartition(2, "k").write.parquet(base_dir)
+    scan = spark.read.parquet(base_dir).select(
+        F.col("_metadata.file_name").alias("f"),
+        F.col("_metadata.row_index").alias("p"),
+        "k",
+    )
+    # delete the first TWO physical rows of each file — a purely
+    # positional criterion no key predicate can express
+    dv = scan.filter(F.col("p") < 2).select("f", "p")
+    live = scan.join(dv, ["f", "p"], "left_anti")
+    assert live.count() == 96
+    # re-scan: the same 96 keys survive (position mapping is stable)
+    again = scan.join(dv, ["f", "p"], "left_anti")
+    assert sorted(r.k for r in again.collect()) == sorted(
+        r.k for r in live.collect()
+    )
+
+
+def test_l5_scene_cut_flags_exactly_the_wraps(spark):
+    """Frames step +22 gray mod 256 except at the mod-128 wrap
+    (|Δ|=234): every diff must be 22 or 234 and n_cuts must count the
+    234s — verified through REAL byte decode on the sf0.001 corpus."""
+    from chronicle_sniffer_spark.plans.catalog import registry
+
+    rows = (
+        registry()["l5_video_scene_cut"]
+        .spark_fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        d = r.media_id
+        n = 2 + d % 4
+        assert r.n_frames == n
+        diffs = [
+            abs(
+                2 * ((d * 7 + (f + 1) * 11) % 128)
+                - 2 * ((d * 7 + f * 11) % 128)
+            )
+            for f in range(n - 1)
+        ]
+        assert all(x in (22, 234) for x in diffs)
+        assert r.n_cuts == sum(1 for x in diffs if x == 234)
+        assert r.sum_diff == sum(diffs)
+        assert r.max_diff == max(diffs)

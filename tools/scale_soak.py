@@ -294,6 +294,12 @@ QUERIES = (
     "s20_warc_image_decode",
     "s20_warc_audio_decode",
     "s24_crawl_stream_ingest",
+    "ts26_time_weighted_avg",
+    "ml28_spearman_rho",
+    "ml29_ndcg_eval",
+    "ml30_cohens_kappa",
+    "s25_position_deletes",
+    "l5_video_scene_cut",
 )
 
 
