@@ -302,6 +302,9 @@ HEADLINE = (
     "ml30_cohens_kappa",
     "s25_position_deletes",
     "l5_video_scene_cut",
+    "l3_ann_ivf_index_delete",
+    "ts29_counter_rate",
+    "g14_adamic_adar",
 )
 
 # Entries with documented ±18% round-over-round drift on identical code
@@ -339,6 +342,7 @@ _SMALL = {
     "ts26_time_weighted_avg",
     "ml30_cohens_kappa",
     "s25_position_deletes",
+    "ts29_counter_rate",
 }
 
 

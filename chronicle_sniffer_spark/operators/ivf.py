@@ -382,6 +382,70 @@ def ivf_index_upsert(
     return touched
 
 
+def ivf_index_delete(
+    spark,
+    index_dir: str,
+    delete_ids: DataFrame,
+    fail_before_commit: bool = False,
+) -> list[int]:
+    """Delete vectors from a materialized IVF index WITHOUT retraining
+    or touching unaffected cells — the third leg of the index CRUD
+    next to rebuild (`ivf_index_write`) and delta-upsert
+    (`ivf_index_upsert`): GDPR erasure, content takedowns, and expired
+    documents all arrive as id lists against a serving index whose
+    daily full rebuild is the cost being avoided.
+
+    Same discipline as the upsert, deletion-only:
+
+    1. touched cells = cells currently holding a deleted ``vec_id``
+       (semi-join + distinct, bounded by n_centroids — the one small
+       collect);
+    2. rewrite ONLY those cells minus the deleted ids into a
+       write-once epoch dir; untouched cells' files are never listed,
+       read, or rewritten;
+    3. ONE atomic manifest flip: rewritten cells repoint, cells
+       drained to zero vectors leave the bucket map in the SAME flip
+       (a stale path must not keep serving deleted vectors), and a
+       crash before the flip leaves readers on the exact pre-delete
+       snapshot (``fail_before_commit`` injects that crash for the
+       pytest).
+
+    Centroids are deliberately NOT retrained — deletion shifts cell
+    populations, not the model; retraining is `ivf_index_write`'s
+    job.  Returns the sorted touched cell ids ([] for a no-op list).
+    """
+    from chronicle_sniffer_spark.streaming import manifest as mf
+
+    m = mf.read_manifest(index_dir)
+    ids = delete_ids.select("vec_id")
+    cells = ivf_read_cells(spark, index_dir, manifest=m)
+    touched = sorted(
+        r.cid
+        for r in cells.join(ids, "vec_id", "semi")
+        .select("cid")
+        .distinct()
+        .collect()
+    )
+    if not touched:
+        return []
+    merged = (
+        cells.filter(F.col("cid").isin(touched))
+        .join(ids, "vec_id", "anti")
+        .select("vec_id", "v", "cid")
+    )
+    epoch = m["epoch"] + 1
+    staging = mf.staging_dir(index_dir, epoch)
+    merged.withColumn("bucket", F.col("cid")).write.partitionBy("bucket").parquet(
+        staging
+    )
+    if fail_before_commit:
+        raise RuntimeError("injected crash before manifest commit")
+    written = _staged_buckets(staging)
+    drained = [c for c in touched if c not in set(written)]
+    mf.commit(index_dir, epoch, written, dropped_buckets=drained)
+    return touched
+
+
 def ivf_topk_from_index(
     spark,
     index_dir: str,
@@ -430,6 +494,7 @@ def oracle_ivf_sql(
     n_probe: int = N_PROBE,
     max_train: int = MAX_TRAIN,
     train_where: str = "TRUE",
+    score_where: str = "TRUE",
 ) -> str:
     """DuckDB re-derivation of the ENTIRE IVF pipeline — train, assign,
     probe, score — as one SQL string, giving `l3_ann_ivf_topk` a hard
@@ -447,6 +512,11 @@ def oracle_ivf_sql(
     association orders, so an argmin could in principle flip on a
     ~1e-15 near-tie; the embeddings are continuous random vectors,
     making that acceptably improbable.
+
+    ``train_where`` restricts the TRAINING population (upsert oracle);
+    ``score_where`` restricts the SCORED population (delete oracle —
+    centroids stay trained on the pre-delete corpus, matching
+    delete-without-retrain semantics).
     """
     cte = _train_cte(n_centroids, n_iter, max_train, train_where)
     cte.append(
@@ -466,7 +536,7 @@ def oracle_ivf_sql(
     scored AS (
       SELECT a.vec_id, round(list_cosine_similarity(a.v, qv.v), 6) AS sim
       FROM assigned a JOIN probe p USING (cid), qv
-      WHERE a.vec_id <> {query_vec_id}
+      WHERE a.vec_id <> {query_vec_id} AND ({score_where})
     )"""
     )
     return (

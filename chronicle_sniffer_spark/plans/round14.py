@@ -806,3 +806,300 @@ def l5_video_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 l5_video_scene_cut.__doc__ = l5_video_scene_cut.__doc__.format(T=_SCENE_CUT_T)
+
+
+# ---------------------------------------------------------------------------
+# L3: IVF index DELETE — the third leg of serving-index CRUD
+# ---------------------------------------------------------------------------
+
+# Vectors erased after the index was built and served.  The centroid
+# model stays trained on the FULL corpus (delete-without-retrain), so
+# the oracle trains on everything and restricts only the SCORED set.
+_IVF_DELETE_WHERE = "vec_id % 7 = 3"
+
+_IVF_DELETE_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _ivf_deleted_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    from chronicle_sniffer_spark.operators.ivf import (
+        ivf_index_delete,
+        ivf_index_write,
+    )
+    from chronicle_sniffer_spark.tables import session_tmpdir
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _IVF_DELETE_CACHE:
+        out = session_tmpdir("css_ivf_del_")
+        emb = _t(spark, sf_dir, "embeddings")
+        ivf_index_write(emb, out)
+        ivf_index_delete(
+            spark, out, emb.filter(F.expr(_IVF_DELETE_WHERE))
+        )
+        _IVF_DELETE_CACHE[key] = out
+    return _IVF_DELETE_CACHE[key]
+
+
+def _ivf_delete_oracle() -> str:
+    from chronicle_sniffer_spark.operators.ivf import oracle_ivf_sql
+    from chronicle_sniffer_spark.plans.dedup_sim import ANN_K, ANN_QUERY_VEC
+
+    return oracle_ivf_sql(
+        ANN_QUERY_VEC, ANN_K, score_where=f"NOT ({_IVF_DELETE_WHERE})"
+    )
+
+
+@query("l3_ann_ivf_index_delete", section="L3", oracle=_ivf_delete_oracle())
+def l3_ann_ivf_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF serving after TARGETED DELETES — the erasure path (GDPR
+    takedown, expired documents) that completes the index CRUD next to
+    rebuild and delta-upsert: the index is built on the full corpus,
+    then every ``vec_id % 7 == 3`` vector is deleted via
+    `operators/ivf.py::ivf_index_delete` — only the cells holding a
+    deleted id are rewritten (write-once epoch dir), drained cells
+    leave the bucket map in the SAME atomic manifest flip, and the
+    centroid model is untouched (delete-without-retrain).  The probe
+    then must return exactly the top-k over the SURVIVORS: a stale
+    path, a cell that kept a deleted row, or an over-deleted neighbor
+    all hash-fail against the unrolled-Lloyd oracle (trained on the
+    full corpus, scored with the delete predicate inverted).
+
+    Scale shape: delete cost is O(touched cells' rows) + one manifest
+    flip; untouched cells' files are never listed or read
+    (pytest-asserted byte-identity), and the probe stays
+    partition-pruned manifest path resolution."""
+    from chronicle_sniffer_spark.operators.ivf import ivf_topk_from_index
+    from chronicle_sniffer_spark.plans.dedup_sim import ANN_K, ANN_QUERY_VEC
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qrow = (
+        emb.filter(F.col("vec_id") == ANN_QUERY_VEC)
+        .select("embedding")
+        .collect()
+    )
+    qv = [float(x) for x in qrow[0][0]]
+    return ivf_topk_from_index(
+        spark,
+        _ivf_deleted_index_dir(spark, sf_dir),
+        qv,
+        ANN_K,
+        exclude_vec_id=ANN_QUERY_VEC,
+    )
+
+
+# ---------------------------------------------------------------------------
+# TS29: reset-aware counter rate (the Prometheus rate()/increase() shape)
+# ---------------------------------------------------------------------------
+
+_TS29_ORACLE = """
+WITH e AS (
+  SELECT event_type,
+         CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day,
+         CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS ts_us,
+         event_id,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+d AS (
+  SELECT event_type, day, ts_us, cents,
+         cents - lag(cents) OVER (PARTITION BY event_type, day
+                                  ORDER BY ts_us, event_id) AS delta
+  FROM e
+)
+SELECT event_type, day,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(sum(CASE WHEN delta IS NULL THEN 0
+                     WHEN delta >= 0 THEN delta
+                     ELSE cents END) AS BIGINT) AS increase_cents,
+       CAST(max(ts_us) - min(ts_us) AS BIGINT) AS span_us,
+       CASE WHEN max(ts_us) > min(ts_us)
+            THEN CAST(sum(CASE WHEN delta IS NULL THEN 0
+                               WHEN delta >= 0 THEN delta
+                               ELSE cents END) AS DOUBLE)
+                 / CAST(max(ts_us) - min(ts_us) AS DOUBLE)
+                 * 1000000.0 / 100.0
+       END AS rate_per_sec
+FROM d GROUP BY 1, 2
+"""
+
+
+@query("ts29_counter_rate", section="TS", oracle=_TS29_ORACLE)
+def ts29_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reset-aware counter rate — the Prometheus ``increase()`` /
+    ``rate()`` semantics every metrics backend implements: consecutive
+    deltas within a (series, day) window accumulate when non-negative;
+    a NEGATIVE delta means the counter restarted from zero, so the
+    post-reset VALUE (not the delta) is the increase contribution.
+    Naive last−first silently under-counts every restart; summing raw
+    deltas goes negative — this is the correct estimator and a real
+    monitoring-pipeline operator (reference analogue: R27's
+    log-metric extraction feeds exactly this rollup).
+
+    Exactness: integer cents and microseconds end-to-end; the only
+    float ops are the final division chain, identically shaped in
+    both engines ([[cross-engine-float-gotchas]]).
+
+    Scale shape: one lag window per high-cardinality (event_type,
+    day) partition + one hash aggregate — the ts26 shape; survives
+    100× by adding partitions, not depth."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.to_date("ts").cast("timestamp").alias("day"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    w = Window.partitionBy("event_type", "day").orderBy("ts_us", "event_id")
+    d = e.select(
+        "event_type",
+        "day",
+        "ts_us",
+        "cents",
+        (F.col("cents") - F.lag("cents").over(w)).alias("delta"),
+    )
+    contrib = (
+        F.when(F.col("delta").isNull(), F.lit(0))
+        .when(F.col("delta") >= 0, F.col("delta"))
+        .otherwise(F.col("cents"))
+    )
+    inc = F.sum(contrib).cast("bigint")
+    span = (F.max("ts_us") - F.min("ts_us")).cast("bigint")
+    return d.groupBy("event_type", "day").agg(
+        F.count("*").cast("bigint").alias("n_samples"),
+        inc.alias("increase_cents"),
+        span.alias("span_us"),
+        F.when(
+            F.max("ts_us") > F.min("ts_us"),
+            inc.cast("double") / span.cast("double") * 1000000.0 / 100.0,
+        ).alias("rate_per_sec"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# G14: Adamic–Adar link prediction (rare-neighbor-weighted common neighbors)
+# ---------------------------------------------------------------------------
+
+G14_TOPK = 25
+G14_DEG_CAP = 16  # the g13 wedge cap, reused: ≤ C(16,2) wedges per customer
+
+# 1/ln(capped customer degree) in integer picos, degree ∈ 2..CAP —
+# only 15 possible values after the cap, so the weights are baked in
+# Python and inlined as LITERALS into both engines (the ml29 move: ln's
+# last ulp is not a cross-engine contract, a 15-entry integer table is).
+import math as _g14math
+
+_G14_W_PICOS = [
+    _g14math.floor(1e12 / _g14math.log(d)) for d in range(2, G14_DEG_CAP + 1)
+]
+
+
+def _g14_oracle() -> str:
+    w = ", ".join(str(x) for x in _G14_W_PICOS)
+    return f"""
+    WITH e AS (
+      SELECT DISTINCT l.l_suppkey AS s, o.o_custkey AS c
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    capped AS (
+      SELECT s, c FROM (
+        SELECT s, c, row_number() OVER (PARTITION BY c ORDER BY s) AS rn
+        FROM e) WHERE rn <= {G14_DEG_CAP}
+    ),
+    cw AS (
+      SELECT s, c,
+             [{w}][CAST(count(*) OVER (PARTITION BY c) AS INTEGER) - 1]
+               AS w_picos,
+             count(*) OVER (PARTITION BY c) AS cdeg
+      FROM capped
+    ),
+    pairs AS (
+      SELECT a.s AS s1, b.s AS s2,
+             CAST(count(*) AS BIGINT) AS n_common,
+             CAST(sum(a.w_picos) AS BIGINT) AS aa_picos
+      FROM cw a JOIN cw b ON a.c = b.c AND a.s < b.s
+      WHERE a.cdeg >= 2
+      GROUP BY 1, 2
+    )
+    SELECT s1, s2, n_common, aa_picos,
+           CAST(aa_picos AS DOUBLE) / 1e12 AS aa_score
+    FROM pairs
+    ORDER BY aa_picos DESC, s1, s2 LIMIT {G14_TOPK}
+"""
+
+
+@query("g14_adamic_adar", section="G2", oracle=_g14_oracle())
+def g14_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic–Adar link prediction on the supplier–customer bipartite
+    graph: common neighbors weighted by rarity, score(a,b) =
+    Σ_{{c ∈ N(a)∩N(b)}} 1/ln(deg(c)) — sharing a two-supplier niche
+    customer says far more than sharing a hub, the refinement over
+    g13's unweighted count (Adamic & Adar 2003, the strongest simple
+    baseline in the Liben-Nowell/Kleinberg link-prediction study).
+
+    Semantics are declared ON THE DEGREE-CAPPED GRAPH in BOTH engines
+    (each customer contributes wedges among its {CAP} smallest
+    suppliers — the identical rank truncation in the oracle), so the
+    score is exact for what it claims, and the wedge join is bounded
+    at C({CAP},2) rows per customer instead of Σ deg² — the g13
+    filter's cap, here as the declared estimand (its recall exposure
+    is already quantified corpus-wide by g13_degree_cap_audit).
+
+    Exactness: weights are a 15-entry integer-pico table (capped
+    degree ∈ 2..{CAP}) baked in Python and inlined into both engines —
+    the per-pair score is an exact int64 sum, ordering and the top-k
+    cut are integer-deterministic, and the emitted double is one
+    int64→1e12 division.
+
+    Scale shapes: the weight attaches per (customer) via the SAME
+    window partitioning the cap uses (no extra exchange); the wedge
+    join ships capped edges only; one hash aggregate per pair; top-k
+    is a TakeOrdered, never a global sort materialization."""
+    from pyspark.sql import Window as W
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("l_suppkey").alias("s"), F.col("o_custkey").alias("c"))
+        .distinct()
+    )
+    wpart = W.partitionBy("c")
+    capped = (
+        e.withColumn("rn", F.row_number().over(wpart.orderBy("s")))
+        .filter(F.col("rn") <= G14_DEG_CAP)
+        .select("s", "c")
+    )
+    weights = F.array(*[F.lit(x) for x in _G14_W_PICOS])
+    cw = capped.select(
+        "s",
+        "c",
+        F.element_at(
+            weights, F.count("*").over(wpart).cast("int") - 1
+        ).alias("w_picos"),
+        F.count("*").over(wpart).alias("cdeg"),
+    ).filter(F.col("cdeg") >= 2)
+    pairs = (
+        cw.select(F.col("s").alias("s1"), "c", "w_picos")
+        .join(cw.select(F.col("s").alias("s2"), "c"), "c")
+        .filter(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(
+            F.count("*").cast("bigint").alias("n_common"),
+            F.sum("w_picos").cast("bigint").alias("aa_picos"),
+        )
+    )
+    return (
+        pairs.select(
+            "s1",
+            "s2",
+            "n_common",
+            "aa_picos",
+            (F.col("aa_picos").cast("double") / 1e12).alias("aa_score"),
+        )
+        .orderBy(F.col("aa_picos").desc(), "s1", "s2")
+        .limit(G14_TOPK)
+    )
+
+
+g14_adamic_adar.__doc__ = g14_adamic_adar.__doc__.format(CAP=G14_DEG_CAP)

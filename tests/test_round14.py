@@ -502,3 +502,182 @@ def test_l5_scene_cut_flags_exactly_the_wraps(spark):
         assert r.n_cuts == sum(1 for x in diffs if x == 234)
         assert r.sum_diff == sum(diffs)
         assert r.max_diff == max(diffs)
+
+
+def test_ivf_delete_touches_only_affected_cells(spark, tmp_path):
+    """Deleting ids must rewrite ONLY the cells that held them:
+    untouched cells keep serving byte-identical files from their old
+    paths, deleted ids vanish, and a cell drained to zero leaves the
+    bucket map in the same manifest flip."""
+    import os
+
+    from chronicle_sniffer_spark.operators import ivf
+    from chronicle_sniffer_spark.streaming import manifest as mf
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 13), float((i * 5) % 11)]) for i in range(120)],
+        "vec_id bigint, embedding array<double>",
+    )
+    index_dir = str(tmp_path / "idx")
+    ivf.ivf_index_write(emb, index_dir, n_centroids=4, n_iter=3)
+    m0 = mf.read_manifest(index_dir)
+    cells0 = ivf.ivf_read_cells(spark, index_dir, manifest=m0)
+    by_cell: dict[int, list[int]] = {}
+    for r in cells0.select("vec_id", "cid").collect():
+        by_cell.setdefault(r.cid, []).append(r.vec_id)
+    assert len(by_cell) >= 3
+    cids = sorted(by_cell)
+    victim, survivor = cids[0], cids[-1]
+
+    def _files(m, cid):
+        paths = mf.bucket_paths(index_dir, m, {cid})
+        out = {}
+        for p in paths:
+            for f in sorted(os.listdir(p)):
+                if f.endswith(".parquet"):
+                    with open(os.path.join(p, f), "rb") as fh:
+                        out[f] = fh.read()
+        return out
+
+    survivor_before = _files(m0, survivor)
+
+    # delete HALF of the victim cell
+    half = by_cell[victim][: len(by_cell[victim]) // 2]
+    touched = ivf.ivf_index_delete(
+        spark,
+        index_dir,
+        spark.createDataFrame([(i,) for i in half], "vec_id bigint"),
+    )
+    assert touched == [victim]
+    m1 = mf.read_manifest(index_dir)
+    assert m1["version"] == m0["version"] + 1
+    assert _files(m1, survivor) == survivor_before  # byte-identical
+    left = {
+        r.vec_id
+        for r in ivf.ivf_read_cells(spark, index_dir, manifest=m1).collect()
+    }
+    assert left == {r.vec_id for r in cells0.collect()} - set(half)
+
+    # drain the victim cell entirely -> bucket leaves the map
+    rest = by_cell[victim][len(by_cell[victim]) // 2 :]
+    ivf.ivf_index_delete(
+        spark,
+        index_dir,
+        spark.createDataFrame([(i,) for i in rest], "vec_id bigint"),
+    )
+    m2 = mf.read_manifest(index_dir)
+    assert str(victim) not in m2["buckets"]
+    # a delete list touching nothing is a no-op
+    assert (
+        ivf.ivf_index_delete(
+            spark,
+            index_dir,
+            spark.createDataFrame([(99999,)], "vec_id bigint"),
+        )
+        == []
+    )
+    assert mf.read_manifest(index_dir)["version"] == m2["version"]
+
+
+def test_ivf_delete_crash_before_commit_serves_old_snapshot(spark, tmp_path):
+    """A crash between the staged cell write and the manifest flip
+    must leave readers on the exact pre-delete snapshot."""
+    import pytest
+
+    from chronicle_sniffer_spark.operators import ivf
+    from chronicle_sniffer_spark.streaming import manifest as mf
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7), float((i * 3) % 5)]) for i in range(80)],
+        "vec_id bigint, embedding array<double>",
+    )
+    index_dir = str(tmp_path / "idx")
+    ivf.ivf_index_write(emb, index_dir, n_centroids=4, n_iter=3)
+    before = sorted(
+        tuple(r)
+        for r in ivf.ivf_read_cells(spark, index_dir).select("vec_id", "cid").collect()
+    )
+    v0 = mf.read_manifest(index_dir)["version"]
+    with pytest.raises(RuntimeError, match="injected crash"):
+        ivf.ivf_index_delete(
+            spark,
+            index_dir,
+            spark.createDataFrame([(i,) for i in range(0, 80, 3)], "vec_id bigint"),
+            fail_before_commit=True,
+        )
+    assert mf.read_manifest(index_dir)["version"] == v0
+    after = sorted(
+        tuple(r)
+        for r in ivf.ivf_read_cells(spark, index_dir).select("vec_id", "cid").collect()
+    )
+    assert after == before
+
+
+def test_ts29_reset_contributes_post_reset_value(spark):
+    """Counter 100 -> 250 -> 30 -> 80 within one day: increase must be
+    150 (delta) + 30 (post-reset restart value) + 50 (delta) = 230,
+    not last-first (-20) nor the raw delta sum (10)."""
+    import datetime as dt
+
+    from chronicle_sniffer_spark.plans.catalog import registry
+    import chronicle_sniffer_spark.plans.round14 as r14
+
+    t0 = dt.datetime(2024, 3, 1, 8, 0, 0)
+    rows = [
+        (i, t0 + dt.timedelta(seconds=10 * i), 1, "ctr", v, "{}")
+        for i, v in enumerate([100.0, 250.0, 30.0, 80.0])
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint,"
+        " event_type string, value double, props string"
+    )
+    orig = r14._t
+    try:
+        r14._t = lambda s, d, n: ev
+        out = registry()["ts29_counter_rate"].spark_fn(spark, "x").collect()
+    finally:
+        r14._t = orig
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_samples == 4
+    assert r.increase_cents == 23000
+    assert r.span_us == 30_000_000
+    assert r.rate_per_sec == 23000 / 30_000_000 * 1e6 / 100
+
+
+def test_g14_adamic_adar_hand_graph(spark):
+    """Hand graph: customer 10 links suppliers {1,2} (deg 2), customer
+    20 links {1,2,3} (deg 3), customer 30 links {2,3} (deg 2).  Then
+    AA(1,2) = 1/ln2 + 1/ln3, AA(2,3) = 1/ln3 + 1/ln2, AA(1,3) = 1/ln3
+    — in exact integer picos from the baked table."""
+    import math
+
+    import chronicle_sniffer_spark.plans.round14 as r14
+    from chronicle_sniffer_spark.plans.catalog import registry
+
+    edges = [(1, 10), (2, 10), (1, 20), (2, 20), (3, 20), (2, 30), (3, 30)]
+    li = spark.createDataFrame(
+        [(i, s) for i, (s, _c) in enumerate(edges)],
+        "l_orderkey bigint, l_suppkey bigint",
+    )
+    o = spark.createDataFrame(
+        [(i, c) for i, (_s, c) in enumerate(edges)],
+        "o_orderkey bigint, o_custkey bigint",
+    )
+    orig = r14._t
+    try:
+        r14._t = lambda sp, d, n: {"lineitem": li, "orders": o}[n]
+        rows = {
+            (r.s1, r.s2): r
+            for r in registry()["g14_adamic_adar"].spark_fn(spark, "x").collect()
+        }
+    finally:
+        r14._t = orig
+    w2 = math.floor(1e12 / math.log(2))
+    w3 = math.floor(1e12 / math.log(3))
+    assert rows[(1, 2)].aa_picos == w2 + w3 and rows[(1, 2)].n_common == 2
+    assert rows[(2, 3)].aa_picos == w3 + w2 and rows[(2, 3)].n_common == 2
+    assert rows[(1, 3)].aa_picos == w3 and rows[(1, 3)].n_common == 1
+    # ordering: AA(1,2) == AA(2,3) > AA(1,3); tie broken by (s1, s2)
+    ordered = sorted(rows, key=lambda k: (-rows[k].aa_picos, k))
+    assert ordered == [(1, 2), (2, 3), (1, 3)]

@@ -46,6 +46,7 @@ ACCEPTED = {
     "l3_ann_sq8_topk",  # l3_cosine_topk's 1-row-query fold, over reconstructions
     "l3_mips_norm_prune",  # same 1-row-query fold; norm fold is index-time at scale
     "l3_ann_ivf_index_upsert",  # l3_ann_ivf_index_topk's scoring fold, post-upsert
+    "l3_ann_ivf_index_delete",  # same scoring fold, post-delete
     # the per-doc gram-hash array is a higher-order projection evaluated
     # once per DOC behind a cache barrier (5k rows at sf0.1); the
     # positional bound itself is an Arrow-batched pandas UDF, and the

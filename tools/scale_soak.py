@@ -300,6 +300,9 @@ QUERIES = (
     "ml30_cohens_kappa",
     "s25_position_deletes",
     "l5_video_scene_cut",
+    "l3_ann_ivf_index_delete",
+    "ts29_counter_rate",
+    "g14_adamic_adar",
 )
 
 
