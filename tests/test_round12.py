@@ -55,6 +55,7 @@ def test_roundtrip_through_container(spark, tmp_path):
     latin-1 and MIS-declared extra responses — with exact
     decode-damage counts."""
     from chronicle_sniffer_spark.sources.warc import (
+        BMP_MOD,
         CHUNKED_MOD,
         L1_PREFIX,
         LATIN1_MOD,
@@ -63,6 +64,7 @@ def test_roundtrip_through_container(spark, tmp_path):
         MISDECLARED_MOD,
         REQUEST_MOD,
         REVISIT_MOD,
+        WAV_MOD,
     )
 
     docs = load_table(spark, SF_SMOKE, "documents").select(
@@ -123,8 +125,19 @@ def test_roundtrip_through_container(spark, tmp_path):
         per_file.setdefault(r.file, []).append(r.member_idx)
     for idxs in per_file.values():
         assert sorted(idxs) == list(range(len(idxs)))
+    # round-14 media members: payload bytes pass through untouched and
+    # the charset decoder never runs on them (content-type gate)
+    media = [r for r in rows if "/img/" in r.target_uri or "/aud/" in r.target_uri]
+    assert len(media) == n_grid(BMP_MOD) + n_grid(WAV_MOD) and len(media) > 0
+    for r in media:
+        assert r.text is None and r.decode_errors == 0
+        assert len(r.payload) > 0
     n_extras = sum(
-        n_grid(m) for m in (REQUEST_MOD, METADATA_MOD, REVISIT_MOD, LATIN1_MOD, MISDECLARED_MOD)
+        n_grid(m)
+        for m in (
+            REQUEST_MOD, METADATA_MOD, REVISIT_MOD, LATIN1_MOD,
+            MISDECLARED_MOD, BMP_MOD, WAV_MOD,
+        )
     )
     assert len(rows) == len(want) + n_extras
 
