@@ -11,10 +11,31 @@ Families this round:
   formulas identical to the synthesized media corpus), and these
   entries compose s20 container bytes → l5 codec decode → stats with
   the same closed-form oracles the l5 entries pin.
+- Streaming crawl ingest (s24_crawl_stream_ingest) — the round-13
+  verdict's #3: a real Structured Streaming replay of the container
+  directory through the batch funnel's shared stages into an
+  S7-idempotent manifest-committed store (streaming/crawl.py).
+- Time-series rollups the metrics backends ship (ts26 LOCF
+  time-weighted average, ts29 Prometheus-style reset-aware counter
+  rate) — exact integer cents/µs moments, day-partitioned windows.
+- Ranking/agreement statistics for eval pipelines (ml28 tie-corrected
+  Spearman ρ, ml29 NDCG@10 with literal-baked discount gains, ml30
+  Cohen's kappa) — every oracle-compared value exact-int or an
+  identically-shaped double expression.
+- Storage: s25 position-delete merge-on-read (the Iceberg v2
+  delete-vector shape via ``_metadata.row_index``).
+- Multimodal: l5_video_scene_cut (shot segmentation over really
+  decoded MJPEG frames).
+- Serving-index CRUD completion: l3_ann_ivf_index_delete (erasure
+  without retrain, operators/ivf.py::ivf_index_delete).
+- Graphs: g14_adamic_adar (rarity-weighted link prediction on the
+  degree-capped wedge graph, weights literal-baked — no cross-engine
+  ln).
 
 Reference analogue: R9 container decode
 (processor/processor_app.py:150-155) — pcap-side, same
-bytes-in-container → typed-records shape.
+bytes-in-container → typed-records shape; R27/R28 metric extraction
+and dashboard rollups are the ts26/ts29 consumers.
 """
 
 from __future__ import annotations
