@@ -681,3 +681,55 @@ def test_g14_adamic_adar_hand_graph(spark):
     # ordering: AA(1,2) == AA(2,3) > AA(1,3); tie broken by (s1, s2)
     ordered = sorted(rows, key=lambda k: (-rows[k].aa_picos, k))
     assert ordered == [(1, 2), (2, 3), (1, 3)]
+
+
+def test_s24_checkpoint_resume_processes_only_new_arrivals(spark, tmp_path):
+    """File-arrival-driven semantics across RUNS: after an AvailableNow
+    replay completes, a NEW container landing in the directory and a
+    second replay against the SAME checkpoint must process only the
+    new file (one additional commit, not a re-ingest), and the table
+    must equal the batch path over the full directory."""
+    import os
+    import shutil
+
+    from chronicle_sniffer_spark.plans.round12 import _warc_dir
+    from chronicle_sniffer_spark.sources import warc as w
+    from chronicle_sniffer_spark.sources.warc import read_warc
+    from chronicle_sniffer_spark.streaming import manifest as mf
+    from chronicle_sniffer_spark.streaming.crawl import (
+        gated_extract,
+        read_crawl_table,
+        stream_crawl_ingest,
+    )
+
+    src = _warc_dir(spark, "/root/testdata/sf0.001")
+    wdir = str(tmp_path / "crawl")
+    os.makedirs(wdir)
+    names = sorted(
+        p for p in os.listdir(src) if p.endswith(".warc.gz")
+    )[:4]
+    for p in names:
+        shutil.copy(os.path.join(src, p), os.path.join(wdir, p))
+    table = str(tmp_path / "tab")
+    ckpt = str(tmp_path / "ckpt")
+    stream_crawl_ingest(spark, wdir, table, ckpt, max_files_per_trigger=2)
+    v0 = mf.read_manifest(table)["version"]
+    n0 = read_crawl_table(spark, table).count()
+
+    # a new container arrives: one fresh doc on a late grid id
+    html = "<p>" + " ".join(["resume word stream"] * 40) + "</p>"
+    with open(os.path.join(wdir, "part-late.warc.gz"), "wb") as f:
+        f.write(w.warc_member(999983, html))
+    stream_crawl_ingest(spark, wdir, table, ckpt, max_files_per_trigger=2)
+    m = mf.read_manifest(table)
+    # exactly ONE more commit (the new file), not a re-ingest of four
+    assert m["version"] == v0 + 1
+    got = sorted(
+        (r.doc_id, r.n_tokens) for r in read_crawl_table(spark, table).collect()
+    )
+    want = sorted(
+        (r.doc_id, r.n_tokens)
+        for r in gated_extract(read_warc(spark, wdir)).collect()
+    )
+    assert got == want
+    assert len(got) == n0 + 1  # the late doc passed the gate
