@@ -340,52 +340,77 @@ def ts22_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         s_t = γ(x_t − l_t) + (1−γ)s_{{t−m}}
         ŷ_{{n+h}} = l_n + h·b_n + s_{{n+h−m}}
 
-    Distributed shape: ONE user_id shuffle; keys run in parallel and
-    the within-key loop is the O(n) recursion it mathematically is
-    (the grouped-map + recursive-CTE-oracle pattern of ts9, extended
-    to vector state — the oracle carries the seasonal vector as a
-    LIST column through the recursion).  Smoothing constants are
-    dyadic (0.5/0.25) so both engines' multiply-add streams are
-    bit-identical; rounding happens once, at the forecast."""
+    Distributed shape — the round-14 rework shared with ts8/ts9: ONE
+    user_id shuffle + native per-partition sort into a ``mapInPandas``
+    pass carrying the (user, count, level, trend, seasonal-vector)
+    state across Arrow batch boundaries, so per-group Python/pandas
+    overhead is amortized to one call per BATCH (guide §4) and state
+    stays O(m) per in-flight user.  The within-key recursion and the
+    multiply-add order are unchanged from the grouped-map form (the
+    oracle carries the seasonal vector as a LIST column through the
+    recursive CTE).  Smoothing constants are dyadic (0.5/0.25) so
+    both engines' multiply-add streams are bit-identical; rounding
+    happens once, at the forecast."""
+    import math
+
     import pandas as pd
 
-    def _hw(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts", "event_id"])
-        xs = pdf["value"].to_numpy()
-        l, b = xs[0], 0.0
-        seas = [0.0] * HW_M
-        for x in xs[1:]:
-            s_old = seas[0]
-            l_new = HW_ALPHA * (x - s_old) + (1 - HW_ALPHA) * (l + b)
-            b = HW_BETA * (l_new - l) + (1 - HW_BETA) * b
-            s_new = HW_GAMMA * (x - l_new) + (1 - HW_GAMMA) * s_old
-            seas = seas[1:] + [s_new]
-            l = l_new
-        def r6(x: float) -> float:
-            # half-AWAY-from-zero, matching Spark/DuckDB round(): the
-            # dyadic smoothing constants make exact 6-dp ties
-            # representable, where Python round()'s half-even differs
-            import math
+    def _r6(x: float) -> float:
+        # half-AWAY-from-zero, matching Spark/DuckDB round(): the
+        # dyadic smoothing constants make exact 6-dp ties
+        # representable, where Python round()'s half-even differs
+        return math.copysign(math.floor(abs(x) * 1e6 + 0.5), x) / 1e6
 
-            return math.copysign(math.floor(abs(x) * 1e6 + 0.5), x) / 1e6
+    _COLS = ["user_id", "n_events", "h", "forecast"]
 
-        return pd.DataFrame(
-            {
-                "user_id": [pdf["user_id"].iloc[0]] * HW_H,
-                "n_events": [len(pdf)] * HW_H,
-                "h": list(range(1, HW_H + 1)),
-                "forecast": [
-                    r6(l + h * b + seas[h - 1]) for h in range(1, HW_H + 1)
-                ],
-            }
-        )
+    def _hw_part(batches):
+        uid = None
+        n = 0
+        l, b = 0.0, 0.0
+        seas: list[float] = [0.0] * HW_M
+        out: list[tuple] = []
+
+        def rows(uid, n, l, b, seas):
+            return [
+                (uid, n, h, _r6(l + h * b + seas[h - 1]))
+                for h in range(1, HW_H + 1)
+            ]
+
+        for pdf in batches:
+            uids = pdf["user_id"].to_numpy()
+            vals = pdf["value"].to_numpy()
+            for j in range(len(uids)):
+                u = uids[j]
+                if u != uid:
+                    if uid is not None:
+                        out.extend(rows(uid, n, l, b, seas))
+                    uid, n = u, 0
+                x = vals[j]
+                if n == 0:
+                    l, b = x, 0.0
+                    seas = [0.0] * HW_M
+                else:
+                    s_old = seas[0]
+                    l_new = HW_ALPHA * (x - s_old) + (1 - HW_ALPHA) * (l + b)
+                    b = HW_BETA * (l_new - l) + (1 - HW_BETA) * b
+                    s_new = HW_GAMMA * (x - l_new) + (1 - HW_GAMMA) * s_old
+                    seas = seas[1:] + [s_new]
+                    l = l_new
+                n += 1
+            if out:
+                yield pd.DataFrame(out, columns=_COLS)
+                out = []
+        if uid is not None:
+            yield pd.DataFrame(rows(uid, n, l, b, seas), columns=_COLS)
 
     return (
         _t(spark, sf_dir, "events")
         .select("user_id", "ts", "event_id", "value")
-        .groupBy("user_id")
-        .applyInPandas(
-            _hw, "user_id bigint, n_events bigint, h int, forecast double"
+        .repartition("user_id")
+        .sortWithinPartitions("user_id", "ts", "event_id")
+        .select("user_id", "value")
+        .mapInPandas(
+            _hw_part, "user_id bigint, n_events bigint, h int, forecast double"
         )
     )
 

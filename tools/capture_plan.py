@@ -1,0 +1,44 @@
+"""Capture `.explain("formatted")` output for catalog queries.
+
+Usage:  python tools/capture_plan.py <tag> query [query ...]
+
+Writes plans/r14/<query>_<tag>.txt for each query (tag: before/after).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from chronicle_sniffer_spark.plans import registry  # noqa: E402
+from chronicle_sniffer_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    tag = sys.argv[1]
+    names = sys.argv[2:]
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    out_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r14"
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    spark = get_spark("capture_plan")
+    reg = registry()
+    for name in names:
+        df = reg[name].spark_fn(spark, sf_dir)
+        txt = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        path = os.path.join(out_dir, f"{name}_{tag}.txt")
+        with open(path, "w") as fh:
+            fh.write(txt)
+        print(f"wrote {path} ({len(txt)} bytes)", flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
