@@ -726,6 +726,10 @@ def l6_nucleus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 BFS_HOPS = 3
+# frontier-broadcast gate (g12 policy): below this measured node count
+# the per-hop frontier join is hinted broadcast; above it the hint
+# drops out and the join reverts to shuffle — the 100 TB path
+BFS_BROADCAST_MAX_NODES = 2_000_000
 
 
 def _g5_oracle() -> str:
@@ -764,31 +768,59 @@ def g5_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     (fraud rings, blast-radius, friends-of-friends) completing the
     graph family next to PageRank / triangles / CC.
 
-    Scale shape: each hop is ONE hash join of the frontier against
-    the symmetrized edge list (node-keyed) plus a min-combine — both
-    map-side combinable; the hop count is a bounded constant, so the
-    plan is a static K-deep unroll (no driver iteration, no lineage
-    growth to truncate — contrast g3's unbounded-diameter CC, which
-    needs localCheckpoint).  The frontier is always a subset of
-    nodes, so AQE broadcasts it while small and degrades gracefully.
-    The oracle unrolls the identical K min-relaxation steps as
-    chained CTEs."""
+    Scale shape — the g12 round architecture applied to unit weights
+    (the round-14 rework; the earlier static K-deep unroll duplicated
+    the whole co-purchase derivation once per level and per side, and
+    the 205 KB physical plan made Catalyst planning, not execution,
+    the wall).  The symmetrized edge list is built ONCE,
+    hash-partitioned by the propagation TARGET and cached, so the
+    per-hop min-combine on ``t`` rides the cache's partitioning with
+    no Exchange; the frontier side carries the g12 SIZE-GATED
+    broadcast hint (static node count measured once — a checkpointed
+    frontier is a LogicalRDD with unknown stats, so an ungated plan
+    falls to shuffle joins even while the frontier is tiny; past the
+    gate the join reverts to shuffle, the 100 TB path).  Only the
+    frontier∪reduction union — node-sized — pays a shuffle, and each
+    hop ends in one eager localCheckpoint (materialize + lineage
+    truncation in a single job).  Distances are exact ints, so
+    relaxation order can never matter.  The oracle unrolls the
+    identical K min-relaxation steps as chained CTEs."""
     from chronicle_sniffer_spark.plans.round7 import _copurchase_edges
 
     edges = _copurchase_edges(spark, sf_dir)
-    sym = edges.select(F.col("u").alias("s"), F.col("v").alias("t")).unionByName(
-        edges.select(F.col("v").alias("s"), F.col("u").alias("t"))
+    sym = (
+        edges.select(F.col("u").alias("s"), F.col("v").alias("t"))
+        .unionByName(edges.select(F.col("v").alias("s"), F.col("u").alias("t")))
+        .repartition("t")
+        .cache()
     )
-    d = edges.agg(F.min("u").alias("n")).select("n", F.lit(0).alias("dist"))
+    d = sym.agg(F.min("s").alias("n")).select("n", F.lit(0).alias("dist"))
+    # static across hops: one measured count gates the per-hop
+    # broadcast hint (s ranges over ALL nodes — sym is symmetric)
+    n_nodes = sym.select("s").distinct().count()
+    small = n_nodes <= BFS_BROADCAST_MAX_NODES
     for _ in range(BFS_HOPS):
-        # name-based refs throughout: `sym` appears once per unrolled
-        # level, and object-bound column refs would trip Spark's
-        # ambiguous-self-join detection on the reused plan subtree
         frontier = d.select(F.col("n").alias("s"), "dist")
-        prop = frontier.join(sym, "s").select(
-            F.col("t").alias("n"), (F.col("dist") + F.lit(1)).alias("dist")
+        fr_side = F.broadcast(frontier) if small else frontier
+        prop = fr_side.join(sym, "s").select(
+            "t", (F.col("dist") + F.lit(1)).alias("dist")
         )
-        d = d.unionByName(prop).groupBy("n").agg(F.min("dist").alias("dist"))
+        # exchange-free on the t-partitioned cache: reduce the
+        # edge-sized propagation BEFORE the union, so the only
+        # shuffle per hop is node-sized
+        prop_min = (
+            prop.groupBy("t")
+            .agg(F.min("dist").alias("dist"))
+            .select(F.col("t").alias("n"), "dist")
+        )
+        d = d.unionByName(prop_min).groupBy("n").agg(F.min("dist").alias("dist"))
+        if small:
+            # node-sized under the gate: a handful of partitions keeps
+            # the next hop's broadcast collect a small job (g12 note:
+            # not coalesce(1), which would serialize the reduce)
+            d = d.coalesce(4)
+        d = d.localCheckpoint(eager=True)
+    sym.unpersist()
     return d.select(F.col("n").alias("user_id"), F.col("dist").cast("int").alias("dist"))
 
 
