@@ -1039,19 +1039,26 @@ def l4_lang_id_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     by (score DESC, lang ASC); every score an exact int64 sum.
 
     Spark shapes: trigram explode is a scan-edge Generate (sequence +
-    substr, no lambdas — codegen); test trigrams are SEMI-JOINED
-    against the broadcast profile-gram set BEFORE the (doc, gram)
-    aggregation, so the per-doc shuffle carries only profile hits
-    (≤ langs × {K} grams per doc) instead of the full trigram space —
-    on real web text a ~10-100× shuffle-volume cut at zero
-    correctness risk (scores only ever read profile grams); the
-    profile is BROADCAST (≤ langs × {K} rows) into the scoring join;
+    substr, no lambdas — codegen); test trigram INSTANCES join the
+    BROADCAST profile (≤ langs × {K} rows) directly, so non-profile
+    grams drop at the scan edge and the single shuffle carries only
+    (doc, lang) partial sums — on real web text a ~10-100× cut vs
+    shuffling the raw (doc, gram) space, at zero correctness risk
+    (count(*) per (doc, lang) ≡ Σ tf over that lang's profile grams);
     per-doc argmax is a doc-keyed window over the Aggregate-bounded
-    score table.  At 100 TB: one corpus scan + one profile-pruned
-    keyed agg; the model never shuffles the corpus."""
+    score table.  At 100 TB: one corpus scan + one broadcast join +
+    one keyed agg; the model never shuffles the corpus."""
     from pyspark.sql import Window as W
 
-    d = _t(spark, sf_dir, "documents").select(
+    from chronicle_sniffer_spark.tables import spread
+
+    # spread(): the single-row-group fixture file scans as ONE task,
+    # serializing the char-heavy trigram Generate on one core (2.4 s
+    # of the entry's 4.6 s wall); a properly-split 100 TB corpus makes
+    # this a no-op (see tables.spread docstring)
+    d = spread(
+        _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    ).select(
         "doc_id",
         "lang",
         F.expr(LID_MARK_SQL).alias("text"),
@@ -1082,21 +1089,23 @@ def l4_lang_id_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= LID_TOPK)
         .select("lang", "g")
     )
-    # prune BEFORE the (doc, gram) shuffle: only grams some profile
-    # carries can ever score, so the broadcast semi-join on the
-    # profile's gram set cuts the aggregation input to profile hits
-    # (round-13 verdict #5 — the heaviest stage of the entry)
-    prof_grams = prof.select("g").distinct()
-    doc_tf = (
-        tri.filter(F.col("doc_id") % LID_TEST_MOD == 0)
-        .join(F.broadcast(prof_grams), "g", "semi")
-        .groupBy("doc_id", "g")
-        .agg(F.count("*").cast("bigint").alias("tf"))
-    )
+    # One broadcast join does both the pruning and the scoring: each
+    # test trigram INSTANCE joins the KB-sized profile (fan-out ≤ the
+    # langs whose profile carries the gram — non-hits drop on the
+    # spot), and count(*) per (doc, lang) IS Σ tf over that lang's
+    # profile grams.  Equivalent to the earlier semi-join + (doc,
+    # gram) tf agg + profile join chain, but the heavy train-side
+    # profile subtree is built ONCE (the chain broadcast it twice —
+    # once as the gram set, once as the scorer — re-running the full
+    # train aggregation per broadcast), and the only shuffle left
+    # carries (doc, lang) partial sums: strictly fewer keys than the
+    # (doc, gram) space the chain aggregated first.
     scores = (
-        doc_tf.join(F.broadcast(prof), "g")
+        tri.filter(F.col("doc_id") % LID_TEST_MOD == 0)
+        .select("doc_id", "g")
+        .join(F.broadcast(prof), "g")
         .groupBy("doc_id", "lang")
-        .agg(F.sum("tf").cast("bigint").alias("score"))
+        .agg(F.count("*").cast("bigint").alias("score"))
     )
     pred = (
         scores.withColumn(
