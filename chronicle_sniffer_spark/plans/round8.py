@@ -773,30 +773,44 @@ def g5_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     the whole co-purchase derivation once per level and per side, and
     the 205 KB physical plan made Catalyst planning, not execution,
     the wall).  The symmetrized edge list is built ONCE,
-    hash-partitioned by the propagation TARGET and cached, so the
-    per-hop min-combine on ``t`` rides the cache's partitioning with
-    no Exchange; the frontier side carries the g12 SIZE-GATED
-    broadcast hint (static node count measured once — a checkpointed
-    frontier is a LogicalRDD with unknown stats, so an ungated plan
-    falls to shuffle joins even while the frontier is tiny; past the
-    gate the join reverts to shuffle, the 100 TB path).  Only the
-    frontier∪reduction union — node-sized — pays a shuffle, and each
-    hop ends in one eager localCheckpoint (materialize + lineage
-    truncation in a single job).  Distances are exact ints, so
-    relaxation order can never matter.  The oracle unrolls the
-    identical K min-relaxation steps as chained CTEs."""
+    hash-partitioned by the propagation TARGET and eagerly
+    localCheckpointed, so every hop's min-combine on ``t`` rides the
+    materialized partitioning with no Exchange and the bounded-K
+    unroll runs LAZILY inside one action (per-hop eager checkpoints
+    would serialize K driver-synchronized jobs of fixed latency; the
+    checkpoint — not cache — choice keeps a later identical plan
+    from silently reusing this call's materialized edges).  The
+    frontier side carries the g12 SIZE-GATED broadcast hint (static
+    node count measured once against the checkpoint — a LogicalRDD
+    has unknown stats, so an ungated plan falls to shuffle joins even
+    while the frontier is tiny; past the gate the hint drops out and
+    the join reverts to shuffle, the 100 TB path).  Only the
+    frontier∪reduction union — node-sized — pays a shuffle per hop.
+    Distances are exact ints, so relaxation order can never matter.
+    The oracle unrolls the identical K min-relaxation steps as
+    chained CTEs."""
     from chronicle_sniffer_spark.plans.round7 import _copurchase_edges
 
     edges = _copurchase_edges(spark, sf_dir)
+    # ONE eager materialization: the t-partitioned symmetric edge list
+    # is checkpointed (not cached — a cache entry keyed on an identical
+    # logical plan would survive this call and hand later runs a
+    # pre-materialized edge list), so every hop's subtree starts at a
+    # small LogicalRDD instead of re-deriving the co-purchase join —
+    # the static unroll's plan stays KBs, and the hop count is a
+    # bounded constant, so the three hops run LAZILY inside the single
+    # final action (the earlier per-hop eager checkpoints serialized
+    # five driver-synchronized jobs; fixed job latency was the wall)
     sym = (
         edges.select(F.col("u").alias("s"), F.col("v").alias("t"))
         .unionByName(edges.select(F.col("v").alias("s"), F.col("u").alias("t")))
         .repartition("t")
-        .cache()
+        .localCheckpoint(eager=True)
     )
     d = sym.agg(F.min("s").alias("n")).select("n", F.lit(0).alias("dist"))
     # static across hops: one measured count gates the per-hop
-    # broadcast hint (s ranges over ALL nodes — sym is symmetric)
+    # broadcast hint (s ranges over ALL nodes — sym is symmetric);
+    # cheap — it reads the materialized checkpoint, not the lineage
     n_nodes = sym.select("s").distinct().count()
     small = n_nodes <= BFS_BROADCAST_MAX_NODES
     for _ in range(BFS_HOPS):
@@ -805,7 +819,7 @@ def g5_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         prop = fr_side.join(sym, "s").select(
             "t", (F.col("dist") + F.lit(1)).alias("dist")
         )
-        # exchange-free on the t-partitioned cache: reduce the
+        # exchange-free on the t-partitioned checkpoint: reduce the
         # edge-sized propagation BEFORE the union, so the only
         # shuffle per hop is node-sized
         prop_min = (
@@ -814,13 +828,6 @@ def g5_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("t").alias("n"), "dist")
         )
         d = d.unionByName(prop_min).groupBy("n").agg(F.min("dist").alias("dist"))
-        if small:
-            # node-sized under the gate: a handful of partitions keeps
-            # the next hop's broadcast collect a small job (g12 note:
-            # not coalesce(1), which would serialize the reduce)
-            d = d.coalesce(4)
-        d = d.localCheckpoint(eager=True)
-    sym.unpersist()
     return d.select(F.col("n").alias("user_id"), F.col("dist").cast("int").alias("dist"))
 
 
