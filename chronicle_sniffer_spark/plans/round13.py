@@ -372,10 +372,18 @@ def l6_crawl_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     split arithmetic — in one DuckDB query.
 
     Spark shapes: binaryFile → per-file member decode → spread() →
-    codegen regex extraction → per-row gate expressions → two
-    hash-keyed dedups (one semi-join against the keep-min set, one
-    anti-join against the broadcast-small non-canonical label set) →
-    one 6-row union of partial aggs."""
+    codegen regex extraction, all executed ONCE — the naive 6-branch
+    union re-derived the container decode + regex extract subtree per
+    stage (34 binaryFile scans in one physical plan, measured); this
+    form computes a single per-doc flags frame instead.  Stage
+    membership is a chain of monotone booleans: the C4 gate is a
+    per-row expression, the exact dedup's keep-min is a window over
+    the md5 partition (text projected away BEFORE that narrow
+    shuffle), the near-dup filter a broadcast left join against the
+    small non-canonical label set, the split a hash expression.  ONE
+    global aggregate then emits every stage's count/token pair and a
+    6-row stack unpivots it — the whole funnel is one pass over the
+    containers plus one narrow shuffle."""
     from chronicle_sniffer_spark.operators.html import html_extract
     from chronicle_sniffer_spark.plans.dedup_sim import shared_pairs_and_labels
     from chronicle_sniffer_spark.plans.quality import (
@@ -399,58 +407,100 @@ def l6_crawl_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("doc_id"),
         F.col("text").alias("html"),
     )
-    cont = main.select(
-        "doc_id", F.size(F.split("html", " ")).cast("bigint").alias("n_tokens")
-    )
-    ext = html_extract(spread(main), max_density_pct=_DENSITY_PCT).select(
+    from pyspark.sql import Window as W
+
+    # ONE container decode: the extractor forks its input (blocks +
+    # titles) and stage 0 reads the raw html too — checkpoint the
+    # decoded members so the Python-boundary decode never re-runs
+    main = spread(main).localCheckpoint(eager=True)
+    cont = main.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.size(F.split("html", " ")).cast("bigint"))
+        .cast("bigint")
+        .alias("n_tokens"),
+    ).select(F.lit("0_container").alias("stage"), "n_docs", "n_tokens")
+    ext = html_extract(main, max_density_pct=_DENSITY_PCT).select(
         "doc_id", "text"
     )
     n_words = F.size(F.split("text", " "))
     sig = ext.select(
         "doc_id",
-        "text",
         n_words.cast("bigint").alias("n_tokens"),
-        n_words.alias("n_words"),
-        F.round(
-            F.length(F.regexp_replace("text", " ", "")) * 1.0 / n_words, 6
-        ).alias("mean_word_len"),
-        F.round(
-            F.length(F.regexp_replace("text", "[A-Za-z0-9 ]", "")) * 1.0
-            / F.length("text"),
-            6,
-        ).alias("symbol_ratio"),
+        F.md5(F.col("text").cast("binary")).alias("h"),
+        (
+            (n_words >= MIN_WORDS)
+            & F.round(
+                F.length(F.regexp_replace("text", " ", "")) * 1.0 / n_words, 6
+            ).between(MEAN_WL_LO, MEAN_WL_HI)
+            & (
+                F.round(
+                    F.length(F.regexp_replace("text", "[A-Za-z0-9 ]", ""))
+                    * 1.0
+                    / F.length("text"),
+                    6,
+                )
+                < MAX_SYMBOL_RATIO
+            )
+        ).alias("p2"),
     )
-    s2 = sig.filter(
-        (F.col("n_words") >= MIN_WORDS)
-        & F.col("mean_word_len").between(MEAN_WL_LO, MEAN_WL_HI)
-        & (F.col("symbol_ratio") < MAX_SYMBOL_RATIO)
+    # exact dedup as a window instead of a groupBy+semi-join: keep-min
+    # over the md5 partition of GATED rows — the text column is already
+    # projected away, so the one shuffle here carries five narrow cols
+    keep_min = F.min(F.when(F.col("p2"), F.col("doc_id"))).over(
+        W.partitionBy("h")
     )
-    keep = s2.groupBy(F.md5(F.col("text").cast("binary"))).agg(
-        F.min("doc_id").alias("doc_id")
+    flags = sig.withColumn(
+        "p3", F.col("p2") & (F.col("doc_id") == keep_min)
     )
-    s3 = s2.join(keep.select("doc_id"), "doc_id", "left_semi")
     _, labels = shared_pairs_and_labels(spark, sf_dir)
     noncanon = labels.filter(F.col("node") != F.col("label")).select(
-        F.col("node").alias("doc_id")
+        F.col("node").alias("doc_id"), F.lit(True).alias("nc")
     )
-    s4 = s3.join(F.broadcast(noncanon), "doc_id", "left_anti")
-    s5 = s4.filter(
-        (F.col("doc_id") * CRAWL_MIX_A) % CRAWL_MIX_M % 100 < CRAWL_TRAIN_PCT
+    flags = flags.join(F.broadcast(noncanon), "doc_id", "left").select(
+        "n_tokens",
+        "p2",
+        (F.col("p3") & F.col("nc").isNull()).alias("p4"),
+        (
+            F.col("p3")
+            & F.col("nc").isNull()
+            & (
+                (F.col("doc_id") * CRAWL_MIX_A) % CRAWL_MIX_M % 100
+                < CRAWL_TRAIN_PCT
+            )
+        ).alias("p5"),
+        "p3",
     )
 
-    def report(df: DataFrame, stage: str) -> DataFrame:
-        return df.agg(
-            F.count("*").cast("bigint").alias("n_docs"),
-            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
-        ).select(F.lit(stage).alias("stage"), "n_docs", "n_tokens")
+    def pair(cond, tok):  # (n_docs, n_tokens) for one stage
+        return [
+            F.sum(F.when(cond, 1).otherwise(0)).cast("bigint"),
+            F.sum(F.when(cond, tok)).cast("bigint"),
+        ]
 
-    return (
-        report(cont, "0_container")
-        .unionByName(report(sig, "1_html_extract"))
-        .unionByName(report(s2, "2_c4_gate"))
-        .unionByName(report(s3, "3_exact_dedup"))
-        .unionByName(report(s4, "4_near_dedup"))
-        .unionByName(report(s5, "5_train_mix"))
+    t = F.lit(True)
+    agg = flags.agg(
+        *(
+            pair(t, F.col("n_tokens"))
+            + pair(F.col("p2"), F.col("n_tokens"))
+            + pair(F.col("p3"), F.col("n_tokens"))
+            + pair(F.col("p4"), F.col("n_tokens"))
+            + pair(F.col("p5"), F.col("n_tokens"))
+        )
+    )
+    cols = agg.columns
+    stages = [
+        "1_html_extract",
+        "2_c4_gate",
+        "3_exact_dedup",
+        "4_near_dedup",
+        "5_train_mix",
+    ]
+    stack_args = ", ".join(
+        f"'{s}', `{cols[2 * i]}`, `{cols[2 * i + 1]}`"
+        for i, s in enumerate(stages)
+    )
+    return cont.unionByName(
+        agg.selectExpr(f"stack(5, {stack_args}) AS (stage, n_docs, n_tokens)")
     )
 
 
