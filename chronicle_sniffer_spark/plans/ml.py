@@ -720,7 +720,12 @@ def _km_centroids(feats: DataFrame) -> DataFrame:
                     .otherwise(new)
                     .alias(f"c{k}{axis}")
                 )
-        cent = g.select(*upd)
+        # materialize the 1-row centroid frame NOW: every downstream
+        # broadcast of a lazy `cent` re-executed the whole Lloyd
+        # subtree (21 lineitem scans in one ml4 physical plan,
+        # measured) — the checkpoint makes each iteration exactly one
+        # wide-aggregate job and later broadcasts read a 1-row RDD
+        cent = g.select(*upd).localCheckpoint(eager=True)
     return cent
 
 
@@ -753,20 +758,29 @@ def ml4_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         aggs.append(_km_qsum(cl == k, dmin, f"w{k}"))
     ev = j.agg(*aggs).crossJoin(F.broadcast(cent))
-    outs = [
-        ev.select(
-            F.lit(k).alias("cluster"),
-            F.col(f"n{k}").alias("n"),
-            F.round(f"c{k}x", 6).alias("cx"),
-            F.round(f"c{k}y", 6).alias("cy"),
-            F.round(F.col(f"w{k}").cast("double") / F.lit(_Q), 6).alias("wcss"),
-        )
-        for k in (1, 2, 3)
-    ]
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
-    return out
+    # one row per cluster via stack() over the single 1-row eval frame
+    # — the 3-branch union re-executed the eval aggregate (and the
+    # whole centroid chain under it) once per cluster
+    ev = ev.select(
+        *[
+            c
+            for k in (1, 2, 3)
+            for c in (
+                F.col(f"n{k}").alias(f"on{k}"),
+                F.round(f"c{k}x", 6).alias(f"ocx{k}"),
+                F.round(f"c{k}y", 6).alias(f"ocy{k}"),
+                F.round(F.col(f"w{k}").cast("double") / F.lit(_Q), 6).alias(
+                    f"ow{k}"
+                ),
+            )
+        ]
+    )
+    stack_args = ", ".join(
+        f"{k}, on{k}, ocx{k}, ocy{k}, ow{k}" for k in (1, 2, 3)
+    )
+    return ev.selectExpr(
+        f"stack(3, {stack_args}) AS (cluster, n, cx, cy, wcss)"
+    )
 
 
 # ---------------------------------------------------------------------------
