@@ -561,27 +561,42 @@ def connected_components(
                 return star.unionByName(singletons)
             nbr = (
                 edges.join(labels, edges["t"] == labels["node"])
-                .select(edges["s"].alias("node"), labels["label"])
+                .select(
+                    edges["s"].alias("node"),
+                    labels["label"],
+                    F.lit(False).alias("own"),
+                )
             )
-            # localCheckpoint (not just cache) truncates the logical
+            # ONE job per round: the node's previous label rides the
+            # same union-aggregate as the propagation min (each node
+            # appears exactly once from `labels`, tagged own=true), so
+            # the convergence check needs no join back; the
+            # localCheckpoint is LAZY and the `changed` count
+            # materializes it — where the eager-checkpoint + join-count
+            # form paid two driver-synchronized jobs per round.
+            # Checkpoint (not just cache) still truncates the logical
             # plan each round — an uncheckpointed label chain nests
             # one join+union+agg per round and overflows the driver
             # stack during planning on large graphs (same discipline
             # as _star_components)
-            new_labels = (
-                nbr.union(labels)
+            new2 = (
+                nbr.unionByName(
+                    labels.select(
+                        "node", "label", F.lit(True).alias("own")
+                    )
+                )
                 .groupBy("node")
-                .agg(F.min("label").alias("label"))
-                .localCheckpoint()
+                .agg(
+                    F.min("label").alias("label"),
+                    F.min(F.when(F.col("own"), F.col("label"))).alias(
+                        "old_label"
+                    ),
+                )
+                .localCheckpoint(eager=False)
             )
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "node")
-                .filter(F.col("n.label") < F.col("o.label"))
-                .count()
-            )
+            changed = new2.filter(F.col("label") < F.col("old_label")).count()
             labels.unpersist()
-            labels = new_labels
+            labels = new2.select("node", "label")
             if changed == 0:
                 return labels
         raise RuntimeError(f"connected_components: not converged after {max_iter} rounds")
