@@ -957,7 +957,12 @@ def l2_fuzzy_title_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sequence(F.lit(1), F.length("title") - 1),
             lambda i: F.hash(F.substr(F.col("title"), i, F.lit(2))),
         ).alias("gcodes"),
-    ).cache()
+        # eager localCheckpoint, NOT cache(): same materialization
+        # barrier (a LogicalRDD cannot be CollapseProject-inlined into
+        # the candidate stage), but RDD-keyed — a leaked plan-keyed
+        # cache would serve later identical runs for free (the g9
+        # round-12 honesty finding)
+    ).localCheckpoint(eager=True)
     # the fan-out carries ONLY ids, lengths, and the 8 char buckets
     # (~90 bytes/candidate): gram arrays reach the positional UDF via
     # a broadcast per-doc matrix (collected from the cached t — doc-
@@ -2689,12 +2694,15 @@ def pagerank_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    # cached: the symmetrized edge list feeds deg/nodes/nn and all
-    # PR_ITER contribution joins — uncached, the orders⋈lineitem
-    # DISTINCT re-ran once per consumer (6+ scans of the fact table)
+    # eagerly localCheckpointed: the symmetrized edge list feeds
+    # deg/nodes/nn and all PR_ITER contribution joins — unmaterialized,
+    # the orders⋈lineitem DISTINCT re-ran once per consumer (6+ scans
+    # of the fact table); checkpoint, NOT cache(), so a later identical
+    # run can never silently reuse this call's edges (the g9 round-12
+    # honesty finding)
     und = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).cache()
+    ).localCheckpoint(eager=True)
     deg = und.groupBy("src").agg(F.count("*").alias("outdeg")).withColumnRenamed("src", "node")
     nodes = und.select(F.col("src").alias("node")).distinct()
     nn = nodes.agg(
@@ -2704,7 +2712,18 @@ def pagerank_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"(2 * {PR_UNIT} * 15 div 100 + count(*)) div (2 * count(*))"
         ).alias("baseq"),
     )
-    ranks = nodes.crossJoin(F.broadcast(nn)).select("node", F.col("initq").alias("rq"))
+    # deg and the (node, initq, baseq) base table are node-sized and
+    # consumed by EVERY iteration — unmaterialized, each iteration's
+    # broadcasts re-ran the edge-sized groupBy/distinct over the
+    # checkpoint (two extra edge-sized shuffles per round, measured);
+    # one checkpoint each makes every later use a node-sized RDD read
+    deg = deg.localCheckpoint(eager=True)
+    base = (
+        nodes.crossJoin(F.broadcast(nn))
+        .select("node", "initq", "baseq")
+        .localCheckpoint(eager=True)
+    )
+    ranks = base.select("node", F.col("initq").alias("rq"))
     # ranks and deg are node-sized (≪ edge-sized) — broadcast them into
     # the edge join so each iteration shuffles only the (dst, cq) partial
     # aggregation, never the edge list; at node counts beyond broadcast
@@ -2722,20 +2741,21 @@ def pagerank_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         sums = contrib.groupBy("dst").agg(F.sum("cq").alias("sq"))
-        # cache each iterate: it is node-sized, and the next iteration
-        # broadcasts it — uncached, iteration i would re-execute the
-        # full lineage of iterations 1..i-1 on every materialization
+        # checkpoint each iterate: it is node-sized, and the next
+        # iteration broadcasts it — unmaterialized, iteration i would
+        # re-execute the full lineage of iterations 1..i-1 on every
+        # materialization; checkpoint, NOT cache(), for the same
+        # no-cross-run-reuse honesty as the edge table above
         ranks = (
-            nodes.crossJoin(F.broadcast(nn))
-            .join(sums, nodes.node == sums.dst, "left")
+            base.join(sums, base.node == sums.dst, "left")
             .select(
-                "node",
+                base.node.alias("node"),
                 F.expr(
                     f"baseq + (2 * {_PR_DAMP_NUM} * coalesce(sq, 0) + 100)"
                     " div 200"
                 ).alias("rq"),
             )
-            .cache()
+            .localCheckpoint(eager=True)
         )
     return ranks.select("node", "rq", (F.col("rq").cast("double") / PR_UNIT).alias("r"))
 

@@ -821,7 +821,12 @@ def g6_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from chronicle_sniffer_spark.plans.round7 import _copurchase_edges
 
-    edges = _copurchase_edges(spark, sf_dir).cache()
+    # eager localCheckpoint, NOT cache(): the edge table feeds five
+    # lazy consumers (two self-joins + the degree union), and a leaked
+    # plan-keyed cache would silently serve LATER identical runs (the
+    # g9 round-12 honesty finding) — the checkpoint shares the one
+    # materialization within this call only
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
     e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
     tri = (
         e1.join(e2, F.col("e1.v") == F.col("e2.u"))
