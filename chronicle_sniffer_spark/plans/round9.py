@@ -1360,9 +1360,16 @@ def o18_incremental_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     gap_us = SESSION_GAP_MIN * 60 * 1000000
     e = _t(spark, sf_dir, "events")
     us = F.unix_micros(F.col("ts").cast("timestamp"))
-    ecut = e.crossJoin(F.broadcast(o18_cutoff_micros(spark, sf_dir)))
+    # the 1-row cutoff is consumed by both the base and delta branches
+    # — checkpoint it so its own event-history window runs once, not
+    # once per lazy broadcast
+    cut = o18_cutoff_micros(spark, sf_dir).localCheckpoint(eager=True)
+    ecut = e.crossJoin(F.broadcast(cut))
     base_ev = ecut.filter(us < F.col("cutoff_us"))
-    delta_ev = ecut.filter(us >= F.col("cutoff_us"))
+    # day-delta-sized; consumed twice (affected-user set + merge items)
+    delta_ev = ecut.filter(us >= F.col("cutoff_us")).localCheckpoint(
+        eager=True
+    )
 
     # --- stored session table (what a warehouse would have on disk) ---
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -1385,6 +1392,12 @@ def o18_incremental_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("bigint").alias("n"),
         )
         .drop("sid")
+        # the stored session table IS materialized in production (it's
+        # what the warehouse has on disk); the checkpoint plays that
+        # role here, and without it both the touched semi-join and the
+        # untouched anti-join re-ran the full window chain over the
+        # event history
+        .localCheckpoint(eager=True)
     )
 
     # --- incremental merge for affected users only ---
