@@ -816,11 +816,21 @@ def l3_sparse_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("idf_mil"),
         )
     )
-    wts = tf.join(idf, "w").select(
-        "doc_id", "w", (F.col("tf") * F.col("idf_mil")).alias("wt")
+    # the weighted posting table is what production stores AS the
+    # inverted index — checkpoint it once; its three lazy consumers
+    # (norms, query vector, posting join) each re-ran the whole
+    # explode + tf/idf chain (12 Generate nodes in one plan, measured)
+    wts = (
+        tf.join(idf, "w")
+        .select("doc_id", "w", (F.col("tf") * F.col("idf_mil")).alias("wt"))
+        .localCheckpoint(eager=True)
     )
-    norms = wts.groupBy("doc_id").agg(
-        F.sqrt(F.sum(F.col("wt") * F.col("wt")).cast("double")).alias("nrm")
+    norms = (
+        wts.groupBy("doc_id")
+        .agg(F.sqrt(F.sum(F.col("wt") * F.col("wt")).cast("double")).alias("nrm"))
+        # doc-sized; consumed by both the query-norm filter and the
+        # candidate score join
+        .localCheckpoint(eager=True)
     )
     q = wts.filter(F.col("doc_id") == SPARSE_QUERY_DOC).select(
         "w", F.col("wt").alias("qwt")
