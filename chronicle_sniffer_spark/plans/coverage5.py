@@ -754,8 +754,17 @@ def l2_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return b1.unionByName(b2)
 
-    bandsb = bands(minhash_signatures(base), keep_id=False).distinct()
-    bandsd = bands(minhash_signatures(delta), keep_id=True)
+    # ONE shingle pass: signatures are per-doc, so the base/delta
+    # split commutes with minhashing — and the two band projections
+    # (b1 ∪ b2) of each side otherwise re-derive the whole explode
+    # chain (4 minhash passes in one physical plan, measured).  The
+    # checkpointed signature table is the maintained index of the
+    # docstring's production shape.
+    sig = minhash_signatures(d).localCheckpoint(eager=True)
+    bandsb = bands(
+        sig.filter(F.col("doc_id") % INC_MOD != 0), keep_id=False
+    ).distinct()
+    bandsd = bands(sig.filter(F.col("doc_id") % INC_MOD == 0), keep_id=True)
     near = bandsd.join(bandsb, "b").select("doc_id").distinct().withColumn(
         "is_near", F.lit(True)
     )
