@@ -87,7 +87,12 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING) -> Da
     via the banded candidate join."""
     assert max_hamming < SIMHASH_BANDS, "pigeonhole completeness needs hamming < bands"
     mask = (1 << SIMHASH_BAND_BITS) - 1
-    fps = simhash_fingerprints(docs)
+    # materialize the fingerprints ONCE (call-scoped eager checkpoint):
+    # the self-join below consumes this frame on BOTH sides, and one
+    # side feeds a BroadcastExchange, so without the checkpoint the
+    # whole explode+md5+63-vote subtree executes twice per run (AQE's
+    # exchange reuse cannot dedupe a broadcast side)
+    fps = simhash_fingerprints(docs).localCheckpoint(eager=True)
     # literal array of per-band structs (band count is a constant):
     # lambda-free, so the fan-out Generate stays in whole-stage codegen
     band_structs = ", ".join(

@@ -897,19 +897,28 @@ def g10_cosupply_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     any community or similarity analysis runs on them (g9's LPA and
     g2's triangles consume exactly this kind of projected edge list).
 
-    Spark shapes: the projection is a self-equi-join on the ORDER key
-    — candidates are Σ per-order C(k,2) with k ≤ 7 lineitems, never a
-    supplier×supplier cross — followed by one pair-keyed partial-agg
-    count and TakeOrderedAndProject.  At 100 TB the order-keyed
-    shuffle is the only full-data movement, and the k ≤ items-per-
-    order bound keeps the fan-out linear in input."""
-    os_ = (
-        _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey").distinct()
+    Spark shapes: ONE pass over lineitem — the per-order distinct
+    supplier set is a single order-keyed ``collect_set`` aggregate
+    (bounded by k ≤ 7 lineitems per order), and the pair fan-out is a
+    double explode of that set with supp_a < supp_b, so candidates
+    are Σ per-order C(k,2), never a supplier×supplier cross —
+    followed by one pair-keyed partial-agg count and
+    TakeOrderedAndProject.  The earlier self-equi-join form computed
+    the distinct (order, supplier) aggregate TWICE (the broadcast
+    side of the join re-derived it; AQE cannot reuse a broadcast
+    exchange) and paid a third exchange for the join itself.  At
+    100 TB the order-keyed shuffle is the only full-data movement,
+    and the k ≤ items-per-order bound keeps the fan-out linear in
+    input."""
+    per_order = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("l_suppkey").alias("supps"))
     )
-    a = os_.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("supp_a"))
-    b = os_.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("supp_b"))
     pairs = (
-        a.join(b, "ok")
+        per_order.select(F.explode("supps").alias("supp_a"), "supps")
+        .select("supp_a", F.explode("supps").alias("supp_b"))
         .filter(F.col("supp_a") < F.col("supp_b"))
         .groupBy("supp_a", "supp_b")
         .agg(F.count("*").alias("n_orders"))
