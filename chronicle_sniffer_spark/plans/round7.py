@@ -510,10 +510,17 @@ def g2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcastable), wedge build (oriented⋈oriented on the apex), and
     the closing-edge semi join.  Orientation never changes the
     COUNT, so the oracle counts triangles directly on the canonical
-    u<v edge set."""
-    edges = _copurchase_edges(spark, sf_dir)
+    u<v edge set.
+
+    The edge table feeds SIX consumers (degree agg, orientation,
+    both wedge sides, the closing semi-join, the n_edges agg):
+    materialize it once per call (g9/g12/g13 policy — the eager
+    localCheckpoint is RDD-keyed, so it cannot serve a later run);
+    degrees come from one explode of the [u, v] array instead of a
+    union of two projections."""
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
     deg = (
-        edges.select(F.col("u").alias("n")).union(edges.select(F.col("v").alias("n")))
+        edges.select(F.explode(F.array("u", "v")).alias("n"))
         .groupBy("n")
         .agg(F.count("*").alias("d"))
     )

@@ -1244,24 +1244,30 @@ def g8_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
     per term (the dq3/surprisal discipline) and summed as exact
     DECIMAL(28,9): the sum is order-independent, and the final
     1 + n/Σ is one shared double expression.  Scale shape: degree agg
-    + one scan of the degree relation (node-sized, not edge-sized)."""
+    + one scan of the degree relation (node-sized, not edge-sized).
+    The edge subtree (events distinct + capped window + self-join)
+    appears ONCE in the plan: degrees come from one explode of the
+    2-element [u, v] array instead of a unionAll of two projections
+    (which re-derived the edges per branch), and n_tail and Σ ride
+    the SAME aggregate instead of two crossJoined ones (the 1-row
+    side broadcast, which AQE's exchange reuse cannot dedupe — the
+    tail subtree executed twice)."""
     from chronicle_sniffer_spark.plans.round7 import _copurchase_edges
 
     edges = _copurchase_edges(spark, sf_dir)
     deg = (
-        edges.select(F.col("u").alias("node"))
-        .unionAll(edges.select(F.col("v").alias("node")))
+        edges.select(F.explode(F.array("u", "v")).alias("node"))
         .groupBy("node")
         .agg(F.count("*").cast("bigint").alias("d"))
     )
     tail = deg.filter(F.col("d") >= _G8_XMIN)
-    q = tail.select(
+    agg = tail.select(
         F.round(F.log(F.col("d").cast("double") / F.lit(float(_G8_XMIN))), 9)
         .cast("decimal(28,9)")
         .alias("qln")
-    )
-    agg = tail.agg(F.count("*").cast("bigint").alias("n_tail")).crossJoin(
-        q.agg(F.sum("qln").alias("s"))
+    ).agg(
+        F.count("*").cast("bigint").alias("n_tail"),
+        F.sum("qln").alias("s"),
     )
     return agg.select(
         "n_tail",
