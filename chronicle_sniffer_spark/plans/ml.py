@@ -946,6 +946,12 @@ def ml5_gbt_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
             model = best.crossJoin(F.broadcast(model)).select(
                 *[F.col(c_) for c_ in model.columns], *new_cols
             )
+        # materialize the 1-row model per round (ml4 policy): the lazy
+        # frame re-executes the whole boosting chain at every later
+        # broadcast reference — BroadcastNestedLoopJoin subtrees are
+        # NOT deduped by AQE exchange reuse — so the T-round plan held
+        # 8 lineitem scans where the histogram method costs exactly T
+        model = model.localCheckpoint(eager=True)
     outs = [
         model.select(
             F.lit(t).alias("round"),

@@ -630,7 +630,15 @@ def g13_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     # policy) — unchecked, the sf10 spot re-ran the 17 s scan+join per
     # reference and the plan cost ~5× its true work
     e = e.localCheckpoint(eager=True)
-    deg = e.groupBy("s").agg(F.count("*").cast("bigint").alias("d"))
+    # the degree dim feeds FIVE broadcast builds (filter scoring d1+d2,
+    # the expansion-size gate, verify scoring d1+d2), and every lazy
+    # broadcast re-ran the degree aggregate over e; one tiny
+    # materialization (|suppliers| rows) serves them all
+    deg = (
+        e.groupBy("s")
+        .agg(F.count("*").cast("bigint").alias("d"))
+        .localCheckpoint(eager=True)
+    )
     d1 = deg.select(F.col("s").alias("s1"), F.col("d").alias("d1"))
     d2 = deg.select(F.col("s").alias("s2"), F.col("d").alias("d2"))
     from pyspark.sql import Window as W

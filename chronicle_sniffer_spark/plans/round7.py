@@ -347,15 +347,20 @@ def l3_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    keyed = with_bucket_keys(emb).select(
-        "vec_id", "embedding", F.explode("bkeys").alias("bkey")
-    )
-    qs = keyed.filter(
+    # with_bucket_keys is a MapInPandas — opaque to filter pushdown, so
+    # the three consumers (candidate side, query keys, query vectors)
+    # each re-ran the full-corpus Arrow matmul; materialize the keyed
+    # corpus ONCE per call, BEFORE the bucket explode so the embedding
+    # arrays are stored 1× (not L×)
+    base = with_bucket_keys(emb).localCheckpoint(eager=True)
+    keyed = base.select("vec_id", "embedding", F.explode("bkeys").alias("bkey"))
+    q_base = base.filter(
         (F.col("vec_id") % RECALL_QMOD == 0)
         & (F.col("vec_id") < RECALL_QMOD * RECALL_NQ)
-    ).select(
+    )
+    qs = q_base.select(
         F.col("vec_id").alias("qid"),
-        F.col("bkey").alias("qkey"),
+        F.explode("bkeys").alias("qkey"),
         as_double(F.col("embedding")).alias("qv"),
     )
     cand = (
@@ -377,7 +382,12 @@ def l3_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= RECALL_K)
         .select("qid", "vec_id")
     )
-    qvs = qs.select("qid", "qv").dropDuplicates(["qid"])
+    # one row per query already (no explode) — the former
+    # dropDuplicates over the exploded keys re-ran the matmul AND paid
+    # a dedup shuffle for rows that were L copies of the same vector
+    qvs = q_base.select(
+        F.col("vec_id").alias("qid"), as_double(F.col("embedding")).alias("qv")
+    )
     exact = (
         emb.join(F.broadcast(qvs), F.col("vec_id") != F.col("qid"))
         .select(

@@ -380,47 +380,51 @@ def l4_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the LM trained on the corpus itself — the relational core of
     KenLM-style perplexity filtering.
 
-    Scale shape: unigram/bigram count tables are token-keyed
-    aggregates (map-side combined, Zipf-collapsed — vocabulary grows
-    sublinearly in corpus size); scoring is a shuffle join of bigram
-    INSTANCES against the count tables on the bigram key, plus a
-    1-row broadcast for V.  No driver round-trips, no UDFs — the
-    whole plan is codegen'd expressions."""
+    Scale shape: the token stream is materialized once per call and
+    bigram instances come from ONE lead() window pass over the doc_id
+    partitioning the explode already established (no token self-join);
+    unigram/bigram count tables are token-keyed aggregates (map-side
+    combined, Zipf-collapsed — vocabulary grows sublinearly in corpus
+    size); scoring is a shuffle join of bigram INSTANCES against the
+    count tables on the bigram key, plus a 1-row broadcast for V.
+    No UDFs — every stage is codegen'd expressions."""
     docs = _t(spark, sf_dir, "documents")
     docs = docs.repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
     )  # explode fan-out must not run in the scan's single-file partitioning
     # lambda-free tokenization: a higher-order F.filter on the array is
     # CodegenFallback and would run the explode fan-out interpreted
-    # (audit_codegen catches it) — explode raw positions, drop empty
-    # tokens row-level, and re-rank with a doc_id-partitioned window
-    # (post-filter positions, matching the oracle's list_filter; the
-    # window shuffle is the same doc_id partitioning the bigram
-    # self-join needs anyway)
+    # (audit_codegen catches it) — explode raw positions and drop empty
+    # tokens row-level; consecutive-pair order comes straight from pos
+    # (matching the oracle's list_filter)
     raw = docs.select(
         "doc_id", F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "w")
     ).filter(F.col("w") != "")
-    toks = raw.select(
-        "doc_id",
-        "w",
-        F.row_number().over(Window.partitionBy("doc_id").orderBy("pos")).alias("i"),
-    )
+    # the token stream feeds FOUR consumers (bigram pairing, unigram
+    # counts, vocabulary size, and the scoring join's instance side) —
+    # the explode subtree sits ABOVE the one reusable exchange (the
+    # doc_id repartition), so each consumer re-ran the fan-out;
+    # materialize it once per call (l3_sparse_cosine policy)
+    raw = raw.localCheckpoint(eager=True)
+    # bigram instances by lead() over the SAME doc_id partitioning the
+    # explode already established — the former (doc_id, i)=(doc_id,
+    # i+1) self-join shuffled + sorted the token stream twice for what
+    # one window pass computes; materialized once because both the LM
+    # count table and the scoring join consume it
     bg = (
-        toks.alias("a")
-        .join(
-            toks.alias("b"),
-            (F.col("b.doc_id") == F.col("a.doc_id"))
-            & (F.col("b.i") == F.col("a.i") + 1),
+        raw.select(
+            "doc_id",
+            F.col("w").alias("w1"),
+            F.lead("w")
+            .over(Window.partitionBy("doc_id").orderBy("pos"))
+            .alias("w2"),
         )
-        .select(
-            F.col("a.doc_id").alias("doc_id"),
-            F.col("a.w").alias("w1"),
-            F.col("b.w").alias("w2"),
-        )
+        .filter(F.col("w2").isNotNull())
+        .localCheckpoint(eager=True)
     )
     c_bg = bg.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
-    c_uni = toks.groupBy(F.col("w").alias("w1")).agg(F.count("*").alias("cu"))
-    v = toks.agg(F.countDistinct("w").alias("v"))
+    c_uni = raw.groupBy(F.col("w").alias("w1")).agg(F.count("*").alias("cu"))
+    v = raw.agg(F.countDistinct("w").alias("v"))
     return (
         bg.join(c_bg, ["w1", "w2"])
         .join(c_uni, "w1")

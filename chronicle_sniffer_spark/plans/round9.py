@@ -791,7 +791,11 @@ def g7_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     diverging from its oracle."""
     from chronicle_sniffer_spark.plans.round7 import _copurchase_edges
 
-    edges = _copurchase_edges(spark, sf_dir).localCheckpoint()
+    # lazy checkpoint + count() materialization: ONE driver-synchronized
+    # job per round instead of two (the g3/o18 convergence-fusion
+    # pattern — an eager checkpoint followed by a count pays a second
+    # scheduling round-trip for rows already in memory)
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=False)
     n_prev = edges.count()
     for rnd in range(_G7_UNROLL):
         deg = (
@@ -805,7 +809,7 @@ def g7_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
             edges.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
             .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
             .select("u", "v")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         n_now = edges.count()
         if n_now == n_prev:
