@@ -444,12 +444,29 @@ def main() -> None:
     import statistics
 
     timings: dict[str, float] = {}
+    # Diagnostic split (does NOT change the timed methodology): during
+    # the second warm run, the spark_fn() call is timed separately.
+    # That call is the per-invocation FIXED work — py4j/Catalyst plan
+    # construction plus any call-scoped checkpoint materialization —
+    # and for sub-second entries it bounds what execution-side
+    # optimization can still buy (the B1a class, BASELINE.md).
+    # Reported as the top-level "plan_build" dict; "queries" and the
+    # headline sum are computed exactly as before.
+    builds: dict[str, float] = {}
     for name in HEADLINE:
         run(name)  # warm 1: codegen compile
-        run(name)  # warm 2: JIT reaches steady state (multi-stage plans
-        # like l2_ngram_jaccard measured 8.4 s after one warm run vs
-        # 2.4 s true steady state — one warm pass is not enough once
-        # the catalog is this large)
+        # warm 2: JIT reaches steady state (multi-stage plans like
+        # l2_ngram_jaccard measured 8.4 s after one warm run vs 2.4 s
+        # true steady state — one warm pass is not enough once the
+        # catalog is this large); its build phase is timed for the
+        # diagnostic split above
+        t_b = time.time()
+        df2 = reg[name].spark_fn(spark, sf_dir)
+        builds[name] = round(time.time() - t_b, 3)
+        if name in _SMALL:
+            df2.collect()
+        else:
+            df2.write.format("noop").mode("overwrite").save()
         reps = _MEDIAN_REPS.get(name, 1)
         samples = []
         for _ in range(reps):
@@ -541,6 +558,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "plan_build": builds,
         "udm_b1_pkts_per_sec_per_core": b1_throughput,
         "udm_b1_marginal_pkts_per_sec_per_core": b1_marginal,
         "sf": sf,
