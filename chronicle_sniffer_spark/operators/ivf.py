@@ -636,7 +636,10 @@ def semantic_dedup(
     spark = embeddings.sparkSession
     cent = _centroid_df(spark, train_centroids(embeddings, n_centroids, n_iter))
     vecs = embeddings.select("vec_id", as_double(F.col("embedding")).alias("v"))
-    assigned = _assign(vecs, cent)
+    # consumed twice (pair generation + the final keep join): one
+    # call-scoped eager materialization, NOT a plan-keyed cache — an
+    # RDD-identity checkpoint cannot serve a later identical run
+    assigned = _assign(vecs, cent).localCheckpoint(eager=True)
 
     def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) > SEMANTIC_CELL_CAP:
@@ -664,7 +667,15 @@ def semantic_dedup(
     pairs = (
         assigned.groupBy("cid")
         .applyInPandas(cell_pairs, "va long, vb long, sim double")
-        .cache()  # consumed twice: threshold agg + dup filter
+        # consumed twice (threshold agg + dup filter).  This was a
+        # plan-keyed .cache() with no unpersist — a LEAKED query cache
+        # that outlives the call, so any later identical run (including
+        # the bench's timed reps after its warmups) read the previous
+        # run's pair blocks instead of computing (the g1/g6/fuzzy
+        # round-14 honesty class).  Eager localCheckpoint shares the
+        # one materialization within the call and cannot serve a later
+        # run (RDD-identity-keyed).
+        .localCheckpoint(eager=True)
     )
     thr = pairs.agg(
         F.round(F.avg("sim") + F.lit(c_sigma) * F.stddev_pop("sim"), 6).alias("t")
