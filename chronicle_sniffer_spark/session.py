@@ -44,6 +44,17 @@ def get_spark(app_name: str = "chronicle_sniffer_spark") -> SparkSession:
         # query times.  A large app serving many plans wants this high
         # on a cluster too.
         .config("spark.sql.codegen.cache.maxEntries", "1000")
+        # PySpark's DataFrame-debugging feature wraps every DataFrame/
+        # Column API call to capture the Python call site for error
+        # messages; each wrapped call pays getActiveSession + a conf
+        # read + an origin set/clear — ~5 synchronous py4j round trips
+        # — plus a Python stack walk.  Plan CONSTRUCTION is driver-side
+        # serial work a cluster cannot parallelize, and for this
+        # catalog's large expression trees the capture measured ~45% of
+        # build time (UDM projection build 1.63 s → 0.90 s, interleaved
+        # A/B).  Production posture: errors lose the Python call-site
+        # line, nothing else changes.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         # Scan-split sizing: the default 128 MB under-splits this
         # testbed's few-but-large files (a 600 MB sf1 lineitem scanned
         # as ~5 tasks on 32 cores); 16 MB yields ~core-count scan tasks

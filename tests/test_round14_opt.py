@@ -46,3 +46,17 @@ def test_recursion_state_carries_across_arrow_batches(spark, entry):
         spark.conf.set(_BATCH_CONF, default)
     assert tiny == baseline
     assert len(baseline) > 0
+
+
+def test_session_disables_dataframe_debugging(spark):
+    """Plan construction is serial driver work; the per-call origin
+    capture of PySpark's DataFrame-debugging feature measured ~45% of
+    large plan-build times (see session.py).  Pin the posture so a
+    session-factory edit can't silently reintroduce it."""
+    import pyspark.errors.utils as eu
+
+    assert (
+        spark.conf.get("spark.python.sql.dataFrameDebugging.enabled") == "false"
+    )
+    # the module-level cache is what the wrapper actually consults
+    assert eu._enable_debugging_cache is False
