@@ -53,7 +53,13 @@ def get_spark(app_name: str = "chronicle_sniffer_spark") -> SparkSession:
         # catalog's large expression trees the capture measured ~45% of
         # build time (UDM projection build 1.63 s → 0.90 s, interleaved
         # A/B).  Production posture: errors lose the Python call-site
-        # line, nothing else changes.
+        # line, nothing else changes.  NOTE: pyspark caches this flag
+        # ONCE PER PROCESS on the first wrapped call — a wrapped call
+        # executed before this session exists pins the cached value
+        # regardless of this conf, and getOrCreate() reusing a
+        # pre-existing session silently ignores it.  Session-factory
+        # refactors (e.g. multiple sessions per process) must not
+        # assume the conf is re-read.
         .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         # Scan-split sizing: the default 128 MB under-splits this
         # testbed's few-but-large files (a 600 MB sf1 lineitem scanned

@@ -58,5 +58,9 @@ def test_session_disables_dataframe_debugging(spark):
     assert (
         spark.conf.get("spark.python.sql.dataFrameDebugging.enabled") == "false"
     )
-    # the module-level cache is what the wrapper actually consults
-    assert eu._enable_debugging_cache is False
+    # Assert via the public API (which populates pyspark's lazy
+    # module-level cache under the active session) rather than poking
+    # the private `_enable_debugging_cache` global: the private cache
+    # is None until the first wrapped call, so the old assertion
+    # failed when this test ran first in isolation (r14 ADVICE).
+    assert eu.is_debugging_enabled() is False
