@@ -85,6 +85,26 @@ def test_fastpath_expression_results_unchanged(spark):
     ]
 
 
+def test_load_table_memo_is_per_session_and_per_path(spark):
+    """load_table memoizes the lazy PLAN per (session, sf_dir, table)
+    — a warm spark.read.parquet costs ~100 ms that every plan build
+    (and every timed bench rep) was re-paying.  The memo must return
+    the same DataFrame object within a session, distinct plans for
+    distinct sf_dirs, and the data must still come from the parquet
+    (every action re-scans; nothing is persisted)."""
+    from tests.conftest import SF_SMOKE
+    from chronicle_sniffer_spark.tables import load_table
+
+    a1 = load_table(spark, SF_SMOKE, "nation")
+    a2 = load_table(spark, SF_SMOKE, "nation")
+    assert a1 is a2
+    b = load_table(spark, "/root/testdata/sf0.01", "nation")
+    assert b is not a1
+    assert a1.count() == 25 and b.count() == 25
+    # and the memoized plan still evaluates per-action (no result pin)
+    assert a1.filter("n_nationkey = 0").count() == 1
+
+
 def test_fastpath_survives_session_restart():
     """SparkSession.stop() keeps the JVM and gateway alive, so cached
     handles stay valid across the bench's stop()/get_spark() cycle.
