@@ -69,7 +69,18 @@ def get_spark(app_name: str = "chronicle_sniffer_spark") -> SparkSession:
         # saturate executors — row-group-aligned files split; single-
         # row-group files never do (see tools/make_scale_data.py).
         .config("spark.sql.files.maxPartitionBytes", "16m")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Driver heap sizing (guide §5): this application retains a
+        # large catalog of query plans, broadcast relations and codegen
+        # classes in the driver for the life of the session.  At 8g the
+        # old gen fills as the catalog executes and late-run plan
+        # CONSTRUCTION inflates ~2x under GC pressure (measured across
+        # full bench runs: last-segment plan_build sum 32.3 s at 8g vs
+        # 15.1 s at 16g, per-entry wall median x0.87, the win GROWING
+        # monotonically through the run — the GC signature, not ambient
+        # noise).  16 GiB is modest for the 128 GiB testbed and is the
+        # same sizing a production driver serving hundreds of live
+        # plans at 100 TB needs; still env-overridable.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         # Managed-table warehouse (bucketed-table demos) lives in /tmp,
         # never inside the repo working directory.
         .config(

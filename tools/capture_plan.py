@@ -2,7 +2,8 @@
 
 Usage:  python tools/capture_plan.py <tag> query [query ...]
 
-Writes plans/r14/<query>_<tag>.txt for each query (tag: before/after).
+Writes plans/$CSS_PLAN_ROUND/<query>_<tag>.txt for each query
+(tag: before/after; CSS_PLAN_ROUND defaults to r15).
 """
 
 from __future__ import annotations
@@ -21,7 +22,9 @@ def main() -> None:
     names = sys.argv[2:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     out_dir = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r14"
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        os.environ.get("CSS_PLAN_ROUND", "r15"),
     )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("capture_plan")
